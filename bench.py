@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collected to the driver) so the timing
+covers scan → shuffle → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_top_customers",
+    "q_window_top_orders_per_customer",
+    "q_brand_volume",
+    "q_distinct_parts_per_flag",
+    "q_events_hourly_by_type",
+    "q_events_sessionize",
+    "q_docs_token_stats",
+    "q_docs_ngram_jaccard_pairs",
+    "q_emb_knn_bruteforce",
+    "q_docs_minhash_near_dups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from fortymhz_spark.queries import all_queries
+    from fortymhz_spark.session import get_session
+
+    spark = get_session("fortymhz-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers with one cheap action so per-query
+    # timings measure the engine, not JIT/classloading.
+    registry[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        rows = registry[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

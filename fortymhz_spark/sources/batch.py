@@ -1,0 +1,65 @@
+"""Batch readers with declared schemas.
+
+Maps reference operators S10 (CSV fixture load,
+``/root/reference/code/test/simulate_stream.py:7``) and S14 (driver
+parquet fixtures).  Everything reads through ``spark.read`` so Catalyst
+gets vectorized scans, predicate pushdown, and column pruning for free —
+the reference materializes full rows as Python dicts
+(``core.py:113-116``), which is exactly what we avoid.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fortymhz_spark.schemas import DT_HIT, TABLE_NAMES
+from fortymhz_spark.session import tune_session
+
+DEFAULT_HITS_CSV = "/root/reference/code/test/test_data.csv"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which has no
+    Spark type; we read it as int64 nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a µs
+    timestamp column-side (the fixture values are µs-aligned, so the
+    conversion is lossless).  This stays fully distributed — no driver
+    round-trip — so it holds at any scale.
+    """
+    tune_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver fixture table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register each fixture table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+def read_hits_csv(spark: SparkSession, path: str = DEFAULT_HITS_CSV) -> DataFrame:
+    """Read a DT-hit CSV fixture with the declared 6-column schema.
+
+    Replaces the reference's ``pd.read_csv`` + pandas type inference
+    (``simulate_stream.py:7``) with a schema-declared distributed scan.
+    """
+    return spark.read.csv(path, header=True, schema=DT_HIT)
