@@ -28,7 +28,7 @@ HEADLINE = [
     "q_events_hourly_by_type",
     "q_events_sessionize",
     "q_docs_token_stats",
-    "q_docs_ngram_jaccard_pairs",
+    "q_docs_exact_dedup",
     "q_emb_knn_bruteforce",
     "q_docs_minhash_near_dups",
 ]

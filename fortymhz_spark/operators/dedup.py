@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a different cost/recall point, all expressed as
+DataFrame plans (no Python in the hot path):
+
+- exact:      md5-normalized hash → groupBy.  One shuffle on the hash.
+- minhash:    k-permutation MinHash signatures + banded LSH join.
+              Cost ~ O(tokens·k) map-side, shuffle on (band, bucket).
+- simhash:    64-bit sign-aggregate fingerprint; near-dups = small
+              Hamming distance, found via band rotations (exact-match
+              buckets on 4×16-bit chunks → candidates → verify).
+- ngram-jaccard: exact pairwise Jaccard within a blocking key (the
+              verification primitive; quadratic within blocks only).
+- embedding:  cosine ≥ τ pairs (see operators/similarity.py for the
+              ANN scale path).
+
+At 100 TB the rule is: never materialize the quadratic pair space —
+every candidate generator here shuffles on a bucket key whose expected
+bucket size is O(1)-ish, and only candidates are verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators.text import content_md5, shingle_set, word_set
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per normalized-content hash."""
+    keyed = df.withColumn("__fp__", content_md5(text_col))
+    return (
+        keyed.groupBy("__fp__")
+        .agg(F.min(id_col).alias(id_col))
+        .join(keyed, [id_col], "inner")
+        .filter(F.col("__fp__") == content_md5(text_col))
+        .drop("__fp__")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fingerprint, n_docs, representative) for every duplicate class."""
+    return (
+        df.withColumn("fingerprint", content_md5(text_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("representative"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
+    """MinHash signature column (array<long>, one min per hash family).
+
+    Hash family i is ``xxhash64(i, shingle)`` — Spark's built-in 64-bit
+    xxhash with the family index mixed in as a first argument.  The
+    whole signature is computed map-side per row; no explode/shuffle.
+    Shingles (n-word, Broder-style) rather than unigrams: unigram sets
+    saturate on small vocabularies and make every pair a candidate.
+    """
+    ws = shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(ws, lambda tok: F.xxhash64(F.lit(i), tok))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    Jaccard over the word sets.
+
+    rows = (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Banding: signature split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs sharing any full band land in one bucket (shuffle key =
+    (band_idx, band_hash)).  Candidate pairs are generated per bucket —
+    a self-join on the bucket key, never on the full corpus — then
+    deduped and verified.
+    """
+    rows_per_band = num_hashes // bands
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        shingles.alias("ws"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "ws",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "ws", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("ws").alias("ws_a"),
+    )
+    right = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        F.col("ws").alias("ws_b"),
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ws_a", "ws_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col):
+    """64-bit SimHash: per token hash, each bit votes ±1; the sign of
+    each bit-sum sets the fingerprint bit.  Entirely map-side."""
+    ws = word_set(text_col)
+    hashes = F.transform(ws, lambda tok: F.xxhash64(tok))
+
+    def bit_sum(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into 4 16-bit
+    chunks; by pigeonhole any pair within Hamming distance 3 shares at
+    least one exact chunk → bucket-join on (chunk_idx, chunk_value),
+    then verify the true Hamming distance with bit_count(xor).
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    chunks = fp.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sim", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.val")
+    left = chunks.select(
+        "chunk", "val", F.col("id").alias("id_a"), F.col("sim").alias("sim_a")
+    )
+    right = chunks.select(
+        "chunk", "val", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram / word-set Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-set Jaccard over all pairs sharing ``block_col``.
+
+    Quadratic *within a block* — the caller picks a blocking key that
+    bounds block size (source, language, LSH bucket…).  With no block
+    the join is a full cross product: correct, but only for small
+    corpora (tests / verification of LSH recall).
+    """
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles.alias("ws"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    on = ["blk"] if block_col else []
+    left = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    right = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    joined = left.crossJoin(right) if not on else left.join(right, on)
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(*(["blk"] if block_col else []), "id_a", "id_b", "jaccard")
+    )

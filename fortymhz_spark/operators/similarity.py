@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_knn`` — exact top-k by cosine: a broadcast join of the
+  (small) query set against the corpus, JVM-side fold arithmetic, then
+  per-query TakeOrdered.  This is the baseline and the re-rank step.
+- ``lsh_knn`` — sign-random-projection LSH: H fixed hyperplanes give an
+  H-bit bucket code; candidates = corpus rows whose code collides with
+  the query in any band; exact cosine re-ranks candidates.  Shuffle key
+  is the (band, code-chunk) — never the full corpus cross product.
+
+The hyperplane matrix is generated once, driver-side, from a fixed seed
+(deterministic; a few KB) and embedded as a literal array — at any
+corpus scale it broadcasts with the task binary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fortymhz_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+
+    rows = (query_id, neighbor_id, cosine), k per query, self-matches
+    excluded.  ``queries`` is broadcast — keep it small (the
+    many-query/many-corpus case belongs to ``lsh_knn``).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("qv", "cv"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box–Muller over a
+    64-bit LCG keyed by seed/plane/dim — no RNG library dependency)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # splitmix64-ish scramble
+            x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & (2**64 - 1)
+            x ^= x >> 30
+            x = (x * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+            x ^= x >> 27
+            x = (x * 0x94D049BB133111EB) & (2**64 - 1)
+            x ^= x >> 31
+            u1 = ((x >> 11) + 1) / (2**53 + 1)
+            x2 = (x * 0xD1342543DE82EF95 + 0x2545F4914F6CDD1D) & (2**64 - 1)
+            u2 = ((x2 >> 11) + 1) / (2**53 + 1)
+            row.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            )
+        planes.append(row)
+    return planes
+
+
+def rp_bucket_code(vec_col, planes: list[list[float]]):
+    """Sign-projection code: bit p = 1 iff dot(vec, plane_p) > 0.
+    Returns array<int> of bits (kept unpacked for banding)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: sign-RP LSH candidate generation + exact
+    cosine re-rank.  Bands of ``n_planes/bands`` bits each; a corpus row
+    is a candidate if any band code matches the query's."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits_per_band = n_planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        coded = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_v"),
+            rp_bucket_code(vec_col, planes).alias("code"),
+        )
+        return coded.select(
+            f"{role}_id",
+            f"{role}_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.element_at("code", b * bits_per_band + i + 1)
+                                    for i in range(bits_per_band)
+                                ],
+                            ).alias("bcode"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"{role}_v", "bb.band", "bb.bcode")
+
+    cand = (
+        banded(corpus, "neighbor")
+        .join(banded(queries, "query"), ["band", "bcode"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_similarity("query_v", "neighbor_v")
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_lsh: bool = False,
+    **lsh_kw,
+) -> DataFrame:
+    """All pairs with cosine >= threshold.  Brute force by default
+    (exact; for oracle checks and small corpora); ``use_lsh=True``
+    switches candidate generation to sign-RP buckets for scale."""
+    if use_lsh:
+        pairs = lsh_knn(df, df, id_col=id_col, vec_col=vec_col, k=1 << 30, **lsh_kw)
+        return (
+            pairs.filter(
+                (F.col("cosine") >= threshold)
+                & (F.col("query_id") < F.col("neighbor_id"))
+            )
+            .select(
+                F.col("query_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"),
+                "cosine",
+            )
+        )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,171 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (whole-stage codegen; no Python in the hot
+path): tokenization, quality scoring, language-ID heuristic, and
+content fingerprints.  Each is designed to run over billions of
+documents — per-row work is O(len(text)), no shuffles until the caller
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# Tiny per-language stopword markers for the n-gram/stopword language
+# heuristic.  Deliberately small: the point is the operator shape
+# (argmax over per-language evidence columns), not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _colified(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties removed (array<string>)."""
+    t = _colified(text)
+    return F.filter(F.split(t, " "), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def word_set(text: Column | str) -> Column:
+    """Distinct lowercase tokens — the shingle set for Jaccard ops."""
+    t = _colified(text)
+    return F.array_distinct(F.filter(F.split(F.lower(t), " "), lambda x: x != ""))
+
+
+def shingle_set(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (Broder-style w-shingling).
+
+    Far more discriminative than unigram sets: two documents share a
+    shingle only if they share an exact n-word sequence, so Jaccard on
+    shingles tracks copied passages rather than topic vocabulary.
+    Documents shorter than n words contribute their full token string
+    as a single shingle (so they can still match exact duplicates).
+    """
+    t = _colified(text)
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    k = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, F.array_distinct(joined)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of the lowercased text."""
+    t = F.lower(_colified(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def punct_count(text: Column | str) -> Column:
+    t = _colified(text)
+    return (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length as double (NULL on empty docs)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")) -> Column:
+    toks = tokens(F.lower(_colified(text)))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double"))
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are one of ``markers`` (language evidence)."""
+    toks = tokens(F.lower(_colified(text)))
+    return F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-argmax language guess: the language with the most marker
+    hits wins; ties break toward the alphabetically-first language
+    (left fold keeps the first strict maximum); zero evidence → 'und'."""
+    t = _colified(text)
+    scored = F.array(
+        *[
+            F.struct(
+                marker_hits(t, marks).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, marks in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).cast("long").alias("hits"), F.lit("und").alias("lang")
+        ),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, token length sanity,
+    stopword presence, punctuation moderation.  Deterministic integer/
+    double arithmetic only (oracle-portable)."""
+    t = _colified(text)
+    n_tok = token_count(t)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    atl = F.coalesce(avg_token_length(t), F.lit(0.0))
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0)
+    sw = F.coalesce(stopword_ratio(t), F.lit(0.0))
+    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.0)
+    pr = punct_count(t).cast("double") / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + atl_ok + sw_ok + punct_ok) / F.lit(4.0)
+
+
+def content_md5(text: Column | str) -> Column:
+    """Exact-dedup key: md5 of the lowercased, space-normalized text."""
+    t = _colified(text)
+    return F.md5(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over character codes (mod 1e9+7).
+
+    A left fold ``acc = (acc * 31 + ascii(c)) % M`` — order-fixed and
+    engine-portable (DuckDB mirrors it with list_reduce).  Used as a
+    cheap content fingerprint; collisions ~ n^2 / M.
+    """
+    t = _colified(text)
+    idx = F.sequence(F.lit(1), F.length(t))
+    codes = F.transform(idx, lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + c) % POLY_MOD,
+    )

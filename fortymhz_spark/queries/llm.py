@@ -1,5 +1,415 @@
-"""LLM-data-pipeline queries (placeholder — filled in next)."""
+"""LLM-data-pipeline queries over ``documents`` and ``embeddings``.
+
+Oracle-backed where the semantics are engine-portable (exact dedup,
+token/quality stats, Jaccard pairs, rolling fingerprints, brute-force
+cosine); rows-only where they depend on Spark's xxhash64 (MinHash,
+SimHash) or on the RP-LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fortymhz_spark.functions.vectors import cosine_similarity
+from fortymhz_spark.operators import dedup as dd
+from fortymhz_spark.operators import similarity as sim
+from fortymhz_spark.operators import text as tx
 from fortymhz_spark.queries.registry import Registry
+from fortymhz_spark.sources.batch import load_table
+
 reg = Registry()
 QUERIES = reg.queries
 ORACLE = reg.oracle
+
+# Shared SQL fragments for the oracle side (keep in lockstep with
+# operators/text.py — tested cell-for-cell by the differential suite).
+_SQL_TOKENS = "list_filter(string_split({t}, ' '), x -> x <> '')"
+_SQL_WORDSET = "list_distinct(list_filter(string_split(lower({t}), ' '), x -> x <> ''))"
+# 3-word shingles (operators/text.py::shingle_set): ordered lowercase
+# tokens → distinct 3-grams; docs shorter than 3 tokens contribute
+# their full token string.  ``{toks}`` must be a token-array expression.
+_SQL_SHINGLES = (
+    "CASE WHEN len({toks}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({toks}) - 1), "
+    "i -> {toks}[i::INT] || ' ' || {toks}[(i+1)::INT] || ' ' || {toks}[(i+2)::INT])) "
+    "ELSE [array_to_string({toks}, ' ')] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_exact_dedup",
+    oracle=f"""
+    SELECT
+      md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(docs).orderBy("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_token_stats",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(len({_SQL_TOKENS.format(t='text')})) AS total_tokens,
+      CAST(SUM(len({_SQL_TOKENS.format(t='text')})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      MAX(len({_SQL_TOKENS.format(t='text')})) AS max_tokens,
+      SUM(len({_SQL_WORDSET.format(t='text')})) AS total_distinct_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+            F.sum(F.size(tx.word_set("text")).cast("long")).alias(
+                "total_distinct_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        source,
+        len({_SQL_TOKENS.format(t='text')}) AS n_tok,
+        CASE WHEN len({_SQL_TOKENS.format(t='text')}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+        COALESCE(
+          CASE WHEN len({_SQL_TOKENS.format(t='text')}) > 0 THEN
+            CAST(list_reduce(list_transform({_SQL_TOKENS.format(t='text')}, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
+              / len({_SQL_TOKENS.format(t='text')})
+          END, 0.0) AS atl,
+        COALESCE(
+          CASE WHEN len({_SQL_TOKENS.format(t='text')}) > 0 THEN
+            CAST(len(list_filter({_SQL_TOKENS.format(t='lower(text)')},
+                     x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+              / len({_SQL_TOKENS.format(t='text')})
+          END, 0.0) AS sw,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
+      FROM documents
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CAST((
+          CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0 AS DECIMAL(8,4))) AS DOUBLE)
+        AS total_quality,
+      SUM(CASE WHEN (
+          CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0 >= 0.75 THEN 1 ELSE 0 END)
+        AS n_high_quality
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(q.cast("decimal(8,4)")).cast("double").alias("total_quality"),
+            F.sum(F.when(q >= 0.75, 1).otherwise(0)).alias("n_high_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification heuristic vs the labeled lang column
+# ---------------------------------------------------------------------------
+def _sql_marker_hits(marks: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in marks)
+    return (
+        f"len(list_filter({_SQL_TOKENS.format(t='lower(text)')}, "
+        f"x -> x IN ({inlist})))"
+    )
+
+
+def _sql_lang_id() -> str:
+    # Left fold over languages in sorted order: first strict max wins —
+    # mirrors operators/text.py::lang_id exactly.
+    expr = "CAST(ROW(-1, 'und') AS ROW(hits BIGINT, lang VARCHAR))"
+    for lang, marks in sorted(tx.LANG_MARKERS.items()):
+        hits = _sql_marker_hits(marks)
+        expr = (
+            f"CASE WHEN {hits} > ({expr}).hits "
+            f"THEN CAST(ROW({hits}, '{lang}') AS ROW(hits BIGINT, lang VARCHAR)) "
+            f"ELSE {expr} END"
+        )
+    return f"CASE WHEN ({expr}).hits > 0 THEN ({expr}).lang ELSE 'und' END"
+
+
+@reg.query(
+    "q_docs_lang_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled, {_sql_lang_id()} AS predicted, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_docs_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"), tx.lang_id("text").alias("predicted")
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprinting
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_fingerprints",
+    oracle="""
+    SELECT
+      doc_id,
+      list_reduce(
+        list_transform(range(1, length(text) + 1),
+                       i -> ascii(substring(text, i::INT, 1))::BIGINT),
+        (acc, c) -> (acc * 31 + c) % 1000000007
+      ) AS fingerprint
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q_docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard near-dup pairs, blocked by source
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    )
+    SELECT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (brute force — the ground
+    truth the LSH paths are judged against; quadratic, small corpora)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.3)
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dups.  Oracle = brute-force shingle Jaccard: the LSH
+# result is candidates ∩ verified-jaccard≥τ ⊆ brute force, and with 16
+# bands × 2 rows the per-pair recall at τ=0.7 is 1-(1-s²)¹⁶ ≥ 0.99998 —
+# and deterministic (fixed xxhash64 family), so equality, once observed
+# on a fixture, is stable.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_minhash_near_dups",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    )
+    SELECT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_near_dups(docs, threshold=0.7, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dups (rows-only: depends on Spark xxhash64)
+# ---------------------------------------------------------------------------
+@reg.query("q_docs_simhash_near_dups")
+def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# embedding KNN — brute-force cosine (exact oracle via fold arithmetic)
+# ---------------------------------------------------------------------------
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+@reg.query(
+    "q_emb_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT
+        q.query_id,
+        c.vec_id AS neighbor_id,
+        {_SQL_DOT.format(a='q.qv', b='c.embedding')}
+          / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='c.embedding')}) AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_knn(emb, queries, k=10).orderBy("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs above a cosine threshold (exact)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_near_dup_pairs",
+    oracle=f"""
+    SELECT
+      a.vec_id AS id_a,
+      b.vec_id AS id_b,
+      {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (exact via decimal accumulation)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_label_centroids",
+    oracle="""
+    SELECT
+      label,
+      pos,
+      CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(16,6))) AS DOUBLE)
+        / COUNT(*) AS centroid_val
+    FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            # scale 6: coarse enough that DuckDB's multiply-based
+            # double→decimal conversion is exact alongside Spark's
+            # BigDecimal path (scale 10 diverged by 1 quantum at sf0.01)
+            F.col("val").cast("double").cast("decimal(16,6)").alias("dval"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("dval").cast("double") / F.count(F.lit(1))).alias("centroid_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN via sign-random-projection LSH (rows-only: bucketing is Spark-side)
+# ---------------------------------------------------------------------------
+@reg.query("q_emb_ann_lsh")
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_knn(emb, queries, k=10).orderBy("query_id", "neighbor_id")

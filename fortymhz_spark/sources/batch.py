@@ -26,17 +26,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which has no
     Spark type; we read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a µs
-    timestamp column-side (the fixture values are µs-aligned, so the
-    conversion is lossless).  This stays fully distributed — no driver
-    round-trip — so it holds at any scale.
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a µs
+    timestamp column-side with integer division (DuckDB and pyarrow
+    truncate the same way, so engines agree; float division would
+    round-to-nearest and flip window boundaries).  This stays fully
+    distributed — no driver round-trip — so it holds at any scale.
     """
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
