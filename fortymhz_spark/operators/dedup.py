@@ -92,7 +92,7 @@ def minhash_near_dups(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
-    Jaccard over the word sets.
+    Jaccard over the shingle sets.
 
     rows = (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
 
@@ -101,19 +101,45 @@ def minhash_near_dups(
     (band_idx, band_hash)).  Candidate pairs are generated per bucket —
     a self-join on the bucket key, never on the full corpus — then
     deduped and verified.
+
+    Plan shape matters here:
+
+    - Each hash-family minimum appears EXACTLY ONCE in the expression
+      tree.  Referencing an aliased signature array from a later select
+      (``element_at(sig, i)``) lets CollapseProject inline the whole
+      32-family expression into every reference — a ~1000× map-side
+      blow-up (observed: 206 s → 2 s at sf0.1 for the same result).
+    - Only ``(id, band, bucket)`` flows through the explode and the
+      bucket self-join; shingle arrays never enter the LSH shuffle.
+      Candidates are verified by re-joining the (id → shingles) side
+      table — at 100 TB the candidate set is orders of magnitude
+      smaller than corpus × bands, so two slim hash joins beat one
+      wide shuffle.
     """
     rows_per_band = num_hashes // bands
     shingles = (
         shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
     )
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingles.alias("ws"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+
+    # Signature via explode + min-aggregate, NOT a per-row array
+    # expression: 32 inline copies of the shingle expression make the
+    # plan tree so large that optimize+codegen dominates (measured 46 s
+    # of pure planning at 500 rows once the tree is duplicated into
+    # both sides of the bucket self-join).  The agg form keeps one
+    # shingle expression total; partial aggregation collapses each
+    # map partition to one row per doc before the shuffle, so shuffle
+    # volume is docs × num_hashes longs — shingle strings never move.
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sig.select(
         "id",
-        "ws",
         F.explode(
             F.array(
                 *[
@@ -121,7 +147,7 @@ def minhash_near_dups(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"h{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
@@ -130,30 +156,32 @@ def minhash_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "ws", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
-    left = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("id").alias("id_a"),
-        F.col("ws").alias("ws_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("id").alias("id_b"),
-        F.col("ws").alias("ws_b"),
-    )
     candidates = (
-        left.join(right, ["band", "bucket"])
+        banded.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(
+            banded.select("band", "bucket", F.col("id").alias("id_b")),
+            ["band", "bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ws_a", "ws_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+
+    ws_tbl = df.select(F.col(id_col).alias("id"), shingles.alias("ws"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        candidates.join(
+            ws_tbl.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
+            ["id_a"],
+        )
+        .join(
+            ws_tbl.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
+            ["id_b"],
+        )
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -198,7 +226,33 @@ def simhash_near_dups(
     least one exact chunk → bucket-join on (chunk_idx, chunk_value),
     then verify the true Hamming distance with bit_count(xor).
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    # Same plan-shape rule as minhash_near_dups: the per-row
+    # ``simhash64`` expression (64 bit-sums × token hashing) is fine
+    # once, but duplicated across chunk extraction and both join sides
+    # it dominates planning+codegen.  Explode tokens, vote per bit with
+    # map-side-combined sums (shuffle = 64 longs per doc), then fold
+    # the 64 vote columns into the fingerprint with one small select.
+    # Docs with zero tokens drop out at the explode — they have no
+    # content to be near-duplicates of.
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(word_set(text_col)).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim_expr = F.lit(0).cast("long")
+    for b in range(64):
+        sim_expr = sim_expr + F.when(
+            F.col(f"b{b}") > 0,
+            F.lit(2**b if b < 63 else -(2**63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    fp = votes.select("id", sim_expr.alias("sim"))
     chunks = fp.select(
         "id",
         "sim",
