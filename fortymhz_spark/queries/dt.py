@@ -106,6 +106,73 @@ if _HAVE_FIXTURE:
         )
 
 
+    @reg.query(
+        "q_dt_orbit_assembly",
+        oracle=f"""
+        SELECT
+          ORBIT_CNT::BIGINT AS orbit,
+          COUNT(*) AS n_hits,
+          COUNT(DISTINCT TDC_CHANNEL) AS n_channels,
+          MIN(BX_COUNTER)::INT AS first_bx,
+          MAX(BX_COUNTER)::INT AS last_bx
+        FROM read_csv('{_CSV}', header=true)
+        WHERE HEAD = 2 AND TDC_CHANNEL <= 128
+        GROUP BY 1
+        ORDER BY orbit
+        """,
+    )
+    def q_dt_orbit_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the stateful streaming orbit assembler
+        (fortymhz_spark/streaming/state.py) — same output, pure aggs.
+        The streaming form is equivalence-tested against this in
+        tests/test_streaming.py::test_assemble_orbits_stateful."""
+        from fortymhz_spark.streaming.state import assemble_orbits_batch
+
+        return (
+            assemble_orbits_batch(read_hits_csv(spark))
+            .select(
+                F.col("ORBIT_CNT").cast("long").alias("orbit"),
+                "n_hits",
+                "n_channels",
+                "first_bx",
+                "last_bx",
+            )
+            .orderBy("orbit")
+        )
+
+    @reg.query(
+        "q_dt_streaming_occupancy",
+        oracle=f"""
+        SELECT FPGA::INT AS fpga, TDC_CHANNEL::INT AS channel, COUNT(*) AS n_hits
+        FROM read_csv('{_CSV}', header=true)
+        WHERE HEAD = 2 AND TDC_CHANNEL <= 128
+        GROUP BY 1, 2
+        ORDER BY n_hits DESC, fpga, channel
+        """,
+    )
+    def q_dt_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Channel occupancy computed by an actual Structured Streaming
+        run (file source → streaming agg → memory sink, AvailableNow),
+        then checked against the same DuckDB oracle as the batch form —
+        streaming execution is inside the correctness gate, not beside
+        it.  Replaces the reference's manual read_batch()+pandas loop
+        (``/root/reference/code/test_reader.ipynb`` cell-2)."""
+        import shutil
+        import tempfile
+
+        from fortymhz_spark.streaming import (
+            hits_file_stream,
+            run_to_memory,
+            streaming_channel_occupancy,
+        )
+
+        d = tempfile.mkdtemp(prefix="fmhz_hits_")
+        shutil.copy(_CSV, os.path.join(d, "hits.csv"))
+        occ = streaming_channel_occupancy(hits_file_stream(spark, d))
+        got = run_to_memory(occ, spark, output_mode="complete")
+        return got.orderBy(F.desc("n_hits"), "fpga", "channel")
+
+
 def event_time_df(spark: SparkSession) -> DataFrame:
     """Hits fixture with the derived event-time column (tests/streaming)."""
     return read_hits_csv(spark).withColumn("event_time_s", event_time_seconds())

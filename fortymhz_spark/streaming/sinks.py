@@ -1,0 +1,140 @@
+"""Streaming sinks and batch→Kafka writers.
+
+Maps reference operators S11 (CSV→Kafka stream simulator,
+``/root/reference/code/test/simulate_stream.py:10-26``) and S13 (the
+notebook's per-partition pandas materialization,
+``test_reader.ipynb`` cell-2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from fortymhz_spark.streaming.sources import KAFKA_HELP
+
+
+def to_kafka_records(df: DataFrame) -> DataFrame:
+    """rows → single ``value`` column of JSON (reference:
+    ``json.dumps(msg).encode('utf-8')``, ``simulate_stream.py:19``).
+
+    No key column: keyless records round-robin across partitions in
+    the Kafka client — the behavior the reference implements by hand
+    with its ``curr_part = (curr_part+1) % n_part`` counter
+    (``simulate_stream.py:16-20``).
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def write_batch_to_kafka(
+    df: DataFrame, topic: str, bootstrap_servers: str
+) -> None:
+    """Batch DataFrame → Kafka topic (the stream simulator, S11).
+
+    Producer buffering/backpressure (``simulate_stream.py:21-24``'s
+    ``BufferError`` flush-and-retry) is handled by the sink's Kafka
+    producer; no user-visible backpressure loop exists.
+    """
+    try:
+        (
+            to_kafka_records(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as exc:
+        raise RuntimeError(KAFKA_HELP) from exc
+
+
+def start_kafka_sink(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    *,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming DataFrame → Kafka with checkpointed progress."""
+    writer = (
+        to_kafka_records(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    try:
+        return writer.start()
+    except Exception as exc:
+        raise RuntimeError(KAFKA_HELP) from exc
+
+
+def start_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Append stream to parquet files — the durable archive sink.
+
+    Exactly-once: the file-sink manifest plus the checkpoint WAL means
+    a restarted query never duplicates or loses a batch — the guarantee
+    the reference forfeits by committing offsets before processing
+    (``core.py:119-122``, SURVEY.md §4.3.2).
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    *,
+    name: str | None = None,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+    timeout_seconds: float = 120.0,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into an in-memory table.
+
+    ``Trigger.AvailableNow`` + memory sink: processes everything the
+    sources currently have, then stops — the moral equivalent of the
+    reference's "call ``read_batch()`` once and look at the result"
+    pattern (``test_reader.ipynb`` cell-2), with bookkeeping handled by
+    the checkpoint.  Test/debug utility — the memory sink collects to
+    the driver.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fmhz_ckpt_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_seconds)
+    if query.isActive:  # pragma: no cover - defensive
+        query.stop()
+    return spark.table(name)

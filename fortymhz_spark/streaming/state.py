@@ -1,0 +1,131 @@
+"""Custom cross-batch stateful operators.
+
+The hard part of the DT domain (SURVEY.md §7 Phase 3): one *physics
+event* is all hits sharing an ``ORBIT_CNT``, but hits for one orbit can
+straddle micro-batch boundaries (the reference reads fixed-size offset
+ranges, ``core.py:111`` — an orbit has no alignment with those).
+Assembly therefore needs keyed state that outlives a micro-batch:
+``applyInPandasWithState`` with a processing-time timeout that flushes
+an orbit once its hits stop arriving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ORBIT_SUMMARY = StructType(
+    [
+        StructField("ORBIT_CNT", LongType(), False),
+        StructField("n_hits", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("first_bx", IntegerType(), False),
+        StructField("last_bx", IntegerType(), False),
+    ]
+)
+
+# state: running (n_hits, first_bx, last_bx, seen channels as csv string)
+_ASSEMBLE_STATE = StructType(
+    [
+        StructField("n_hits", LongType(), False),
+        StructField("first_bx", IntegerType(), False),
+        StructField("last_bx", IntegerType(), False),
+        StructField("channels", StringType(), False),
+    ]
+)
+
+
+def _assemble(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-orbit summary; emit on inactivity timeout.
+
+    Channel distinct-count uses a per-batch set merged into state as a
+    sorted tuple — orbits carry ≤ 256 channels, so state stays tiny.
+    (At 100 TB scale the per-key state is O(1); total state is
+    O(open orbits), bounded by the timeout.)
+    """
+    if state.hasTimedOut:
+        n_hits, first_bx, last_bx, chans = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "ORBIT_CNT": [key[0]],
+                "n_hits": [n_hits],
+                "n_channels": [len(chans.split(",")) if chans else 0],
+                "first_bx": [first_bx],
+                "last_bx": [last_bx],
+            }
+        )
+        return
+
+    n_hits, first_bx, last_bx, chans = (
+        state.get if state.exists else (0, 2**31 - 1, -1, "")
+    )
+    channel_set = set(int(c) for c in chans.split(",") if c != "")
+    for pdf in pdfs:
+        phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+        if len(phys) == 0:
+            continue
+        n_hits += len(phys)
+        first_bx = min(first_bx, int(phys["BX_COUNTER"].min()))
+        last_bx = max(last_bx, int(phys["BX_COUNTER"].max()))
+        channel_set.update(int(c) for c in phys["TDC_CHANNEL"].unique())
+    state.update(
+        (n_hits, first_bx, last_bx, ",".join(str(c) for c in sorted(channel_set)))
+    )
+    # Inactivity flush: if no new hits for this orbit arrive within the
+    # timeout, the next micro-batch emits it via the hasTimedOut branch.
+    state.setTimeoutDuration(2_000)
+    return
+    yield  # pragma: no cover - makes this a generator
+
+
+def assemble_orbits(hits_stream: DataFrame) -> DataFrame:
+    """Streaming orbit assembly: one output row per completed orbit.
+
+    Custom stateful session operator (SURVEY.md §2.7 ST5): the grouping
+    key (``ORBIT_CNT``) sessions implicitly by inactivity, not by an
+    event-time gap — ``session_window`` can't express "flush when the
+    detector stops sending this orbit", so this drops to
+    ``applyInPandasWithState`` (Arrow-batched; no row-at-a-time Python).
+    """
+    return (
+        hits_stream.groupBy("ORBIT_CNT")
+        .applyInPandasWithState(
+            _assemble,
+            outputStructType=ORBIT_SUMMARY,
+            stateStructType=_ASSEMBLE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def assemble_orbits_batch(hits: DataFrame) -> DataFrame:
+    """Batch twin of :func:`assemble_orbits` — same output schema, pure
+    aggregate expressions (what the streaming form converges to once
+    every orbit has flushed)."""
+    return (
+        hits.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+        .groupBy("ORBIT_CNT")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("TDC_CHANNEL").alias("n_channels"),
+            F.min("BX_COUNTER").cast("int").alias("first_bx"),
+            F.max("BX_COUNTER").cast("int").alias("last_bx"),
+        )
+    )

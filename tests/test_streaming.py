@@ -1,0 +1,207 @@
+"""Streaming semantics tests (broker-less: file + rate sources).
+
+Strategy per SURVEY.md §5.3: replay fixtures through the same query
+graph the live stream would use, assert agreement with the batch twin,
+and exercise checkpoint restarts for exactly-once bookkeeping —
+the guarantee the reference forfeits (SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortymhz_spark.schemas import DT_HIT, EVENTS
+from fortymhz_spark.sources.batch import load_table, read_hits_csv
+from fortymhz_spark.streaming import (
+    file_stream,
+    hits_file_stream,
+    rate_hits_stream,
+    run_to_memory,
+    streaming_channel_occupancy,
+    streaming_hourly_by_type,
+    streaming_sessionize,
+)
+from fortymhz_spark.streaming.state import assemble_orbits, assemble_orbits_batch
+
+SF_DIR = "/root/testdata/sf0.001"
+HITS_CSV = "/root/reference/code/test/test_data.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(HITS_CSV), reason="reference fixture unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def hits_csv_dir(tmp_path_factory):
+    """The reference fixture staged into a directory (the file source
+    streams directories, not single files)."""
+    d = tmp_path_factory.mktemp("hits_csv")
+    shutil.copy(HITS_CSV, d / "test_data.csv")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events table split into 3 time-ordered parquet files so the file
+    source produces multiple micro-batches (watermarks only advance
+    between batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts").collect()
+    n = len(ev)
+    third = n // 3
+    for i, lo in enumerate((0, third, 2 * third)):
+        hi = n if i == 2 else (i + 1) * third
+        chunk = spark.createDataFrame(ev[lo:hi], schema=EVENTS)
+        chunk.coalesce(1).write.parquet(os.path.join(out, f"part{i}"))
+        # distinct mtimes → deterministic processing order
+        time.sleep(0.05)
+    return out
+
+
+def _events_glob(d: str) -> str:
+    return os.path.join(d, "part*")
+
+
+def test_streaming_occupancy_matches_batch(spark, hits_csv_dir):
+    stream = hits_file_stream(spark, hits_csv_dir)
+    assert stream.isStreaming
+    got = run_to_memory(
+        streaming_channel_occupancy(stream), spark, output_mode="complete"
+    )
+    want = (
+        read_hits_csv(spark)
+        .filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+        .groupBy(
+            F.col("FPGA").cast("int").alias("fpga"),
+            F.col("TDC_CHANNEL").cast("int").alias("channel"),
+        )
+        .count()
+        .withColumnRenamed("count", "n_hits")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rate_hits_stream_schema(spark):
+    df = rate_hits_stream(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [f.name for f in DT_HIT.fields]
+
+
+def test_streaming_hourly_windows_subset_of_batch(spark, events_stream_dir):
+    stream = file_stream(
+        spark, _events_glob(events_stream_dir), EVENTS, max_files_per_trigger=1
+    )
+    got = run_to_memory(streaming_hourly_by_type(stream), spark).collect()
+    # append mode emits only watermark-finalized windows: some but not all
+    assert len(got) > 0
+    # unified semantics: the same expression tree over the bounded frame
+    batch = load_table(spark, SF_DIR, "events")
+    want = {tuple(r) for r in streaming_hourly_by_type(batch).collect()}
+    assert {tuple(r) for r in got} <= want
+
+
+def test_streaming_sessionize_subset_of_batch(spark, events_stream_dir):
+    stream = file_stream(
+        spark, _events_glob(events_stream_dir), EVENTS, max_files_per_trigger=1
+    )
+    got = run_to_memory(streaming_sessionize(stream), spark).collect()
+    assert len(got) > 0
+    batch = load_table(spark, SF_DIR, "events")
+    want = {tuple(r) for r in streaming_sessionize(batch).collect()}
+    assert {tuple(r) for r in got} <= want
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restarting from a checkpoint neither drops nor duplicates rows."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    hits = read_hits_csv(spark)
+    n_total = hits.count()
+
+    first = hits.limit(30)
+    first.coalesce(1).write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = file_stream(spark, str(src / "*"), DT_HIT)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 30
+
+    # new data arrives while the query is down; restart resumes from WAL
+    hits.exceptAll(first).coalesce(1).write.parquet(str(src / "b"))
+    run_once()
+    assert spark.read.parquet(out).count() == n_total
+    # idempotent: a third run with no new data changes nothing
+    run_once()
+    assert spark.read.parquet(out).count() == n_total
+
+
+def test_assemble_orbits_stateful(spark, tmp_path):
+    """Cross-batch orbit assembly with inactivity flush.
+
+    Data split across two files/batches for one orbit subset; after the
+    stream goes quiet, the processing-time timeout flushes every open
+    orbit; totals must match the batch twin exactly.
+    """
+    src = tmp_path / "hits"
+    src.mkdir()
+    hits = read_hits_csv(spark)
+    # straddle: even rows then odd rows → most orbits span both batches
+    with_idx = hits.withColumn(
+        "i", F.monotonically_increasing_id()
+    )
+    with_idx.filter(F.col("i") % 2 == 0).drop("i").coalesce(1).write.parquet(
+        str(src / "a")
+    )
+
+    stream = file_stream(spark, str(src / "*"), DT_HIT, max_files_per_trigger=1)
+    name = "orbits_out"
+    ckpt = tempfile.mkdtemp(prefix="fmhz_orbit_ckpt_")
+    q = (
+        assemble_orbits(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2.0)
+        with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
+            str(src / "b")
+        )
+        want = {
+            tuple(r)
+            for r in assemble_orbits_batch(hits)
+            .select("ORBIT_CNT", "n_hits", "n_channels", "first_bx", "last_bx")
+            .collect()
+        }
+        deadline = time.time() + 60
+        got: set = set()
+        while time.time() < deadline:
+            got = {tuple(r) for r in spark.table(name).collect()}
+            if len(got) >= len(want):
+                break
+            time.sleep(1.0)
+        assert got == want
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
