@@ -31,6 +31,10 @@ HEADLINE = [
     "q_docs_exact_dedup",
     "q_emb_knn_bruteforce",
     "q_docs_minhash_near_dups",
+    "q17_small_quantity_revenue",
+    "q_cube_flag_status",
+    "q_pandas_udf_revenue",
+    "q_media_decode_stats",
 ]
 
 

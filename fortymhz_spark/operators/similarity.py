@@ -120,42 +120,64 @@ def lsh_knn(
     bits_per_band = n_planes // bands
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        coded = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_v"),
-            rp_bucket_code(vec_col, planes).alias("code"),
-        )
-        return coded.select(
-            f"{role}_id",
-            f"{role}_v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "",
-                                *[
-                                    F.element_at("code", b * bits_per_band + i + 1)
-                                    for i in range(bits_per_band)
-                                ],
-                            ).alias("bcode"),
-                        )
-                        for b in range(bands)
-                    ]
+        # Band codes are built directly from the hyperplane dots so each
+        # dot product appears EXACTLY ONCE in the plan.  (Referencing an
+        # aliased code array via element_at lets CollapseProject inline
+        # all n_planes dots into every reference — n_planes× the work;
+        # same pathology as operators/dedup.py.)  Vectors do not ride
+        # along: only (id, band, bcode) enters the explode and the
+        # bucket shuffle; candidates re-acquire vectors by id-join below.
+        band_structs = []
+        for b in range(bands):
+            bits = []
+            for i in range(bits_per_band):
+                plane = planes[b * bits_per_band + i]
+                lit_plane = F.array(*[F.lit(x) for x in plane])
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        lit_plane,
+                        lambda a, c: a.cast("double") * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 )
-            ).alias("bb"),
-        ).select(f"{role}_id", f"{role}_v", "bb.band", "bb.bcode")
+                bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("", *bits).alias("bcode"),
+                )
+            )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select(f"{role}_id", "bb.band", "bb.bcode")
 
     cand = (
         banded(corpus, "neighbor")
         .join(banded(queries, "query"), ["band", "bcode"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", cosine_similarity("query_v", "neighbor_v")
-    ).select("query_id", "neighbor_id", "cosine")
+    scored = (
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_v")
+            ),
+            ["query_id"],
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("neighbor_v"),
+            ),
+            ["neighbor_id"],
+        )
+        .withColumn("cosine", cosine_similarity("query_v", "neighbor_v"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -1,0 +1,111 @@
+"""Multimodal-column queries (north star §2.9; operators/multimodal.py).
+
+There is no media fixture, so assets are synthesized *deterministically*
+from the ``documents`` table (payload = UTF-8 bytes of the text, media
+type cycled by id) — which makes the Spark-side binary plumbing
+oracle-checkable: DuckDB can mirror the synthesis with ``encode()`` and
+check byte counts / frame plans cell-for-cell, while the decode kernel
+itself (the part a real deployment swaps for PIL/ffmpeg) stays a
+deterministic stub behind the same ``mapInPandas`` signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators.multimodal import decode_features, frame_sample_plan
+from fortymhz_spark.queries.registry import Registry
+from fortymhz_spark.sources.batch import load_table
+
+reg = Registry()
+QUERIES = reg.queries
+ORACLE = reg.oracle
+
+# doc_id % 3: 0 → image, 1 → audio, 2 → video  (element_at is 1-based)
+_MEDIA_TYPES = ("image", "audio", "video")
+_SQL_MEDIA_TYPE = (
+    "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_ASSET-shaped frame (binary payload + meta map)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        media_type.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+
+
+@reg.query(
+    "q_media_decode_stats",
+    oracle=f"""
+    SELECT
+      {_SQL_MEDIA_TYPE} AS media_type,
+      COUNT(*) AS n_assets,
+      SUM(octet_length(encode(text))) AS total_bytes,
+      MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY media_type
+    """,
+)
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every asset through the Arrow-batched ``mapInPandas``
+    kernel (stub codec) and aggregate byte counts per modality — the
+    oracle checks that the binary column plumbing (encode → batch →
+    kernel → n_bytes) is exact."""
+    assets = synth_media_assets(spark, sf_dir)
+    decoded = decode_features(assets, fake=True)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@reg.query(
+    "q_media_frame_sample",
+    oracle=f"""
+    SELECT
+      doc_id AS asset_id,
+      len(generate_series(0, octet_length(encode(text)) // 1000 + 1, 30))
+        AS n_sampled_frames
+    FROM documents
+    WHERE (doc_id % 3) = 2
+    ORDER BY asset_id
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode each video asset into frame
+    descriptors JVM-side, count sampled frames per asset."""
+    assets = synth_media_assets(spark, sf_dir)
+    frames = frame_sample_plan(assets, every_n=30)
+    return (
+        frames.groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+        .orderBy("asset_id")
+    )
+
+
+@reg.query("q_media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub feature vectors for every asset (rows-only: the byte-
+    histogram kernel is not SQL-expressible).  Deterministic: same
+    payload → same vector, any partitioning."""
+    assets = synth_media_assets(spark, sf_dir)
+    return decode_features(assets, fake=True).orderBy("asset_id")

@@ -20,6 +20,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -715,4 +716,169 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("total_qty"), F.asc("p_brand"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17-style — correlated scalar subquery (small-quantity revenue)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND 5 * CAST(l.l_quantity AS DECIMAL(12,2)) * pq.cnt < pq.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: revenue of lineitems whose quantity is below 20%
+    of the per-part average — the correlated scalar subquery pattern.
+
+    Expressed as an explicit pre-aggregated join (what decorrelation
+    produces anyway), with the threshold multiplied out
+    (``5·qty·cnt < sum``) so the comparison is all-integer/decimal —
+    bitwise identical across engines and partitionings, unlike a
+    ``0.2 * AVG(double)`` threshold.  The per-part aggregate shuffles
+    on the join key, so AQE can plan the final join shuffle-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(money("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == pq.pq_partkey)
+        .filter(
+            F.lit(5) * money("l_quantity") * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — multi-dimensional rollup lattice
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_cube_flag_status",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping lattice (ALL×ALL, ALL×status, flag×ALL, flag×status)
+    in one pass — Spark plans a single Expand + hash aggregate, not four
+    scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_extendedprice"), "volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates — the 100 TB default for distributions/cardinality
+# ---------------------------------------------------------------------------
+@reg.query("q_sketch_cardinality")
+def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality + KLL-style quantiles per return flag.
+
+    Rows-only check: sketch outputs are estimator-specific (Spark's
+    HLL++ / QuantileSummaries vs DuckDB's HLL), deterministic within an
+    engine but not across engines.  Exact twins with oracles:
+    q_distinct_parts_per_flag, q_quantity_percentiles.  At 100 TB these
+    sketches are the default — fixed memory, one pass, mergeable across
+    partitions — where exact distinct/percentile would shuffle the
+    world.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10_000).alias(
+                "qty_quantiles"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF path — Arrow-batched Python in the plan, still oracle-exact
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_pandas_udf_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+               AS BIGINT)) AS revenue_e4,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row revenue computed in a *vectorized pandas UDF* (the
+    sanctioned Python escape hatch — Arrow batches, ~100× row-at-a-time
+    UDFs), then aggregated exactly.
+
+    Cross-engine exactness despite Python: numpy and both engines do
+    identical IEEE-754 double ops per row, and the result is floored to
+    a scaled BIGINT before the (order-nondeterministic) SUM, making the
+    aggregate associative.  Pattern to copy: push doubles to fixed
+    point *before* any distributed reduction.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev", revenue("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.floor(F.col("rev") * F.lit(10000.0)).cast("long")).alias(
+                "revenue_e4"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
     )
