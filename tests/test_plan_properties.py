@@ -1,0 +1,115 @@
+"""Physical-plan regression tests — the scale posture, asserted.
+
+Correctness tests prove the right rows come back at sf0.001; these
+prove the *plan* is the one that survives 100 TB: filters reach the
+parquet scan, projections prune columns, small dimensions broadcast
+(no sort-merge shuffle of the fact table against a 25-row dim), top-k
+plans as TakeOrderedAndProject (no global sort), and nothing
+quadratic (CartesianProduct) sneaks into the LSH pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fortymhz_spark.queries import all_queries
+
+_QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class _LazyPlans(dict):
+    def __init__(self, spark, sf_dir):
+        super().__init__()
+        self._spark, self._sf = spark, sf_dir
+
+    def __missing__(self, name: str) -> str:
+        self[name] = plan_of(_QUERIES[name](self._spark, self._sf))
+        return self[name]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return _LazyPlans(spark, sf_dir)
+
+
+def test_q6_filter_pushdown_and_pruning(plans):
+    plan = plans["q6_forecast_revenue"]
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # predicate reaches the scan…
+    assert "PushedFilters: [" in scan and "GreaterThanOrEqual" in scan
+    # …and only the 4 referenced columns are read (no full-row scan)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+
+
+@pytest.mark.parametrize(
+    "name", ["q5_local_supplier_volume", "q_top_customers", "q3_shipping_priority"]
+)
+def test_dimension_joins_broadcast(plans, name):
+    plan = plans[name]
+    assert "BroadcastHashJoin" in plan
+    # the fact table must never be shuffled for a dim join
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["q_top_customers"]
+
+
+def test_q1_single_aggregation_shuffle(plans):
+    # partial+final hash agg → exactly one hash Exchange (plus the sort)
+    hash_exchanges = [
+        l for l in plans["q1_pricing_summary"].splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_docs_minhash_near_dups", "q_docs_simhash_near_dups", "q_emb_ann_lsh"],
+)
+def test_lsh_pipelines_never_cartesian(plans, name):
+    plan = plans[name]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_dedup_single_shuffle(plans):
+    # latest-per-user = one hash exchange for the window, nothing more
+    plan = plans["q_events_latest_per_user"]
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1
+
+
+def test_codegen_covers_relational_queries(spark, sf_dir):
+    # hot path stays inside whole-stage codegen (no interpreted islands
+    # beyond exchanges/scans).  Codegen spans only appear in the final
+    # (post-AQE, executed) plan, so run the query first.
+    for name in ("q1_pricing_summary", "q5_local_supplier_volume"):
+        df = _QUERIES[name](spark, sf_dir)
+        df.collect()
+        # codegen stages appear as "*(n) Operator" in the plan string
+        assert re.search(r"\*\(\d+\) (HashAggregate|Project|Filter)", plan_of(df))
+
+
+def test_media_decode_is_arrow_batched(plans):
+    # mapInPandas shows up as a (Flat)MapInPandas/ArrowEvalPython node,
+    # i.e. vectorized Arrow transfer — not row-at-a-time BatchEvalPython
+    plan = plans["q_media_decode_stats"]
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
