@@ -333,3 +333,59 @@ def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas — grouped custom aggregation (the UDAF surface)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_events_grouped_pandas_stats",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_c_sum,
+      CAST(MIN(value) AS DOUBLE) AS value_min,
+      CAST(MAX(value) AS DOUBLE) AS value_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group aggregation in ``applyInPandas`` — the UDAF
+    extension point (SURVEY.md §2.8): each group arrives as one Arrow-
+    backed pandas frame.  Kept oracle-exact the same way as the scalar
+    pandas UDF query: doubles go to fixed point (floor·100) *inside*
+    the kernel before summation, and min/max are order-independent.
+
+    Scale note: one group = one task's memory; this is for moderate
+    per-group cardinality or pre-reduced inputs.  Unbounded groups
+    belong in built-in aggregates or a two-stage partial reduce.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "value_c_sum": [int(np.floor(v * 100.0).sum())],
+                "value_min": [float(v.min())],
+                "value_max": [float(v.max())],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    out_schema = (
+        "event_type string, n long, value_c_sum long, "
+        "value_min double, value_max double"
+    )
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(stats, schema=out_schema)
+        .orderBy("event_type")
+    )

@@ -882,3 +882,49 @@ def q_pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — asymmetric key sets with nulls on both sides
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_full_outer_daily_activity",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    sd AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_shipped
+      FROM lineitem GROUP BY 1
+    )
+    SELECT
+      COALESCE(od.d, sd.d) AS day,
+      COALESCE(od.n_orders, 0) AS n_orders,
+      COALESCE(sd.n_shipped, 0) AS n_shipped
+    FROM od FULL OUTER JOIN sd ON od.d = sd.d
+    ORDER BY day
+    """,
+)
+def q_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-placement vs shipment activity per day — date domains only
+    partially overlap, so the FULL OUTER join produces null-extended
+    rows on both sides.  Aggregate-then-join keeps the outer join on
+    two small pre-aggregated sides (days, not rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("od_d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.to_date("l_shipdate").alias("sd_d")).agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+    return (
+        od.join(sd, od.od_d == sd.sd_d, "full_outer")
+        .select(
+            F.coalesce("od_d", "sd_d").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+        .orderBy("day")
+    )
