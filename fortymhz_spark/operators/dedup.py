@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 
 from fortymhz_spark.operators.text import content_md5, shingle_set, word_set
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the scan parallelizes before CPU-heavy per-row work.
+
+    A small corpus in one parquet file is one input partition, which
+    serializes all signature hashing onto a single core (measured: the
+    sf0.1 MinHash signature stage ran 1-task for ~7 s).  At 100 TB the
+    input is naturally thousands of splits and this is a no-op; the
+    repartition only fires when the scan has fewer partitions than the
+    cluster has slots.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -129,7 +145,7 @@ def minhash_near_dups(
     # shingle expression total; partial aggregation collapses each
     # map partition to one row per doc before the shuffle, so shuffle
     # volume is docs × num_hashes longs — shingle strings never move.
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
     )
     sig = exploded.groupBy("id").agg(
@@ -169,7 +185,7 @@ def minhash_near_dups(
         .distinct()
     )
 
-    ws_tbl = df.select(F.col(id_col).alias("id"), shingles.alias("ws"))
+    ws_tbl = _spread(df).select(F.col(id_col).alias("id"), shingles.alias("ws"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
     return (
@@ -234,7 +250,7 @@ def simhash_near_dups(
     # the 64 vote columns into the fingerprint with one small select.
     # Docs with zero tokens drop out at the explode — they have no
     # content to be near-duplicates of.
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_set(text_col)).alias("tok")
     )
     h = F.xxhash64("tok")
