@@ -176,3 +176,39 @@ if _HAVE_FIXTURE:
 def event_time_df(spark: SparkSession) -> DataFrame:
     """Hits fixture with the derived event-time column (tests/streaming)."""
     return read_hits_csv(spark).withColumn("event_time_s", event_time_seconds())
+
+
+@reg.query(
+    "q_dt_custom_source_occupancy",
+    oracle="""
+    WITH orbits AS (SELECT unnest(generate_series(0, 299)) AS o),
+    hits AS (
+      SELECT o, unnest(generate_series(0, (o % 5) + 1)) AS h FROM orbits
+    )
+    SELECT
+      CAST((o + h) % 2 AS INT) AS fpga,
+      CAST((7*o + 13*h) % 128 + 1 AS INT) AS channel,
+      COUNT(*) AS n_hits
+    FROM hits
+    GROUP BY 1, 2
+    ORDER BY n_hits DESC, fpga, channel
+    """,
+)
+def q_dt_custom_source_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel occupancy over the custom Python data source
+    (sources/dt_datasource.py).  The source generates rows by pure
+    integer arithmetic, so DuckDB reproduces the *entire source* with
+    generate_series — the custom-source read path itself sits inside
+    the differential gate."""
+    from fortymhz_spark.sources.dt_datasource import register
+
+    register(spark)
+    hits = spark.read.format("dthits").option("nOrbits", 300).load()
+    return (
+        hits.groupBy(
+            F.col("FPGA").cast("int").alias("fpga"),
+            F.col("TDC_CHANNEL").cast("int").alias("channel"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.desc("n_hits"), "fpga", "channel")
+    )
