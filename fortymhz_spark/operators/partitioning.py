@@ -1,0 +1,120 @@
+"""Physical-layout operators: bucketing, salted aggregation, layout
+writers — the techniques that remove or tame shuffles at 100 TB.
+
+None of this exists in the reference (its one layout decision is
+round-robin Kafka partitions carrying no semantics,
+``/root/reference/code/test/simulate_stream.py:16-20``); these are the
+TARGET-scale tools (SURVEY.md §7 Phase 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# bucketed tables — co-located joins with zero join-time shuffle
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by key.
+
+    Two fact tables bucketed identically join with NO exchange on
+    either side (asserted in tests/test_partitioning.py): at 100 TB
+    this converts every recurring fact-fact join on the bucket key
+    from a full 2-sided shuffle into a local zip of bucket files —
+    the single biggest recurring-cost lever in a star/snowflake
+    pipeline.  Choose ``num_buckets`` ≈ data-size / target-task-size
+    (and keep it stable across tables that join together).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation — skewed-key groupBy without a hot reducer
+# ---------------------------------------------------------------------------
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_FIRST = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation with an explicit salt: ``groupBy(keys +
+    salt)`` partial, then ``groupBy(keys)`` merge.
+
+    ``aggs`` maps output name → (fn, col) with fn ∈ sum/count/min/max
+    (the algebraic aggregates, which decompose into partial+merge).
+
+    Spark already plans map-side partial aggregation; what salting
+    adds is splitting ONE pathological key across ``salt`` reducers in
+    the first shuffle, so a key holding 30% of all rows costs ~30%/salt
+    per task instead of one straggler task.  Use when a groupBy key is
+    known skewed (AQE fixes skewed *joins*, not skewed aggregations —
+    partial agg usually absorbs skew, but not for high-cardinality
+    per-group state like collect_list/distinct-style work).
+    """
+    salted = df.withColumn(
+        "__salt__", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt__").agg(
+        *[
+            _FIRST[fn](col).alias(f"__p_{name}__")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](f"__p_{name}__").alias(name)
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout writers — partition pruning for time/tenant-sliced reads
+# ---------------------------------------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet hive-partitioned by low-cardinality columns so
+    predicate-matching reads touch only matching directories
+    (partition pruning — the scan never lists the rest).  Pair with
+    ``sortWithinPartitions`` upstream for min/max page-skipping within
+    files."""
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

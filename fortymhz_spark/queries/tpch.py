@@ -928,3 +928,45 @@ def q_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation — skew-safe groupBy, same answer
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_salted_agg_volume",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_salted_agg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/partitioning.py) — the
+    skewed-key groupBy pattern, oracle-checked to give the identical
+    answer as a plain aggregate.  l_returnflag has only 3 values, i.e.
+    maximal skew per key: exactly the shape salting exists for."""
+    from fortymhz_spark.operators.partitioning import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_lines": ("count", "*"),
+            "total_qty": ("sum", money("l_quantity")),
+            "max_price": ("max", F.col("l_extendedprice")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_lines",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+    ).orderBy("l_returnflag")
