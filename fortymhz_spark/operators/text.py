@@ -169,3 +169,26 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * POLY_BASE + c) % POLY_MOD,
     )
+
+
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, punctuation
+# runs — the classic byte-pair-encoding *pre-split* classes, expressed
+# without lookahead so the same pattern runs on Spark (java.util.regex)
+# and DuckDB (RE2) with identical match semantics.
+BPE_SPLIT_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokens of the lowercased text (array<string>).
+
+    Whitespace tokenization (``tokens``) undercounts for BPE-vocab
+    budgeting ("don't!" is one whitespace token but three BPE pre-
+    tokens); this is the standard first split a byte-pair tokenizer
+    applies before merges.
+    """
+    t = F.lower(_colified(text))
+    return F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")

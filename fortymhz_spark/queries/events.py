@@ -389,3 +389,42 @@ def q_events_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .applyInPandas(stats, schema=out_schema)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# view→purchase attribution (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_events_view_to_purchase",
+    oracle="""
+    SELECT
+      v.user_id,
+      v.event_id AS view_id,
+      p.event_id AS purchase_id,
+      epoch_us(v.ts) // 1000000 AS view_ts,
+      epoch_us(p.ts) // 1000000 AS purchase_ts,
+      CAST(p.value AS DOUBLE) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND v.event_type = 'view'
+     AND epoch_us(p.ts) > epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+    ORDER BY view_id, purchase_id
+    """,
+)
+def q_events_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming/queries.py::streaming_view_to_purchase —
+    Structured Streaming's unified semantics mean the same join
+    expression runs over two live streams with watermark-bounded state
+    (tested in tests/test_streaming.py); the bounded form here is what
+    the DuckDB oracle can check."""
+    from fortymhz_spark.streaming.queries import streaming_view_to_purchase
+
+    ev = load_table(spark, sf_dir, "events")
+    out = streaming_view_to_purchase(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.orderBy("view_id", "purchase_id")

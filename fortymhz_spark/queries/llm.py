@@ -413,3 +413,54 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_knn(emb, queries, k=10).orderBy("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (regex pre-tokenization)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_bpe_token_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT
+        doc_id, lang,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+          AS n_bpe,
+        len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+          AS n_ws
+      FROM documents
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_bpe) AS total_bpe_tokens,
+      SUM(n_ws) AS total_ws_tokens,
+      MAX(n_bpe) AS max_bpe_tokens
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with BPE-style pre-tokenization (letter/digit/
+    punctuation runs — operators/text.py::bpe_tokens) vs whitespace
+    tokens, per language.  The same RE2-safe pattern runs in both
+    engines, so counts are oracle-exact."""
+    from fortymhz_spark.operators.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            bpe_token_count("text").alias("n_bpe"),
+            token_count(F.lower(F.col("text"))).alias("n_ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.max("n_bpe").alias("max_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -126,3 +126,49 @@ def streaming_sessionize(
             "session_value",
         )
     )
+
+
+def streaming_view_to_purchase(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a preceding view
+    by the same user within ``within``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can size the join state exactly:
+    a buffered view is dropped once the purchase-side watermark passes
+    view.ts + within — state is O(rate × window), not unbounded
+    (SURVEY.md §2.3 stream-stream row).  Works identically on bounded
+    frames (the batch twin used by tests/oracles).
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", watermark)
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.unix_timestamp("v_ts").alias("view_ts"),
+            F.unix_timestamp("p_ts").alias("purchase_ts"),
+            F.col("purchase_value").cast("double").alias("purchase_value"),
+        )
+    )

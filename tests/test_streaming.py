@@ -205,3 +205,76 @@ def test_assemble_orbits_stateful(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_join_subset_of_batch(spark, events_stream_dir):
+    """Watermarked stream-stream join emits only pairs both of whose
+    sides have passed the watermark; every emitted pair must be in the
+    batch twin's result."""
+    from fortymhz_spark.streaming.queries import streaming_view_to_purchase
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = file_stream(
+        spark, _events_glob(events_stream_dir), EVENTS, max_files_per_trigger=1
+    )
+    got = run_to_memory(
+        streaming_view_to_purchase(*split(stream)), spark
+    ).collect()
+    assert len(got) > 0
+    batch = load_table(spark, SF_DIR, "events")
+    want = {tuple(r) for r in streaming_view_to_purchase(*split(batch)).collect()}
+    assert {tuple(r) for r in got} <= want
+
+
+def test_assemble_orbits_rocksdb_state_store(spark, tmp_path):
+    """Orbit assembly with the RocksDB state store provider — the
+    at-scale state backend (state spills off-heap instead of living on
+    the JVM heap).  Same results as the default provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "hits"
+        src.mkdir()
+        hits = read_hits_csv(spark)
+        hits.coalesce(1).write.parquet(str(src / "a"))
+        stream = file_stream(spark, str(src / "*"), DT_HIT)
+        name = "orbits_rocksdb"
+        q = (
+            assemble_orbits(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="rdb_ckpt_"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            want = {
+                tuple(r)
+                for r in assemble_orbits_batch(hits)
+                .select("ORBIT_CNT", "n_hits", "n_channels", "first_bx", "last_bx")
+                .collect()
+            }
+            deadline = time.time() + 60
+            got: set = set()
+            while time.time() < deadline:
+                got = {tuple(r) for r in spark.table(name).collect()}
+                if len(got) >= len(want):
+                    break
+                time.sleep(1.0)
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
