@@ -219,3 +219,97 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer cells + probe-and-rerank
+# ---------------------------------------------------------------------------
+
+
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:
+    """Deterministic coarse centroids: the k lowest-id vectors.
+
+    A production build would run k-means (pyspark.ml KMeans) — the
+    operator shape downstream is identical; deterministic seeds keep
+    the whole pipeline reproducible and oracle-friendly.  Centroids are
+    a driver-side list (k × dim floats, a few KB) shipped to executors
+    as literals in the task binary — no join, no broadcast variable.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r["v"])) for r in rows]
+
+
+def _nearest_cells(vec_col: str, centroids: list, nprobe: int):
+    """array<int> of the ``nprobe`` centroid indices with the highest
+    dot product against ``vec_col``.  Each centroid dot appears exactly
+    once in the expression tree (plan-size discipline, see dedup.py)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus rows are
+    assigned to their nearest coarse-centroid cell (the inverted
+    lists); each query probes its ``nprobe`` nearest cells and exact
+    cosine re-ranks only those candidates.
+
+    Scale shape: the corpus shuffles once on cell id (≈ corpus/n_cells
+    rows per cell), queries explode ×nprobe, and the join is
+    hash-partitioned on the cell — candidate volume is
+    corpus × nprobe / n_cells per query instead of the full corpus.
+    Recall is controlled by nprobe (probe all cells → exact).
+    """
+    cents = _centroids(corpus, id_col, vec_col, n_cells)
+    c_assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_v"),
+        _nearest_cells(vec_col, cents, 1)[0].alias("cell"),
+    )
+    q_assign = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_v"),
+        F.explode(_nearest_cells(vec_col, cents, nprobe)).alias("cell"),
+    )
+    scored = (
+        c_assign.join(q_assign, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("query_v", "neighbor_v"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

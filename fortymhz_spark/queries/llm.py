@@ -464,3 +464,21 @@ def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN search (rows-only: approximate by construction)
+# ---------------------------------------------------------------------------
+@reg.query("q_emb_ann_ivf")
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN top-5 for the 10 lowest-id query vectors —
+    the probe-and-rerank scale path beside the sign-RP LSH variant
+    (operators/similarity.py::ivf_knn).  Deterministic (fixed centroid
+    seeds, arithmetic scoring) but approximate, so rows-only."""
+    from fortymhz_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    return sim.ivf_knn(emb, queries, k=5, n_cells=16, nprobe=4).orderBy(
+        "query_id", F.desc("cosine"), "neighbor_id"
+    )
