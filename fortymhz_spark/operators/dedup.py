@@ -50,15 +50,17 @@ def _spread(df: DataFrame) -> DataFrame:
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep one representative (min id) per normalized-content hash."""
+    """Keep one representative (min id) per normalized-content hash.
+
+    Shape: hash → groupBy(min id) → semi-join back on the id.  The
+    semi join keeps the full original row for each representative
+    without carrying the hash through a self-join (which would make
+    the fingerprint column ambiguous — caught by
+    tests/test_properties.py::test_exact_dedup_idempotent).
+    """
     keyed = df.withColumn("__fp__", content_md5(text_col))
-    return (
-        keyed.groupBy("__fp__")
-        .agg(F.min(id_col).alias(id_col))
-        .join(keyed, [id_col], "inner")
-        .filter(F.col("__fp__") == content_md5(text_col))
-        .drop("__fp__")
-    )
+    reps = keyed.groupBy("__fp__").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(reps, [id_col], "left_semi")
 
 
 def exact_dup_groups(
@@ -188,6 +190,7 @@ def minhash_near_dups(
     ws_tbl = _spread(df).select(F.col(id_col).alias("id"), shingles.alias("ws"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    jaccard = F.when(union > 0, inter / union)  # ANSI-safe on empty sets
     return (
         candidates.join(
             ws_tbl.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
@@ -197,7 +200,7 @@ def minhash_near_dups(
             ws_tbl.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
             ["id_b"],
         )
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -341,7 +344,7 @@ def jaccard_pairs(
     union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", F.when(union > 0, inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select(*(["blk"] if block_col else []), "id_a", "id_b", "jaccard")
     )

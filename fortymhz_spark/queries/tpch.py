@@ -970,3 +970,42 @@ def q_salted_agg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("double").alias("total_qty"),
         F.col("max_price").cast("double").alias("max_price"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL surface — the same engine through spark.sql over temp views
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_sql_revenue_by_nation",
+    oracle="""
+    SELECT
+      n_name,
+      COUNT(DISTINCT c_custkey) AS n_customers,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_order_value
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name
+    ORDER BY total_order_value DESC, n_name
+    """,
+)
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API as a first-class entry point: identical text runs on
+    Spark (over registered temp views) and DuckDB — Catalyst plans it
+    exactly like the DataFrame forms (same broadcast/pushdown rules)."""
+    from fortymhz_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          n_name,
+          COUNT(DISTINCT c_custkey) AS n_customers,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_order_value
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name
+        ORDER BY total_order_value DESC, n_name
+        """
+    )

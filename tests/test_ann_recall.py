@@ -1,0 +1,58 @@
+"""ANN quality tests: LSH and IVF recall against brute-force truth.
+
+An approximate index that returns plausible-but-wrong neighbors passes
+rows-only checks; these tests pin a quantitative recall floor so a
+regression in banding/probing logic (or the plan-shape rewrites those
+functions have needed) shows up as a failing number, not silence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fortymhz_spark.operators.similarity import brute_force_knn, ivf_knn, lsh_knn
+from fortymhz_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 5
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    rows = brute_force_knn(emb, queries, k=K).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return emb, queries, by_q
+
+
+def _recall(got_rows, truth_by_q) -> float:
+    got: dict[int, set[int]] = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth_by_q.items())
+    total = sum(len(t) for t in truth_by_q.values())
+    return hits / total
+
+
+def test_ivf_recall(spark, truth):
+    emb, queries, by_q = truth
+    got = ivf_knn(emb, queries, k=K, n_cells=16, nprobe=4).collect()
+    r = _recall(got, by_q)
+    assert r >= 0.5, f"IVF recall@{K} = {r:.2f}"
+
+
+def test_ivf_probe_all_is_exact(spark, truth):
+    emb, queries, by_q = truth
+    got = ivf_knn(emb, queries, k=K, n_cells=8, nprobe=8).collect()
+    assert _recall(got, by_q) == 1.0  # probing every cell == brute force
+
+
+def test_lsh_recall(spark, truth):
+    emb, queries, by_q = truth
+    got = lsh_knn(emb, queries, k=K, n_planes=16, bands=8).collect()
+    r = _recall(got, by_q)
+    assert r >= 0.5, f"LSH recall@{K} = {r:.2f}"

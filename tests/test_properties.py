@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5 strategy item 4): JSON round-trip
+on the wire format, dedup idempotence, Jaccard symmetry.
+
+Each hypothesis example is a whole dataset (a list of rows) so one
+Spark job serves one example; max_examples is kept small because a
+local Spark round trip costs ~0.5 s.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators.dedup import exact_dedup, jaccard_pairs
+from fortymhz_spark.schemas import DT_HIT
+from fortymhz_spark.streaming.sinks import to_kafka_records
+from fortymhz_spark.streaming.sources import decode_json_value
+
+hit_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                 # HEAD
+        st.integers(0, 1),                 # FPGA
+        st.integers(1, 128),               # TDC_CHANNEL
+        st.integers(0, 2**40),             # ORBIT_CNT
+        st.integers(0, 3563),              # BX_COUNTER
+        st.integers(1, 30),                # TDC_MEAS
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc d")),  # tiny alphabet → collisions
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=hit_rows)
+@_SETTINGS
+def test_json_roundtrip_identity(spark, rows):
+    """to_json → from_json is the identity on the wire schema (the
+    serialize/deserialize pair replacing the reference's
+    json.dumps/json.loads, SURVEY §2.1 S12)."""
+    df = spark.createDataFrame(rows, schema=DT_HIT)
+    back = decode_json_value(
+        to_kafka_records(df).withColumn("value", F.col("value").cast("binary")),
+        DT_HIT,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@given(txts=texts)
+@_SETTINGS
+def test_exact_dedup_idempotent(spark, txts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "doc_id long, text string"
+    )
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # every surviving text is unique
+    texts_out = [r["text"] for r in once.collect()]
+    assert len(set(texts_out)) == len(texts_out)
+
+
+@given(txts=texts)
+@_SETTINGS
+def test_jaccard_pairs_canonical_and_bounded(spark, txts):
+    """Pairs are canonical (id_a < id_b, no duplicates) and scores lie
+    in (0, 1]; identical docs always score 1."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "doc_id long, text string"
+    )
+    rows = jaccard_pairs(df, threshold=0.0, shingle_n=1).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+        assert 0.0 <= r["jaccard"] <= 1.0
+    dup_ids = {}
+    for i, t in enumerate(txts):
+        if t.replace(" ", "") == "":
+            continue  # empty word set ⇒ Jaccard undefined (null, dropped)
+        dup_ids.setdefault(t, []).append(i)
+    for ids in dup_ids.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    match = [
+                        r for r in rows if r["id_a"] == a and r["id_b"] == b
+                    ]
+                    assert match and abs(match[0]["jaccard"] - 1.0) < 1e-12
