@@ -35,6 +35,11 @@ HEADLINE = [
     "q_cube_flag_status",
     "q_pandas_udf_revenue",
     "q_media_decode_stats",
+    "q_full_outer_daily_activity",
+    "q_events_view_to_purchase",
+    "q_salted_agg_volume",
+    "q_docs_bpe_token_stats",
+    "q_sql_revenue_by_nation",
 ]
 
 
