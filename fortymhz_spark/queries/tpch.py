@@ -1009,3 +1009,233 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY total_order_value DESC, n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q7-style — nation-pair trade volume by year
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q7_nation_trade_volume",
+    oracle="""
+    SELECT
+      sn.n_name AS supp_nation,
+      cn.n_name AS cust_nation,
+      EXTRACT(YEAR FROM l_shipdate)::INT AS ship_year,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade: the two-role dimension join (nation joined
+    twice under different aliases) plus a derived grouping column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(revenue, "volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10-style — returned-item reporting (top 20 lossy customers)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q10_returned_items",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_name,
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS lost_revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-style — shipping delay buckets by order priority
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT
+      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 'high' ELSE 'low' END AS priority_class,
+      CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) > 60
+           THEN 'late' ELSE 'on_time' END AS delay_class,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    ORDER BY priority_class, delay_class
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape on this fixture's columns: conditional bucketing
+    (CASE) on a date difference, counted per class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    priority_class = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    delay_class = F.when(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60,
+        "late",
+    ).otherwise("on_time")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            priority_class.alias("priority_class"),
+            delay_class.alias("delay_class"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("priority_class", "delay_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14-style — promo revenue share (single-row ratio of exact sums)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))
+            ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of two exact decimal sums; both operands cast to double
+    before ONE division, so the value is bitwise identical across
+    engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            (F.lit(100.0) * F.sum(promo).cast("double"))
+            / F.sum(revenue).cast("double")
+        ).alias("promo_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19-style — disjunctive multi-attribute predicate (OR-of-ANDs)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+      OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity < 15)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides — the predicate shape that
+    exercises CNF conversion and partial pushdown (per-side conjuncts
+    are pushed below the join; the residual OR stays above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") < 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -194,7 +194,7 @@ def test_assemble_orbits_stateful(spark, tmp_path):
             .select("ORBIT_CNT", "n_hits", "n_channels", "first_bx", "last_bx")
             .collect()
         }
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         got: set = set()
         while time.time() < deadline:
             got = {tuple(r) for r in spark.table(name).collect()}
@@ -263,7 +263,7 @@ def test_assemble_orbits_rocksdb_state_store(spark, tmp_path):
                 .select("ORBIT_CNT", "n_hits", "n_channels", "first_bx", "last_bx")
                 .collect()
             }
-            deadline = time.time() + 60
+            deadline = time.time() + 150
             got: set = set()
             while time.time() < deadline:
                 got = {tuple(r) for r in spark.table(name).collect()}
