@@ -40,6 +40,10 @@ HEADLINE = [
     "q_salted_agg_volume",
     "q_docs_bpe_token_stats",
     "q_sql_revenue_by_nation",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
 ]
 
 

@@ -19,18 +19,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from fortymhz_spark.queries import events, llm, media, tpch, dt
+    from fortymhz_spark.queries import events, llm, media, tpch, tpch_deep, dt
 
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, events, llm, dt, media):
+    for mod in (tpch, tpch_deep, events, llm, dt, media):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from fortymhz_spark.queries import events, llm, media, tpch, dt
+    from fortymhz_spark.queries import events, llm, media, tpch, tpch_deep, dt
 
     out: dict[str, str] = {}
-    for mod in (tpch, events, llm, dt, media):
+    for mod in (tpch, tpch_deep, events, llm, dt, media):
         out.update(mod.ORACLE)
     return out
