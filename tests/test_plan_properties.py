@@ -113,3 +113,58 @@ def test_media_decode_is_arrow_batched(plans):
     plan = plans["q_media_decode_stats"]
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q21_semi_anti_self_joins_not_quadratic(plans):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both hashed on
+    # l_orderkey; the non-equi suppkey/shipdate terms ride along as
+    # join residuals — never a nested-loop or cartesian expansion.
+    plan = plans["q21_suppliers_kept_waiting"]
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(plans):
+    # NOT IN over a filtered dimension must broadcast the excluded-key
+    # set, not shuffle the fact table.
+    plan = plans["q16_supplier_diversity"]
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q11_important_suppliers", "q15_top_supplier"]
+)
+def test_scalar_subquery_is_single_row_broadcast(plans, name):
+    # the global-total / MAX scalar joins back as a 1-row broadcast —
+    # either a BroadcastNestedLoopJoin (inequality compare, q11) or a
+    # BroadcastHashJoin (Catalyst rewrites the `= scalar` filter into
+    # an equi-join, q15).  Never a shuffle, never a per-row subquery,
+    # never anything quadratic.
+    plan = plans[name]
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_star_join_never_shuffles_fact(plans):
+    # all three dims broadcast after their filters; lineitem is only
+    # shuffled once, for the final groupBy.
+    plan = plans["q9_product_profit"]
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_min_price_scan_is_pruned(plans):
+    # the per-part MIN aggregate must read only (l_partkey,
+    # l_extendedprice[, l_suppkey]) — not the whole lineitem row.
+    plan = plans["q2_min_cost_supplier"]
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "l_partkey" in line:
+            m = re.search(r"FileScan parquet \[([^\]]*)\]", line)
+            cols = [c.split("#")[0] for c in m.group(1).split(",")]
+            assert len(cols) <= 3, cols
