@@ -7,9 +7,14 @@ module is the TARGET relational surface, written DataFrame-first so
 Catalyst owns join selection, pushdown, and pruning.
 
 Scale posture (100 TB):
-- Dimension joins (region/nation/customer/supplier/part) are broadcast
-  — explicitly hinted where the dimension is guaranteed small, left to
-  AQE where it depends on filters.
+- Broadcast hints ONLY on tables bounded regardless of scale factor
+  (region = 5 rows, nation = 25 rows, 1-row scalar aggregates, fixed
+  band/centroid tables).  customer/orders/supplier/part all grow with
+  SF — at 100 TB even part is billions of rows — so those joins carry
+  no hint: static size estimates and AQE convert them to broadcast at
+  runtime when the (filtered) side is actually small, and fall back to
+  shuffled joins when it is not.  A hardcoded broadcast(orders) is an
+  OOM at scale; a missing one costs nothing.
 - Aggregations are expressed as single groupBy().agg() so Spark plans
   partial (map-side) aggregation before the shuffle.
 - Top-k is orderBy().limit(k) which Spark executes as
@@ -120,8 +125,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select(
@@ -172,10 +177,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -337,8 +342,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue, "revenue"))
@@ -708,7 +713,7 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").isin("ECONOMY", "PROMO")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             dsum(money("l_quantity"), "total_qty"),
@@ -761,7 +766,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pq, li.l_partkey == pq.pq_partkey)
         .filter(
             F.lit(5) * money("l_quantity") * F.col("cnt") < F.col("sum_qty")
@@ -1052,9 +1057,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1099,8 +1104,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue, "lost_revenue"))
@@ -1141,7 +1146,7 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
     ).otherwise("on_time")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             priority_class.alias("priority_class"),
             delay_class.alias("delay_class"),
@@ -1180,7 +1185,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
         F.lit(0).cast("decimal(17,4)")
     )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             (F.lit(100.0) * F.sum(promo).cast("double"))
             / F.sum(revenue).cast("double")
@@ -1232,7 +1237,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             dsum(revenue, "revenue"),

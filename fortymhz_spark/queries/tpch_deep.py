@@ -89,8 +89,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_partkey == minp.mp_partkey)
             & (li.l_extendedprice == minp.min_price),
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_partkey", "p_name", "s_name", "min_price")
         .agg(F.lit(1))
         .select("p_partkey", "p_name", "s_name", "min_price")
@@ -151,11 +151,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(17,4)")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
@@ -209,8 +209,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _revenue() - cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -254,7 +254,7 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sv.join(F.broadcast(total))
         .filter(F.col("value").cast("double") * 101 > F.col("grand_total"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -344,7 +344,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -375,8 +375,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 shape: NOT IN over a non-null key column = left-anti
-    join against the excluded-supplier set (broadcast — it's a filtered
-    dimension), under a multi-attribute COUNT(DISTINCT)."""
+    join against the excluded-supplier set, under a multi-attribute
+    COUNT(DISTINCT).  The excluded set is unhinted: at test SFs the
+    planner broadcasts it by size; at 100 TB (where ~1% of a billion
+    suppliers is no longer broadcastable) AQE picks the join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -389,8 +391,8 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -436,7 +438,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.bo_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -497,7 +499,7 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualifying = (
         per_ps.join(per_p, per_ps.l_partkey == per_p.pp_partkey)
-        .join(F.broadcast(part), per_ps.l_partkey == part.p_partkey)
+        .join(part, per_ps.l_partkey == part.p_partkey)
         .filter(F.col("q") * 10 > F.col("tq"))
         .select("l_suppkey")
     )
@@ -550,7 +552,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).filter(
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") > late_cutoff
     )
     l2 = li.select(
@@ -575,7 +577,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        waiting.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
