@@ -814,6 +814,67 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS — an explicit (non-lattice) subset of the cube
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_grouping_sets_flag_year",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag,
+             EXTRACT(YEAR FROM l_shipdate)::INT AS ship_year,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT
+      l_returnflag,
+      ship_year,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      CAST(GROUPING(ship_year) AS INT) AS g_year,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      COUNT(*) AS n_lines
+    FROM li
+    GROUP BY GROUPING SETS ((l_returnflag, ship_year), (l_returnflag), (ship_year))
+    ORDER BY g_flag, g_year,
+             l_returnflag NULLS FIRST, ship_year NULLS FIRST
+    """,
+)
+def q_grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — (flag, year), (flag), (year) but NOT the
+    grand total, which neither rollup nor cube can express alone.  One
+    Expand + one hash aggregate, same as cube; ``grouping()`` columns
+    disambiguate a real NULL key from an ALL row (cross-engine, the
+    NULLs that GROUPING SETS synthesizes are indistinguishable from
+    data NULLs without them)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_quantity",
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "ship_year"], ["l_returnflag"], ["ship_year"]],
+            "l_returnflag",
+            "ship_year",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("ship_year").cast("int").alias("g_year"),
+            dsum(money("l_quantity"), "total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_returnflag", "ship_year", "g_flag", "g_year", "total_qty", "n_lines"
+        )
+        .orderBy(
+            "g_flag",
+            "g_year",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("ship_year").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketch aggregates — the 100 TB default for distributions/cardinality
 # ---------------------------------------------------------------------------
 @reg.query("q_sketch_cardinality")

@@ -115,6 +115,133 @@ def assemble_orbits(hits_stream: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 state API (typed state + timers)
+# ---------------------------------------------------------------------------
+
+ORBIT_PROFILE = StructType(
+    [
+        StructField("ORBIT_CNT", LongType(), False),
+        StructField("n_hits", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("first_bx", IntegerType(), False),
+        StructField("last_bx", IntegerType(), False),
+        StructField("max_channel_hits", LongType(), False),
+    ]
+)
+
+
+try:  # Spark 4+ only; module import must not require it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessor,
+    )
+except ImportError:  # pragma: no cover - Spark 3.x fallback
+    _StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class OrbitProfileProcessor(_StatefulProcessor):
+    """Orbit assembly on the Spark 4 ``transformWithStateInPandas`` API.
+
+    Where ``applyInPandasWithState`` (above) packs everything into one
+    opaque state tuple, this uses the typed state primitives the new API
+    exists for: a ``ValueState`` for the running (n_hits, first_bx,
+    last_bx) summary, a ``MapState`` keyed by TDC channel for per-wire
+    hit counts (per-entry state-store rows — no serialize-the-whole-set
+    per update, which is what makes wide per-key state viable on RocksDB
+    at 100 TB), and an explicit processing-time timer re-armed on every
+    batch as the inactivity flush.  Requires the RocksDB state store
+    provider.
+    """
+
+    def init(self, handle) -> None:
+        self._summary = handle.getValueState(
+            "summary", "n_hits BIGINT, first_bx INT, last_bx INT"
+        )
+        self._channels = handle.getMapState(
+            "channels", "TDC_CHANNEL INT", "n BIGINT"
+        )
+        self._handle = handle
+
+    def handleInputRows(self, key, rows, timer_values):
+        n_hits, first_bx, last_bx = (
+            self._summary.get() if self._summary.exists() else (0, 2**31 - 1, -1)
+        )
+        for pdf in rows:
+            phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+            if len(phys) == 0:
+                continue
+            n_hits += len(phys)
+            first_bx = min(first_bx, int(phys["BX_COUNTER"].min()))
+            last_bx = max(last_bx, int(phys["BX_COUNTER"].max()))
+            for chan, cnt in phys["TDC_CHANNEL"].value_counts().items():
+                prev = self._channels.getValue((int(chan),))
+                self._channels.updateValue(
+                    (int(chan),), ((prev[0] if prev else 0) + int(cnt),)
+                )
+        self._summary.update((n_hits, first_bx, last_bx))
+        # re-arm the inactivity timer: one live timer per orbit
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + 2_000
+        )
+        return iter(())
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        n_hits, first_bx, last_bx = self._summary.get()
+        counts = [v[0] for v in self._channels.values()]
+        self._summary.clear()
+        self._channels.clear()
+        yield pd.DataFrame(
+            {
+                "ORBIT_CNT": [key[0]],
+                "n_hits": [n_hits],
+                "n_channels": [len(counts)],
+                "first_bx": [first_bx],
+                "last_bx": [last_bx],
+                "max_channel_hits": [max(counts) if counts else 0],
+            }
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def profile_orbits(hits_stream: DataFrame) -> DataFrame:
+    """Streaming orbit profiling via ``transformWithStateInPandas``
+    (Spark 4).  Same inactivity-flush semantics as
+    :func:`assemble_orbits`, plus per-channel hit counts from MapState.
+    The session must run the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    return hits_stream.groupBy("ORBIT_CNT").transformWithStateInPandas(
+        statefulProcessor=OrbitProfileProcessor(),
+        outputStructType=ORBIT_PROFILE,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
+
+
+def profile_orbits_batch(hits: DataFrame) -> DataFrame:
+    """Batch twin of :func:`profile_orbits` — what the stream converges
+    to once every orbit has flushed."""
+    phys = hits.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+    per_chan = phys.groupBy("ORBIT_CNT", "TDC_CHANNEL").agg(
+        F.count(F.lit(1)).alias("chan_hits"),
+        F.min("BX_COUNTER").alias("min_bx"),
+        F.max("BX_COUNTER").alias("max_bx"),
+    )
+    return per_chan.groupBy("ORBIT_CNT").agg(
+        F.sum("chan_hits").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_channels"),
+        F.min("min_bx").cast("int").alias("first_bx"),
+        F.max("max_bx").cast("int").alias("last_bx"),
+        F.max("chan_hits").alias("max_channel_hits"),
+    )
+
+
 def assemble_orbits_batch(hits: DataFrame) -> DataFrame:
     """Batch twin of :func:`assemble_orbits` — same output schema, pure
     aggregate expressions (what the streaming form converges to once

@@ -278,3 +278,96 @@ def test_assemble_orbits_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_profile_orbits_batch_twin(spark):
+    """The batch twin of orbit profiling, verified against a hand
+    computation over the 61-row fixture.  This is the semantics contract
+    the streaming transformWithStateInPandas form must converge to."""
+    from fortymhz_spark.streaming.state import profile_orbits_batch
+
+    hits = read_hits_csv(spark)
+    got = {tuple(r) for r in profile_orbits_batch(hits).collect()}
+
+    pdf = hits.toPandas()
+    phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+    want = set()
+    for orbit, g in phys.groupby("ORBIT_CNT"):
+        chan_counts = g["TDC_CHANNEL"].value_counts()
+        want.add(
+            (
+                int(orbit),
+                len(g),
+                g["TDC_CHANNEL"].nunique(),
+                int(g["BX_COUNTER"].min()),
+                int(g["BX_COUNTER"].max()),
+                int(chan_counts.max()),
+            )
+        )
+    assert got == want
+
+
+def test_profile_orbits_transform_with_state(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas orbit profiling: typed
+    ValueState + per-channel MapState + explicit processing-time timers,
+    on the RocksDB state store (the API requires it).  Hits straddle two
+    micro-batches; after the inactivity timers fire, results must equal
+    the batch twin exactly.
+
+    The transformWithStateInPandas worker protocol speaks protobuf to
+    the JVM (``pyspark/sql/streaming/proto/StateMessage_pb2``); skip
+    when ``google.protobuf`` is not installed — the operator itself is
+    plain Spark 4 API and runs anywhere protobuf exists.
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas requires protobuf for its "
+        "python<->JVM state protocol",
+    )
+    from fortymhz_spark.streaming.state import profile_orbits, profile_orbits_batch
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "hits"
+    src.mkdir()
+    hits = read_hits_csv(spark)
+    with_idx = hits.withColumn("i", F.monotonically_increasing_id())
+    with_idx.filter(F.col("i") % 2 == 0).drop("i").coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    stream = file_stream(spark, str(src / "*"), DT_HIT, max_files_per_trigger=1)
+    name = "orbit_profiles"
+    ckpt = tempfile.mkdtemp(prefix="fmhz_tws_ckpt_")
+    q = (
+        profile_orbits(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2.0)
+        with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
+            str(src / "b")
+        )
+        want = {tuple(r) for r in profile_orbits_batch(hits).collect()}
+        deadline = time.time() + 150
+        got: set = set()
+        while time.time() < deadline:
+            got = {tuple(r) for r in spark.table(name).collect()}
+            if len(got) >= len(want):
+                break
+            time.sleep(1.0)
+        assert got == want
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
