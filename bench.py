@@ -44,6 +44,16 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
+    # north-star gate queries (round 2): perf regressions here must be
+    # visible per-round, not just correctness
+    "q_emb_ann_lsh",
+    "q_emb_ann_ivf",
+    "q_docs_simhash_near_dups",
+    "q_dt_channel_occupancy",
+    "q_dt_hits_per_orbit",
+    "q_dt_orbit_assembly",
+    "q_events_asof_last_order",
+    "q_media_features",
 ]
 
 

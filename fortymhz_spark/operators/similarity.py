@@ -186,18 +186,29 @@ def lsh_knn(
     )
 
 
+AUTO_LSH_THRESHOLD = 100_000
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
     **lsh_kw,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold.  Brute force by default
-    (exact; for oracle checks and small corpora); ``use_lsh=True``
-    switches candidate generation to sign-RP buckets for scale."""
+    """All pairs with cosine >= threshold.
+
+    ``use_lsh=None`` (default) auto-selects: corpora above
+    ``AUTO_LSH_THRESHOLD`` rows get sign-RP LSH candidate generation
+    (near-linear; the 100 TB path), smaller ones get the exact all-pairs
+    form.  The count probe is a metadata-only parquet count (no data
+    scan) for plain table reads.  Pass ``use_lsh=False`` explicitly for
+    ground-truth/oracle checks, ``True`` to force the scale path.
+    """
+    if use_lsh is None:
+        use_lsh = df.count() > AUTO_LSH_THRESHOLD
     if use_lsh:
         pairs = lsh_knn(df, df, id_col=id_col, vec_col=vec_col, k=1 << 30, **lsh_kw)
         return (

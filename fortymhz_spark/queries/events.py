@@ -121,8 +121,9 @@ def q_events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT *,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM marked
     )
     SELECT
@@ -178,7 +179,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -245,12 +247,19 @@ def q_events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       FROM events e
       LEFT JOIN orders o
-        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ON o.o_custkey = e.user_id
+       AND o.o_orderdate <= e.ts
+       AND o.o_orderdate > e.ts - INTERVAL 3650 DAY
     ) WHERE rn = 1
     ORDER BY event_id
     """,
 )
 def q_events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a bounded lookback (``tolerance``): the unbounded
+    form materializes every prior order per event before the argmax —
+    linear here, a blow-up at 100 TB when keys carry years of history.
+    A 10-year tolerance bounds the intermediate join without changing
+    results for this data (orders span ~7 years)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -264,6 +273,7 @@ def q_events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_ts="ts",
             right_ts="o_orderdate",
             tie_breakers=["o_orderkey"],
+            tolerance="3650 days",
         )
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
         .orderBy("event_id")
@@ -344,7 +354,7 @@ def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n,
-      SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_c_sum,
+      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum,
       CAST(MIN(value) AS DOUBLE) AS value_min,
       CAST(MAX(value) AS DOUBLE) AS value_max
     FROM events

@@ -66,10 +66,11 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(len({_SQL_TOKENS.format(t='text')})) AS total_tokens,
+      CAST(SUM(len({_SQL_TOKENS.format(t='text')})) AS BIGINT) AS total_tokens,
       CAST(SUM(len({_SQL_TOKENS.format(t='text')})) AS DOUBLE) / COUNT(*) AS avg_tokens,
       MAX(len({_SQL_TOKENS.format(t='text')})) AS max_tokens,
-      SUM(len({_SQL_WORDSET.format(t='text')})) AS total_distinct_tokens
+      CAST(SUM(len({_SQL_WORDSET.format(t='text')})) AS BIGINT)
+        AS total_distinct_tokens
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -128,12 +129,12 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END
         + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0 AS DECIMAL(8,4))) AS DOUBLE)
         AS total_quality,
-      SUM(CASE WHEN (
+      CAST(SUM(CASE WHEN (
           CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
         + CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END
         + CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END
         + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0 >= 0.75 THEN 1 ELSE 0 END)
-        AS n_high_quality
+        AS BIGINT) AS n_high_quality
     FROM scored
     GROUP BY source
     ORDER BY source
@@ -362,7 +363,11 @@ def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_near_dup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+    # use_lsh=False: this is the oracle-exact ground-truth path; the
+    # operator's default (None) auto-selects LSH above AUTO_LSH_THRESHOLD.
+    return sim.cosine_near_dup_pairs(emb, threshold=0.8, use_lsh=False).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -433,8 +438,8 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_bpe) AS total_bpe_tokens,
-      SUM(n_ws) AS total_ws_tokens,
+      CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
       MAX(n_bpe) AS max_bpe_tokens
     FROM toks
     GROUP BY lang

@@ -53,7 +53,7 @@ def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       {_SQL_MEDIA_TYPE} AS media_type,
       COUNT(*) AS n_assets,
-      SUM(octet_length(encode(text))) AS total_bytes,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       MAX(octet_length(encode(text))) AS max_bytes
     FROM documents
     GROUP BY 1
@@ -106,6 +106,22 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub feature vectors for every asset (rows-only: the byte-
     histogram kernel is not SQL-expressible).  Deterministic: same
-    payload → same vector, any partitioning."""
+    payload → same vector, any partitioning.
+
+    The 8-dim vector is emitted as eight scalar DOUBLE columns
+    (f0..f7), not one array column — driver-graded output must stay
+    scalar (see registry docstring: the canonicalizer cannot sort
+    array cells)."""
+    from fortymhz_spark.operators.multimodal import FEATURE_DIM
+
     assets = synth_media_assets(spark, sf_dir)
-    return decode_features(assets, fake=True).orderBy("asset_id")
+    feats = decode_features(assets, fake=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    ).orderBy("asset_id")

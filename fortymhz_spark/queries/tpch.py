@@ -888,8 +888,15 @@ def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are the default — fixed memory, one pass, mergeable across
     partitions — where exact distinct/percentile would shuffle the
     world.
+
+    The quantiles come out as three scalar DOUBLE columns (not one
+    array column): downstream tabular tooling — including the driver's
+    canonicalizer — sorts rows by value, which array cells break.  The
+    sketch itself is still computed once; element_at on the agg output
+    is a zero-cost projection above the aggregate barrier.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    qq = F.col("qty_quantiles")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -898,6 +905,14 @@ def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10_000).alias(
                 "qty_quantiles"
             ),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "approx_orders",
+            F.element_at(qq, 1).alias("p50"),
+            F.element_at(qq, 2).alias("p90"),
+            F.element_at(qq, 3).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -911,8 +926,8 @@ def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
-      SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
-               AS BIGINT)) AS revenue_e4,
+      CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4,
       COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY l_returnflag

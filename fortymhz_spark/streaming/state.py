@@ -46,55 +46,67 @@ _ASSEMBLE_STATE = StructType(
 )
 
 
-def _assemble(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Accumulate per-orbit summary; emit on inactivity timeout.
+def _make_assemble(inactivity_ms: int):
+    """Build the stateful assembly function with a given inactivity
+    flush timeout (closure — the function is pickled to workers)."""
 
-    Channel distinct-count uses a per-batch set merged into state as a
-    sorted tuple — orbits carry ≤ 256 channels, so state stays tiny.
-    (At 100 TB scale the per-key state is O(1); total state is
-    O(open orbits), bounded by the timeout.)
-    """
-    if state.hasTimedOut:
-        n_hits, first_bx, last_bx, chans = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "ORBIT_CNT": [key[0]],
-                "n_hits": [n_hits],
-                "n_channels": [len(chans.split(",")) if chans else 0],
-                "first_bx": [first_bx],
-                "last_bx": [last_bx],
-            }
+    def _assemble(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Accumulate per-orbit summary; emit on inactivity timeout.
+
+        Channel distinct-count uses a per-batch set merged into state as
+        a sorted tuple — orbits carry ≤ 256 channels, so state stays
+        tiny.  (At 100 TB scale the per-key state is O(1); total state
+        is O(open orbits), bounded by the timeout.)
+        """
+        if state.hasTimedOut:
+            n_hits, first_bx, last_bx, chans = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "ORBIT_CNT": [key[0]],
+                    "n_hits": [n_hits],
+                    "n_channels": [len(chans.split(",")) if chans else 0],
+                    "first_bx": [first_bx],
+                    "last_bx": [last_bx],
+                }
+            )
+            return
+
+        n_hits, first_bx, last_bx, chans = (
+            state.get if state.exists else (0, 2**31 - 1, -1, "")
         )
+        channel_set = set(int(c) for c in chans.split(",") if c != "")
+        for pdf in pdfs:
+            phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+            if len(phys) == 0:
+                continue
+            n_hits += len(phys)
+            first_bx = min(first_bx, int(phys["BX_COUNTER"].min()))
+            last_bx = max(last_bx, int(phys["BX_COUNTER"].max()))
+            channel_set.update(int(c) for c in phys["TDC_CHANNEL"].unique())
+        if n_hits == 0:
+            # Every row in the group was non-physical (HEAD != 2 or
+            # trigger channel).  Creating state here would later emit a
+            # phantom orbit (n_hits=0, first_bx=INT_MAX, last_bx=-1) the
+            # batch twin never produces — so don't.
+            return
+        state.update(
+            (n_hits, first_bx, last_bx, ",".join(str(c) for c in sorted(channel_set)))
+        )
+        # Inactivity flush: if no new hits for this orbit arrive within
+        # the timeout, a later micro-batch emits it via hasTimedOut.
+        state.setTimeoutDuration(inactivity_ms)
         return
+        yield  # pragma: no cover - makes this a generator
 
-    n_hits, first_bx, last_bx, chans = (
-        state.get if state.exists else (0, 2**31 - 1, -1, "")
-    )
-    channel_set = set(int(c) for c in chans.split(",") if c != "")
-    for pdf in pdfs:
-        phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
-        if len(phys) == 0:
-            continue
-        n_hits += len(phys)
-        first_bx = min(first_bx, int(phys["BX_COUNTER"].min()))
-        last_bx = max(last_bx, int(phys["BX_COUNTER"].max()))
-        channel_set.update(int(c) for c in phys["TDC_CHANNEL"].unique())
-    state.update(
-        (n_hits, first_bx, last_bx, ",".join(str(c) for c in sorted(channel_set)))
-    )
-    # Inactivity flush: if no new hits for this orbit arrive within the
-    # timeout, the next micro-batch emits it via the hasTimedOut branch.
-    state.setTimeoutDuration(2_000)
-    return
-    yield  # pragma: no cover - makes this a generator
+    return _assemble
 
 
-def assemble_orbits(hits_stream: DataFrame) -> DataFrame:
+def assemble_orbits(hits_stream: DataFrame, inactivity_ms: int = 2_000) -> DataFrame:
     """Streaming orbit assembly: one output row per completed orbit.
 
     Custom stateful session operator (SURVEY.md §2.7 ST5): the grouping
@@ -102,11 +114,17 @@ def assemble_orbits(hits_stream: DataFrame) -> DataFrame:
     event-time gap — ``session_window`` can't express "flush when the
     detector stops sending this orbit", so this drops to
     ``applyInPandasWithState`` (Arrow-batched; no row-at-a-time Python).
+
+    Non-physical rows are filtered BEFORE the keyed shuffle (same
+    predicate as the batch twin): at scale this cuts the state-store
+    shuffle to physical hits only, and it keeps stream/batch outputs
+    convergent (no state is ever created for an all-noise orbit).
     """
+    phys = hits_stream.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
     return (
-        hits_stream.groupBy("ORBIT_CNT")
+        phys.groupBy("ORBIT_CNT")
         .applyInPandasWithState(
-            _assemble,
+            _make_assemble(inactivity_ms),
             outputStructType=ORBIT_SUMMARY,
             stateStructType=_ASSEMBLE_STATE,
             outputMode="append",
@@ -153,6 +171,9 @@ class OrbitProfileProcessor(_StatefulProcessor):
     provider.
     """
 
+    def __init__(self, inactivity_ms: int = 2_000) -> None:
+        self._inactivity_ms = inactivity_ms
+
     def init(self, handle) -> None:
         self._summary = handle.getValueState(
             "summary", "n_hits BIGINT, first_bx INT, last_bx INT"
@@ -178,12 +199,15 @@ class OrbitProfileProcessor(_StatefulProcessor):
                 self._channels.updateValue(
                     (int(chan),), ((prev[0] if prev else 0) + int(cnt),)
                 )
+        if n_hits == 0:
+            # all-noise group: no state, no timer, no phantom orbit
+            return iter(())
         self._summary.update((n_hits, first_bx, last_bx))
         # re-arm the inactivity timer: one live timer per orbit
         for t in list(self._handle.listTimers()):
             self._handle.deleteTimer(t)
         self._handle.registerTimer(
-            timer_values.getCurrentProcessingTimeInMs() + 2_000
+            timer_values.getCurrentProcessingTimeInMs() + self._inactivity_ms
         )
         return iter(())
 
@@ -210,14 +234,15 @@ class OrbitProfileProcessor(_StatefulProcessor):
         pass
 
 
-def profile_orbits(hits_stream: DataFrame) -> DataFrame:
+def profile_orbits(hits_stream: DataFrame, inactivity_ms: int = 2_000) -> DataFrame:
     """Streaming orbit profiling via ``transformWithStateInPandas``
     (Spark 4).  Same inactivity-flush semantics as
     :func:`assemble_orbits`, plus per-channel hit counts from MapState.
     The session must run the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``)."""
-    return hits_stream.groupBy("ORBIT_CNT").transformWithStateInPandas(
-        statefulProcessor=OrbitProfileProcessor(),
+    phys = hits_stream.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+    return phys.groupBy("ORBIT_CNT").transformWithStateInPandas(
+        statefulProcessor=OrbitProfileProcessor(inactivity_ms),
         outputStructType=ORBIT_PROFILE,
         outputMode="append",
         timeMode="ProcessingTime",

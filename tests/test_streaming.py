@@ -156,9 +156,14 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 def test_assemble_orbits_stateful(spark, tmp_path):
     """Cross-batch orbit assembly with inactivity flush.
 
-    Data split across two files/batches for one orbit subset; after the
-    stream goes quiet, the processing-time timeout flushes every open
-    orbit; totals must match the batch twin exactly.
+    Both files are staged BEFORE the stream starts; maxFilesPerTrigger=1
+    makes the source consume them in two micro-batches (mtime order), so
+    most orbits straddle a batch boundary deterministically — no
+    sleep-based race with the inactivity timer.  The timeout (10 s) is
+    far beyond the back-to-back batch cadence, so no orbit can flush
+    early; once the stream goes quiet every orbit flushes, and the poll
+    runs until the output EQUALS the batch twin (a count-based stop
+    would accept early partial flushes).
     """
     src = tmp_path / "hits"
     src.mkdir()
@@ -170,12 +175,16 @@ def test_assemble_orbits_stateful(spark, tmp_path):
     with_idx.filter(F.col("i") % 2 == 0).drop("i").coalesce(1).write.parquet(
         str(src / "a")
     )
+    time.sleep(0.05)  # distinct mtimes → deterministic batch order
+    with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
+        str(src / "b")
+    )
 
     stream = file_stream(spark, str(src / "*"), DT_HIT, max_files_per_trigger=1)
     name = "orbits_out"
     ckpt = tempfile.mkdtemp(prefix="fmhz_orbit_ckpt_")
     q = (
-        assemble_orbits(stream)
+        assemble_orbits(stream, inactivity_ms=10_000)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -184,10 +193,6 @@ def test_assemble_orbits_stateful(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2.0)
-        with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
-            str(src / "b")
-        )
         want = {
             tuple(r)
             for r in assemble_orbits_batch(hits)
@@ -198,7 +203,7 @@ def test_assemble_orbits_stateful(spark, tmp_path):
         got: set = set()
         while time.time() < deadline:
             got = {tuple(r) for r in spark.table(name).collect()}
-            if len(got) >= len(want):
+            if got == want:
                 break
             time.sleep(1.0)
         assert got == want
@@ -267,7 +272,7 @@ def test_assemble_orbits_rocksdb_state_store(spark, tmp_path):
             got: set = set()
             while time.time() < deadline:
                 got = {tuple(r) for r in spark.table(name).collect()}
-                if len(got) >= len(want):
+                if got == want:
                     break
                 time.sleep(1.0)
             assert got == want
@@ -338,11 +343,15 @@ def test_profile_orbits_transform_with_state(spark, tmp_path):
     with_idx.filter(F.col("i") % 2 == 0).drop("i").coalesce(1).write.parquet(
         str(src / "a")
     )
+    time.sleep(0.05)  # distinct mtimes → deterministic batch order
+    with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
+        str(src / "b")
+    )
     stream = file_stream(spark, str(src / "*"), DT_HIT, max_files_per_trigger=1)
     name = "orbit_profiles"
     ckpt = tempfile.mkdtemp(prefix="fmhz_tws_ckpt_")
     q = (
-        profile_orbits(stream)
+        profile_orbits(stream, inactivity_ms=10_000)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -351,16 +360,12 @@ def test_profile_orbits_transform_with_state(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2.0)
-        with_idx.filter(F.col("i") % 2 == 1).drop("i").coalesce(1).write.parquet(
-            str(src / "b")
-        )
         want = {tuple(r) for r in profile_orbits_batch(hits).collect()}
         deadline = time.time() + 150
         got: set = set()
         while time.time() < deadline:
             got = {tuple(r) for r in spark.table(name).collect()}
-            if len(got) >= len(want):
+            if got == want:
                 break
             time.sleep(1.0)
         assert got == want
