@@ -248,27 +248,31 @@ def simhash_near_dups(
     # Same plan-shape rule as minhash_near_dups: the per-row
     # ``simhash64`` expression (64 bit-sums × token hashing) is fine
     # once, but duplicated across chunk extraction and both join sides
-    # it dominates planning+codegen.  Explode tokens, vote per bit with
-    # map-side-combined sums (shuffle = 64 longs per doc), then fold
-    # the 64 vote columns into the fingerprint with one small select.
+    # it dominates planning+codegen.  Explode tokens, hash once, and
+    # count set bits per position with map-side-combined sums (shuffle
+    # = 65 longs per doc); then fold the counts into the fingerprint
+    # with one small select.  Plain bit sums instead of ±1 case-when
+    # votes: ``sign(Σ±1) > 0  ⟺  2·Σbit > n`` — same fingerprint,
+    # roughly half the codegen (measured 2.8 s → 1.0 s cold for the
+    # vote stage at sf0.1; generated case-when branches are what a
+    # fresh JVM spends its time compiling).
     # Docs with zero tokens drop out at the explode — they have no
     # content to be near-duplicates of.
     toks = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_set(text_col)).alias("tok")
     )
-    h = F.xxhash64("tok")
-    votes = toks.groupBy("id").agg(
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
             for b in range(64)
-        ]
+        ],
     )
     sim_expr = F.lit(0).cast("long")
     for b in range(64):
         sim_expr = sim_expr + F.when(
-            F.col(f"b{b}") > 0,
+            F.col(f"c{b}") * 2 > F.col("n"),
             F.lit(2**b if b < 63 else -(2**63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     fp = votes.select("id", sim_expr.alias("sim"))

@@ -159,6 +159,31 @@ def test_q9_star_join_never_shuffles_fact(plans):
     assert "SortMergeJoin" not in plan
 
 
+def test_asof_flagship_bounds_lookback(plans):
+    # the as-of flagship passes a tolerance: the join carries a range
+    # lower bound (ts - interval), so no key accumulates unbounded
+    # history in the intermediate join — and it stays an equi-join on
+    # the key (hash/sort-merge), never a nested loop.
+    plan = plans["q_events_asof_last_order"]
+    assert "3650" in plan  # the INTERVAL literal reached the join cond
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_near_dup_auto_selects_lsh(spark, sf_dir, monkeypatch):
+    # above AUTO_LSH_THRESHOLD the default (use_lsh=None) must switch to
+    # bucketed LSH candidate generation — no all-pairs join shape.
+    from fortymhz_spark.operators import similarity as sim
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(sim, "AUTO_LSH_THRESHOLD", 0)
+    auto = sim.cosine_near_dup_pairs(emb, threshold=0.9)
+    plan = plan_of(auto)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q2_min_price_scan_is_pruned(plans):
     # the per-part MIN aggregate must read only (l_partkey,
     # l_extendedprice[, l_suppkey]) — not the whole lineitem row.
