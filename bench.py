@@ -54,6 +54,8 @@ HEADLINE = [
     "q_dt_orbit_assembly",
     "q_events_asof_last_order",
     "q_media_features",
+    "q_docs_pii_stats",
+    "q_docs_dedup_groups",
 ]
 
 

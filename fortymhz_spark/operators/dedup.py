@@ -26,6 +26,62 @@ from pyspark.sql import functions as F
 
 from fortymhz_spark.operators.text import content_md5, shingle_set, word_set
 
+
+def near_dup_components(
+    pairs: DataFrame, *, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    Dedup needs GROUPS, not pairs: if A~B and B~C, one representative
+    must survive for {A,B,C} even when A~C was never emitted.  Input is
+    ``(id_a, id_b)`` (any extra columns ignored); output is
+    ``(id, component)`` with ``component`` = min id reachable.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors; converges
+    in O(graph diameter) rounds (near-dup clusters are dense and
+    shallow, so typically ≤5).  Each round is one join + one shuffle
+    on id; ``localCheckpoint`` cuts lineage so the plan doesn't grow
+    with iterations (the standard Spark idiom for iterative graph
+    algorithms; GraphFrames does the same under the hood).  The
+    per-round convergence check is a count aggregate, not a collect.
+    """
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component"))
+                .alias("__changed__"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__changed__")).count()
+        labels = updated.drop("__changed__")
+        if changed == 0:
+            break
+    return labels
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the scan parallelizes before CPU-heavy per-row work.
 

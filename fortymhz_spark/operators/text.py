@@ -192,3 +192,39 @@ def bpe_tokens(text: Column | str) -> Column:
 
 def bpe_token_count(text: Column | str) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared by java.util.regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no backrefs — the same pattern string is
+# the contract on both engines, so redaction is oracle-checkable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (long)."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(
+        F.regexp_extract_all(_colified(text), F.lit(pattern), 0)
+    ).cast("long")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder token.
+
+    Order matters: emails first (an email contains dot-separated runs
+    an aggressive IP pattern could clip), then phones, then IPs.  Pure
+    regexp_replace chain — whole-stage codegen, no Python.
+    """
+    out = _colified(text)
+    for kind in ("email", "phone", "ipv4"):
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out

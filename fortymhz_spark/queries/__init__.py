@@ -26,7 +26,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # local DuckDB differential (tests/test_oracle_parity.py) — it just
 # yields no driver CORRECTNESS row.
 GATE_PRIORITY: tuple[str, ...] = (
-    # —— TPC-H shape representatives (17) ——
+    # —— TPC-H shape representatives (13; the trimmed shapes — rollup,
+    # grouping sets, scalar/date functions — were green in round 1 and
+    # stay under the local differential) ——
     "q1_pricing_summary",              # partial+final agg
     "q3_shipping_priority",            # fact-dim join chain + top-k
     "q6_forecast_revenue",             # filter/projection pushdown
@@ -36,12 +38,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_full_outer_daily_activity",     # full outer
     "q_range_join_price_bands",        # range / theta join
     "q_window_top_orders_per_customer",  # ranking window
-    "q_rollup_returnflag_status",      # rollup
-    "q_cube_flag_status",              # cube
-    "q_grouping_sets_flag_year",       # grouping sets + grouping()
+    "q_cube_flag_status",              # cube (rollup's superset shape)
     "q_set_ops_nations",               # union / intersect / except
-    "q_scalar_functions",              # string/math/conditional
-    "q_date_functions",                # date/timestamp
     "q_sketch_cardinality",            # HLL++ / approx quantiles
     "q_pandas_udf_revenue",            # Arrow-batched pandas UDF
 )

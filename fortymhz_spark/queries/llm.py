@@ -487,3 +487,272 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_knn(emb, queries, k=5, n_cells=16, nprobe=4).orderBy(
         "query_id", F.desc("cosine"), "neighbor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction.  The corpus has no natural PII, so it is
+# injected deterministically (same trick as queries/media.py's asset
+# synthesis): every 5th doc gains an email, every 7th a phone, every
+# 11th an IP.  Both engines run the identical RE2-safe patterns
+# (operators/text.py::PII_PATTERNS), making counts and redacted lengths
+# oracle-exact.
+# ---------------------------------------------------------------------------
+_SQL_PII_TEXT = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id "
+    "|| '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.' || (doc_id % 255) "
+    "ELSE '' END"
+)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" from 10.0.0."), F.col("doc_id") % 255),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", t)
+
+
+@reg.query(
+    "q_docs_pii_stats",
+    oracle=f"""
+    WITH pii AS (
+      SELECT source, {_SQL_PII_TEXT} AS t FROM documents
+    ),
+    counted AS (
+      SELECT
+        source,
+        len(regexp_extract_all(t,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS n_email,
+        len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phone,
+        len(regexp_extract_all(t,
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+        length(t) - length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                '<EMAIL>', 'g'),
+              '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+            '<IP>', 'g')) AS chars_removed
+      FROM pii
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_email) AS BIGINT) AS total_emails,
+      CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+      CAST(SUM(n_ipv4) AS BIGINT) AS total_ips,
+      CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS docs_with_pii,
+      CAST(SUM(chars_removed) AS BIGINT) AS total_chars_removed
+    FROM counted
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_docs_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: detect emails/phones/IPs, redact
+    them, and report per-source counts plus how many characters the
+    redaction removed — all single-pass column expressions (scan →
+    regexps → one partial+final agg; text never shuffles)."""
+    docs = _pii_docs(spark, sf_dir)
+    n_email = tx.pii_count("text", "email")
+    n_phone = tx.pii_count("text", "phone")
+    n_ipv4 = tx.pii_count("text", "ipv4")
+    removed = F.length("text") - F.length(tx.redact_pii("text"))
+    return (
+        docs.select(
+            "source",
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            n_ipv4.alias("n_ipv4"),
+            removed.cast("long").alias("chars_removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("total_emails"),
+            F.sum("n_phone").alias("total_phones"),
+            F.sum("n_ipv4").alias("total_ips"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1)
+                .otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("chars_removed").alias("total_chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (pretraining-mix rebalancing)
+# ---------------------------------------------------------------------------
+_SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1, "zh": 0.1}
+
+
+@reg.query(
+    "q_docs_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT lang, doc_id, n_chars
+      FROM documents
+      WHERE (doc_id * 2654435761) % 1000003 <
+        CASE lang
+          WHEN 'en' THEN 500001 WHEN 'es' THEN 250000
+          WHEN 'fr' THEN 250000 WHEN 'de' THEN 100000
+          WHEN 'zh' THEN 100000 ELSE 0 END
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_sampled,
+      MIN(doc_id) AS first_doc,
+      MAX(doc_id) AS last_doc,
+      CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (operators/sampling.py): the
+    keep decision is integer arithmetic on doc_id, so the SAME rows are
+    selected on any partitioning, any cluster size, and in the SQL
+    oracle — `df.sample()` can guarantee none of that.  The predicate
+    is a scan-stage filter; at 100 TB the sample never materializes the
+    dropped rows."""
+    from fortymhz_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = stratified_sample(docs, "lang", _SAMPLE_FRACTIONS, "doc_id")
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pair graph → connected components → groups.
+# Oracle: transitive closure (recursive CTE) over the brute-force
+# Jaccard pair graph — same threshold/shingles as the minhash oracle,
+# so the Spark side may use the LSH pair generator (recall ≥0.99998 at
+# τ=0.7, deterministic; see q_docs_minhash_near_dups).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT
+      MIN(b) AS component,
+      a AS doc_id
+    FROM reach
+    GROUP BY a
+    ORDER BY component, doc_id
+    """,
+)
+def q_docs_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not pairs: minhash-LSH pair generation →
+    iterative min-label connected components (operators/dedup.py::
+    near_dup_components).  The component id doubles as the group's
+    representative (min doc id) — drop every other member and the
+    corpus is near-dup-free even across transitive chains A~B~C."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, threshold=0.7, bands=16)
+    comp = dd.near_dup_components(pairs)
+    return comp.select("component", F.col("id").alias("doc_id")).orderBy(
+        "component", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus term statistics: per-language top terms (inverted-index shape)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id, unnest(
+        list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok
+      GROUP BY lang, term
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY tf DESC, term ASC) AS rank
+      FROM tf
+    )
+    SELECT lang, term, tf, df, rank
+    FROM ranked
+    WHERE rank <= 10
+    ORDER BY lang, rank
+    """,
+)
+def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 terms with term frequency and document
+    frequency — the inverted-index / vocabulary-budgeting shape.  One
+    explode + one partial+final agg on (lang, term) + a per-lang top-k
+    window; integer-only output keeps it oracle-exact (a tf·idf score
+    would compare floats across engines' libm)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "term", "tf", "df", "rank")
+        .orderBy("lang", "rank")
+    )

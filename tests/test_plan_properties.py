@@ -184,6 +184,19 @@ def test_cosine_near_dup_auto_selects_lsh(spark, sf_dir, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q_docs_pii_stats", "q_docs_stratified_sample", "q_docs_top_terms"]
+)
+def test_new_llm_ops_stay_jvm_side(plans, name):
+    # PII regexes, sampling arithmetic, and term stats are pure column
+    # expressions: single scan, no Python boundary, nothing quadratic.
+    plan = plans[name]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan") == 1
+
+
 def test_q2_min_price_scan_is_pruned(plans):
     # the per-part MIN aggregate must read only (l_partkey,
     # l_extendedprice[, l_suppkey]) — not the whole lineitem row.
