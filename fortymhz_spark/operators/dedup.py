@@ -287,33 +287,25 @@ def simhash64(text_col):
     return out
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    *,
-    max_hamming: int = 3,
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+    """64-bit SimHash fingerprint per document: ``(id, sim)``.
 
-    Candidate generation: split the 64-bit fingerprint into 4 16-bit
-    chunks; by pigeonhole any pair within Hamming distance 3 shares at
-    least one exact chunk → bucket-join on (chunk_idx, chunk_value),
-    then verify the true Hamming distance with bit_count(xor).
+    Same plan-shape rule as minhash_near_dups: the per-row
+    ``simhash64`` expression (64 bit-sums × token hashing) is fine
+    once, but duplicated across chunk extraction and both join sides
+    it dominates planning+codegen.  Explode tokens, hash once, and
+    count set bits per position with map-side-combined sums (shuffle
+    = 65 longs per doc); then fold the counts into the fingerprint
+    with one small select.  Plain bit sums instead of ±1 case-when
+    votes: ``sign(Σ±1) > 0  ⟺  2·Σbit > n`` — same fingerprint,
+    roughly half the codegen (measured 2.8 s → 1.0 s cold for the
+    vote stage at sf0.1; generated case-when branches are what a
+    fresh JVM spends its time compiling).
+    Docs with zero tokens drop out at the explode — they have no
+    content to be near-duplicates of.
     """
-    # Same plan-shape rule as minhash_near_dups: the per-row
-    # ``simhash64`` expression (64 bit-sums × token hashing) is fine
-    # once, but duplicated across chunk extraction and both join sides
-    # it dominates planning+codegen.  Explode tokens, hash once, and
-    # count set bits per position with map-side-combined sums (shuffle
-    # = 65 longs per doc); then fold the counts into the fingerprint
-    # with one small select.  Plain bit sums instead of ±1 case-when
-    # votes: ``sign(Σ±1) > 0  ⟺  2·Σbit > n`` — same fingerprint,
-    # roughly half the codegen (measured 2.8 s → 1.0 s cold for the
-    # vote stage at sf0.1; generated case-when branches are what a
-    # fresh JVM spends its time compiling).
-    # Docs with zero tokens drop out at the explode — they have no
-    # content to be near-duplicates of.
     toks = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_set(text_col)).alias("tok")
     )
@@ -331,7 +323,41 @@ def simhash_near_dups(
             F.col(f"c{b}") * 2 > F.col("n"),
             F.lit(2**b if b < 63 else -(2**63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    fp = votes.select("id", sim_expr.alias("sim"))
+    return votes.select("id", sim_expr.alias("sim"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks; by pigeonhole any pair within the
+    distance bound differs in at most ``max_hamming`` chunks, so at
+    least one chunk is EQUAL → bucket-join on (chunk_idx, chunk_value),
+    then verify the true Hamming distance with bit_count(xor).  The
+    chunk count must track the bound — 4 fixed chunks with a bound of 6
+    would silently drop distance-4..6 pairs (recall hole, not a perf
+    knob).  More chunks = smaller chunks = fuller buckets, so large
+    bounds trade shuffle volume for recall; ≤3 (the classic operating
+    point) keeps 16-bit chunks.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64 for a 64-bit fingerprint")
+    # floor width + remainder in the last chunk: exactly n_chunks
+    # non-empty chunks for any n_chunks <= 64 (a ceil split can produce
+    # FEWER chunks than the pigeonhole bound needs, e.g. 8 for bound 8)
+    base = 64 // n_chunks
+    bounds = [
+        (c * base, base if c < n_chunks - 1 else 64 - c * base)
+        for c in range(n_chunks)
+    ]
     chunks = fp.select(
         "id",
         "sim",
@@ -340,11 +366,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("sim", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sim", start)
+                        .bitwiseAND(F.lit(-1 if w == 64 else (1 << w) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c, (start, w) in enumerate(bounds)
                 ]
             )
         ).alias("cc"),

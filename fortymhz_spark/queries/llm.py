@@ -295,12 +295,14 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dups (rows-only: depends on Spark xxhash64)
+# SimHash near-dups (rows-only: depends on Spark xxhash64).  Bound 3 =
+# the classic 64-bit operating point (Manku et al., WWW'07): 4 16-bit
+# pigeonhole chunks; the chunk count tracks the bound automatically.
 # ---------------------------------------------------------------------------
 @reg.query("q_docs_simhash_near_dups")
 def q_docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return dd.simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

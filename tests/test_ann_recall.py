@@ -56,3 +56,35 @@ def test_lsh_recall(spark, truth):
     got = lsh_knn(emb, queries, k=K, n_planes=16, bands=8).collect()
     r = _recall(got, by_q)
     assert r >= 0.5, f"LSH recall@{K} = {r:.2f}"
+
+
+@pytest.mark.parametrize("bound", [3, 6])
+def test_simhash_pigeonhole_recall_complete(spark, sf_dir, bound):
+    """The chunked bucket join must find EVERY pair within the Hamming
+    bound — pigeonhole requires bound+1 chunks, so this catches any
+    regression to a fixed chunk count (4 chunks with bound 6 silently
+    drops distance-4..6 pairs)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    brute = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+        )
+        .filter(F.col("hamming") <= bound)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+        )
+    )
+    want = {tuple(r) for r in brute.collect()}
+    got = {tuple(r) for r in simhash_near_dups(docs, max_hamming=bound).collect()}
+    assert got == want
