@@ -393,6 +393,39 @@ def simhash_near_dups(
     )
 
 
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >= ``min_overlap``
+    word ``shingle_n``-grams with ANY eval/benchmark doc.
+
+    Returns ``(id, n_overlapping)``.  Shape: explode both sides to
+    (id, shingle), distinct the eval side (the benchmark is small — it
+    broadcasts), inner-join on the shingle, count distinct shingles per
+    train doc.  Train text never shuffles — only (id, shingle) pairs —
+    and at 100 TB the eval shingle set is the broadcast side, so the
+    scan of train stays shuffle-free up to the final per-id count.
+    Shingles join as strings for engine portability; a production run
+    on huge shingle sets would map them through ``xxhash64`` first
+    (same plan, 8-byte keys).
+    """
+    sh = shingle_set(text_col, shingle_n)
+    # shingle_set is per-doc distinct already — (id, s) needs no extra
+    # dedup shuffle; the eval side dedups ACROSS docs before the join
+    train_sh = train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    eval_sh = eval_df.select(F.explode(sh).alias("s")).distinct()
+    hits = train_sh.join(eval_sh, ["s"]).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_overlapping")
+    )
+    return hits.filter(F.col("n_overlapping") >= min_overlap)
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram / word-set Jaccard within blocks
 # ---------------------------------------------------------------------------

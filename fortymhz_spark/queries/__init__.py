@@ -26,9 +26,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # local DuckDB differential (tests/test_oracle_parity.py) — it just
 # yields no driver CORRECTNESS row.
 GATE_PRIORITY: tuple[str, ...] = (
-    # —— TPC-H shape representatives (13; the trimmed shapes — rollup,
-    # grouping sets, scalar/date functions — were green in round 1 and
-    # stay under the local differential) ——
+    # —— TPC-H shape representatives (12; the trimmed shapes — rollup,
+    # grouping sets, set ops, scalar/date functions — were green in
+    # round 1 and stay under the local differential) ——
     "q1_pricing_summary",              # partial+final agg
     "q3_shipping_priority",            # fact-dim join chain + top-k
     "q6_forecast_revenue",             # filter/projection pushdown
@@ -39,7 +39,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_range_join_price_bands",        # range / theta join
     "q_window_top_orders_per_customer",  # ranking window
     "q_cube_flag_status",              # cube (rollup's superset shape)
-    "q_set_ops_nations",               # union / intersect / except
     "q_sketch_cardinality",            # HLL++ / approx quantiles
     "q_pandas_udf_revenue",            # Arrow-batched pandas UDF
 )

@@ -709,6 +709,77 @@ def q_docs_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination: train docs overlapping the eval split on
+# word 4-grams.  Eval split = doc_id % 97 == 0 (a deterministic stand-in
+# for a benchmark set; the operator takes any two frames).
+# ---------------------------------------------------------------------------
+# n-word shingles for any n via DuckDB 1-based inclusive list slices;
+# mirrors operators/text.py::shingle_set including the short-doc
+# fallback (docs with < n tokens contribute their full token string).
+_SQL_SHINGLES_N = (
+    "CASE WHEN len({tk}) >= {n} THEN "
+    "list_distinct(list_transform(range(1, len({tk}) - {n} + 2), "
+    "i -> array_to_string({tk}[i:i+{n}-1], ' '))) "
+    "ELSE [array_to_string({tk}, ' ')] END"
+)
+
+
+@reg.query(
+    "q_docs_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest({_SQL_SHINGLES_N.format(tk='tk', n=4)}) AS s
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT sh.doc_id AS id, COUNT(*) AS n_overlapping
+      FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % 97 <> 0
+      GROUP BY sh.doc_id
+    )
+    SELECT
+      d.source,
+      COUNT(*) AS n_train,
+      CAST(SUM(CASE WHEN h.n_overlapping IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contaminated,
+      CAST(COALESCE(MAX(h.n_overlapping), 0) AS BIGINT) AS max_overlap
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::contaminated_ids):
+    flag training docs that share a 4-word shingle with the eval split,
+    per source.  The eval shingle set is the small side (broadcasts at
+    scale); train text never shuffles — only (id, shingle) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = dd.contaminated_ids(train, eval_df, shingle_n=4)
+    return (
+        train.join(hits, train["doc_id"] == hits["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("n_overlapping").isNotNull(), 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.coalesce(F.max("n_overlapping"), F.lit(0)).alias("max_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus term statistics: per-language top terms (inverted-index shape)
 # ---------------------------------------------------------------------------
 @reg.query(

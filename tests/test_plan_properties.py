@@ -197,6 +197,15 @@ def test_new_llm_ops_stay_jvm_side(plans, name):
     assert plan.count("FileScan") == 1
 
 
+def test_decontaminate_joins_on_shingles_not_pairs(plans):
+    # eval shingles join train shingles on the shingle key (hash or
+    # broadcast) — never an all-pairs doc comparison.
+    plan = plans["q_docs_decontaminate"]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q2_min_price_scan_is_pruned(plans):
     # the per-part MIN aggregate must read only (l_partkey,
     # l_extendedprice[, l_suppkey]) — not the whole lineitem row.
