@@ -438,3 +438,40 @@ def q_events_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
     )
     return out.orderBy("view_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# ingestion dedup — at-least-once delivery produces duplicates; this is
+# the batch twin of streaming/queries.py::streaming_dedup_events
+# (dropDuplicatesWithinWatermark on the stream).  events has unique
+# event_ids, so duplicates are injected deterministically (every 13th
+# event re-delivered) — the dedup must restore the original row set.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_events_dedup_ingest",
+    oracle="""
+    WITH delivered AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 13 = 0
+    )
+    SELECT DISTINCT
+      event_id,
+      user_id,
+      event_type,
+      epoch_us(ts) AS ts_epoch
+    FROM delivered
+    ORDER BY event_id
+    """,
+)
+def q_events_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ingestion dedup over an at-least-once delivery (simulated
+    by re-delivering every 13th event).  The streaming form bounds its
+    key state with a watermark (dropDuplicatesWithinWatermark); the
+    batch twin is plain dropDuplicates — same rows, different state
+    lifecycle."""
+    from fortymhz_spark.streaming.queries import streaming_dedup_events
+
+    ev = load_table(spark, sf_dir, "events")
+    delivered = ev.unionAll(ev.filter(F.col("event_id") % 13 == 0))
+    return streaming_dedup_events(delivered).orderBy("event_id")

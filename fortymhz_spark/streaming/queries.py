@@ -128,6 +128,37 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup_events(
+    events: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on ``event_id`` — the ingestion-side dedup
+    an at-least-once pipeline needs before anything downstream counts.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and DROPS
+    the key's state once the watermark passes its first-seen event time
+    + delay — bounded state, unlike plain ``dropDuplicates`` on a
+    stream, which retains every key forever.  The contract is
+    "duplicates arrive within the watermark of each other" (true for
+    replay/retry duplication, the at-least-once failure mode).  On a
+    bounded frame Spark has no ``WithinWatermark`` operator, so the
+    batch twin is plain ``dropDuplicates`` — same rows, different state
+    lifecycle.
+    """
+    deduped = (
+        events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        if events.isStreaming
+        else events.dropDuplicates(["event_id"])
+    )
+    return deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_epoch"),
+    )
+
+
 def streaming_view_to_purchase(
     views: DataFrame,
     purchases: DataFrame,

@@ -212,6 +212,26 @@ def test_assemble_orbits_stateful(spark, tmp_path):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream that re-delivers an
+    entire file (the at-least-once failure mode): output must equal the
+    distinct row set, with the duplicate batch contributing nothing."""
+    from fortymhz_spark.streaming.queries import streaming_dedup_events
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts").limit(300)
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    time.sleep(0.05)
+    # redelivery: the same 300 rows arrive again in a later micro-batch
+    ev.coalesce(1).write.parquet(str(src / "b"))
+
+    stream = file_stream(spark, str(src / "*"), EVENTS, max_files_per_trigger=1)
+    got = run_to_memory(streaming_dedup_events(stream), spark).collect()
+    want = streaming_dedup_events(ev).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_stream_stream_join_subset_of_batch(spark, events_stream_dir):
     """Watermarked stream-stream join emits only pairs both of whose
     sides have passed the watermark; every emitted pair must be in the
