@@ -56,6 +56,8 @@ HEADLINE = [
     "q_media_features",
     "q_docs_pii_stats",
     "q_docs_dedup_groups",
+    "q_docs_decontaminate",
+    "q_events_dedup_ingest",
 ]
 
 

@@ -59,19 +59,29 @@ def shingle_set(text: Column | str, n: int = 3) -> Column:
     shingles tracks copied passages rather than topic vocabulary.
     Documents shorter than n words contribute their full token string
     as a single shingle (so they can still match exact duplicates).
+
+    Plan-shape note: the token array is LET-BOUND as a lambda variable
+    (``transform`` over a one-element array) so tokenization runs once
+    per row.  Referencing the tokenize expression directly inside the
+    per-shingle lambda re-evaluates it at every shingle position —
+    O(tokens²) per document (measured 13 s → 1 s for the sf0.1 shingle
+    explode).  Same family as the CollapseProject pitfall in
+    operators/dedup.py: Catalyst does not CSE across lambda scopes.
     """
     t = _colified(text)
-    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
-    k = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(k >= n, F.array_distinct(joined)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+
+    def build(tk: Column) -> Column:
+        k = F.size(tk)
+        joined = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+        return F.when(k >= n, F.array_distinct(joined)).otherwise(
+            F.array(F.concat_ws(" ", tk))
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
