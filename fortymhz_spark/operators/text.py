@@ -204,6 +204,45 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
 
 
+def chunk_token_windows(
+    text: Column | str, *, window: int = 128, stride: int = 112
+) -> Column:
+    """Fixed-size token windows with overlap — the context-window
+    chunking step of a training/RAG pipeline (array<struct<chunk_idx,
+    start_tok, chunk_text>>).
+
+    Windows start every ``stride`` tokens (overlap = window - stride);
+    the final window is the remainder (shorter, never empty for a
+    non-empty doc).  Pure column expression — explode the result to get
+    one row per chunk.  The token array is let-bound (see shingle_set)
+    so tokenization runs once per row.
+    """
+    t = _colified(text)
+    toks_expr = F.filter(F.split(t, " "), lambda x: x != "")
+
+    def build(tk: Column) -> Column:
+        k = F.size(tk)
+        n_chunks = F.when(
+            k > window, F.ceil((k - window).cast("double") / stride) + 1
+        ).otherwise(F.when(k > 0, 1).otherwise(0)).cast("int")
+        # sequence(1, 0) DESCENDS in Spark, so build over >=1 element
+        # and slice back to n_chunks — slice(…, 1, 0) is a typed empty
+        # array, which a when/otherwise branch cannot cleanly produce.
+        all_chunks = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+            lambda c: F.struct(
+                (c - 1).cast("long").alias("chunk_idx"),
+                ((c - 1) * stride + 1).cast("long").alias("start_tok"),
+                F.concat_ws(
+                    " ", F.slice(tk, (c - 1) * stride + 1, window)
+                ).alias("chunk_text"),
+            ),
+        )
+        return F.slice(all_chunks, 1, n_chunks)
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------

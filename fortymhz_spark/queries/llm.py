@@ -829,3 +829,56 @@ def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tf", "df", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (training / RAG document splitting)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_chunk_token_windows",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > 128
+                  THEN CAST(ceil((len(toks) - 128) / 112.0) AS INT) + 1
+                  WHEN len(toks) > 0 THEN 1 ELSE 0 END AS n_chunks
+      FROM tok
+    )
+    ,
+    exploded AS (
+      SELECT doc_id, toks, unnest(range(1, n_chunks + 1)) AS i
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           CAST((i - 1) * 112 + 1 AS BIGINT) AS start_tok,
+           array_to_string(
+             toks[((i - 1) * 112 + 1)::INT : ((i - 1) * 112 + 128)::INT],
+             ' ') AS chunk_text
+    FROM exploded
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping 128-token context windows
+    (stride 112 → 16-token overlap) — the chunking stage of a training
+    or RAG pipeline.  Pure column expressions (tokenize once per row via
+    the let-binding trick, then slice per window), so the whole plan is
+    one scan + one explode with no Python in the loop; at 100 TB the
+    explode fan-out is bounded by tokens/stride per doc and chunk rows
+    land on the same partitions as their parent doc (no shuffle until a
+    downstream op asks for one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(tx.chunk_token_windows(F.col("text"))).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    )

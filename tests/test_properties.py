@@ -103,3 +103,45 @@ def test_jaccard_pairs_canonical_and_bounded(spark, txts):
                         r for r in rows if r["id_a"] == a and r["id_b"] == b
                     ]
                     assert match and abs(match[0]["jaccard"] - 1.0) < 1e-12
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    txts=st.lists(
+        st.text(alphabet=" abc", max_size=400),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_windows_cover_and_tile(spark, txts):
+    """Every chunk is <= window tokens, chunks tile the token stream at
+    stride offsets, and concatenating stride-prefixes + the last chunk
+    reconstructs the full token sequence."""
+    from fortymhz_spark.operators.text import chunk_token_windows
+
+    window, stride = 16, 12
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(txts)], "doc_id int, text string")
+    out = (
+        df.select("doc_id", F.posexplode(chunk_token_windows("text", window=window, stride=stride)))
+        .select("doc_id", "pos", "col.chunk_idx", "col.start_tok", "col.chunk_text")
+        .collect()
+    )
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(txts)}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert r.pos == r.chunk_idx
+        assert r.start_tok == r.chunk_idx * stride + 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, tk in toks.items():
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        if not tk:
+            assert rows == []
+            continue
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = [w for w in r.chunk_text.split(" ") if w]
+            assert 0 < len(ctoks) <= window
+            start = r.chunk_idx * stride
+            assert ctoks == tk[start : start + window]
+            rebuilt = rebuilt[:start] + ctoks
+        assert rebuilt == tk
