@@ -58,6 +58,12 @@ HEADLINE = [
     "q_docs_dedup_groups",
     "q_docs_decontaminate",
     "q_events_dedup_ingest",
+    # round-2 training-pipeline additions
+    "q_chunk_token_windows",
+    "q_text_repetition_stats",
+    "q_pack_sequences",
+    "q_vec_int8_quant_error",
+    "q_vec_kmeans",
 ]
 
 

@@ -40,3 +40,42 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a, b = _colified(a), _colified(b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def int8_quant_sq_err_e15(vec: Column | str) -> Column:
+    """Total squared reconstruction error of symmetric int8 (max-abs)
+    quantization, scaled by 1e15 and floored per element to BIGINT.
+
+    The storage-compression audit step of an embedding pipeline: each
+    component is quantized to ``floor(x·127/max_abs + 0.5)`` and
+    dequantized back; the per-element error is integerized BEFORE the
+    cross-element sum, so the total is an associative integer sum —
+    bit-identical on any partitioning and in any oracle engine (a
+    double sum of the raw errors would be order-sensitive).  All
+    arithmetic is +,-,*,/,floor on doubles — no libm — so the
+    pre-floor doubles are IEEE-identical across engines.  Zero vectors
+    quantize to error 0.  Both the double-cast array and the max-abs
+    scalar are let-bound (see operators/text.py::shingle_set) so each
+    is evaluated once per row.
+    """
+    v = _colified(vec)
+    xd_expr = F.transform(v, lambda x: x.cast("double"))
+
+    def with_xd(xd: Column) -> Column:
+        m_expr = F.aggregate(xd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+
+        def with_m(m: Column) -> Column:
+            def elem_err(x: Column) -> Column:
+                deq = F.floor(x * 127.0 / m + 0.5) * m / 127.0
+                return F.floor((x - deq) * (x - deq) * 1e15)
+
+            return F.when(
+                m > 0,
+                F.aggregate(
+                    xd, F.lit(0).cast("long"), lambda acc, x: acc + elem_err(x)
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.element_at(F.transform(F.array(m_expr), with_m), 1)
+
+    return F.element_at(F.transform(F.array(xd_expr), with_xd), 1)

@@ -324,3 +324,88 @@ def ivf_knn(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's algorithm, deterministic init)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_centroid(vec_col: str, centroids: list):
+    """Index of the euclidean-nearest centroid (ties → lowest index).
+
+    Same plan-size discipline as ``_nearest_cells``: each centroid's
+    distance expression appears exactly once; argmin is an
+    ``array_sort`` over k (distance, index) structs.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_sort(scored)[0]
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, returning each row's
+    final ``cluster`` (int) and squared distance integerized as
+    ``dist_e9`` (BIGINT) — deterministic end to end.
+
+    Iterative algorithms are where a declarative engine needs a driver
+    loop: each of the ``iters`` rounds is one distributed pass —
+    assign (map-only argmin against k literal centroids) + recompute
+    (posexplode to (cluster, dim) and an EXACT decimal mean, so the
+    centroid update is order-independent and the whole run is
+    bit-reproducible on any partitioning).  Only k×dim aggregated
+    floats ever reach the driver per round (same bounded-collect
+    contract as ``_centroids``); the corpus itself never moves except
+    one shuffle per round on (cluster, dim) pairs.  Initialization is
+    the k lowest-id vectors (deterministic, oracle-friendly).  Empty
+    clusters keep their previous centroid.
+    """
+    cents = _centroids(corpus, id_col, vec_col, k)
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _nearest_centroid(vec_col, cents)["cluster"].alias("cluster"),
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("decimal(25,16)")).cast("double").alias("c"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(r["cluster"], {})[r["dim"]] = float(r["c"])
+        cents = [
+            [upd[i][d] for d in range(len(cents[i]))] if i in upd else cents[i]
+            for i in range(k)
+        ]
+    near = _nearest_centroid(vec_col, cents)
+    return corpus.select(
+        F.col(id_col).alias(id_col),
+        near["cluster"].alias("cluster"),
+        F.floor(near["dist"] * 1e9).cast("long").alias("dist_e9"),
+    )

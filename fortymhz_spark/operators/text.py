@@ -243,6 +243,73 @@ def chunk_token_windows(
     return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
+def repetition_stats(text: Column | str) -> Column:
+    """Gopher/C4-style within-document repetition signals as one struct:
+    ``n_tok``, ``n_distinct_tok``, ``n_bigrams``, ``n_distinct_bigrams``,
+    ``top_bigram_count`` (occurrences of the most frequent bigram).
+
+    A high top-bigram fraction or low distinct ratio marks boilerplate
+    and degenerate repetition (navigation chrome, keyword stuffing,
+    decoding loops).  Pure column expressions — the most-frequent-bigram
+    count is a sort + linear run-length fold over the doc's own bigram
+    array, so there is NO explode and NO shuffle: at 100 TB this stays
+    a map-only pass.  The token array is let-bound (see shingle_set) so
+    tokenization runs once per row.
+    """
+    t = _colified(text)
+    toks_expr = F.filter(F.split(t, " "), lambda x: x != "")
+
+    def build(tk: Column) -> Column:
+        k = F.size(tk)
+        n_bi = F.greatest(k - 1, F.lit(0))
+        # sequence(1, 0) descends, so build over >=1 positions and
+        # slice back to the true bigram count.
+        bigrams = F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+            ),
+            1,
+            n_bi,
+        )
+
+        def top_run(bi: Column) -> Column:
+            run = F.array_sort(bi)
+            return F.aggregate(
+                run,
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                            F.lit(1).cast("long")
+                        ),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            )
+
+        return F.struct(
+            k.cast("long").alias("n_tok"),
+            F.size(F.array_distinct(tk)).cast("long").alias("n_distinct_tok"),
+            n_bi.cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+            F.element_at(
+                F.transform(F.array(bigrams), top_run), 1
+            ).alias("top_bigram_count"),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------

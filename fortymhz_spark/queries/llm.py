@@ -882,3 +882,224 @@ def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_text")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition / boilerplate filter (Gopher-style)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_distinct_tok,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) AS bigrams
+      FROM tok
+    ),
+    cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM cnt GROUP BY 1
+    ),
+    perdoc AS (
+      SELECT b.source, b.n_tok, b.n_distinct_tok,
+             len(b.bigrams) AS n_bigrams,
+             COALESCE(t.top_bigram_count, 0) AS top_bigram_count
+      FROM base b LEFT JOIN top t USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_bigrams > 0
+                          AND top_bigram_count * 5 > n_bigrams
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_flagged,
+           CAST(SUM(CASE WHEN n_tok > 0
+                          AND n_distinct_tok * 10 < n_tok * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of documents flagged by within-doc repetition
+    rules (top bigram covers >20% of bigrams; distinct-token ratio
+    <30%) — the Gopher/C4 boilerplate-filter shape.  The per-doc signal
+    is a map-only run-length fold (operators/text.py::repetition_stats,
+    no explode / no shuffle), so the only shuffle is the final tiny
+    per-source aggregate; flag rules use integer cross-multiplication
+    so the oracle comparison never touches a float."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select("source", tx.repetition_stats(F.col("text")).alias("r"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("r.n_bigrams") > 0)
+                    & (F.col("r.top_bigram_count") * 5 > F.col("r.n_bigrams")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_rep_flagged"),
+            F.sum(
+                F.when(
+                    (F.col("r.n_tok") > 0)
+                    & (F.col("r.n_distinct_tok") * 10 < F.col("r.n_tok") * 3),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_low_diversity"),
+            F.sum("r.n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization error audit
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_vec_int8_quant_error",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT label, xd,
+             list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS mx
+      FROM v
+    ),
+    e AS (
+      SELECT label,
+             CASE WHEN mx > 0 THEN CAST(list_sum(list_transform(xd,
+               x -> CAST(floor(
+                      (x - floor(x*127.0/mx + 0.5)*mx/127.0)
+                    * (x - floor(x*127.0/mx + 0.5)*mx/127.0) * 1e15)
+                 AS BIGINT))) AS BIGINT)
+             ELSE 0 END AS sq_err_e15
+      FROM scaled
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(sq_err_e15) AS BIGINT) AS total_sq_err_e15,
+           MAX(sq_err_e15) AS max_vec_err_e15
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_vec_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit for int8 (max-abs symmetric)
+    embedding quantization, grouped by label — the decide-before-you-
+    compress step of embedding storage at scale.  Map-only per-vector
+    integerized error (functions/vectors.py::int8_quant_sq_err_e15,
+    whole-stage codegen, no Python) + one tiny per-label aggregate;
+    integer errors make the sum associative, so the result is
+    bit-identical at any partitioning."""
+    from fortymhz_spark.functions.vectors import int8_quant_sq_err_e15
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", int8_quant_sq_err_e15("embedding").alias("sq_err_e15"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sq_err_e15").cast("long").alias("total_sq_err_e15"),
+            F.max("sq_err_e15").alias("max_vec_err_e15"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-split into fixed token budgets)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    p AS (
+      SELECT source, n_tok,
+             CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM p
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: documents are packed into
+    512-token training windows within their source shard, then the
+    query reports per-pack document counts and token totals.  One
+    shard-partitioned window cumsum + one aggregate — shards pack in
+    parallel, so the plan scales with the widest shard, not the corpus
+    (operators/packing.py)."""
+    from fortymhz_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("source", "doc_id", "text"),
+        token_col=tx.token_count("text"),
+        shard_col="source",
+        order_col="doc_id",
+        budget=512,
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (iterative; rows-only — not SQL-expressible)
+# ---------------------------------------------------------------------------
+@reg.query("q_vec_kmeans")
+def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster sizes and integerized inertia after 3 Lloyd
+    iterations (k=8, deterministic lowest-id init) — the corpus-
+    curation clustering step (topic balancing, diversity sampling).
+    Iterative driver loop over map-only assignment + exact decimal
+    centroid means (operators/similarity.py::kmeans_assign); omitted
+    from oracle_sql() because a fixed-point iteration is not
+    SQL-expressible — the driver records the rows-only check, and
+    tests/test_ann_recall.py pins convergence + determinism locally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sim.kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist_e9").cast("long").alias("total_dist_e9"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )

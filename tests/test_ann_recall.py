@@ -88,3 +88,30 @@ def test_simhash_pigeonhole_recall_complete(spark, sf_dir, bound):
     want = {tuple(r) for r in brute.collect()}
     got = {tuple(r) for r in simhash_near_dups(docs, max_hamming=bound).collect()}
     assert got == want
+
+
+def test_kmeans_separable_clusters_and_determinism(spark):
+    """On well-separated blobs, 3 Lloyd iterations recover the exact
+    partition regardless of init; and two runs are bit-identical."""
+    import random
+
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(7)
+    blobs = [(-100.0, -100.0), (100.0, 100.0), (-100.0, 100.0)]
+    rows = []
+    for i in range(90):
+        cx, cy = blobs[i % 3]
+        rows.append((i, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = kmeans_assign(df, k=3, iters=3).collect()
+    out2 = kmeans_assign(df, k=3, iters=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    by_cluster: dict[int, set[int]] = {}
+    for r in out1:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 3)
+    # every found cluster is pure (contains one true blob only)
+    assert len(by_cluster) == 3
+    assert all(len(v) == 1 for v in by_cluster.values())
