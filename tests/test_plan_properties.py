@@ -215,3 +215,43 @@ def test_q2_min_price_scan_is_pruned(plans):
             m = re.search(r"FileScan parquet \[([^\]]*)\]", line)
             cols = [c.split("#")[0] for c in m.group(1).split(",")]
             assert len(cols) <= 3, cols
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_chunk_token_windows",
+        "q_text_repetition_stats",
+        "q_vec_int8_quant_error",
+    ],
+)
+def test_round2_map_only_ops_single_scan_no_python(plans, name):
+    # chunking, repetition folds, and quant-error are map-only column
+    # expressions: one scan, no Python boundary, and at most the final
+    # tiny aggregate/sort exchange — never a per-row shuffle of text.
+    plan = plans[name]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_pack_sequences_single_shard_window_exchange(plans):
+    # packing = one hashpartitioning exchange on the shard column for
+    # the window + the aggregate reusing it; no global single-partition
+    # sort before the window (rangepartitioning only for final ORDER BY).
+    plan = plans["q_pack_sequences"]
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert window_lines, "expected a Window node"
+    # shard-partitioned window: the exchange feeding it hashes on source
+    assert "hashpartitioning(source" in plan
+
+
+def test_repetition_stats_reads_only_needed_columns(plans):
+    plan = plans["q_text_repetition_stats"]
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    cols = sorted(c.split("#")[0] for c in m.group(1).split(","))
+    assert cols == ["source", "text"]
