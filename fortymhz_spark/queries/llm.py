@@ -1103,3 +1103,114 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style ranked retrieval (log-free Robertson idf — oracle-exact)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@reg.query(
+    "q_search_bm25",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(toks) AS dl,
+             {', '.join(
+                 f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS))}
+      FROM d
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                 for i in range(len(_BM25_TERMS)))}
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+        {' + '.join(
+            f"((CAST(n_docs - df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            f" / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+            f" * (CAST(tf{i} AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))"
+            f" / (CAST(tf{i} AS DOUBLE) + CAST({_BM25_K1!r} AS DOUBLE)"
+            f" * (CAST({1.0 - _BM25_B!r} AS DOUBLE)"
+            f" + (CAST({_BM25_B!r} AS DOUBLE) * CAST(dl AS DOUBLE))"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+            for i in range(len(_BM25_TERMS)))} AS score
+      FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed 3-term query under BM25 with the
+    log-free Robertson idf ((N-df+0.5)/(df+0.5)) — every operation is
+    +,-,*,/ on doubles in an explicitly parenthesized order, so Spark
+    and the oracle agree bit-for-bit (a log() idf would hostage the
+    comparison to libm rounding).
+
+    Scale shape: per-doc term frequencies are map-only array filters
+    (NO posting-list explode/shuffle); the corpus stats (N, df, Σdl)
+    are one aggregate row broadcast back via cross-join; ranking is
+    TakeOrderedAndProject.  At 100 TB the only data movement is the
+    1-row stats exchange and the top-k merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tf = docs.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            # NB: a 2-arg lambda would make PySpark bind the 2nd param
+            # to the array INDEX — close over the term instead.
+            F.size(F.filter("toks", (lambda term: lambda x: x == term)(t))).alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = with_tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    joined = with_tf.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf_d = F.col(f"tf{i}").cast("double")
+        idf = (
+            (F.col("n_docs") - F.col(f"df{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+        term = (
+            idf
+            * (tf_d * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf_d
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

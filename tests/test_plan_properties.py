@@ -255,3 +255,14 @@ def test_repetition_stats_reads_only_needed_columns(plans):
     m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
     cols = sorted(c.split("#")[0] for c in m.group(1).split(","))
     assert cols == ["source", "text"]
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(plans):
+    # corpus stats (N, df, Σdl) are ONE aggregated row broadcast back;
+    # ranking must be TakeOrderedAndProject, never a global sort; term
+    # frequencies are array filters, so no explode-shuffle of tokens.
+    plan = plans["q_search_bm25"]
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
