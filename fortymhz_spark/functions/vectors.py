@@ -4,7 +4,8 @@ Everything here compiles to Catalyst higher-order functions
 (``zip_with`` + ``aggregate``), so the hot loop runs inside whole-stage
 codegen with zero Python/Arrow boundary.  For 64-dim embeddings this is
 the right default; a pandas-UDF/BLAS path only wins for very wide
-vectors with large candidate sets (operators/similarity.py provides it).
+vectors with large candidate sets
+(``operators/similarity.py::brute_force_knn_arrow`` provides it).
 
 Determinism note: ``aggregate`` is a sequential left fold in array
 order, so double accumulation is order-fixed and reproducible — the

@@ -1214,3 +1214,23 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow/BLAS kNN (wide-vector fast path; rows-only — BLAS sum order
+# differs from the JVM fold in the last ulp, so scores are not
+# hash-comparable; neighbor-set equality is pinned in
+# tests/test_ann_recall.py::test_arrow_knn_matches_jvm_neighbors)
+# ---------------------------------------------------------------------------
+@reg.query("q_vec_knn_arrow")
+def q_vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-10 as q_emb_knn_bruteforce but through the Arrow-batched
+    numpy/BLAS kernel (operators/similarity.py::brute_force_knn_arrow)
+    — the path that wins for ≥512-dim vectors, where one ``Q @ Xᵀ``
+    per Arrow batch amortizes the Python boundary.  Per-partition
+    local top-k bounds the shuffle at partitions × queries × k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_knn_arrow(emb, queries, k=10).orderBy(
+        "query_id", "neighbor_id"
+    )

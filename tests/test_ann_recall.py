@@ -115,3 +115,30 @@ def test_kmeans_separable_clusters_and_determinism(spark):
     # every found cluster is pure (contains one true blob only)
     assert len(by_cluster) == 3
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_arrow_knn_matches_jvm_neighbors(spark, sf_dir):
+    """The BLAS path must return the SAME neighbor sets as the JVM
+    fold — only the float tails of the scores may differ."""
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_arrow,
+    )
+    from fortymhz_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    jvm = brute_force_knn(emb, queries, k=10).collect()
+    arrow = brute_force_knn_arrow(emb, queries, k=10).collect()
+    jvm_sets: dict[int, set[int]] = {}
+    arrow_sets: dict[int, set[int]] = {}
+    for r in jvm:
+        jvm_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in arrow:
+        arrow_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert jvm_sets == arrow_sets
+    # and the scores agree to float64 fold-vs-pairwise tolerance
+    jvm_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in jvm}
+    for r in arrow:
+        assert abs(jvm_scores[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9

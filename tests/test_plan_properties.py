@@ -266,3 +266,14 @@ def test_bm25_broadcasts_stats_and_takes_ordered(plans):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_arrow_knn_is_arrow_batched_with_local_topk(plans):
+    # the BLAS path must cross into Python ONCE via Arrow (MapInPandas),
+    # never row-at-a-time, and merge per-partition top-k with a window —
+    # no corpus-wide cross join.
+    plan = plans["q_vec_knn_arrow"]
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
