@@ -64,6 +64,9 @@ HEADLINE = [
     "q_pack_sequences",
     "q_vec_int8_quant_error",
     "q_vec_kmeans",
+    "q_search_bm25",
+    "q_vec_knn_arrow",
+    "q_pipeline_curation",
 ]
 
 

@@ -1234,3 +1234,124 @@ def q_vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_knn_arrow(emb, queries, k=10).orderBy(
         "query_id", "neighbor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: filter → exact dedup → pack
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_pipeline_curation",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, text, len(toks) AS n_tok,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) AS bigrams
+      FROM tok
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count
+      FROM (SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    kept AS (
+      SELECT b.doc_id, b.source, b.n_tok,
+             md5(regexp_replace(lower(b.text), '\\s+', ' ', 'g')) AS fp
+      FROM base b LEFT JOIN top t USING (doc_id)
+      WHERE b.n_tok BETWEEN 5 AND 10000
+        AND (len(b.bigrams) = 0
+             OR COALESCE(t.top_bigram_count, 0) * 5 <= len(b.bigrams))
+    ),
+    surv AS (
+      SELECT k.* FROM kept k
+      JOIN (SELECT fp, MIN(doc_id) AS rep_id FROM kept GROUP BY fp) r
+        ON k.fp = r.fp AND k.doc_id = r.rep_id
+    ),
+    packed AS (
+      SELECT source, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS BIGINT) AS pack_id
+      FROM surv
+    ),
+    raw_counts AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+    filt_counts AS (SELECT source, COUNT(*) AS n_after_filter FROM kept GROUP BY source),
+    pack_counts AS (
+      SELECT source, COUNT(*) AS n_after_dedup,
+             COUNT(DISTINCT pack_id) AS n_packs,
+             CAST(SUM(n_tok) AS BIGINT) AS packed_tokens
+      FROM packed GROUP BY source
+    )
+    SELECT r.source,
+           r.n_raw,
+           COALESCE(f.n_after_filter, 0) AS n_after_filter,
+           COALESCE(p.n_after_dedup, 0) AS n_after_dedup,
+           COALESCE(p.n_packs, 0) AS n_packs,
+           COALESCE(p.packed_tokens, 0) AS packed_tokens
+    FROM raw_counts r
+    LEFT JOIN filt_counts f USING (source)
+    LEFT JOIN pack_counts p ON r.source = p.source
+    ORDER BY source
+    """,
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel one DataFrame program: length +
+    repetition quality gates → exact dedup (keep the lowest-id
+    representative per content fingerprint) → 512-token sequence
+    packing — reporting per-source counts at every stage.  This is the
+    composition a training-data user actually runs; each stage reuses
+    the standalone operator (repetition_stats / exact-dup fingerprint /
+    pack_sequences), so the funnel inherits their scale shapes: map-only
+    scoring, one shuffle on the fingerprint, one shard-window for
+    packing, three skinny count aggregates at the end."""
+    from fortymhz_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", tx.repetition_stats(F.col("text")).alias("r"),
+        tx.content_md5("text").alias("fp"),
+    )
+    kept = base.filter(
+        F.col("r.n_tok").between(5, 10000)
+        & (
+            (F.col("r.n_bigrams") == 0)
+            | (F.col("r.top_bigram_count") * 5 <= F.col("r.n_bigrams"))
+        )
+    ).select("doc_id", "source", F.col("r.n_tok").alias("n_tok"), "fp")
+    rep = kept.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    surv = kept.join(rep, "fp").filter(F.col("doc_id") == F.col("rep_id"))
+    packed = pack_sequences(
+        surv.select("doc_id", "source", "n_tok"),
+        token_col="n_tok",
+        shard_col="source",
+        order_col="doc_id",
+        budget=512,
+    )
+    raw_counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    filt_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_filter")
+    )
+    pack_counts = packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_dedup"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tok").cast("long").alias("packed_tokens"),
+    )
+    return (
+        raw_counts.join(filt_counts, "source", "left")
+        .join(pack_counts, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_after_filter", F.lit(0)).alias("n_after_filter"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_packs", F.lit(0)).alias("n_packs"),
+            F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+        )
+        .orderBy("source")
+    )
