@@ -384,25 +384,43 @@ def kmeans_assign(
     clusters keep their previous centroid.
     """
     cents = _centroids(corpus, id_col, vec_col, k)
-    for _ in range(iters):
-        assigned = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _nearest_centroid(vec_col, cents)["cluster"].alias("cluster"),
-        )
-        rows = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("decimal(25,16)")).cast("double").alias("c"))
-            .collect()
-        )
-        upd: dict[int, dict[int, float]] = {}
-        for r in rows:
-            upd.setdefault(r["cluster"], {})[r["dim"]] = float(r["c"])
-        cents = [
-            [upd[i][d] for d in range(len(cents[i]))] if i in upd else cents[i]
-            for i in range(k)
-        ]
+    # Persist the 2-column projection for the duration of the driver
+    # loop: Lloyd's re-reads the corpus every round, and at 100 TB that
+    # is `iters` full scans unless the (id, vec) slice is materialized
+    # once.  Unpersisted before returning — the final assignment plan
+    # reads the source directly, so the returned DataFrame carries no
+    # dependency on the temporary cache.
+    proj = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    proj.persist()
+    try:
+        for _ in range(iters):
+            # NB: the argmin select and the posexplode must stay in
+            # SEPARATE selects — combining a lambda-bearing struct with
+            # a generator in one projection makes Spark drop the struct
+            # field names (FIELD_NOT_FOUND col1/col2).
+            assigned = proj.select(
+                _nearest_centroid("v", cents)["cluster"].alias("cluster"),
+                "v",
+            )
+            rows = (
+                assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.avg(F.col("x").cast("decimal(25,16)"))
+                    .cast("double")
+                    .alias("c")
+                )
+                .collect()
+            )
+            upd: dict[int, dict[int, float]] = {}
+            for r in rows:
+                upd.setdefault(r["cluster"], {})[r["dim"]] = float(r["c"])
+            cents = [
+                [upd[i][d] for d in range(len(cents[i]))] if i in upd else cents[i]
+                for i in range(k)
+            ]
+    finally:
+        proj.unpersist()
     near = _nearest_centroid(vec_col, cents)
     return corpus.select(
         F.col(id_col).alias(id_col),
