@@ -1355,3 +1355,104 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document block repetition (CCNet/RefinedWeb sub-doc dedup shape)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_text_crossdoc_blocks",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(toks[((i-1)*8+1)::INT : ((i-1)*8+8)::INT], ' '))
+               AS block_md5
+      FROM tok,
+           unnest(range(1, CAST(floor(len(toks) / 8.0) AS INT) + 1)) AS g(i)
+    ),
+    freq AS (
+      SELECT block_md5, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM blocks GROUP BY block_md5
+    ),
+    perdoc AS (
+      SELECT b.doc_id, b.source,
+             COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN f.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_blocks
+      FROM blocks b JOIN freq f USING (block_md5)
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_with_blocks,
+           CAST(SUM(n_blocks) AS BIGINT) AS total_blocks,
+           CAST(SUM(n_shared_blocks) AS BIGINT) AS shared_blocks,
+           CAST(SUM(CASE WHEN n_shared_blocks * 2 > n_blocks THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mostly_boilerplate
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_text_crossdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition at sub-document granularity: documents
+    are cut into non-overlapping 8-token blocks, blocks are md5-keyed,
+    and a doc is 'mostly boilerplate' when more than half its blocks
+    also occur in some OTHER document — the CCNet/RefinedWeb paragraph-
+    dedup shape, adapted to token blocks (fixture docs have no
+    newlines).
+
+    Scale shape: only (doc_id, block_md5) pairs ever shuffle — 16 bytes
+    a block, never the text; block frequency is one map-side-combined
+    aggregate; the join back to docs is hash-partitioned on the md5.
+    At 100 TB this is the same two-shuffle profile as exact dedup, ×
+    blocks-per-doc fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_expr = tx.tokens(F.lower(F.col("text")))
+
+    def build(tk):
+        n_blocks = F.floor(F.size(tk) / 8.0).cast("int")
+        all_blocks = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_blocks, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, (i - 1) * 8 + 1, 8))),
+        )
+        return F.slice(all_blocks, 1, n_blocks)
+
+    blocks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.element_at(F.transform(F.array(toks_expr), build), 1)
+        ).alias("block_md5"),
+    )
+    freq = blocks.groupBy("block_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    perdoc = (
+        blocks.join(freq, "block_md5")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_blocks"),
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_with_blocks"),
+            F.sum("n_blocks").cast("long").alias("total_blocks"),
+            F.sum("n_shared_blocks").cast("long").alias("shared_blocks"),
+            F.sum(
+                F.when(F.col("n_shared_blocks") * 2 > F.col("n_blocks"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mostly_boilerplate"),
+        )
+        .orderBy("source")
+    )
