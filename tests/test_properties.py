@@ -145,3 +145,71 @@ def test_chunk_windows_cover_and_tile(spark, txts):
             assert ctoks == tk[start : start + window]
             rebuilt = rebuilt[:start] + ctoks
         assert rebuilt == tk
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    txts=st.lists(
+        st.text(alphabet=" ab", max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_stats_match_python_reference(spark, txts):
+    """The sort+run-length fold must equal a brute-force Counter on any
+    input, including empty docs and single tokens."""
+    from collections import Counter
+
+    from fortymhz_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", repetition_stats("text").alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    for i, t in enumerate(txts):
+        toks = [w for w in t.split(" ") if w]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(bigrams)
+        r = out[i]
+        assert r["n_tok"] == len(toks)
+        assert r["n_distinct_tok"] == len(set(toks))
+        assert r["n_bigrams"] == len(bigrams)
+        assert r["n_distinct_bigrams"] == len(c)
+        assert r["top_bigram_count"] == (max(c.values()) if c else 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.integers(0, 200)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pack_sequences_invariants(spark, rows):
+    """Pack ids are dense and monotone within a shard; a pack never
+    starts past the budget boundary of its cumulative position; doc
+    order within a shard is preserved by (pack_id, tokens_before)."""
+    from fortymhz_spark.operators.packing import pack_sequences
+
+    budget = 64
+    data = [(shard, i, n) for i, (shard, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "shard string, doc_id int, n int")
+    out = pack_sequences(
+        df, token_col="n", shard_col="shard", order_col="doc_id", budget=budget
+    ).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["pack_id"] == cum // budget
+            assert r["tokens_before"] == cum - r["pack_id"] * budget
+            cum += r["n_tok"]
