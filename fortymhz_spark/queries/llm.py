@@ -1456,3 +1456,21 @@ def q_text_crossdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters via per-partition Misra-Gries (rows-only — the sketch
+# bound depends on partition layout; the containment guarantee is
+# pinned against exact counts in tests/test_properties.py)
+# ---------------------------------------------------------------------------
+@reg.query("q_sketch_heavy_hitters")
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by Misra-Gries lower bound
+    (operators/sketches.py::frequent_terms) — the bounded-memory path
+    for OPEN vocabularies (URLs, n-grams, ids) where the exact
+    explode→groupBy would shuffle every distinct term.  Only ≤200
+    counter rows per partition ever shuffle."""
+    from fortymhz_spark.operators.sketches import frequent_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_terms(docs, text_col="text", k=20, counters=200)

@@ -213,3 +213,33 @@ def test_pack_sequences_invariants(spark, rows):
             assert r["pack_id"] == cum // budget
             assert r["tokens_before"] == cum - r["pack_id"] * budget
             cum += r["n_tok"]
+
+
+def test_misra_gries_containment_guarantee(spark):
+    """Every term with true frequency > total_tokens/counters must
+    appear in the merged summary, with est_count <= true count."""
+    from collections import Counter
+
+    from fortymhz_spark.operators.sketches import frequent_terms
+
+    rows = []
+    # skewed corpus: 'alpha' dominates, 'beta' frequent, long tail
+    for i in range(60):
+        body = ["alpha"] * 5 + ["beta"] * 3 + [f"tail{i}_{j}" for j in range(10)]
+        rows.append((i, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+    counters = 50
+    out = {
+        r["term"]: r["est_count"]
+        for r in frequent_terms(df, text_col="text", k=10, counters=counters).collect()
+    }
+    true = Counter()
+    for _, t in rows:
+        true.update(t.split(" "))
+    total = sum(true.values())
+    for term, cnt in true.items():
+        if cnt > total / counters:
+            assert term in out, f"heavy hitter {term} missing"
+    for term, est in out.items():
+        assert est <= true[term]
+    assert out["alpha"] > out["beta"]
