@@ -78,3 +78,26 @@ def take_per_group(
         .filter(F.col("__rn__") <= n)
         .drop("__rn__")
     )
+
+
+def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
+    """Deterministic per-epoch shuffle position for a row.
+
+    Training runs re-shuffle the corpus every epoch, but the
+    permutation must be REPRODUCIBLE (resume mid-epoch, re-run a job,
+    audit what the model saw).  Mixing the epoch into the
+    multiplicative hash gives each epoch an independent-looking,
+    engine-portable permutation from pure integer arithmetic:
+
+        pos(key, epoch) = ((key + epoch·P) · KNUTH) mod SCORE_MOD
+
+    Sorting by (pos, key) is a total order (key breaks score ties).
+    At scale the sort is a range-partitioned exchange — the standard
+    price of a global permutation; for shard-local shuffling partition
+    first and sort within partitions (`sortWithinPartitions`).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        (k.cast("long") + F.lit(epoch * 1_000_000_007)) * F.lit(KNUTH),
+        F.lit(SCORE_MOD),
+    )

@@ -1474,3 +1474,56 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frequent_terms(docs, text_col="text", k=20, counters=200)
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (reproducible training-order permutation)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_shuffle_epochs",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, e.epoch,
+             ((doc_id + e.epoch * 1000000007) * 2654435761) % 1000003 AS pos
+      FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+    ),
+    ranked AS (
+      SELECT epoch, doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY pos, doc_id) AS rank
+      FROM pos
+    )
+    SELECT epoch, CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos
+    FROM ranked
+    WHERE rank <= 10
+    ORDER BY epoch, rank
+    """,
+)
+def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 documents of the training order for epochs 0 and 1
+    under the deterministic epoch shuffle
+    (operators/sampling.py::epoch_shuffle_key) — same integer
+    arithmetic in Spark and the oracle, so the permutation every epoch
+    sees is bit-reproducible on any cluster.  Each epoch's top-10 is a
+    TakeOrdered per epoch — no global sort materializes at this query's
+    scale shape."""
+    from pyspark.sql.window import Window
+
+    from fortymhz_spark.operators.sampling import epoch_shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_epoch = [
+        docs.select(
+            F.lit(epoch).cast("int").alias("epoch"),
+            "doc_id",
+            epoch_shuffle_key("doc_id", epoch).alias("pos"),
+        )
+        for epoch in (0, 1)
+    ]
+    both = per_epoch[0].unionByName(per_epoch[1])
+    w = Window.partitionBy("epoch").orderBy("pos", "doc_id")
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("epoch", "rank", "doc_id", "pos")
+        .orderBy("epoch", "rank")
+    )
