@@ -1301,57 +1301,76 @@ def q_vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation funnel one DataFrame program: length +
+    """The whole curation funnel as ONE DataFrame program: length +
     repetition quality gates → exact dedup (keep the lowest-id
     representative per content fingerprint) → 512-token sequence
-    packing — reporting per-source counts at every stage.  This is the
-    composition a training-data user actually runs; each stage reuses
-    the standalone operator (repetition_stats / exact-dup fingerprint /
-    pack_sequences), so the funnel inherits their scale shapes: map-only
-    scoring, one shuffle on the fingerprint, one shard-window for
-    packing, three skinny count aggregates at the end."""
-    from fortymhz_spark.operators.packing import pack_sequences
+    packing — reporting per-source counts at every stage.
+
+    Plan shape: a naive stage-per-DataFrame composition re-scans the
+    corpus once per funnel stage (measured 4 FileScans); this version
+    reads it ONCE.  Every stage is expressed over the same base
+    projection: the dedup representative is a null-skipping window MIN
+    (``min(kept ? doc_id : null) over (partition by fp)`` — no
+    self-join), packing is a conditional window cumsum over survivors,
+    and all five funnel counters come out of one conditional aggregate.
+    Total movement at 100 TB: one scan + two window shuffles (fp,
+    source) + one skinny agg — pinned by
+    tests/test_plan_properties.py::test_curation_funnel_single_scan."""
+    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
-        "doc_id", "source", tx.repetition_stats(F.col("text")).alias("r"),
+        "doc_id",
+        "source",
+        tx.repetition_stats(F.col("text")).alias("r"),
         tx.content_md5("text").alias("fp"),
+    ).select(
+        "doc_id",
+        "source",
+        "fp",
+        F.col("r.n_tok").alias("n_tok"),
+        (
+            F.col("r.n_tok").between(5, 10000)
+            & (
+                (F.col("r.n_bigrams") == 0)
+                | (F.col("r.top_bigram_count") * 5 <= F.col("r.n_bigrams"))
+            )
+        ).alias("kept"),
     )
-    kept = base.filter(
-        F.col("r.n_tok").between(5, 10000)
+    w_fp = Window.partitionBy("fp")
+    flagged = base.withColumn(
+        "is_surv",
+        F.col("kept")
         & (
-            (F.col("r.n_bigrams") == 0)
-            | (F.col("r.top_bigram_count") * 5 <= F.col("r.n_bigrams"))
-        )
-    ).select("doc_id", "source", F.col("r.n_tok").alias("n_tok"), "fp")
-    rep = kept.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    surv = kept.join(rep, "fp").filter(F.col("doc_id") == F.col("rep_id"))
-    packed = pack_sequences(
-        surv.select("doc_id", "source", "n_tok"),
-        token_col="n_tok",
-        shard_col="source",
-        order_col="doc_id",
-        budget=512,
+            F.col("doc_id")
+            == F.min(F.when(F.col("kept"), F.col("doc_id"))).over(w_fp)
+        ),
     )
-    raw_counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    filt_counts = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_filter")
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pack_counts = packed.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_dedup"),
-        F.countDistinct("pack_id").alias("n_packs"),
-        F.sum("n_tok").cast("long").alias("packed_tokens"),
+    surv_tok = F.when(F.col("is_surv"), F.col("n_tok")).otherwise(0)
+    packed = flagged.withColumn(
+        "pack_id",
+        F.when(
+            F.col("is_surv"),
+            F.floor((F.sum(surv_tok).over(w_src) - F.col("n_tok")) / F.lit(512.0)),
+        ),
     )
     return (
-        raw_counts.join(filt_counts, "source", "left")
-        .join(pack_counts, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            F.coalesce("n_after_filter", F.lit(0)).alias("n_after_filter"),
-            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
-            F.coalesce("n_packs", F.lit(0)).alias("n_packs"),
-            F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_filter"),
+            F.sum(F.when(F.col("is_surv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after_dedup"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum(surv_tok).cast("long").alias("packed_tokens"),
         )
         .orderBy("source")
     )

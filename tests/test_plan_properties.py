@@ -277,3 +277,13 @@ def test_arrow_knn_is_arrow_batched_with_local_topk(plans):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_curation_funnel_single_scan(plans):
+    # the funnel must read the corpus ONCE: representative selection is
+    # a window min (no self-join), funnel counters are conditional aggs
+    # on the same pass.  A stage-per-DataFrame version costs 4 scans.
+    plan = plans["q_pipeline_curation"]
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
