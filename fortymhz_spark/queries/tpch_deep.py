@@ -639,3 +639,86 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot (wide↔long reshaping)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_pivot_flag_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshaping: quantity totals and row counts pivoted by
+    ``l_linestatus``.  Pivot values are DECLARED (['F','O']) — an
+    undeclared pivot runs an extra distinct-values job and, at 100 TB,
+    can explode into thousands of columns; declaring the domain keeps
+    it one partial+final aggregate, same shuffle profile as a plain
+    groupBy.  Decimal sums keep the doubles oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    ).orderBy("l_returnflag")
+
+
+@reg.query(
+    "q_unpivot_part_sizes",
+    oracle="""
+    WITH wide AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN p_size < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_parts,
+             CAST(SUM(CASE WHEN p_size >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS large_parts
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, size_class, n_parts
+    FROM wide
+    UNPIVOT (n_parts FOR size_class IN (small_parts, large_parts))
+    ORDER BY p_brand, size_class
+    """,
+)
+def q_unpivot_part_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): per-brand small/large part counts
+    unpivoted to (brand, size_class, n_parts) rows.  ``unpivot`` is a
+    zero-shuffle generator over the already-aggregated wide relation —
+    the reshape itself moves no data."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("p_size") < 20, 1).otherwise(0))
+        .cast("long")
+        .alias("small_parts"),
+        F.sum(F.when(F.col("p_size") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("large_parts"),
+    )
+    return wide.unpivot(
+        "p_brand", ["small_parts", "large_parts"], "size_class", "n_parts"
+    ).orderBy("p_brand", "size_class")
