@@ -67,6 +67,9 @@ HEADLINE = [
     "q_search_bm25",
     "q_vec_knn_arrow",
     "q_pipeline_curation",
+    "q_text_crossdoc_blocks",
+    "q_sketch_heavy_hitters",
+    "q_shuffle_epochs",
 ]
 
 

@@ -78,3 +78,23 @@ def test_partitioned_write_prunes(spark, tmp_path):
         "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
     )
     assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A 100 TB lake accretes files written under different schema
+    versions; `mergeSchema` must union them (old files read the new
+    column as NULL) and column pruning must still reach the scan."""
+    v1 = spark.createDataFrame([(1, "a")], "id long, payload string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, payload string, score double"
+    )
+    v1.write.parquet(str(tmp_path / "d"), mode="append")
+    v2.write.parquet(str(tmp_path / "d"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "d"))
+    assert sorted(merged.columns) == ["id", "payload", "score"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+    # pruned single-column projection still prunes under merged schema
+    plan = merged.select("id")._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "payload" not in scan.split("ReadSchema")[-1]
