@@ -396,3 +396,42 @@ def test_profile_orbits_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """The chunking operator is a pure column expression, so the SAME
+    code must run unchanged on a stream — the ingest path of an LLM
+    pipeline is a stream of raw documents, chunked on the way in."""
+    from fortymhz_spark.operators.text import chunk_token_windows
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 37) % 200)))
+            for i in range(40)]
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    spark.createDataFrame(docs[:20], "doc_id long, text string") \
+        .coalesce(1).write.parquet(os.path.join(d, "p0"))
+    spark.createDataFrame(docs[20:], "doc_id long, text string") \
+        .coalesce(1).write.parquet(os.path.join(d, "p1"))
+
+    def chunked(df):
+        return df.select(
+            "doc_id", F.explode(chunk_token_windows("text")).alias("c")
+        ).select("doc_id", "c.chunk_idx", "c.chunk_text")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "p*"))
+    )
+    got = sorted(
+        map(tuple, run_to_memory(chunked(stream), spark).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            chunked(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            ).collect(),
+        )
+    )
+    assert got == want
