@@ -98,3 +98,27 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     plan = merged.select("id")._jdf.queryExecution().executedPlan().toString()
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "payload" not in scan.split("ReadSchema")[-1]
+
+
+def test_format_round_trips(spark, tmp_path):
+    """Format breadth for the batch IO layer: the same relation must
+    survive parquet, ORC, JSON, and CSV round trips (CSV/JSON with
+    explicit schema on read — schema inference at 100 TB is a full
+    extra pass)."""
+    df = spark.createDataFrame(
+        [(1, "a b", 0.5, True), (2, "", -1.25, False), (3, None, 0.0, True)],
+        "id long, txt string, score double, flag boolean",
+    )
+    want = sorted(map(tuple, df.collect()))
+    schema = df.schema
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        w = df.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true").option("nullValue", "\\N")
+        w.save(path)
+        r = spark.read.format(fmt).schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true").option("nullValue", "\\N")
+        got = sorted(map(tuple, r.load(path).collect()))
+        assert got == want, f"{fmt} round trip drifted"
