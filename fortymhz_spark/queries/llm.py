@@ -1546,3 +1546,98 @@ def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "rank", "doc_id", "pos")
         .orderBy("epoch", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# rarity scoring against a broadcast vocabulary (perplexity-proxy)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_text_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rank
+      FROM tok GROUP BY term
+      ORDER BY rank LIMIT 1000
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source, COALESCE(v.rank, 1001) AS rank
+      FROM tok t LEFT JOIN vocab v USING (term)
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_tok,
+             CAST(SUM(rank) AS BIGINT) AS rank_sum
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(rank_sum) AS BIGINT) AS total_rank,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rank_sum * 1 > n_tok * 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare_heavy
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with PURE INTEGER arithmetic: a
+    top-1000 frequency-ranked vocabulary is broadcast back over the
+    corpus, every token is scored by its corpus rank (out-of-vocab →
+    1001), and a doc is 'rare-heavy' when its mean token rank exceeds
+    500 (integer cross-multiplied).  A real pipeline swaps ranks for a
+    model's log-probs; the ranks keep the operator oracle-exact (ln()
+    would hostage the comparison to libm).
+
+    Scale shape: this is the broadcast-dictionary scoring pattern —
+    the vocab is explicitly TOP-N (bounded, broadcastable at any corpus
+    size; a full vocabulary would not be), the corpus explodes once and
+    joins the 1000-row dict by hash broadcast, and everything after is
+    partial+final integer aggregation."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    # TakeOrdered LIMIT first (distributed top-k merge), THEN rank the
+    # 1000 survivors — a row_number window over the full vocabulary
+    # would funnel every distinct term through one partition at scale.
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(1000)
+        .withColumn("rank", F.row_number().over(w))
+        .select("term", "rank")
+    )
+    scored = tok.join(F.broadcast(vocab), "term", "left").withColumn(
+        "rank", F.coalesce("rank", F.lit(1001))
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("rank").cast("long").alias("rank_sum"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("rank_sum").cast("long").alias("total_rank"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("rank_sum") * 1 > F.col("n_tok") * 500, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare_heavy"),
+        )
+        .orderBy("source")
+    )
