@@ -287,3 +287,30 @@ def test_curation_funnel_single_scan(plans):
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rarity_vocab_is_takeordered_broadcast(plans):
+    # the vocabulary must be a distributed top-k (TakeOrderedAndProject),
+    # broadcast back — never a full-vocabulary single-partition window
+    # or a shuffled join of the dictionary.
+    plan = plans["q_text_rarity_score"]
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crossdoc_blocks_shuffle_hashes_not_text(plans):
+    # only (doc_id, block_md5) rows shuffle; no all-pairs comparison.
+    plan = plans["q_text_crossdoc_blocks"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_pivot_declared_domain_single_agg(plans):
+    # declared pivot values ⇒ one partial+final aggregate, no extra
+    # distinct-values job (which an undeclared pivot would run).
+    plan = plans["q_pivot_flag_by_status"]
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
