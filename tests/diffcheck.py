@@ -42,12 +42,42 @@ def _normalize(rows: list[tuple], cols: list[str]):
     return [cols[i] for i in order], data
 
 
+def _dtype_traps(df: DataFrame, rel) -> list[str]:
+    """The driver's value-hash distinguishes pandas dtypes, so catch
+    the known representational traps at test time: DuckDB HUGEINT /
+    DECIMAL outputs (render as python objects / float128-ish, hash
+    differently from Spark's BIGINT/DOUBLE even when values match) and
+    array/struct cells (crash the driver's canonicalizer).  int32 vs
+    int64 and date vs datetime are driver-tolerated (verified r1→r2).
+    """
+    problems = []
+    duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    for field in df.schema:
+        spark_t = field.dataType.simpleString()
+        if spark_t.startswith(("array", "struct", "map")):
+            problems.append(f"col {field.name}: spark type {spark_t} "
+                            "(driver canonicalizer cannot sort it)")
+        duck_t = duck_types.get(field.name)
+        if duck_t is None:
+            continue
+        if duck_t == "HUGEINT" or duck_t.startswith("DECIMAL"):
+            problems.append(
+                f"col {field.name}: oracle returns {duck_t} vs spark {spark_t} "
+                "(driver hash mismatch — CAST the oracle output)"
+            )
+        if duck_t.startswith(("STRUCT", "MAP")) or duck_t.endswith("[]"):
+            problems.append(f"col {field.name}: oracle type {duck_t} "
+                            "(driver canonicalizer cannot sort it)")
+    return problems
+
+
 def compare(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
     rel = con.sql(sql)
+    problems.extend(_dtype_traps(df, rel))
     duck_cols = list(rel.columns)
     duck_rows = [tuple(r) for r in rel.fetchall()]
 
