@@ -243,3 +243,48 @@ def test_misra_gries_containment_guarantee(spark):
     for term, est in out.items():
         assert est <= true[term]
     assert out["alpha"] > out["beta"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10.0, 10.0, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_int8_quant_error_matches_python_reference(spark, vecs):
+    """The JVM fold must reproduce the reference formula bit-for-bit —
+    same IEEE ops in the same order — including zero vectors."""
+    import math
+
+    from fortymhz_spark.functions.vectors import int8_quant_sq_err_e15
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["e"]
+        for r in df.select(
+            "vec_id", int8_quant_sq_err_e15("embedding").alias("e")
+        ).collect()
+    }
+    import struct as _struct
+
+    for i, v in enumerate(vecs):
+        xs = [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]  # float32 round
+        m = 0.0
+        for x in xs:
+            m = max(m, abs(x))
+        if m == 0:
+            want = 0
+        else:
+            want = 0
+            for x in xs:
+                deq = math.floor(x * 127.0 / m + 0.5) * m / 127.0
+                want += math.floor((x - deq) * (x - deq) * 1e15)
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
