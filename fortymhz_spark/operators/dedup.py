@@ -395,14 +395,18 @@ def simhash_near_dups(
     right = chunks.select(
         "chunk", "val", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
     )
+    # Hamming-verify BEFORE the pair dedup: bit_count is a map-side
+    # expression while dropDuplicates is a shuffle, so rejecting false
+    # candidates first means only true near-dup pairs (each at most
+    # n_chunks times) ever shuffle for the distinct.
     return (
         left.join(right, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
