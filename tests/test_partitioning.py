@@ -122,3 +122,39 @@ def test_format_round_trips(spark, tmp_path):
             r = r.option("header", "true").option("nullValue", "\\N")
         got = sorted(map(tuple, r.load(path).collect()))
         assert got == want, f"{fmt} round trip drifted"
+
+
+def test_binaryfile_source_feeds_multimodal_plumbing(spark, tmp_path):
+    """Raw media files land as files on object storage; Spark's
+    ``binaryFile`` source reads them as (path, content) binary rows
+    that map 1:1 onto the MEDIA_ASSET schema and flow through the
+    Arrow decode kernel — the multimodal ingest path end-to-end."""
+    from pyspark.sql.window import Window
+
+    from fortymhz_spark.operators.multimodal import decode_features
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    payloads = {f"a{i}.img": bytes([i] * (10 + i)) for i in range(4)}
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(d))
+    )
+    assert sorted(raw.columns) == ["content", "length", "modificationTime", "path"]
+    assets = raw.select(
+        F.row_number().over(Window.orderBy("path")).cast("long").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("payload"),
+        F.create_map(F.lit("src"), F.col("path")).alias("meta"),
+    )
+    feats = decode_features(assets, fake=True).collect()
+    assert len(feats) == len(payloads)
+    # payload bytes survived the source intact (length drives the fake
+    # feature vector deterministically)
+    lengths = sorted(len(b) for b in payloads.values())
+    got_lengths = sorted(r["n_bytes"] for r in feats)
+    assert got_lengths == lengths
