@@ -475,3 +475,50 @@ def q_events_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     delivered = ev.unionAll(ev.filter(F.col("event_id") % 13 == 0))
     return streaming_dedup_events(delivered).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# cogroup (two-sided grouped pandas) — align events with orders per key
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_cogroup_user_orders",
+    oracle="""
+    WITH e AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1),
+    o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT COALESCE(e.k, o.k) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.k = o.k
+    ORDER BY user_id
+    """,
+)
+def q_cogroup_user_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key alignment of the event stream with the orders table via
+    ``cogroup(...).applyInPandas`` — the two-sided grouped-UDF surface
+    (each side's rows for one key arrive as separate pandas frames;
+    keys present on only one side get an empty frame, giving FULL
+    OUTER semantics).  Integer counts keep it oracle-exact against a
+    FULL OUTER JOIN of two aggregates.  Scale shape: both sides
+    hash-partition on the key once; pandas sees one key at a time, so
+    memory is bounded by the largest single key, not the table."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def align(key, evts: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(evts)],
+                "n_orders": [len(ords)],
+            }
+        )
+
+    out = (
+        events.select(F.col("user_id").alias("k"))
+        .groupBy("k")
+        .cogroup(orders.select(F.col("o_custkey").alias("k")).groupBy("k"))
+        .applyInPandas(align, "user_id long, n_events long, n_orders long")
+    )
+    return out.orderBy("user_id")
