@@ -288,3 +288,53 @@ def test_int8_quant_error_matches_python_reference(spark, vecs):
                 deq = math.floor(x * 127.0 / m + 0.5) * m / 127.0
                 want += math.floor((x - deq) * (x - deq) * 1e15)
         assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+
+def test_python_udtf_chunker_matches_column_expr(spark):
+    """Spark-4 Python UDTF surface: a class-based table function
+    producing chunk rows must agree with the pure-column
+    chunk_token_windows (the production path — the UDTF exists to
+    cover the API surface for logic that can't be a column expr)."""
+    from pyspark.sql.functions import udtf
+
+    from fortymhz_spark.operators.text import chunk_token_windows
+
+    @udtf(returnType="chunk_idx: long, chunk_text: string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            window, stride = 16, 12
+            i, idx = 0, 0
+            while i < len(toks):
+                yield idx, " ".join(toks[i : i + window])
+                if i + window >= len(toks):
+                    break
+                i, idx = i + stride, idx + 1
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    docs = [(i, " ".join(f"w{j}" for j in range(i * 7 % 50))) for i in range(12)]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT doc_id, chunk_idx, chunk_text "
+                "FROM udtf_docs, LATERAL chunk_udtf(text)"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.sql("SELECT doc_id, text FROM udtf_docs")
+            .select(
+                "doc_id",
+                F.explode(chunk_token_windows("text", window=16, stride=12)).alias("c"),
+            )
+            .select("doc_id", "c.chunk_idx", "c.chunk_text")
+            .collect(),
+        )
+    )
+    assert got == want
