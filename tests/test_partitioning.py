@@ -158,3 +158,31 @@ def test_binaryfile_source_feeds_multimodal_plumbing(spark, tmp_path):
     lengths = sorted(len(b) for b in payloads.values())
     got_lengths = sorted(r["n_bytes"] for r in feats)
     assert got_lengths == lengths
+
+
+def test_observation_metrics_ride_the_write_pass(spark, tmp_path):
+    """`df.observe` collects pipeline health metrics DURING the job —
+    at 100 TB a separate counting pass doubles the read bill, so
+    curation metrics (rows kept, null payloads, token totals) must
+    ride the same action that writes the output."""
+    from pyspark.sql import Observation
+
+    from fortymhz_spark.operators.text import token_count
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    obs = Observation("curation")
+    kept = docs.filter(token_count("text") >= 5).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(token_count("text")).alias("tokens_out"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_texts"),
+    )
+    kept.write.mode("overwrite").parquet(str(tmp_path / "out"))  # ONE action
+    m = obs.get
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert m["n_kept"] == back.count()
+    assert m["null_texts"] == 0
+    assert m["tokens_out"] == back.select(
+        F.sum(token_count("text"))
+    ).collect()[0][0]
