@@ -384,6 +384,12 @@ def kmeans_assign(
     clusters keep their previous centroid.
     """
     cents = _centroids(corpus, id_col, vec_col, k)
+    # Degenerate corpus (fewer rows than k): every row is its own
+    # centroid; clamp so the update loop never indexes past the init.
+    k = min(k, len(cents))
+    if k == 0:
+        raise ValueError("kmeans_assign requires a non-empty corpus")
+    cents = cents[:k]
     # Persist the 2-column projection for the duration of the driver
     # loop: Lloyd's re-reads the corpus every round, and at 100 TB that
     # is `iters` full scans unless the (id, vec) slice is materialized

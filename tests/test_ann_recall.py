@@ -142,3 +142,18 @@ def test_arrow_knn_matches_jvm_neighbors(spark, sf_dir):
     jvm_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in jvm}
     for r in arrow:
         assert abs(jvm_scores[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
+
+
+def test_kmeans_degenerate_small_corpus(spark):
+    """k larger than the corpus must clamp, not crash: each row becomes
+    its own centroid and gets distance ~0."""
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [9.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_assign(df, k=8, iters=2).collect()
+    assert len(out) == 3
+    assert {r["cluster"] for r in out} == {0, 1, 2}
+    assert all(r["dist_e9"] == 0 for r in out)
