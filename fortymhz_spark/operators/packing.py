@@ -41,6 +41,8 @@ def pack_sequences(
     (exact for counts < 2^53) so the same expression is portable to any
     oracle engine without integer-division semantics drift.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     w = (
         Window.partitionBy(shard_col)

@@ -39,6 +39,8 @@ def frequent_terms(
     ``operators/text.py::tokens`` (single-space split, empties
     dropped, lowercased).
     """
+    if k < 1 or counters < 1:
+        raise ValueError(f"need k >= 1 and counters >= 1, got {k=} {counters=}")
     out_schema = "term string, cnt long"
 
     def summarize(batches):

@@ -217,6 +217,10 @@ def chunk_token_windows(
     one row per chunk.  The token array is let-bound (see shingle_set)
     so tokenization runs once per row.
     """
+    if window < 1 or not (1 <= stride <= window):
+        raise ValueError(
+            f"need window >= 1 and 1 <= stride <= window, got {window=} {stride=}"
+        )
     t = _colified(text)
     toks_expr = F.filter(F.split(t, " "), lambda x: x != "")
 

@@ -338,3 +338,24 @@ def test_python_udtf_chunker_matches_column_expr(spark):
         )
     )
     assert got == want
+
+
+def test_operator_parameter_validation():
+    """Degenerate parameters fail fast at plan-build time, not with an
+    ANSI division error mid-job on a cluster."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.packing import pack_sequences
+    from fortymhz_spark.operators.sketches import frequent_terms
+    from fortymhz_spark.operators.text import chunk_token_windows
+
+    with _pytest.raises(ValueError):
+        chunk_token_windows("text", window=0, stride=1)
+    with _pytest.raises(ValueError):
+        chunk_token_windows("text", window=16, stride=17)
+    with _pytest.raises(ValueError):
+        chunk_token_windows("text", window=16, stride=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(None, token_col="n", shard_col="s", order_col="i", budget=0)
+    with _pytest.raises(ValueError):
+        frequent_terms(None, k=0)
