@@ -435,3 +435,28 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_partition_upsert_sink_idempotent_replay(spark, events_stream_dir, tmp_path):
+    """The dynamic-partition-overwrite sink must converge to the batch
+    answer AND produce byte-identical results when the whole stream is
+    replayed from a fresh checkpoint — the idempotence that upgrades
+    at-least-once redelivery to exactly-once table state."""
+    from fortymhz_spark.streaming.sinks import start_partition_upsert_sink
+
+    def run(tag: str) -> list[tuple]:
+        out = str(tmp_path / f"table_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        stream = file_stream(
+            spark, _events_glob(events_stream_dir), EVENTS, max_files_per_trigger=1
+        )
+        agg = streaming_hourly_by_type(stream)
+        q = start_partition_upsert_sink(
+            agg, out, ck, ["window_start"], available_now=True
+        )
+        q.awaitTermination(120)
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    first = run("a")
+    second = run("b")  # full replay, fresh checkpoint, separate table
+    assert first and first == second
