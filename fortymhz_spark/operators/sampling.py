@@ -101,3 +101,41 @@ def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
         (k.cast("long") + F.lit(epoch * 1_000_000_007)) * F.lit(KNUTH),
         F.lit(SCORE_MOD),
     )
+
+
+def repeat_weighted(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic UPSAMPLING: replicate each row ``w`` times where
+    ``w`` may be fractional — weight 2.5 yields 2 copies always plus a
+    3rd for a deterministic 50% of keys.  The mixture-rebalancing
+    counterpart to ``stratified_sample`` (which can only drop):
+    low-resource strata get repeated into the training mix with an
+    auditable, engine-portable decision (integer hash, no RNG state).
+
+    Adds ``copy_idx`` (0-based).  Rows in strata missing from
+    ``weights`` keep weight 1.  The replication is an ``explode`` over
+    a per-row sequence — fan-out is w per row with no shuffle, and the
+    copies land next to their original (shuffle only when a downstream
+    op asks)."""
+    whole = None
+    frac_t = None
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {value!r}: {w}")
+        cond = F.col(strata_col) == value
+        wi, fr = int(w), int(round((w - int(w)) * SCORE_MOD))
+        whole = F.when(cond, wi) if whole is None else whole.when(cond, wi)
+        frac_t = F.when(cond, fr) if frac_t is None else frac_t.when(cond, fr)
+    whole = (whole.otherwise(1) if whole is not None else F.lit(1)).cast("int")
+    frac_t = frac_t.otherwise(0) if frac_t is not None else F.lit(0)
+    n_copies = whole + F.when(sample_score(key_col) < frac_t, 1).otherwise(0)
+    # 0-based indices directly (a generator cannot be nested inside
+    # arithmetic); sequence(0, -1) would descend, hence greatest+slice.
+    copies = F.slice(
+        F.sequence(F.lit(0), F.greatest(n_copies - 1, F.lit(0))), 1, n_copies
+    )
+    return df.withColumn("copy_idx", F.explode(copies))

@@ -1641,3 +1641,54 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted upsampling (mixture rebalancing with replication)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_mixture_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             (CASE lang WHEN 'de' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END)
+             + (CASE WHEN (doc_id * 2654435761) % 1000003 <
+                  (CASE lang WHEN 'de' THEN 500002 WHEN 'zh' THEN 250001 ELSE 0 END)
+                THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    ),
+    rep AS (
+      SELECT lang, n_chars, unnest(range(1, n_copies + 1)) AS c FROM w
+    )
+    SELECT lang,
+           COUNT(*) AS n_replicas,
+           CAST(SUM(n_chars) AS BIGINT) AS replica_chars
+    FROM rep
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a pretraining mix by UPSAMPLING low-resource strata:
+    de×2.5, zh×3.25, everything else ×1 — fractional weights resolved
+    per-key by the same multiplicative hash as the samplers, so the
+    exact replica set is reproducible on any cluster and in the oracle
+    (operators/sampling.py::repeat_weighted).  Replication is a
+    map-only explode; only the per-lang counters shuffle."""
+    from fortymhz_spark.operators.sampling import repeat_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repeat_weighted(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        {"de": 2.5, "zh": 3.25},
+        "doc_id",
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.sum("n_chars").cast("long").alias("replica_chars"),
+        )
+        .orderBy("lang")
+    )
