@@ -1,0 +1,54 @@
+"""Partition-count independence — the reproducibility claim, asserted.
+
+At 100 TB the shuffle partition count is a tuning knob that changes
+per cluster and per AQE decision; results must not.  Every aggregate
+in the repo is engineered to be associative-exact (DECIMAL sums,
+integerized errors, integer hash sampling), so the SAME query at a
+hostile partition count must produce byte-identical oracle-green
+results.  A query that leaks partitioning (double sums, first()/head
+nondeterminism, rand()) fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fortymhz_spark.queries import all_oracles, all_queries
+from tests.conftest import SF_SMALL
+from tests.diffcheck import compare, make_oracle_conn
+
+# Queries whose shapes could plausibly leak partitioning: float
+# aggregation, window cumsum, pandas UDF batch boundaries, explode
+# fan-out, hash sampling, iterative collect.
+SENSITIVE = [
+    "q1_pricing_summary",
+    "q_docs_quality",
+    "q_pandas_udf_revenue",
+    "q_events_sessionize",
+    "q_emb_label_centroids",
+    "q_vec_int8_quant_error",
+    "q_pipeline_curation",
+    "q_search_bm25",
+    "q_pack_sequences",
+    "q_mixture_upsample",
+    "q_events_grouped_pandas_stats",
+]
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    return make_oracle_conn(SF_SMALL)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_oracle_green_at_hostile_partition_count(spark, oracle_con, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        problems = compare(_QUERIES[name](spark, SF_SMALL), oracle_con, _ORACLES[name])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert not problems, problems[:5]
