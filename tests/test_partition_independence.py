@@ -52,3 +52,27 @@ def test_oracle_green_at_hostile_partition_count(spark, oracle_con, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert not problems, problems[:5]
+
+
+ROWS_ONLY_GATE = [
+    "q_docs_minhash_near_dups",
+    "q_docs_simhash_near_dups",
+    "q_emb_ann_lsh",
+    "q_emb_ann_ivf",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_GATE)
+def test_rows_only_queries_are_run_deterministic(spark, name):
+    """The rows-only gate queries have no oracle to anchor them, so
+    pin the next best thing: two runs (one at a hostile partition
+    count) return EXACTLY the same rows — their hashes/seeds are data-
+    derived, never partition- or time-derived."""
+    first = sorted(map(tuple, _QUERIES[name](spark, SF_SMALL).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        second = sorted(map(tuple, _QUERIES[name](spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert first == second
