@@ -90,9 +90,15 @@ def main() -> None:
     registry[names[0]](spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
-        rows = registry[name](spark, sf_dir).collect()
+        try:
+            rows = registry[name](spark, sf_dir).collect()
+        except Exception as ex:  # one bad query must not void the bench
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - start, 4)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
@@ -104,6 +110,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
 
