@@ -460,3 +460,56 @@ def test_partition_upsert_sink_idempotent_replay(spark, events_stream_dir, tmp_p
     first = run("a")
     second = run("b")  # full replay, fresh checkpoint, separate table
     assert first and first == second
+
+
+def test_pure_column_operators_unified_on_streams(spark, tmp_path):
+    """Every pure-column operator (sampling predicate, quality score,
+    repetition fold, PII redaction, fingerprints, epoch shuffle key)
+    must produce IDENTICAL results on a stream and on the same rows as
+    a batch — the unified-engine guarantee that lets one curation
+    codebase serve both the backfill and the live ingest."""
+    from fortymhz_spark.operators.sampling import epoch_shuffle_key, sample_score
+    from fortymhz_spark.operators.text import (
+        content_md5,
+        quality_score,
+        redact_pii,
+        repetition_stats,
+        token_count,
+    )
+
+    docs = [
+        (i, f"u{i}@x.io " + " ".join(f"w{j}" for j in range(i % 23)))
+        for i in range(30)
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    spark.createDataFrame(docs[:15], "doc_id long, text string") \
+        .coalesce(1).write.parquet(os.path.join(d, "p0"))
+    spark.createDataFrame(docs[15:], "doc_id long, text string") \
+        .coalesce(1).write.parquet(os.path.join(d, "p1"))
+
+    def derive(df):
+        return df.select(
+            "doc_id",
+            sample_score("doc_id").alias("score"),
+            epoch_shuffle_key("doc_id", 3).alias("pos"),
+            token_count("text").alias("n_tok"),
+            quality_score("text").cast("decimal(8,4)").alias("q"),
+            repetition_stats("text")["top_bigram_count"].alias("topbg"),
+            content_md5("text").alias("fp"),
+            redact_pii("text").alias("clean"),
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "p*"))
+    )
+    got = sorted(map(tuple, run_to_memory(derive(stream), spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            derive(spark.createDataFrame(docs, "doc_id long, text string")).collect(),
+        )
+    )
+    assert got == want
