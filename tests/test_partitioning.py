@@ -186,3 +186,30 @@ def test_observation_metrics_ride_the_write_pass(spark, tmp_path):
     assert m["tokens_out"] == back.select(
         F.sum(token_count("text"))
     ).collect()[0][0]
+
+
+def test_shuffle_hash_hint_skips_the_sort(spark):
+    """Join-strategy control: with broadcast off, Spark defaults a
+    medium join to sort-merge; `hint("shuffle_hash")` keeps the
+    exchange but drops both sorts — the right call when one side fits
+    a partition in memory and the sort would dominate (e.g. joining a
+    doc table to its near-dup pairs).  Results must be identical."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        smj = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        shj = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        )
+        smj_plan = smj._jdf.queryExecution().executedPlan().toString()
+        shj_plan = shj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in smj_plan
+        assert "ShuffledHashJoin" in shj_plan and "SortMergeJoin" not in shj_plan
+        assert smj.count() == shj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
