@@ -1692,3 +1692,72 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# pack export: tokenizer-ready concatenated sequences with EOS markers
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_pack_export",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, text,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, text, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    p AS (
+      SELECT source, doc_id, text, n_tok,
+             CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT source, pack_id,
+           string_agg(text, ' <eos> ' ORDER BY doc_id) AS pack_text,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           COUNT(*) AS n_docs
+    FROM p
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final artifact of the packing stage: one row per 512-token
+    pack with the member documents concatenated in doc_id order behind
+    '<eos>' separators — what a tokenizer shard-writer consumes.
+    Ordered concatenation is expressed as sort_array over (doc_id,
+    text) structs inside the aggregate (collect_list alone has no
+    order guarantee under retries/AQE — a silent nondeterminism at
+    scale); the struct sort makes the pack text a pure function of the
+    data."""
+    from fortymhz_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("source", "doc_id", "text"),
+        token_col=tx.token_count("text"),
+        shard_col="source",
+        order_col="doc_id",
+        budget=512,
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.concat_ws(
+                " <eos> ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("pack_text"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source", "pack_id")
+    )
