@@ -32,6 +32,7 @@ SENSITIVE = [
     "q_pack_sequences",
     "q_mixture_upsample",
     "q_events_grouped_pandas_stats",
+    "q_pack_export",
 ]
 
 _QUERIES = all_queries()
