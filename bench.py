@@ -70,6 +70,8 @@ HEADLINE = [
     "q_text_crossdoc_blocks",
     "q_sketch_heavy_hitters",
     "q_shuffle_epochs",
+    "q_pack_export",
+    "q_mixture_upsample",
 ]
 
 
