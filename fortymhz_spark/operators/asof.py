@@ -15,6 +15,8 @@ output linear-ish and is the standard trick for 100 TB scale.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -38,9 +40,21 @@ def asof_join(
     ``tie_breakers``: right-side columns ordered descending after
     ``right_ts`` to make ties deterministic (pass a unique key).
     ``tolerance``: SQL interval string bounding the lookback
-    (``right_ts > left_ts - tolerance``).
+    (``right_ts > left_ts - tolerance``).  Passing ``None`` is allowed
+    (full-history as-of) but warns: without the range lower bound the
+    intermediate join materializes every historical right row per left
+    row per key, which is quadratic-ish for long histories — the
+    100 TB-unsafe shape.
     ``how``: 'left' keeps unmatched left rows; 'inner' drops them.
     """
+    if tolerance is None:
+        warnings.warn(
+            "asof_join without `tolerance` materializes each key's FULL "
+            "right-side history per left row before the per-row argmax; "
+            "pass a lookback interval (e.g. tolerance='30 days') to keep "
+            "the join output bounded at scale",
+            stacklevel=2,
+        )
     lid = "__asof_left_id__"
     lefted = left.withColumn(lid, F.monotonically_increasing_id())
     cond: Column = (lefted[left_on] == right[right_on]) & (
@@ -51,7 +65,11 @@ def asof_join(
             right[right_ts] > lefted[left_ts] - F.expr(f"INTERVAL {tolerance}")
         )
     joined = lefted.join(right, cond, how)
-    order = [F.desc(right_ts)] + [F.desc(c) for c in (tie_breakers or [])]
+    # Frame-qualified refs: plain names would be ambiguous whenever left
+    # and right share a timestamp/tie-breaker column name.
+    order = [right[right_ts].desc()] + [
+        right[c].desc() for c in (tie_breakers or [])
+    ]
     w = Window.partitionBy(lid).orderBy(*order)
     return (
         joined.withColumn("__asof_rn__", F.row_number().over(w))

@@ -37,14 +37,23 @@ def near_dup_components(
     ``(id_a, id_b)`` (any extra columns ignored); output is
     ``(id, component)`` with ``component`` = min id reachable.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the minimum label among itself and its neighbors; converges
-    in O(graph diameter) rounds (near-dup clusters are dense and
-    shallow, so typically ≤5).  Each round is one join + one shuffle
-    on id; ``localCheckpoint`` cuts lineage so the plan doesn't grow
-    with iterations (the standard Spark idiom for iterative graph
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (1) every node takes the minimum label among itself and its
+    neighbors, then (2) every node replaces its label with its label's
+    label (path halving).  Propagation alone advances one hop per round
+    (O(diameter) — a 1 000-link chain of templated near-dups would need
+    1 000 rounds); the jump step halves label-path depth each round, so
+    convergence is O(log diameter) — ``max_iter=25`` covers diameters
+    past 10⁶ with room (pinned by the 1k-chain test in
+    tests/test_properties.py).  Each round is two key joins + one agg;
+    ``localCheckpoint`` cuts lineage so the plan doesn't grow with
+    iterations (the standard Spark idiom for iterative graph
     algorithms; GraphFrames does the same under the hood).  The
     per-round convergence check is a count aggregate, not a collect.
+
+    Raises ``RuntimeError`` if the loop exits before converging —
+    partial labels are WRONG answers (over-split components) and the
+    downstream dedup would silently keep duplicates.
     """
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -58,28 +67,53 @@ def near_dup_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jump: component ← label(component).  Labels are always
+        # node ids, so every component value has a row in `propagated`;
+        # the left join + coalesce is belt-and-braces for the root.
+        parent = propagated.select(
+            F.col("id").alias("__pid__"), F.col("component").alias("__pcomp__")
+        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            propagated.join(
+                parent, propagated["component"] == parent["__pid__"], "left"
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component"))
-                .alias("__changed__"),
+                    F.col("component"),
+                    F.coalesce(F.col("__pcomp__"), F.col("component")),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("__changed__")).count()
-        labels = updated.drop("__changed__")
+        changed = updated.filter(
+            F.col("new_component") < F.col("old_component")
+        ).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_components did not converge within {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; returning "
+            "partial labels would over-split components"
+        )
     return labels
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -186,29 +186,28 @@ def lsh_knn(
     )
 
 
-AUTO_LSH_THRESHOLD = 100_000
-
-
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    use_lsh: bool | None = None,
+    use_lsh: bool = False,
     **lsh_kw,
 ) -> DataFrame:
     """All pairs with cosine >= threshold.
 
-    ``use_lsh=None`` (default) auto-selects: corpora above
-    ``AUTO_LSH_THRESHOLD`` rows get sign-RP LSH candidate generation
-    (near-linear; the 100 TB path), smaller ones get the exact all-pairs
-    form.  The count probe is a metadata-only parquet count (no data
-    scan) for plain table reads.  Pass ``use_lsh=False`` explicitly for
-    ground-truth/oracle checks, ``True`` to force the scale path.
+    ``use_lsh=False`` (default) is the exact all-pairs form — a theta
+    join, quadratic, for ground truth / oracle checks and small corpora.
+    ``use_lsh=True`` opts into sign-RP LSH candidate generation
+    (near-linear; the 100 TB path): every returned pair is still
+    exact-cosine verified (precision 1.0), but candidate recall is
+    governed by the banding parameters, so results are a verified
+    SUBSET of the exact form.  The switch is explicit — approximation
+    is a semantics change the caller must ask for, never a silent
+    data-size-dependent downgrade (and deciding it from ``df.count()``
+    would eagerly scan non-trivial inputs at plan-build time).
     """
-    if use_lsh is None:
-        use_lsh = df.count() > AUTO_LSH_THRESHOLD
     if use_lsh:
         pairs = lsh_knn(df, df, id_col=id_col, vec_col=vec_col, k=1 << 30, **lsh_kw)
         return (
@@ -427,11 +426,19 @@ def kmeans_assign(
             ]
     finally:
         proj.unpersist()
+    # Bind the argmin struct ONCE in its own projection, then extract
+    # fields from the bound alias.  Referencing `near[...]` twice in a
+    # single select duplicates the whole k-centroid distance expression
+    # (verified: 2× the zip_with folds in the optimized plan); the
+    # two-step form survives CollapseProject because the optimizer only
+    # inlines multiply-referenced aliases when they are cheap
+    # (attributes/literals), which a lambda fold is not.
     near = _nearest_centroid(vec_col, cents)
-    return corpus.select(
-        F.col(id_col).alias(id_col),
-        near["cluster"].alias("cluster"),
-        F.floor(near["dist"] * 1e9).cast("long").alias("dist_e9"),
+    bound = corpus.select(F.col(id_col).alias(id_col), near.alias("__nc__"))
+    return bound.select(
+        id_col,
+        F.col("__nc__")["cluster"].alias("cluster"),
+        F.floor(F.col("__nc__")["dist"] * 1e9).cast("long").alias("dist_e9"),
     )
 
 

@@ -146,6 +146,7 @@ def start_partition_upsert_sink(
     checkpoint_dir: str,
     partition_by: list[str],
     *,
+    key_cols: list[str] | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Upsert a streaming aggregate into a parquet lake table by
@@ -153,27 +154,63 @@ def start_partition_upsert_sink(
     rollups (parquet has no row-level MERGE; the unit of atomic
     replacement is the partition).
 
-    Each micro-batch rewrites ONLY the partitions it touches
-    (``partitionOverwriteMode=dynamic``), so a replayed batch rewrites
-    the same partitions with the same content — idempotent under the
-    checkpoint's at-least-once redelivery, which upgrades the sink to
-    effectively exactly-once without a transaction log.  Use with
-    update-mode windowed aggregations partitioned by the window start
-    (late data re-emits the window; the re-emit overwrites the stale
-    partition in place).  At 100 TB the rewrite cost per trigger is
-    bounded by (windows touched per batch) × (partition size), never
-    the table.
+    ``key_cols`` is the FULL grouping key of the upstream aggregate
+    (default: ``partition_by``).  This matters whenever the aggregate
+    groups by more columns than the table partitions by (e.g. grouped
+    by (window, event_type), partitioned by window only): update mode
+    emits only the groups a micro-batch changed, but partition
+    overwrite replaces whole partitions — writing just the changed
+    groups would silently DELETE the untouched groups' rows in every
+    touched partition.  The fix is a read-merge: rows already in the
+    touched partitions whose group key is not being re-emitted are
+    read back and rewritten alongside the batch.  Read-back cost per
+    trigger is bounded by (partitions touched per batch) × (partition
+    size) — the same bound the overwrite itself already has — and the
+    merge stays idempotent under the checkpoint's at-least-once
+    redelivery (re-merging an already-applied batch reproduces the
+    same partition content), which upgrades the sink to effectively
+    exactly-once without a transaction log.
     """
+    keys = list(key_cols) if key_cols is not None else list(partition_by)
+    missing = [c for c in partition_by if c not in keys]
+    if missing:
+        raise ValueError(
+            f"key_cols must contain every partition column; missing {missing}"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
+        out_cols = batch_df.columns
+        merged = batch_df
+        if len(keys) > len(partition_by):
+            try:
+                existing = spark.read.parquet(path)
+            except Exception:  # first batch: table does not exist yet
+                existing = None
+            if existing is not None:
+                touched = batch_df.select(*partition_by).distinct()
+                keep = (
+                    existing.join(F.broadcast(touched), partition_by, "left_semi")
+                    .join(
+                        F.broadcast(batch_df.select(*keys).distinct()),
+                        keys,
+                        "left_anti",
+                    )
+                    .select(*out_cols)
+                )
+                # Materialize before writing: the write target IS the
+                # read source, and an unmaterialized self-referencing
+                # plan is rejected ("cannot overwrite a path that is
+                # also being read from").  Bounded rows: only untouched
+                # groups within touched partitions.
+                merged = keep.unionByName(batch_df).localCheckpoint(eager=True)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                batch_df.write.mode("overwrite")
+                merged.write.mode("overwrite")
                 .partitionBy(*partition_by)
                 .parquet(path)
             )

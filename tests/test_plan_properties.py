@@ -170,16 +170,16 @@ def test_asof_flagship_bounds_lookback(plans):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_cosine_near_dup_auto_selects_lsh(spark, sf_dir, monkeypatch):
-    # above AUTO_LSH_THRESHOLD the default (use_lsh=None) must switch to
-    # bucketed LSH candidate generation — no all-pairs join shape.
+def test_cosine_near_dup_lsh_path_is_bucketed(spark, sf_dir):
+    # use_lsh=True (the explicit scale-path opt-in — approximation is
+    # never a silent data-size-dependent downgrade) must plan bucketed
+    # LSH candidate generation: no all-pairs join shape anywhere.
     from fortymhz_spark.operators import similarity as sim
     from fortymhz_spark.sources.batch import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    monkeypatch.setattr(sim, "AUTO_LSH_THRESHOLD", 0)
-    auto = sim.cosine_near_dup_pairs(emb, threshold=0.9)
-    plan = plan_of(auto)
+    lsh = sim.cosine_near_dup_pairs(emb, threshold=0.9, use_lsh=True)
+    plan = plan_of(lsh)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -359,3 +359,61 @@ def test_operator_parameter_validation():
         pack_sequences(None, token_col="n", shard_col="s", order_col="i", budget=0)
     with _pytest.raises(ValueError):
         frequent_terms(None, k=0)
+
+
+def test_near_dup_components_converges_on_long_chain(spark):
+    """Adversarial diameter: a 1 000-link chain (the shape templated
+    spam produces — each doc a near-dup of the next).  Plain min-label
+    propagation advances one hop per round, so 25 rounds would return
+    WRONG (over-split) labels; the pointer-jumping step compresses
+    label paths each round, giving O(log diameter) convergence.  All
+    nodes must land in component 0 within the default round budget."""
+    from fortymhz_spark.operators.dedup import near_dup_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = near_dup_components(pairs).collect()
+    assert len(labels) == n
+    assert {r["component"] for r in labels} == {0}
+
+
+def test_near_dup_components_raises_rather_than_partial(spark):
+    """Exiting the round budget with labels still changing must raise —
+    partial labels silently over-split components downstream."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(pairs, max_iter=2)
+
+
+def test_asof_join_warns_without_tolerance(spark):
+    """The unbounded (full-history) as-of form is allowed but must warn:
+    without a lookback bound the intermediate join is the
+    100 TB-unsafe shape (asof.py docstring)."""
+    import warnings as _warnings
+
+    from fortymhz_spark.operators.asof import asof_join
+
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x")], "k long, ts timestamp, v string"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        asof_join(left, right, "k", "k", "ts", "ts")
+    assert any("tolerance" in str(w.message) for w in caught)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        asof_join(left, right, "k", "k", "ts", "ts", tolerance="30 days")
+    assert not any("tolerance" in str(w.message) for w in caught)

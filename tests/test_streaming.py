@@ -437,11 +437,22 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     assert got == want
 
 
-def test_partition_upsert_sink_idempotent_replay(spark, events_stream_dir, tmp_path):
+def test_partition_upsert_sink_idempotent_replay_and_batch_parity(
+    spark, events_stream_dir, tmp_path
+):
     """The dynamic-partition-overwrite sink must converge to the batch
     answer AND produce byte-identical results when the whole stream is
     replayed from a fresh checkpoint — the idempotence that upgrades
-    at-least-once redelivery to exactly-once table state."""
+    at-least-once redelivery to exactly-once table state.
+
+    The batch-parity half is the regression net for the read-merge fix:
+    the aggregate groups by (window_start, event_type) but the table
+    partitions by window_start only, so a micro-batch that updates one
+    event_type in a window used to overwrite away the OTHER event
+    types' rows for that window (update mode emits only changed
+    groups).  Replay determinism alone cannot catch that — both runs
+    lose the same rows — only comparison against the batch twin does.
+    """
     from fortymhz_spark.streaming.sinks import start_partition_upsert_sink
 
     def run(tag: str) -> list[tuple]:
@@ -452,7 +463,12 @@ def test_partition_upsert_sink_idempotent_replay(spark, events_stream_dir, tmp_p
         )
         agg = streaming_hourly_by_type(stream)
         q = start_partition_upsert_sink(
-            agg, out, ck, ["window_start"], available_now=True
+            agg,
+            out,
+            ck,
+            ["window_start"],
+            key_cols=["window_start", "event_type"],
+            available_now=True,
         )
         q.awaitTermination(120)
         return sorted(map(tuple, spark.read.parquet(out).collect()))
@@ -460,6 +476,23 @@ def test_partition_upsert_sink_idempotent_replay(spark, events_stream_dir, tmp_p
     first = run("a")
     second = run("b")  # full replay, fresh checkpoint, separate table
     assert first and first == second
+
+    batch = spark.read.schema(EVENTS).parquet(_events_glob(events_stream_dir))
+    want = sorted(map(tuple, streaming_hourly_by_type(batch).collect()))
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(f"{tmp_path}/table_a").collect()
+    )
+    assert got == want
+
+
+def test_partition_upsert_sink_rejects_partition_outside_key():
+    from fortymhz_spark.streaming.sinks import start_partition_upsert_sink
+
+    with pytest.raises(ValueError, match="partition column"):
+        start_partition_upsert_sink(
+            None, "p", "c", ["window_start"], key_cols=["event_type"]
+        )
 
 
 def test_pure_column_operators_unified_on_streams(spark, tmp_path):
