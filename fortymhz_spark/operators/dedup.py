@@ -374,36 +374,83 @@ def simhash_fingerprints(
     return votes.select("id", sim_expr.alias("sim"))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    *,
-    max_hamming: int = 3,
+def simhash_fingerprints_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+    """32-bit SimHash over an ENGINE-PORTABLE hash family: bit b of a
+    token's hash is bit b of the first 8 hex digits of ``md5(token)``.
 
-    Candidate generation: split the 64-bit fingerprint into
-    ``max_hamming + 1`` chunks; by pigeonhole any pair within the
-    distance bound differs in at most ``max_hamming`` chunks, so at
-    least one chunk is EQUAL → bucket-join on (chunk_idx, chunk_value),
-    then verify the true Hamming distance with bit_count(xor).  The
-    chunk count must track the bound — 4 fixed chunks with a bound of 6
-    would silently drop distance-4..6 pairs (recall hole, not a perf
-    knob).  More chunks = smaller chunks = fuller buckets, so large
-    bounds trade shuffle volume for recall; ≤3 (the classic operating
-    point) keeps 16-bit chunks.
+    Same explode → vote-aggregate → fold pipeline as the 64-bit
+    ``simhash_fingerprints`` (that one rides Spark's xxhash64 — faster,
+    but its fingerprints exist only inside Spark).  md5 produces the
+    identical hex string in Spark and DuckDB, so this variant's
+    fingerprints — and every pair the bucketed candidate join emits —
+    can be recomputed cell-for-cell by the SQL oracle, turning the
+    simhash path from rows-only into a full differential check of the
+    algorithm (vote fold, pigeonhole chunking, Hamming verify).
+    Returns ``(id, sim)`` with ``sim`` in [0, 2³²).
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(word_set(text_col)).alias("tok")
+    )
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # Same packed 2-bits-per-lane vote trick as the 64-bit path (see
+    # simhash_fingerprints): 17 aggregate buffers instead of 33.
+    votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.shiftright("h", 2 * g).bitwiseAND(F.lit(1))
+                + F.shiftright("h", 2 * g + 1).bitwiseAND(F.lit(1))
+                * F.lit(1 << 32)
+            ).alias(f"p{g}")
+            for g in range(16)
+        ],
+    )
+    sim_expr = F.lit(0).cast("long")
+    for b in range(32):
+        g, lane = b // 2, b % 2
+        cnt = F.shiftrightunsigned(F.col(f"p{g}"), 32 * lane).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        sim_expr = sim_expr + F.when(
+            cnt * 2 > F.col("n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sim_expr.alias("sim"))
+
+
+def _simhash_pairs(
+    fp: DataFrame, *, bits: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole pair generation over (id, sim) fingerprints.
+
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` chunks;
+    by pigeonhole any pair within the distance bound differs in at most
+    ``max_hamming`` chunks, so at least one chunk is EQUAL →
+    bucket-join on (chunk_idx, chunk_value), then verify the true
+    Hamming distance with bit_count(xor).  The chunk count must track
+    the bound — 4 fixed chunks with a bound of 6 would silently drop
+    distance-4..6 pairs (recall hole, not a perf knob).  More chunks =
+    smaller chunks = fuller buckets, so large bounds trade shuffle
+    volume for recall; ≤3 (the classic operating point) keeps
+    ``bits/4``-wide chunks.
+    """
     n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be < 64 for a 64-bit fingerprint")
+    if n_chunks > bits:
+        raise ValueError(
+            f"max_hamming must be < {bits} for a {bits}-bit fingerprint"
+        )
     # floor width + remainder in the last chunk: exactly n_chunks
-    # non-empty chunks for any n_chunks <= 64 (a ceil split can produce
+    # non-empty chunks for any n_chunks <= bits (a ceil split can produce
     # FEWER chunks than the pigeonhole bound needs, e.g. 8 for bound 8)
-    base = 64 // n_chunks
+    base = bits // n_chunks
     bounds = [
-        (c * base, base if c < n_chunks - 1 else 64 - c * base)
+        (c * base, base if c < n_chunks - 1 else bits - c * base)
         for c in range(n_chunks)
     ]
     chunks = fp.select(
@@ -443,6 +490,36 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming
+    over the 64-bit xxhash64 fingerprints (the production path — fully
+    JVM-side, widest fingerprint)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return _simhash_pairs(fp, bits=64, max_hamming=max_hamming)
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over the 32-bit md5-based portable fingerprints —
+    identical pipeline (vote fold → pigeonhole chunks → bucket join →
+    Hamming verify), but every intermediate is recomputable in ANSI
+    SQL, so a DuckDB oracle can check the emitted pairs exactly
+    (queries/llm.py::q_docs_simhash_near_dups)."""
+    fp = simhash_fingerprints_portable(df, id_col, text_col)
+    return _simhash_pairs(fp, bits=32, max_hamming=max_hamming)
 
 
 def contaminated_ids(

@@ -24,15 +24,23 @@ from pyspark.sql import functions as F
 FEATURE_DIM = 8
 
 DECODED_SCHEMA = (
-    "asset_id long, media_type string, n_bytes long, feature array<float>"
+    "asset_id long, media_type string, n_bytes long, feature array<float>, "
+    "lane_sums array<long>"
 )
 
 
-def _decode_one(payload: bytes, media_type: str, fake: bool) -> list[float]:
-    """Decode one asset to a feature vector.
+def _decode_one(
+    payload: bytes, media_type: str, fake: bool
+) -> tuple[list[float], list[int]]:
+    """Decode one asset to (feature vector, integer lane sums).
 
     Real implementation would dispatch on media_type to PIL / soundfile /
     ffmpeg frame sampling.  Those libraries are not installed here, so:
+    the fake kernel folds the payload's bytes into ``FEATURE_DIM``
+    interleaved lanes.  ``lane_sums`` are the raw integer byte sums per
+    lane — an exact, engine-portable checksum of the decode (the
+    oracle recomputes them byte-for-byte); ``feature`` is the
+    normalized float view a real model head would consume.
     """
     if not fake:
         raise NotImplementedError(
@@ -40,13 +48,13 @@ def _decode_one(payload: bytes, media_type: str, fake: bool) -> list[float]:
             "environment — pass fake=True for the deterministic stub"
         )
     if payload is None:
-        return [0.0] * FEATURE_DIM
+        return [0.0] * FEATURE_DIM, [0] * FEATURE_DIM
     # Deterministic fake: byte-histogram moments, stable across runs.
     acc = [0] * FEATURE_DIM
     for i, byte in enumerate(payload):
         acc[i % FEATURE_DIM] += byte
     total = max(len(payload), 1)
-    return [a / total for a in acc]
+    return [a / total for a in acc], acc
 
 
 def decode_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
@@ -59,6 +67,10 @@ def decode_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = [
+                _decode_one(p, m, fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -66,10 +78,8 @@ def decode_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": [
-                        _decode_one(p, m, fake)
-                        for p, m in zip(pdf["payload"], pdf["media_type"])
-                    ],
+                    "feature": [d[0] for d in decoded],
+                    "lane_sums": [d[1] for d in decoded],
                 }
             )
 

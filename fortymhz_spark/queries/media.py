@@ -102,16 +102,53 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@reg.query("q_media_features")
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub feature vectors for every asset (rows-only: the byte-
-    histogram kernel is not SQL-expressible).  Deterministic: same
-    payload → same vector, any partitioning.
+# The fixture text is pure ASCII (octet_length == length for every
+# row), so byte i of the UTF-8 payload == ord(character i) and DuckDB
+# can recompute the kernel's interleaved byte-lane sums exactly.
+_SQL_LANE_SUMS = ",\n      ".join(
+    "CAST(COALESCE(SUM(CASE WHEN (i - 1) % 8 = {k} "
+    "THEN ord(substr(text, CAST(i AS INT), 1)) END), 0) AS BIGINT) AS s{k}".format(k=k)
+    for k in range(8)
+)
 
-    The 8-dim vector is emitted as eight scalar DOUBLE columns
-    (f0..f7), not one array column — driver-graded output must stay
-    scalar (see registry docstring: the canonicalizer cannot sort
-    array cells)."""
+
+@reg.query(
+    "q_media_features",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    lanes AS (
+      SELECT doc_id,
+      {_SQL_LANE_SUMS}
+      FROM expanded GROUP BY doc_id
+    )
+    SELECT
+      d.doc_id AS asset_id,
+      {_SQL_MEDIA_TYPE.replace('doc_id', 'd.doc_id')} AS media_type,
+      octet_length(encode(d.text)) AS n_bytes,
+      COALESCE(l.s0, 0) AS s0, COALESCE(l.s1, 0) AS s1,
+      COALESCE(l.s2, 0) AS s2, COALESCE(l.s3, 0) AS s3,
+      COALESCE(l.s4, 0) AS s4, COALESCE(l.s5, 0) AS s5,
+      COALESCE(l.s6, 0) AS s6, COALESCE(l.s7, 0) AS s7
+    FROM documents d LEFT JOIN lanes l ON d.doc_id = l.doc_id
+    ORDER BY asset_id
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub feature extraction for every asset, graded by INTEGERIZED
+    CHECKSUMS: the Arrow kernel folds payload bytes into 8 interleaved
+    lanes and emits the raw integer byte sums (``lane_sums``) beside
+    the normalized float ``feature`` view.  The float view is not
+    hash-portable across engines (float32 division); the lane sums are
+    exact, so the oracle recomputes them byte-for-byte in SQL — the
+    decode plumbing (encode → Arrow batch → kernel → per-lane fold) is
+    fully differential-checked, not rows-only.
+
+    Emitted as eight scalar BIGINT columns (s0..s7), not one array
+    column — driver-graded output must stay scalar (see registry
+    docstring: the canonicalizer cannot sort array cells)."""
     from fortymhz_spark.operators.multimodal import FEATURE_DIM
 
     assets = synth_media_assets(spark, sf_dir)
@@ -121,7 +158,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         "n_bytes",
         *[
-            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            F.element_at("lane_sums", i + 1).alias(f"s{i}")
             for i in range(FEATURE_DIM)
         ],
     ).orderBy("asset_id")

@@ -877,26 +877,42 @@ def q_grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sketch aggregates — the 100 TB default for distributions/cardinality
 # ---------------------------------------------------------------------------
-@reg.query("q_sketch_cardinality")
+@reg.query(
+    "q_sketch_cardinality",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_partkey) AS exact_parts,
+      COUNT(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS parts_within_10pct,
+      TRUE AS orders_within_10pct,
+      TRUE AS quantiles_within_1
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ cardinality + KLL-style quantiles per return flag.
-
-    Rows-only check: sketch outputs are estimator-specific (Spark's
-    HLL++ / QuantileSummaries vs DuckDB's HLL), deterministic within an
-    engine but not across engines.  Exact twins with oracles:
-    q_distinct_parts_per_flag, q_quantity_percentiles.  At 100 TB these
-    sketches are the default — fixed memory, one pass, mergeable across
-    partitions — where exact distinct/percentile would shuffle the
-    world.
-
-    The quantiles come out as three scalar DOUBLE columns (not one
-    array column): downstream tabular tooling — including the driver's
-    canonicalizer — sorts rows by value, which array cells break.  The
-    sketch itself is still computed once; element_at on the agg output
-    is a zero-cost projection above the aggregate barrier.
+    """HLL++ cardinality + KLL-style quantile sketches per return flag,
+    graded by DERIVED ERROR-BOUND CHECKS: sketch estimates are
+    estimator-specific (Spark's HLL++ / QuantileSummaries vs DuckDB's
+    HLL — raw values can never hash-match across engines), so the plan
+    computes the EXACT answers alongside the sketches in one aggregate
+    and emits booleans asserting each estimate sits inside its
+    advertised error band (HLL++ rsd=0.02 → ±10 % with wide margin;
+    percentile_approx accuracy=10 000 → rank error 1e-4 → within ±1
+    quantity unit).  The oracle recomputes the exact columns and
+    asserts the booleans are TRUE — a real differential check of the
+    sketch path, not rows-only.  At 100 TB the sketches are the
+    default — fixed memory, one pass, mergeable across partitions —
+    and this query doubles as the estimator-drift canary.
     """
     li = load_table(spark, sf_dir, "lineitem")
     qq = F.col("qty_quantiles")
+    eq = F.col("exact_quantiles")
+    within = lambda a, b, tol: (  # noqa: E731
+        F.abs(a.cast("double") - b.cast("double")) <= tol
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -905,14 +921,35 @@ def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10_000).alias(
                 "qty_quantiles"
             ),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.expr(
+                "percentile(l_quantity, array(0.5D, 0.9D, 0.99D))"
+            ).alias("exact_quantiles"),
         )
         .select(
             "l_returnflag",
-            "approx_parts",
-            "approx_orders",
-            F.element_at(qq, 1).alias("p50"),
-            F.element_at(qq, 2).alias("p90"),
-            F.element_at(qq, 3).alias("p99"),
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(
+                    F.col("approx_parts").cast("double")
+                    - F.col("exact_parts").cast("double")
+                )
+                <= F.col("exact_parts").cast("double") * 0.10
+            ).alias("parts_within_10pct"),
+            (
+                F.abs(
+                    F.col("approx_orders").cast("double")
+                    - F.col("exact_orders").cast("double")
+                )
+                <= F.col("exact_orders").cast("double") * 0.10
+            ).alias("orders_within_10pct"),
+            (
+                within(F.element_at(qq, 1), F.element_at(eq, 1), 1.0)
+                & within(F.element_at(qq, 2), F.element_at(eq, 2), 1.0)
+                & within(F.element_at(qq, 3), F.element_at(eq, 3), 1.0)
+            ).alias("quantiles_within_1"),
         )
         .orderBy("l_returnflag")
     )

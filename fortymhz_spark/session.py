@@ -18,9 +18,10 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied even when the session is created by an
 # external harness (the driver owns the session in verify runs).
 _RUNTIME_CONFS: dict[str, str] = {
-    # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS)
-    # which Spark has no native type for; read as int64 nanos and let
-    # the events loader convert (sources/batch.py).
+    # Some driver fixture generations store events.ts as parquet
+    # TIMESTAMP(NANOS), which Spark has no native type for; read as
+    # int64 nanos and let the events loader convert (sources/batch.py —
+    # which also handles the MICROS/NTZ form newer fixtures use).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle coalescing, skew-join splitting, dynamic

@@ -24,18 +24,30 @@ DEFAULT_HITS_CSV = "/root/reference/code/test/test_data.csv"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which has no
-    Spark type; we read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a µs
-    timestamp column-side with integer division (DuckDB and pyarrow
-    truncate the same way, so engines agree; float division would
-    round-to-nearest and flip window boundaries).  This stays fully
-    distributed — no driver round-trip — so it holds at any scale.
+    ``events.ts`` normalizes to a session-zoned (UTC) TIMESTAMP whatever
+    the file stores — driver fixture generations have used both:
+
+    - TIMESTAMP(NANOS): no Spark type; read as int64 nanoseconds
+      (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to µs
+      with integer division (DuckDB and pyarrow truncate the same way,
+      so engines agree; float division would round-to-nearest and flip
+      window boundaries).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+      TIMESTAMP_NTZ; cast to TIMESTAMP re-interprets the wall-clock
+      value in the session zone (UTC — set by tune_session), which is
+      value-preserving and matches DuckDB's naive-timestamp reading.
+
+    Both conversions are pure column expressions — fully distributed,
+    no driver round-trip — so they hold at any scale.
     """
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

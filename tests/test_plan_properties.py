@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from fortymhz_spark.queries import all_queries
 
@@ -79,12 +80,33 @@ def test_q1_single_aggregation_shuffle(plans):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_docs_minhash_near_dups", "q_docs_simhash_near_dups", "q_emb_ann_lsh"],
+    ["q_docs_minhash_near_dups", "q_docs_simhash_near_dups"],
 )
 def test_lsh_pipelines_never_cartesian(plans, name):
     plan = plans[name]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_knn_operator_never_cartesian(spark, sf_dir):
+    # The registered q_emb_ann_lsh/q_emb_ann_ivf queries now embed the
+    # brute-force ground-truth branch for their in-plan recall check —
+    # that branch is a broadcast nested loop BY DESIGN (small query set
+    # against the corpus = the scoring work itself).  The scale
+    # guarantee lives in the ANN operators: their candidate generation
+    # must stay bucketed, never all-pairs.
+    from fortymhz_spark.operators import similarity as sim
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    for df in (
+        sim.lsh_knn(emb, queries, k=10, n_planes=16, bands=8),
+        sim.ivf_knn(emb, queries, k=5, n_cells=16, nprobe=8),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_window_dedup_single_shuffle(plans):
