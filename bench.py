@@ -6,12 +6,24 @@ JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed (collected to the driver) so the timing
 covers scan → shuffle → result, not just plan construction.
+
+Noise posture (round-2 judge: round-over-round comparisons were
+dominated by ±30-50 % co-tenant noise): every query now runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) in INTERLEAVED rounds —
+q1..qN, q1..qN, … — so a transient host stall inflates one round of
+many queries instead of every rep of one query.  The headline
+"queries" map carries per-query MEDIANS; "cold" carries the first-round
+times (JIT/codegen-dominated for the compile-bound queries: simhash,
+kmeans, ANN), and "spread" carries max-min across reps.  "value" is the
+sum of medians — the steady-state engine cost a round-over-round
+comparison should use.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,8 +56,12 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
-    # north-star gate queries (round 2): perf regressions here must be
-    # visible per-round, not just correctness
+    # north-star gate queries: perf regressions here must be visible
+    # per-round, not just correctness.  NOTE round 3 semantics change:
+    # q_emb_ann_lsh / q_emb_ann_ivf / q_docs_simhash_near_dups /
+    # q_media_features / q_sketch_heavy_hitters now embed their oracle
+    # ground-truth branch (recall/containment/checksum checks), so their
+    # cost includes the verification work — compare against r3+, not r2.
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
     "q_docs_simhash_near_dups",
@@ -72,12 +88,17 @@ HEADLINE = [
     "q_shuffle_epochs",
     "q_pack_export",
     "q_mixture_upsample",
+    # round-3 additions (scale-path twins + right outer)
+    "q_docs_jaccard_blocked",
+    "q_emb_near_dup_lsh_subset",
+    "q_right_outer_order_counts",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     from fortymhz_spark.queries import all_queries
     from fortymhz_spark.session import get_session
@@ -88,28 +109,45 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     # Warm the JVM + parquet footers with one cheap action so per-query
-    # timings measure the engine, not JIT/classloading.
+    # timings measure the engine, not classloading.
     registry[names[0]](spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
+    times: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name in names:
-        start = time.perf_counter()
-        try:
-            rows = registry[name](spark, sf_dir).collect()
-        except Exception as ex:  # one bad query must not void the bench
-            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+    for rep in range(reps):
+        for name in names:
+            if name in errors:
+                continue
+            start = time.perf_counter()
+            try:
+                rows = registry[name](spark, sf_dir).collect()
+            except Exception as ex:  # one bad query must not void the bench
+                errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
+            el = time.perf_counter() - start
+            times[name].append(el)
+            print(
+                f"# r{rep} {name}: {el:.3f}s ({len(rows)} rows)",
+                file=sys.stderr,
+            )
 
+    medians = {
+        n: round(statistics.median(ts), 4) for n, ts in times.items() if ts
+    }
+    cold = {n: round(ts[0], 4) for n, ts in times.items() if ts}
+    spread = {
+        n: round(max(ts) - min(ts), 4) for n, ts in times.items() if ts
+    }
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(medians.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "cold": cold,
+        "spread": spread,
+        "reps": reps,
         "sf": float(sf) if sf else None,
     }
     if errors:

@@ -7,6 +7,26 @@ functions/exact.py for why aggregates go through DECIMAL).
 
 ``all_queries()`` / ``all_oracles()`` are what ``__spark_entry__``
 exposes to the driver harness.
+
+Registration order is EVIDENCE POLICY: the driver's correctness gate
+grades exactly the first 50 registered queries per round.  Round 2
+graded the north-star surfaces + 11 TPC-H shape representatives (all
+green — CORRECTNESS_r02.json); round 3 ROTATES the gate so the hard
+signal reaches what round 2 could not grade:
+
+1. every query whose oracle is NEW this round (the five former
+   rows-only entries now carrying recall/error-band/checksum/portable-
+   hash oracles, plus the three new registrations: right-outer join,
+   blocked Jaccard, LSH verified-subset), and
+2. the previously-ungraded long tail — windows, rollup/grouping sets,
+   set ops, scalar/date functions, exact percentiles, countDistinct,
+   pivot/unpivot, cogroup, and the 17 tpch_deep shapes.
+
+Seven previously-ungraded queries whose plan shapes are isomorphic to
+already-green rows are DEFERRED to the next rotation (listed in
+``DEFERRED_TO_NEXT_ROUND``) because the gate holds only 50; everything
+outside the gate stays covered by the local sf0.001 differential
+(tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -17,30 +37,110 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The driver's correctness gate grades exactly the FIRST 50 registered
-# queries, so registration order is evidence policy: the north-star
-# surfaces (LLM-pipeline dedup/ANN/text, DT domain, media, events
-# streaming twins) register first, followed by one TPC-H representative
-# per distinct plan shape (incl. the sketch and pandas-UDF paths).
-# Everything after slot 50 is still registered, still covered by the
-# local DuckDB differential (tests/test_oracle_parity.py) — it just
-# yields no driver CORRECTNESS row.
-GATE_PRIORITY: tuple[str, ...] = (
-    # —— TPC-H shape representatives (11; the trimmed shapes — rollup,
-    # grouping sets, set ops, scalar/date functions, the ranking window
-    # (whose shape q_events_latest_per_user keeps in-gate) — were green
-    # in round 1 and stay under the local differential) ——
-    "q1_pricing_summary",              # partial+final agg
-    "q3_shipping_priority",            # fact-dim join chain + top-k
-    "q6_forecast_revenue",             # filter/projection pushdown
-    "q4_order_priority",               # left semi (EXISTS)
-    "q_customers_without_orders",      # left anti (NOT EXISTS)
-    "q_customer_order_counts_outer",   # left outer
-    "q_full_outer_daily_activity",     # full outer
-    "q_range_join_price_bands",        # range / theta join
-    "q_cube_flag_status",              # cube (rollup's superset shape)
-    "q_sketch_cardinality",            # HLL++ / approx quantiles
-    "q_pandas_udf_revenue",            # Arrow-batched pandas UDF
+# Round-3 gate (slots 1-50).  Composition:
+#   8 new/re-oracled (judge items 2-4) + 42 never-graded (judge item 1).
+ROUND_GATE: tuple[str, ...] = (
+    # —— re-oracled this round: rows-only → differential-checked ——
+    "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
+    "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
+    "q_emb_ann_ivf",               # in-plan recall@5 vs exact top-k
+    "q_media_features",            # integer byte-lane checksums
+    "q_sketch_cardinality",        # exact twins + error-band booleans
+    # —— new registrations this round ——
+    "q_right_outer_order_counts",  # the one join type with no gate row
+    "q_docs_jaccard_blocked",      # scale twin of the unblocked cartesian
+    "q_emb_near_dup_lsh_subset",   # LSH pairs ⊆ exact pairs, verified
+    # —— never graded before: windows / analytic ——
+    "q_window_top_orders_per_customer",
+    "q_window_running_revenue",
+    "q_window_lag_order_gap",
+    # —— grouping shapes ——
+    "q_rollup_returnflag_status",
+    "q_grouping_sets_flag_year",
+    "q_distinct_parts_per_flag",
+    "q_quantity_percentiles",
+    "q_pivot_flag_by_status",
+    "q_unpivot_part_sizes",
+    # —— set ops / scalar surface ——
+    "q_set_ops_nations",
+    "q_scalar_functions",
+    "q_date_functions",
+    # —— joins / SQL twins not graded in round 2 ——
+    "q5_local_supplier_volume",
+    "q17_small_quantity_revenue",
+    "q_cogroup_user_orders",
+    # —— tpch_deep: every remaining TPC-H shape ——
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    # —— training-pipeline operators registered after round 1's gate ——
+    "q_chunk_token_windows",
+    "q_text_repetition_stats",
+    "q_vec_int8_quant_error",
+    "q_pack_sequences",
+    "q_vec_kmeans",                # rows-only by design (Lloyd loop)
+    "q_search_bm25",
+    "q_vec_knn_arrow",             # re-oracled: neighbor-identity check
+    "q_pipeline_curation",
+    "q_text_crossdoc_blocks",
+    "q_sketch_heavy_hitters",      # re-oracled: containment check
+    "q_shuffle_epochs",
+    "q_text_rarity_score",
+    "q_mixture_upsample",
+    "q_pack_export",
+)
+
+# Ungraded shapes parked for the NEXT rotation (their plan shapes are
+# isomorphic to rows already driver-green in round 2, so they lose the
+# 50-slot tiebreak): plain aggregates (q_brand_volume,
+# q_salted_agg_volume), SQL-API twin (q_sql_revenue_by_nation), join
+# + top-k (q_top_customers), and the three tpch_deep queries the
+# round-2 verdict did not name (q13, q18, q21).
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "q_brand_volume",
+    "q_salted_agg_volume",
+    "q_sql_revenue_by_nation",
+    "q_top_customers",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+)
+
+# Round-2 graded-green rows (CORRECTNESS_r02.json) that rotate OUT of
+# the gate this round; kept here so the registry can assert nothing
+# falls through the cracks (graded-green ∪ gate ∪ deferred == all).
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_docs_exact_dedup", "q_docs_token_stats", "q_docs_quality",
+    "q_docs_lang_id_confusion", "q_docs_fingerprints",
+    "q_docs_ngram_jaccard_pairs", "q_docs_minhash_near_dups",
+    "q_emb_knn_bruteforce", "q_emb_near_dup_pairs",
+    "q_emb_label_centroids", "q_docs_bpe_token_stats",
+    "q_docs_pii_stats", "q_docs_stratified_sample",
+    "q_docs_dedup_groups", "q_docs_decontaminate", "q_docs_top_terms",
+    "q_dt_channel_occupancy", "q_dt_hits_per_orbit",
+    "q_dt_event_time_span", "q_dt_orbit_assembly",
+    "q_dt_streaming_occupancy", "q_dt_custom_source_occupancy",
+    "q_media_decode_stats", "q_media_frame_sample",
+    "q_events_hourly_by_type", "q_events_sliding_1h_30m",
+    "q_events_sessionize", "q_events_json_props",
+    "q_events_user_enrichment", "q_events_asof_last_order",
+    "q_events_latest_per_user", "q_events_value_stats",
+    "q_events_grouped_pandas_stats", "q_events_view_to_purchase",
+    "q_events_dedup_ingest", "q1_pricing_summary",
+    "q3_shipping_priority", "q6_forecast_revenue", "q4_order_priority",
+    "q_customers_without_orders", "q_customer_order_counts_outer",
+    "q_full_outer_daily_activity", "q_range_join_price_bands",
+    "q_cube_flag_status", "q_pandas_udf_revenue",
 )
 
 
@@ -57,14 +157,18 @@ def _merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 def all_queries() -> dict[str, QueryFn]:
     queries, _ = _merged()
-    missing = [n for n in GATE_PRIORITY if n not in queries]
-    assert not missing, f"GATE_PRIORITY names not registered: {missing}"
-    northstar = [
-        n for n in queries
-        if n.startswith(("q_docs_", "q_emb_", "q_dt_", "q_media_", "q_events_"))
-    ]
-    rest = [n for n in queries if n not in northstar and n not in GATE_PRIORITY]
-    ordered = northstar + list(GATE_PRIORITY) + rest
+    missing = [n for n in ROUND_GATE if n not in queries]
+    assert not missing, f"ROUND_GATE names not registered: {missing}"
+    accounted = set(ROUND_GATE) | set(DEFERRED_TO_NEXT_ROUND) | set(
+        PREVIOUSLY_GREEN
+    )
+    unaccounted = [n for n in queries if n not in accounted]
+    assert not unaccounted, (
+        "new query registered without a gate-policy decision (add it to "
+        f"ROUND_GATE or DEFERRED_TO_NEXT_ROUND): {unaccounted}"
+    )
+    rest = [n for n in queries if n not in ROUND_GATE]
+    ordered = list(ROUND_GATE) + rest
     assert len(ordered) == len(queries)
     return {n: queries[n] for n in ordered}
 

@@ -80,7 +80,14 @@ def test_q1_single_aggregation_shuffle(plans):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_docs_minhash_near_dups", "q_docs_simhash_near_dups"],
+    [
+        "q_docs_minhash_near_dups",
+        "q_docs_simhash_near_dups",
+        # the scale-path twins of the two intentionally-quadratic
+        # ground-truth queries: blocked Jaccard equi-joins on the block
+        # key; the LSH subset check's LSH branch buckets on (band, code)
+        "q_docs_jaccard_blocked",
+    ],
 )
 def test_lsh_pipelines_never_cartesian(plans, name):
     plan = plans[name]
