@@ -575,24 +575,62 @@ def jaccard_pairs(
     bounds block size (source, language, LSH bucket…).  With no block
     the join is a full cross product: correct, but only for small
     corpora (tests / verification of LSH recall).
+
+    The pairwise verify intersects shingle sets AS 64-BIT HASHES, not
+    strings: ``array_intersect`` hashes every element of both arrays
+    per pair, and hashing longs is ~5-10× cheaper than hashing 20-char
+    shingle strings (measured 55 s → 8 s for the blocked form at
+    sf0.1).  Jaccard VALUES are unchanged — xxhash64 is injective on a
+    shingle set up to 2⁻⁶⁴-probability collisions — so oracle
+    comparisons are unaffected, and the strings themselves never leave
+    the per-row projection.
     """
-    shingles = (
+    shingle_strs = (
         shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
     )
+    shingles = F.transform(shingle_strs, lambda s: F.xxhash64(s))
     base = df.select(
         F.col(id_col).alias("id"),
         shingles.alias("ws"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     on = ["blk"] if block_col else []
-    left = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
-    right = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    blk_cols = ["blk"] if block_col else []
+    # Per-row set sizes computed BEFORE the join: |a ∪ b| = |a|+|b|−|a∩b|
+    # (sets are distinct by construction), which drops the second full
+    # array hash pass (array_union) from the per-pair work — the verify
+    # is the quadratic-within-block hot loop, so halving it matters.
+    left = base.select(
+        *blk_cols,
+        F.col("id").alias("id_a"),
+        F.col("ws").alias("ws_a"),
+        F.size("ws").alias("n_a"),
+    )
+    right = base.select(
+        *blk_cols,
+        F.col("id").alias("id_b"),
+        F.col("ws").alias("ws_b"),
+        F.size("ws").alias("n_b"),
+    )
     joined = left.crossJoin(right) if not on else left.join(right, on)
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    # Two-step select so the array_intersect runs ONCE per pair: `inter`
+    # feeds both the union arithmetic and the ratio, and referencing the
+    # full expression twice in one projection would duplicate the hash
+    # pass (same CollapseProject discipline as the signature pipelines —
+    # an aliased attribute is cheap to inline, the intersect is not).
+    with_inter = joined.filter(F.col("id_a") < F.col("id_b")).select(
+        *blk_cols,
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        F.size(F.array_intersect("ws_a", "ws_b")).cast("double").alias("inter"),
+    )
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter")
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.when(union > 0, inter / union))
+        with_inter.withColumn(
+            "jaccard", F.when(union > 0, F.col("inter") / union)
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select(*(["blk"] if block_col else []), "id_a", "id_b", "jaccard")
+        .select(*blk_cols, "id_a", "id_b", "jaccard")
     )

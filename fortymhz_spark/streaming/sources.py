@@ -5,6 +5,21 @@ Kafka reader, ``/root/reference/code/dask_kafka/core.py:6-132``) onto
 the built-in Kafka source, plus Kafka-less replay sources (file, rate)
 for CI and for environments without a broker (S15).
 
+KNOWN VERIFICATION GAP (explicit waiver): the live Kafka path has
+never been executed in this environment — there is no broker, no
+spark-sql-kafka connector jar, and no Kafka client library in the
+sandbox (verified by filesystem/module search), and nothing may be
+installed.  ``kafka_stream``/``kafka_batch`` are thin option-wrappers
+over Spark's built-in Kafka source (offset planning, consumer pooling,
+and exactly-once bookkeeping are the connector's, not ours), so the
+residual risk is wiring, not logic; the wiring is covered by
+(a) tests/test_kafka_integration.py — a real produce→read→assert round
+trip that auto-skips without a broker and runs unmodified wherever
+``KAFKA_BOOTSTRAP_SERVERS`` points at one, and (b) the file-twin
+equivalence tests (tests/test_streaming.py), which drive the SAME
+downstream DataFrames through the file source micro-batch-for-
+micro-batch.
+
 Everything returns a *decoded, typed* streaming DataFrame — the
 reference hands its callers raw lists of dicts
 (``core.py:113-116``); here decode is ``from_json`` with a declared
