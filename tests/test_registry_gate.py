@@ -23,15 +23,12 @@ from fortymhz_spark.queries import (
 
 GATE_SIZE = 50
 
-# rows-only by design.  Round 3 converted every other former member to
-# an oracle-checkable form (recall bounds, error-band booleans, lane
-# checksums, portable-hash simhash, neighbor-identity kNN, containment
-# heavy-hitters); only the genuinely iterative algorithm remains —
-# k-means centroids depend on a driver-side Lloyd loop no single SQL
-# statement reproduces.
-EXPECTED_ROWS_ONLY = {
-    "q_vec_kmeans",
-}
+# rows-only by design: NONE as of round 3.  Every registered query now
+# carries an oracle — raw-value oracles where SQL can reproduce the
+# computation, derived-invariant oracles (recall bounds, error-band
+# booleans, lane checksums, containment flags, Lloyd monotonicity)
+# where the output is engine-specific by nature.
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_gate_is_exactly_the_declared_rotation():
