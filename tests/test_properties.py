@@ -417,3 +417,43 @@ def test_asof_join_warns_without_tolerance(spark):
         _warnings.simplefilter("always")
         asof_join(left, right, "k", "k", "ts", "ts", tolerance="30 days")
     assert not any("tolerance" in str(w.message) for w in caught)
+
+
+def test_portable_simhash_matches_python_reference(spark):
+    """The md5-based portable fingerprint (the q_docs_simhash_near_dups
+    oracle basis) re-implemented independently in pure Python: bit b of
+    a token's hash is bit b of the first 8 hex digits of md5(token);
+    fingerprint bit b is set iff a strict majority of the doc's
+    DISTINCT lowercase tokens set it.  Any drift in the Spark pipeline
+    (tokenization, vote fold, lane packing, bit order) breaks equality
+    here without needing DuckDB."""
+    import hashlib
+
+    from fortymhz_spark.operators.dedup import simhash_fingerprints_portable
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four five six"),
+        (3, "  spaced   out   tokens  "),
+        (4, "MiXeD Case TOKENS mixed case"),
+        (5, "solo"),
+    ]
+
+    def ref_sim32(text: str) -> int:
+        toks = sorted({t for t in text.lower().split(" ") if t})
+        votes = [0] * 32
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += (h >> b) & 1
+        n = len(toks)
+        return sum(1 << b for b in range(32) if 2 * votes[b] > n)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: r["sim"]
+        for r in simhash_fingerprints_portable(df).collect()
+    }
+    want = {i: ref_sim32(t) for i, t in docs if {w for w in t.lower().split() if w}}
+    assert got == want
