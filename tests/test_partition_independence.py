@@ -33,6 +33,14 @@ SENSITIVE = [
     "q_mixture_upsample",
     "q_events_grouped_pandas_stats",
     "q_pack_export",
+    # round-3 derived-oracle forms: checksum aggregation (simhash),
+    # mapInPandas partition folds (heavy hitters), driver-loop
+    # iteration + invariant booleans (kmeans), subset/recall joins
+    "q_docs_simhash_near_dups",
+    "q_sketch_heavy_hitters",
+    "q_vec_kmeans",
+    "q_emb_near_dup_lsh_subset",
+    "q_docs_jaccard_blocked",
 ]
 
 _QUERIES = all_queries()
@@ -55,7 +63,7 @@ def test_oracle_green_at_hostile_partition_count(spark, oracle_con, name):
     assert not problems, problems[:5]
 
 
-ROWS_ONLY_GATE = [
+ENGINE_HASH_GATE = [
     "q_docs_minhash_near_dups",
     "q_docs_simhash_near_dups",
     "q_emb_ann_lsh",
@@ -63,12 +71,14 @@ ROWS_ONLY_GATE = [
 ]
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_GATE)
-def test_rows_only_queries_are_run_deterministic(spark, name):
-    """The rows-only gate queries have no oracle to anchor them, so
-    pin the next best thing: two runs (one at a hostile partition
-    count) return EXACTLY the same rows — their hashes/seeds are data-
-    derived, never partition- or time-derived."""
+@pytest.mark.parametrize("name", ENGINE_HASH_GATE)
+def test_engine_hash_queries_are_run_deterministic(spark, name):
+    """Queries whose internals ride engine-specific hashes (xxhash64
+    signatures, RP bucket codes) carry derived-invariant oracles since
+    round 3, but the oracle can't see the intermediate candidate sets —
+    so additionally pin: two runs (one at a hostile partition count)
+    return EXACTLY the same rows — hashes/seeds are data-derived,
+    never partition- or time-derived."""
     first = sorted(map(tuple, _QUERIES[name](spark, SF_SMALL).collect()))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "5")
