@@ -613,12 +613,21 @@ def jaccard_pairs(
         F.size("ws").alias("n_b"),
     )
     joined = left.crossJoin(right) if not on else left.join(right, on)
+    # Size-ratio prune (the standard set-similarity-join filter):
+    # inter ≤ min(|a|,|b|) and union ≥ max(|a|,|b|), so J ≥ τ forces
+    # min/max ≥ τ — pairs outside the size band skip the intersect
+    # entirely on two integer compares.
+    size_ok = (
+        F.col("n_a").cast("double") >= F.col("n_b") * F.lit(threshold)
+    ) & (F.col("n_b").cast("double") >= F.col("n_a") * F.lit(threshold))
     # Two-step select so the array_intersect runs ONCE per pair: `inter`
     # feeds both the union arithmetic and the ratio, and referencing the
     # full expression twice in one projection would duplicate the hash
     # pass (same CollapseProject discipline as the signature pipelines —
     # an aliased attribute is cheap to inline, the intersect is not).
-    with_inter = joined.filter(F.col("id_a") < F.col("id_b")).select(
+    with_inter = joined.filter(
+        (F.col("id_a") < F.col("id_b")) & size_ok
+    ).select(
         *blk_cols,
         "id_a",
         "id_b",
