@@ -103,6 +103,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Wall-clock budget: the harness running this may enforce its own
+    # timeout; a killed process emits NO json line at all, which is
+    # strictly worse than fewer repetitions.  Stop starting new rounds
+    # once the budget is spent (completed rounds still yield medians).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "400"))
+    t0 = time.perf_counter()
 
     from fortymhz_spark.queries import all_queries
     from fortymhz_spark.session import get_session
@@ -118,7 +124,16 @@ def main() -> None:
 
     times: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
+    reps_run = 0
     for rep in range(reps):
+        if rep > 0 and time.perf_counter() - t0 > budget_s:
+            print(
+                f"# budget {budget_s}s spent after {rep} round(s); "
+                "skipping remaining repetitions",
+                file=sys.stderr,
+            )
+            break
+        reps_run = rep + 1
         for name in names:
             if name in errors:
                 continue
@@ -151,7 +166,7 @@ def main() -> None:
         "queries": medians,
         "cold": cold,
         "spread": spread,
-        "reps": reps,
+        "reps": reps_run,
         "sf": float(sf) if sf else None,
     }
     if errors:
