@@ -151,13 +151,14 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    medians = {
-        n: round(statistics.median(ts), 4) for n, ts in times.items() if ts
-    }
-    cold = {n: round(ts[0], 4) for n, ts in times.items() if ts}
-    spread = {
-        n: round(max(ts) - min(ts), 4) for n, ts in times.items() if ts
-    }
+    # An erroring query is excluded from the totals entirely — even if
+    # it produced samples in earlier rounds — so "value" never mixes a
+    # partial cold sample for a broken query into the round-over-round
+    # comparison; it is visible only under "errors".
+    ok = {n: ts for n, ts in times.items() if ts and n not in errors}
+    medians = {n: round(statistics.median(ts), 4) for n, ts in ok.items()}
+    cold = {n: round(ts[0], 4) for n, ts in ok.items()}
+    spread = {n: round(max(ts) - min(ts), 4) for n, ts in ok.items()}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_queries_total",

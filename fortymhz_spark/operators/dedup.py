@@ -78,6 +78,14 @@ def near_dup_components(
             neighbor_min, labels["id"] == neighbor_min["src"], "left"
         ).select(
             "id",
+            # Round-start label rides along: convergence must compare
+            # against it, not the post-propagation intermediate — a
+            # propagation-only round (e.g. the first round of a star
+            # graph, where the center adopts a leaf's label but no jump
+            # shortcut exists yet) would otherwise count zero changes
+            # and exit with over-split components (caught by the
+            # 3-node-star regression test).
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
@@ -98,7 +106,7 @@ def near_dup_components(
                     F.col("component"),
                     F.coalesce(F.col("__pcomp__"), F.col("component")),
                 ).alias("new_component"),
-                F.col("component").alias("old_component"),
+                "old_component",
             )
             .localCheckpoint()
         )

@@ -27,7 +27,7 @@ def frequent_terms(
     df: DataFrame,
     *,
     text_col: str = "text",
-    k: int = 20,
+    k: int | None = 20,
     counters: int = 200,
 ) -> DataFrame:
     """Top-``k`` terms by Misra-Gries lower-bound count.
@@ -35,12 +35,16 @@ def frequent_terms(
     Returns (term, est_count) with est_count ≤ true count and every
     term whose true frequency exceeds total_tokens/``counters``
     guaranteed present before the top-k cut (tested against the exact
-    counts in tests/test_properties.py).  Tokenization matches
+    counts in tests/test_properties.py).  ``k=None`` returns the FULL
+    merged candidate set (up to counters × partitions rows) — the form
+    a containment check must join against, since the guarantee covers
+    candidates and a top-k cut ranks by UNDERcounted estimates (a true
+    heavy hitter can sit below the cut).  Tokenization matches
     ``operators/text.py::tokens`` (single-space split, empties
     dropped, lowercased).
     """
-    if k < 1 or counters < 1:
-        raise ValueError(f"need k >= 1 and counters >= 1, got {k=} {counters=}")
+    if (k is not None and k < 1) or counters < 1:
+        raise ValueError(f"need k >= 1 (or None) and counters >= 1, got {k=} {counters=}")
     out_schema = "term string, cnt long"
 
     def summarize(batches):
@@ -73,9 +77,9 @@ def frequent_terms(
             )
 
     local = df.select(text_col).mapInPandas(summarize, out_schema)
-    return (
+    merged = (
         local.groupBy("term")
         .agg(F.sum("cnt").cast("long").alias("est_count"))
         .orderBy(F.desc("est_count"), F.asc("term"))
-        .limit(k)
     )
+    return merged if k is None else merged.limit(k)

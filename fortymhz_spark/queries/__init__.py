@@ -88,7 +88,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_text_repetition_stats",
     "q_vec_int8_quant_error",
     "q_pack_sequences",
-    "q_vec_kmeans",                # rows-only by design (Lloyd loop)
+    "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
     "q_search_bm25",
     "q_vec_knn_arrow",             # re-oracled: neighbor-identity check
     "q_pipeline_curation",

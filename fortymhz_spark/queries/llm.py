@@ -481,8 +481,9 @@ def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # use_lsh=False: this is the oracle-exact ground-truth path; the
-    # operator's default (None) auto-selects LSH above AUTO_LSH_THRESHOLD.
+    # use_lsh=False (the default, stated for emphasis): this is the
+    # oracle-exact ground-truth path; the bucketed scale path is the
+    # explicit opt-in exercised by q_emb_near_dup_lsh_subset.
     return sim.cosine_near_dup_pairs(emb, threshold=0.8, use_lsh=False).orderBy(
         "id_a", "id_b"
     )
@@ -586,7 +587,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.7 bound is margin, not hope.
 # ---------------------------------------------------------------------------
 def _ann_recall_check(
-    exact_pairs: DataFrame, ann_pairs: DataFrame, k: int, bound: float
+    exact_pairs: DataFrame, ann_pairs: DataFrame, bound: float
 ) -> DataFrame:
     """(query_id, n_exact, recall_ok) for an ANN result vs its exact
     ground truth, all inside one plan — two aggregates over a semi-join,
@@ -629,7 +630,7 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = sim.lsh_knn(emb, queries, k=10, n_planes=16, bands=8).select(
         "query_id", "neighbor_id"
     )
-    return _ann_recall_check(exact, ann, k=10, bound=0.7)
+    return _ann_recall_check(exact, ann, bound=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -699,21 +700,24 @@ def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-file ANN top-5 for the 10 lowest-id query vectors —
+    """Inverted-file ANN top-5 for query vectors with vec_id < 10 —
     the probe-and-rerank scale path beside the sign-RP LSH variant
     (operators/similarity.py::ivf_knn) — with per-query recall@5
-    verified in-plan against the exact top-5."""
+    verified in-plan against the exact top-5.  The query-set predicate
+    matches the oracle's WHERE verbatim (an orderBy+limit form would
+    silently diverge from it if a fixture regeneration ever produced
+    non-contiguous vec_ids)."""
     from fortymhz_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.orderBy("vec_id").limit(10)
+    queries = emb.filter(F.col("vec_id") < 10)
     exact = sim.brute_force_knn(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
     ann = sim.ivf_knn(emb, queries, k=5, n_cells=16, nprobe=8).select(
         "query_id", "neighbor_id"
     )
-    return _ann_recall_check(exact, ann, k=5, bound=0.5)
+    return _ann_recall_check(exact, ann, bound=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -1803,10 +1807,11 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(20)
     )
-    # k == counters: join against the sketch's full candidate set — the
-    # containment guarantee covers candidates, and a tighter top-k cut
-    # by (undercounted) est_count could reorder terms near the boundary.
-    sketch = frequent_terms(docs, text_col="text", k=200, counters=200)
+    # k=None: join against the sketch's FULL merged candidate set — the
+    # containment guarantee covers candidates, and any top-k cut ranks
+    # by UNDERcounted estimates, so a true heavy hitter could sit below
+    # the cut at scale (candidates can number counters × partitions).
+    sketch = frequent_terms(docs, text_col="text", k=None, counters=200)
     return (
         exact.join(
             sketch.select(F.col("term"), F.lit(True).alias("in_sketch")),

@@ -185,9 +185,18 @@ def start_partition_upsert_sink(
         out_cols = batch_df.columns
         merged = batch_df
         if len(keys) > len(partition_by):
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = spark.read.parquet(path)
-            except Exception:  # first batch: table does not exist yet
+            except AnalysisException:  # first batch: table does not exist
+                # Only analysis-time failures (PATH_NOT_FOUND) mean "no
+                # table yet".  A TRANSIENT read error must NOT be
+                # swallowed here: treating it as missing-table would
+                # skip the read-merge and overwrite touched partitions
+                # with only the changed groups — the exact data loss
+                # this merge exists to prevent.  Let it fail the batch;
+                # the checkpoint retries.
                 existing = None
             if existing is not None:
                 touched = batch_df.select(*partition_by).distinct()

@@ -457,3 +457,26 @@ def test_portable_simhash_matches_python_reference(spark):
     }
     want = {i: ref_sim32(t) for i, t in docs if {w for w in t.lower().split() if w}}
     assert got == want
+
+
+def test_near_dup_components_star_graph_regression(spark):
+    """Regression for the convergence-check bug: on a star [(0,2),(1,2)]
+    the first round's PROPAGATION moves the center (2 → 0) but no
+    pointer-jump shortcut exists yet; a check that compares against the
+    post-propagation intermediate counts zero changes and exits with
+    leaf 1 stranded in its own component.  Convergence must be measured
+    against the ROUND-START labels."""
+    from fortymhz_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame([(0, 2), (1, 2)], "id_a long, id_b long")
+    labels = {r["id"]: r["component"] for r in near_dup_components(pairs).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0}
+
+    # a two-star chain (two hubs bridged) — propagation + jump interplay
+    pairs2 = spark.createDataFrame(
+        [(0, 4), (1, 4), (4, 5), (2, 5), (3, 5)], "id_a long, id_b long"
+    )
+    labels2 = {
+        r["id"]: r["component"] for r in near_dup_components(pairs2).collect()
+    }
+    assert labels2 == {i: 0 for i in (0, 1, 2, 3, 4, 5)}
