@@ -480,3 +480,46 @@ def test_near_dup_components_star_graph_regression(spark):
         r["id"]: r["component"] for r in near_dup_components(pairs2).collect()
     }
     assert labels2 == {i: 0 for i in (0, 1, 2, 3, 4, 5)}
+
+
+def test_near_dup_components_random_graphs_vs_union_find(spark):
+    """Randomized differential: min-label components on random graphs
+    must equal a driver-side union-find.  Catches convergence-check
+    and jump-interplay bugs that hand-picked shapes miss (the star
+    regression above was found exactly this way)."""
+    import random
+
+    from fortymhz_spark.operators.dedup import near_dup_components
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 90)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: find(v) for v in sorted(touched)}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in near_dup_components(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
