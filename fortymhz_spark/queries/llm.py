@@ -492,13 +492,18 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH cosine near-dups, graded as a VERIFIED SUBSET of the exact pairs
 # (round-2 judge: the gate never exercised the bucketed scale path
-# with an oracle).  The LSH path exact-cosine-verifies every candidate
-# (precision 1.0 by construction), so its output must be a subset of
-# the exact all-pairs result; at this threshold + banding it finds ALL
-# of them (verified at sf0.001 and sf0.01 — deterministic hyperplanes),
-# so the graded output is the exact pair set with a found_by_lsh flag
-# the oracle asserts TRUE.  A missed bucket collision (recall bug) or
-# a broken verify step (precision bug) both flip cells.
+# with an oracle).  Two guarantees, graded differently:
+# - PRECISION is structural (the LSH path exact-cosine-verifies every
+#   candidate), so subset violations are emitted per-pair as
+#   `missing_from_exact` — always FALSE, and a broken verify step
+#   flips a cell.
+# - RECALL is probabilistic over the hyperplane draw, so it is graded
+#   as an AGGREGATE bound (≥ 0.8) rather than per-pair flags: with
+#   ~98.7 % per-pair collision probability at this threshold+banding,
+#   a per-pair TRUE column would fail on ~17 % of fixture
+#   regenerations from a missed single pair, while the aggregate
+#   bound's failure odds are ~1e-3 (and 0 on the current fixtures —
+#   measured recall 1.0 at sf0.001 and sf0.01).
 # ---------------------------------------------------------------------------
 @reg.query(
     "q_emb_near_dup_lsh_subset",
@@ -508,7 +513,8 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       b.vec_id AS id_b,
       {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
         / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) AS cosine,
-      TRUE AS found_by_lsh
+      FALSE AS missing_from_exact,
+      TRUE AS recall_ok
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
         / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.45
@@ -520,15 +526,23 @@ def q_emb_near_dup_lsh_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.cosine_near_dup_pairs(emb, threshold=0.45)
     lsh = sim.cosine_near_dup_pairs(
         emb, threshold=0.45, use_lsh=True, n_planes=16, bands=8
-    ).select("id_a", "id_b", F.lit(True).alias("found_by_lsh"))
+    ).select("id_a", "id_b", F.lit(True).alias("__lsh__"))
+    matched = exact.join(lsh, ["id_a", "id_b"], "full").select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.col("cosine").isNull().alias("missing_from_exact"),
+        F.coalesce("__lsh__", F.lit(False)).alias("found"),
+    )
+    recall = matched.filter(~F.col("missing_from_exact")).agg(
+        (
+            F.sum(F.col("found").cast("long"))
+            >= F.count(F.lit(1)) * F.lit(0.8)
+        ).alias("recall_ok")
+    )
     return (
-        exact.join(lsh, ["id_a", "id_b"], "left")
-        .select(
-            "id_a",
-            "id_b",
-            "cosine",
-            F.coalesce("found_by_lsh", F.lit(False)).alias("found_by_lsh"),
-        )
+        matched.crossJoin(F.broadcast(recall))
+        .select("id_a", "id_b", "cosine", "missing_from_exact", "recall_ok")
         .orderBy("id_a", "id_b")
     )
 
@@ -689,7 +703,12 @@ def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path (cell assignment is centroid-seed-specific — no oracle for the
 # candidate sets — but recall vs the exact top-k is plan-computable).
 # Measured min per-query recall with nprobe=8/16 cells: 0.8 at both
-# sf0.001 and sf0.01; bound 0.5 is margin (deterministic pipeline).
+# sf0.001 and sf0.01.  Bound 0.4: deterministic on the current
+# fixtures (0.8 clears any bound ≤ 0.8), and chosen so that a fixture
+# REGENERATION with a fresh random seed stays safe — at ~0.9
+# per-neighbor find probability, P(a query finds ≤ 1 of 5) is ~5e-4,
+# vs ~1 % per query for a 0.5 bound (10 % per regeneration across 10
+# queries — the ts-type change this round proves regens happen).
 # ---------------------------------------------------------------------------
 @reg.query(
     "q_emb_ann_ivf",
@@ -717,7 +736,7 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = sim.ivf_knn(emb, queries, k=5, n_cells=16, nprobe=8).select(
         "query_id", "neighbor_id"
     )
-    return _ann_recall_check(exact, ann, bound=0.5)
+    return _ann_recall_check(exact, ann, bound=0.4)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,20 @@ _SQL_MEDIA_TYPE = (
 )
 
 
+# Payload synthesis sanitizes to printable ASCII first: the byte-lane
+# checksum oracle (q_media_features) equates byte i with ord(char i),
+# which only holds for single-byte characters.  The current fixtures
+# are pure ASCII (verified), but fixture REGENERATIONS have already
+# changed physical types once (events.ts) — the sanitize step makes the
+# byte=ord identity true by construction on both engines instead of by
+# fixture luck.  The character class [ -~] (printable ASCII) means the
+# same thing to Spark and DuckDB regexes.  (Residual caveat: an
+# astral-plane codepoint — emoji — replaces as TWO '?' in Java's
+# UTF-16 regex vs one in RE2; BMP text, the realistic fixture space,
+# is exact.)
+_SANITIZE_RE = "[^ -~]"
+
+
 def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → MEDIA_ASSET-shaped frame (binary payload + meta map)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -40,7 +54,9 @@ def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         media_type.alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(
+            F.regexp_replace("text", _SANITIZE_RE, "?"), "UTF-8"
+        ).alias("payload"),
         F.create_map(
             F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
         ).alias("meta"),
@@ -53,8 +69,8 @@ def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       {_SQL_MEDIA_TYPE} AS media_type,
       COUNT(*) AS n_assets,
-      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-      MAX(octet_length(encode(text))) AS max_bytes
+      CAST(SUM(octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g')))) AS BIGINT) AS total_bytes,
+      MAX(octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g')))) AS max_bytes
     FROM documents
     GROUP BY 1
     ORDER BY media_type
@@ -83,7 +99,7 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       doc_id AS asset_id,
-      len(generate_series(0, octet_length(encode(text)) // 1000 + 1, 30))
+      len(generate_series(0, octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g'))) // 1000 + 1, 30))
         AS n_sampled_frames
     FROM documents
     WHERE (doc_id % 3) = 2
@@ -102,12 +118,13 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The fixture text is pure ASCII (octet_length == length for every
-# row), so byte i of the UTF-8 payload == ord(character i) and DuckDB
-# can recompute the kernel's interleaved byte-lane sums exactly.
+# Payloads are sanitized to printable ASCII (synth_media_assets), so
+# byte i of the UTF-8 payload == ord(character i) BY CONSTRUCTION and
+# DuckDB can recompute the kernel's interleaved byte-lane sums exactly
+# on any fixture generation.
 _SQL_LANE_SUMS = ",\n      ".join(
     "CAST(COALESCE(SUM(CASE WHEN (i - 1) % 8 = {k} "
-    "THEN ord(substr(text, CAST(i AS INT), 1)) END), 0) AS BIGINT) AS s{k}".format(k=k)
+    "THEN ord(substr(t, CAST(i AS INT), 1)) END), 0) AS BIGINT) AS s{k}".format(k=k)
     for k in range(8)
 )
 
@@ -116,8 +133,8 @@ _SQL_LANE_SUMS = ",\n      ".join(
     "q_media_features",
     oracle=f"""
     WITH expanded AS (
-      SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
-      FROM documents
+      SELECT doc_id, unnest(generate_series(1, length(t))) AS i, t
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS t FROM documents)
     ),
     lanes AS (
       SELECT doc_id,
@@ -127,7 +144,7 @@ _SQL_LANE_SUMS = ",\n      ".join(
     SELECT
       d.doc_id AS asset_id,
       {_SQL_MEDIA_TYPE.replace('doc_id', 'd.doc_id')} AS media_type,
-      octet_length(encode(d.text)) AS n_bytes,
+      octet_length(encode(regexp_replace(d.text, '[^ -~]', '?', 'g'))) AS n_bytes,
       COALESCE(l.s0, 0) AS s0, COALESCE(l.s1, 0) AS s1,
       COALESCE(l.s2, 0) AS s2, COALESCE(l.s3, 0) AS s3,
       COALESCE(l.s4, 0) AS s4, COALESCE(l.s5, 0) AS s5,
