@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fortymhz_spark.functions.vectors import cosine_similarity
 from fortymhz_spark.operators import dedup as dd
@@ -534,14 +535,23 @@ def q_emb_near_dup_lsh_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").isNull().alias("missing_from_exact"),
         F.coalesce("__lsh__", F.lit(False)).alias("found"),
     )
-    recall = matched.filter(~F.col("missing_from_exact")).agg(
-        (
-            F.sum(F.col("found").cast("long"))
-            >= F.count(F.lit(1)) * F.lit(0.8)
-        ).alias("recall_ok")
-    )
+    # Global-window aggregate, not a separate agg + crossJoin: the
+    # latter would traverse `matched` twice and re-execute BOTH the
+    # exact all-pairs join and the LSH pipeline (the two most expensive
+    # subtrees here); the window computes recall in the same pass, and
+    # the result set is tiny so the single-partition window exchange is
+    # free.
+    w_all = Window.partitionBy()
+    hits = F.sum(
+        F.when(~F.col("missing_from_exact"), F.col("found").cast("long"))
+    ).over(w_all)
+    base = F.sum(
+        (~F.col("missing_from_exact")).cast("long")
+    ).over(w_all)
     return (
-        matched.crossJoin(F.broadcast(recall))
+        matched.withColumn(
+            "recall_ok", hits >= base * F.lit(0.8)
+        )
         .select("id_a", "id_b", "cosine", "missing_from_exact", "recall_ok")
         .orderBy("id_a", "id_b")
     )

@@ -37,11 +37,11 @@ _SQL_MEDIA_TYPE = (
 # changed physical types once (events.ts) — the sanitize step makes the
 # byte=ord identity true by construction on both engines instead of by
 # fixture luck.  The character class [ -~] (printable ASCII) means the
-# same thing to Spark and DuckDB regexes.  (Residual caveat: an
-# astral-plane codepoint — emoji — replaces as TWO '?' in Java's
-# UTF-16 regex vs one in RE2; BMP text, the realistic fixture space,
-# is exact.)
+# same thing to Spark and DuckDB regexes (verified including astral
+# codepoints: both engines match per CODEPOINT, so an emoji replaces
+# as one '?' on each side).
 _SANITIZE_RE = "[^ -~]"
+_SQL_SANITIZED_TEXT = f"regexp_replace(text, '{_SANITIZE_RE}', '?', 'g')"
 
 
 def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,8 +69,8 @@ def synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       {_SQL_MEDIA_TYPE} AS media_type,
       COUNT(*) AS n_assets,
-      CAST(SUM(octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g')))) AS BIGINT) AS total_bytes,
-      MAX(octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g')))) AS max_bytes
+      CAST(SUM(octet_length(encode({_SQL_SANITIZED_TEXT}))) AS BIGINT) AS total_bytes,
+      MAX(octet_length(encode({_SQL_SANITIZED_TEXT}))) AS max_bytes
     FROM documents
     GROUP BY 1
     ORDER BY media_type
@@ -99,7 +99,7 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       doc_id AS asset_id,
-      len(generate_series(0, octet_length(encode(regexp_replace(text, '[^ -~]', '?', 'g'))) // 1000 + 1, 30))
+      len(generate_series(0, octet_length(encode({_SQL_SANITIZED_TEXT})) // 1000 + 1, 30))
         AS n_sampled_frames
     FROM documents
     WHERE (doc_id % 3) = 2
@@ -134,7 +134,7 @@ _SQL_LANE_SUMS = ",\n      ".join(
     oracle=f"""
     WITH expanded AS (
       SELECT doc_id, unnest(generate_series(1, length(t))) AS i, t
-      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS t FROM documents)
+      FROM (SELECT doc_id, {_SQL_SANITIZED_TEXT} AS t FROM documents)
     ),
     lanes AS (
       SELECT doc_id,
@@ -144,7 +144,7 @@ _SQL_LANE_SUMS = ",\n      ".join(
     SELECT
       d.doc_id AS asset_id,
       {_SQL_MEDIA_TYPE.replace('doc_id', 'd.doc_id')} AS media_type,
-      octet_length(encode(regexp_replace(d.text, '[^ -~]', '?', 'g'))) AS n_bytes,
+      octet_length(encode({_SQL_SANITIZED_TEXT.replace('text', 'd.text')})) AS n_bytes,
       COALESCE(l.s0, 0) AS s0, COALESCE(l.s1, 0) AS s1,
       COALESCE(l.s2, 0) AS s2, COALESCE(l.s3, 0) AS s3,
       COALESCE(l.s4, 0) AS s4, COALESCE(l.s5, 0) AS s5,

@@ -28,15 +28,18 @@ def main() -> int:
     names = list(all_queries())
     green: dict[str, str] = {}
     weak: dict[str, str] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")]
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
             if row.get("err") is None and row.get("hash_match"):
                 green[name] = rnd
-            elif name not in green:
+            else:
                 weak[name] = f"r{rnd}: {row.get('err') or 'mismatch'}"
+    # a green row in ANY round supersedes weak rows from other rounds
+    weak = {n: w for n, w in weak.items() if n not in green}
 
     never = [n for n in names if n not in green and n not in weak]
     gated = names[:50]
