@@ -576,23 +576,41 @@ def jaccard_pairs(
     *,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    method: str = "auto",
 ) -> DataFrame:
-    """Exact word-set Jaccard over all pairs sharing ``block_col``.
+    """Exact word-set Jaccard pairs (within ``block_col``, if given).
 
-    Quadratic *within a block* — the caller picks a blocking key that
-    bounds block size (source, language, LSH bucket…).  With no block
-    the join is a full cross product: correct, but only for small
-    corpora (tests / verification of LSH recall).
+    Two physically different plans for the SAME exact result:
 
-    The pairwise verify intersects shingle sets AS 64-BIT HASHES, not
-    strings: ``array_intersect`` hashes every element of both arrays
-    per pair, and hashing longs is ~5-10× cheaper than hashing 20-char
-    shingle strings (measured 55 s → 8 s for the blocked form at
-    sf0.1).  Jaccard VALUES are unchanged — xxhash64 is injective on a
-    shingle set up to 2⁻⁶⁴-probability collisions — so oracle
-    comparisons are unaffected, and the strings themselves never leave
-    the per-row projection.
+    - ``"sparse"`` (the default whenever ``threshold > 0``): an
+      inverted-index self-join — explode (id, shingle), join on the
+      shingle (plus block), and COUNT matches per pair, which IS the
+      intersection size; union comes from per-doc sizes.  Cost is
+      Σ_s d_s² over shingle document-frequencies d_s, not |block|² —
+      for distinctive shingles (the point of w-shingling) that is
+      near-linear, and it is the 100 TB shape (measured: the blocked
+      form at sf0.1 drops 17 s → ~1.5 s; zero-overlap pairs never
+      materialize at all).  A degenerate "stop shingle" appearing in
+      k docs contributes k² join rows — if a corpus has those, strip
+      them first (df-filter), exactly as PPJoin-family algorithms do.
+    - ``"dense"``: all pairs within a block via join + per-pair
+      ``array_intersect`` over 64-bit shingle hashes (injective up to
+      2⁻⁶⁴ collisions, so values match string-set Jaccard).  Required
+      for ``threshold <= 0`` (zero-overlap pairs are part of the
+      answer there) and still the fallback for adversarially common
+      shingles; with no block it is a true cross product — ground
+      truth / verification only.
+
+    ``"auto"`` picks sparse when ``threshold > 0`` else dense.
     """
+    if method not in ("auto", "sparse", "dense"):
+        raise ValueError(f"method must be auto|sparse|dense, got {method!r}")
+    if method == "sparse" and threshold <= 0:
+        raise ValueError(
+            "sparse jaccard_pairs requires threshold > 0: zero-overlap "
+            "pairs never meet the inverted index"
+        )
+    use_sparse = method == "sparse" or (method == "auto" and threshold > 0)
     shingle_strs = (
         shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
     )
@@ -604,6 +622,35 @@ def jaccard_pairs(
     )
     on = ["blk"] if block_col else []
     blk_cols = ["blk"] if block_col else []
+    if use_sparse:
+        ex = base.select(
+            *blk_cols, "id", F.explode("ws").alias("sh")
+        )
+        sizes = base.select(F.col("id"), F.size("ws").alias("n"))
+        inter = (
+            ex.select(*blk_cols, F.col("id").alias("id_a"), "sh")
+            .join(
+                ex.select(*blk_cols, F.col("id").alias("id_b"), "sh"),
+                [*on, "sh"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy(*blk_cols, "id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+        )
+        union = (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter")
+        return (
+            inter.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
+                ["id_a"],
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")),
+                ["id_b"],
+            )
+            .withColumn("jaccard", F.col("inter") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select(*blk_cols, "id_a", "id_b", "jaccard")
+        )
     # Per-row set sizes computed BEFORE the join: |a ∪ b| = |a|+|b|−|a∩b|
     # (sets are distinct by construction), which drops the second full
     # array hash pass (array_union) from the per-pair work — the verify

@@ -83,10 +83,11 @@ def test_q1_single_aggregation_shuffle(plans):
     [
         "q_docs_minhash_near_dups",
         "q_docs_simhash_near_dups",
-        # the scale-path twins of the two intentionally-quadratic
-        # ground-truth queries: blocked Jaccard equi-joins on the block
-        # key; the LSH subset check's LSH branch buckets on (band, code)
         "q_docs_jaccard_blocked",
+        # since the sparse inverted-index form landed, even the
+        # UNBLOCKED exact-Jaccard ground truth equi-joins on the
+        # shingle key — no cross product anywhere in the family
+        "q_docs_ngram_jaccard_pairs",
     ],
 )
 def test_lsh_pipelines_never_cartesian(plans, name):
