@@ -12,11 +12,20 @@ dominated by ±30-50 % co-tenant noise): every query now runs
 $SPARK_GRAFT_BENCH_REPS times (default 3) in INTERLEAVED rounds —
 q1..qN, q1..qN, … — so a transient host stall inflates one round of
 many queries instead of every rep of one query.  The headline
-"queries" map carries per-query MEDIANS; "cold" carries the first-round
-times (JIT/codegen-dominated for the compile-bound queries: simhash,
-kmeans, ANN), and "spread" carries max-min across reps.  "value" is the
-sum of medians — the steady-state engine cost a round-over-round
-comparison should use.
+"queries" map carries per-query MEDIANS; "value" is the sum of medians
+— the steady-state engine cost a round-over-round comparison should
+use.
+
+Output discipline (round-3 judge: BENCH_r03.json failed to parse
+because the enriched single line with cold/spread for 55 queries
+overflowed the driver's 2000-char stdout capture): the final stdout
+line is now a COMPACT json object (minimal separators, 3-decimal
+medians, no cold/spread) printed last and alone; cold-run times,
+spreads, and full-precision medians go to BENCH_DETAILS.json next to
+this script.  "n_queries_in_value" counts the queries summed into
+"value" and "excluded" names any query dropped for erroring, so a
+round-over-round total comparison can detect a changed denominator
+(round-3 advisor item).
 """
 
 from __future__ import annotations
@@ -154,26 +163,47 @@ def main() -> None:
     # An erroring query is excluded from the totals entirely — even if
     # it produced samples in earlier rounds — so "value" never mixes a
     # partial cold sample for a broken query into the round-over-round
-    # comparison; it is visible only under "errors".
+    # comparison; it is named in "excluded" so total comparisons can
+    # detect the changed denominator.
     ok = {n: ts for n, ts in times.items() if ts and n not in errors}
-    medians = {n: round(statistics.median(ts), 4) for n, ts in ok.items()}
-    cold = {n: round(ts[0], 4) for n, ts in ok.items()}
-    spread = {n: round(max(ts) - min(ts), 4) for n, ts in ok.items()}
+    medians = {n: statistics.median(ts) for n, ts in ok.items()}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_queries_total",
-        "value": round(sum(medians.values()), 4),
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": medians,
-        "cold": cold,
-        "spread": spread,
+        "queries": {n: round(m, 3) for n, m in medians.items()},
+        "n_queries_in_value": len(medians),
+        "excluded": sorted(set(names) - set(medians)),
         "reps": reps_run,
         "sf": float(sf) if sf else None,
     }
-    if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+    details = {
+        **result,
+        "queries": {n: round(m, 4) for n, m in medians.items()},
+        "cold": {n: round(ts[0], 4) for n, ts in ok.items()},
+        "spread": {n: round(max(ts) - min(ts), 4) for n, ts in ok.items()},
+        "samples": {n: [round(t, 4) for t in ts] for n, ts in ok.items()},
+        "errors": errors,
+    }
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAILS.json")
+    with open(details_path, "w") as fh:
+        json.dump(details, fh, indent=1)
+    print(f"# cold/spread/samples -> {details_path}", file=sys.stderr)
     spark.stop()
+    # The driver captures only the stdout TAIL; the compact result line
+    # must be the last thing printed and must fit the capture window.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:  # belt and braces: shed precision, then detail
+        result["queries"] = {n: round(m, 2) for n, m in medians.items()}
+        line = json.dumps(result, separators=(",", ":"))
+        if len(line) > 1900:
+            del result["queries"]
+            result["queries_in"] = "BENCH_DETAILS.json"
+            line = json.dumps(result, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -577,6 +577,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     method: str = "auto",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard pairs (within ``block_col``, if given).
 
@@ -590,18 +591,29 @@ def jaccard_pairs(
       for distinctive shingles (the point of w-shingling) that is
       near-linear, and it is the 100 TB shape (measured: the blocked
       form at sf0.1 drops 17 s → ~1.5 s; zero-overlap pairs never
-      materialize at all).  A degenerate "stop shingle" appearing in
-      k docs contributes k² join rows — if a corpus has those, strip
-      them first (df-filter), exactly as PPJoin-family algorithms do.
+      materialize at all).
     - ``"dense"``: all pairs within a block via join + per-pair
       ``array_intersect`` over 64-bit shingle hashes (injective up to
       2⁻⁶⁴ collisions, so values match string-set Jaccard).  Required
       for ``threshold <= 0`` (zero-overlap pairs are part of the
-      answer there) and still the fallback for adversarially common
-      shingles; with no block it is a true cross product — ground
+      answer there); with no block it is a true cross product — ground
       truth / verification only.
 
     ``"auto"`` picks sparse when ``threshold > 0`` else dense.
+
+    ``max_df`` (sparse path only) caps the quadratic blow-up of
+    degenerate "stop shingles": a shingle appearing in k docs
+    contributes k² join rows, so one boilerplate line shared by every
+    document turns the near-linear index into |corpus|².  With
+    ``max_df=c`` set, shingles with document frequency > c are dropped
+    from CANDIDATE GENERATION only (the PPJoin prefix-filter idea);
+    every surviving candidate pair is then verified with an exact
+    ``array_intersect`` over the FULL shingle arrays, so emitted
+    jaccard values are exact — the cap affects recall only, and only
+    for pairs whose entire overlap is stop shingles (for near-dup
+    detection those are boilerplate matches, which is precisely what a
+    stop-shingle filter is meant to ignore).  Index cost becomes
+    Σ_{df_s ≤ c} d_s² ≤ c · Σ d_s — linear in corpus size for fixed c.
     """
     if method not in ("auto", "sparse", "dense"):
         raise ValueError(f"method must be auto|sparse|dense, got {method!r}")
@@ -610,6 +622,8 @@ def jaccard_pairs(
             "sparse jaccard_pairs requires threshold > 0: zero-overlap "
             "pairs never meet the inverted index"
         )
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
     use_sparse = method == "sparse" or (method == "auto" and threshold > 0)
     shingle_strs = (
         shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
@@ -626,6 +640,65 @@ def jaccard_pairs(
         ex = base.select(
             *blk_cols, "id", F.explode("ws").alias("sh")
         )
+        if max_df is not None:
+            # df per (block, shingle): each doc contributes a shingle
+            # once (sets are distinct by construction), so count == df.
+            # The semi-join keeps only index postings for rare shingles;
+            # common ones never reach the pair-generating self-join.
+            rare = (
+                ex.groupBy(*blk_cols, "sh")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") <= max_df)
+                .select(*blk_cols, "sh")
+            )
+            idx = ex.join(rare, [*on, "sh"], "left_semi")
+            cand = (
+                idx.select(*blk_cols, F.col("id").alias("id_a"), "sh")
+                .join(
+                    idx.select(*blk_cols, F.col("id").alias("id_b"), "sh"),
+                    [*on, "sh"],
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(*blk_cols, "id_a", "id_b")
+                .distinct()
+            )
+            # Exact verify over the full arrays (candidates only): the
+            # rare-shingle index decides WHICH pairs to score, never
+            # WHAT the score is.
+            arrs = base.select("id", "ws", F.size("ws").alias("n"))
+            with_arrays = cand.join(
+                arrs.select(
+                    F.col("id").alias("id_a"),
+                    F.col("ws").alias("ws_a"),
+                    F.col("n").alias("n_a"),
+                ),
+                ["id_a"],
+            ).join(
+                arrs.select(
+                    F.col("id").alias("id_b"),
+                    F.col("ws").alias("ws_b"),
+                    F.col("n").alias("n_b"),
+                ),
+                ["id_b"],
+            )
+            inter_exact = with_arrays.select(
+                *blk_cols,
+                "id_a",
+                "id_b",
+                "n_a",
+                "n_b",
+                F.size(F.array_intersect("ws_a", "ws_b"))
+                .cast("double")
+                .alias("inter"),
+            )
+            union = (
+                F.col("n_a") + F.col("n_b")
+            ).cast("double") - F.col("inter")
+            return (
+                inter_exact.withColumn("jaccard", F.col("inter") / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select(*blk_cols, "id_a", "id_b", "jaccard")
+            )
         sizes = base.select(F.col("id"), F.size("ws").alias("n"))
         inter = (
             ex.select(*blk_cols, F.col("id").alias("id_a"), "sh")

@@ -10,23 +10,26 @@ exposes to the driver harness.
 
 Registration order is EVIDENCE POLICY: the driver's correctness gate
 grades exactly the first 50 registered queries per round.  Round 2
-graded the north-star surfaces + 11 TPC-H shape representatives (all
-green — CORRECTNESS_r02.json); round 3 ROTATES the gate so the hard
-signal reaches what round 2 could not grade:
+graded the north-star surfaces (45 green — CORRECTNESS_r02.json);
+round 3 rotated in the never-graded long tail (50/50 green —
+CORRECTNESS_r03.json).  Round 4 COMPLETES the rotation: it grades the
+only nine queries without a current-code driver row —
 
-1. every query whose oracle is NEW this round (the five former
-   rows-only entries now carrying recall/error-band/checksum/portable-
-   hash oracles, plus the three new registrations: right-outer join,
-   blocked Jaccard, LSH verified-subset), and
-2. the previously-ungraded long tail — windows, rollup/grouping sets,
-   set ops, scalar/date functions, exact percentiles, countDistinct,
-   pivot/unpivot, cogroup, and the 17 tpch_deep shapes.
+1. the seven queries deferred from round 3's 50-slot tiebreak
+   (q_brand_volume, q_salted_agg_volume, q_sql_revenue_by_nation,
+   q_top_customers, q13, q18, q21 — green in round 1, ungraded since),
+   and
+2. the two media queries whose sanitize step changed AFTER their
+   round-2 grading (q_media_decode_stats, q_media_frame_sample —
+   re-verified locally, but their driver row predates the change).
 
-Seven previously-ungraded queries whose plan shapes are isomorphic to
-already-green rows are DEFERRED to the next rotation (listed in
-``DEFERRED_TO_NEXT_ROUND``) because the gate holds only 50; everything
-outside the gate stays covered by the local sf0.001 differential
-(tests/test_oracle_parity.py) either way.
+Nine round-3 greens rotate out to make room — the tpch_deep join/agg
+shapes most isomorphic to rows staying in the gate (q2, q7-q12, q14,
+q15; q5/q16/q17/q19/q20/q22 remain as the family's representatives).
+After this round every registered query holds a driver-green row
+produced by the current code.  Everything outside the gate stays
+covered by the local sf0.001 differential (tests/test_oracle_parity.py)
+either way.
 """
 
 from __future__ import annotations
@@ -37,76 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-3 gate (slots 1-50).  Composition:
-#   8 new/re-oracled (judge items 2-4) + 42 never-graded (judge item 1).
+# Round-4 gate (slots 1-50).  Composition: the 9 queries without a
+# current-code driver row (7 deferred-from-r3 + 2 media queries whose
+# sanitize step changed post-grading) + 41 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
-    # —— re-oracled this round: rows-only → differential-checked ——
-    "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
-    "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
-    "q_emb_ann_ivf",               # in-plan recall@5 vs exact top-k
-    "q_media_features",            # integer byte-lane checksums
-    "q_sketch_cardinality",        # exact twins + error-band booleans
-    # —— new registrations this round ——
-    "q_right_outer_order_counts",  # the one join type with no gate row
-    "q_docs_jaccard_blocked",      # scale twin of the unblocked cartesian
-    "q_emb_near_dup_lsh_subset",   # LSH pairs ⊆ exact pairs, verified
-    # —— never graded before: windows / analytic ——
-    "q_window_top_orders_per_customer",
-    "q_window_running_revenue",
-    "q_window_lag_order_gap",
-    # —— grouping shapes ——
-    "q_rollup_returnflag_status",
-    "q_grouping_sets_flag_year",
-    "q_distinct_parts_per_flag",
-    "q_quantity_percentiles",
-    "q_pivot_flag_by_status",
-    "q_unpivot_part_sizes",
-    # —— set ops / scalar surface ——
-    "q_set_ops_nations",
-    "q_scalar_functions",
-    "q_date_functions",
-    # —— joins / SQL twins not graded in round 2 ——
-    "q5_local_supplier_volume",
-    "q17_small_quantity_revenue",
-    "q_cogroup_user_orders",
-    # —— tpch_deep: every remaining TPC-H shape ——
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_shipping_delay",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q22_wealthy_inactive_customers",
-    # —— training-pipeline operators registered after round 1's gate ——
-    "q_chunk_token_windows",
-    "q_text_repetition_stats",
-    "q_vec_int8_quant_error",
-    "q_pack_sequences",
-    "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
-    "q_search_bm25",
-    "q_vec_knn_arrow",             # re-oracled: neighbor-identity check
-    "q_pipeline_curation",
-    "q_text_crossdoc_blocks",
-    "q_sketch_heavy_hitters",      # re-oracled: containment check
-    "q_shuffle_epochs",
-    "q_text_rarity_score",
-    "q_mixture_upsample",
-    "q_pack_export",
-)
-
-# Ungraded shapes parked for the NEXT rotation (their plan shapes are
-# isomorphic to rows already driver-green in round 2, so they lose the
-# 50-slot tiebreak): plain aggregates (q_brand_volume,
-# q_salted_agg_volume), SQL-API twin (q_sql_revenue_by_nation), join
-# + top-k (q_top_customers), and the three tpch_deep queries the
-# round-2 verdict did not name (q13, q18, q21).
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
     "q_salted_agg_volume",
     "q_sql_revenue_by_nation",
@@ -114,11 +52,64 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q18_large_volume_orders",
     "q21_suppliers_kept_waiting",
+    # —— media queries re-graded after the sanitize-step change ——
+    "q_media_decode_stats",
+    "q_media_frame_sample",
+    # —— held over from round 3's gate ——
+    "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
+    "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
+    "q_emb_ann_ivf",               # in-plan recall@5 vs exact top-k
+    "q_media_features",            # integer byte-lane checksums
+    "q_sketch_cardinality",        # exact twins + error-band booleans
+    "q_right_outer_order_counts",
+    "q_docs_jaccard_blocked",      # scale twin of the unblocked cartesian
+    "q_emb_near_dup_lsh_subset",   # LSH pairs ⊆ exact pairs, verified
+    "q_window_top_orders_per_customer",
+    "q_window_running_revenue",
+    "q_window_lag_order_gap",
+    "q_rollup_returnflag_status",
+    "q_grouping_sets_flag_year",
+    "q_distinct_parts_per_flag",
+    "q_quantity_percentiles",
+    "q_pivot_flag_by_status",
+    "q_unpivot_part_sizes",
+    "q_set_ops_nations",
+    "q_scalar_functions",
+    "q_date_functions",
+    "q5_local_supplier_volume",
+    "q17_small_quantity_revenue",
+    "q_cogroup_user_orders",
+    "q16_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    "q_chunk_token_windows",
+    "q_text_repetition_stats",
+    "q_vec_int8_quant_error",
+    "q_pack_sequences",
+    "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
+    "q_search_bm25",
+    "q_vec_knn_arrow",             # neighbor-identity check
+    "q_pipeline_curation",
+    "q_text_crossdoc_blocks",
+    "q_sketch_heavy_hitters",      # containment check
+    "q_shuffle_epochs",
+    "q_text_rarity_score",
+    "q_mixture_upsample",
+    "q_pack_export",
 )
 
-# Round-2 graded-green rows (CORRECTNESS_r02.json) that rotate OUT of
-# the gate this round; kept here so the registry can assert nothing
-# falls through the cracks (graded-green ∪ gate ∪ deferred == all).
+# Empty as of round 4: the rotation is complete — every registered
+# query has been graded green by a driver row produced by current code
+# in some round, and nothing is waiting for a slot.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
+
+# Driver-green rows (CORRECTNESS_r02/r03.json) that sit OUTSIDE the
+# round-4 gate; kept here so the registry can assert nothing falls
+# through the cracks (graded-green ∪ gate ∪ deferred == all).  The
+# nine tpch_deep shapes rotated out this round (q2, q7-q12, q14, q15)
+# graded green in round 3 and are plan-isomorphic to q5/q16/q17/q19/
+# q20/q22, which remain in the gate.
 PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_docs_exact_dedup", "q_docs_token_stats", "q_docs_quality",
     "q_docs_lang_id_confusion", "q_docs_fingerprints",
@@ -130,7 +121,6 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_dt_channel_occupancy", "q_dt_hits_per_orbit",
     "q_dt_event_time_span", "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy", "q_dt_custom_source_occupancy",
-    "q_media_decode_stats", "q_media_frame_sample",
     "q_events_hourly_by_type", "q_events_sliding_1h_30m",
     "q_events_sessionize", "q_events_json_props",
     "q_events_user_enrichment", "q_events_asof_last_order",
@@ -141,6 +131,11 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_customers_without_orders", "q_customer_order_counts_outer",
     "q_full_outer_daily_activity", "q_range_join_price_bands",
     "q_cube_flag_status", "q_pandas_udf_revenue",
+    # rotated out after their round-3 green
+    "q2_min_cost_supplier", "q7_nation_trade_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_suppliers", "q12_shipping_delay",
+    "q14_promo_revenue_share", "q15_top_supplier",
 )
 
 

@@ -640,7 +640,9 @@ def _ann_recall_check(
 @reg.query(
     "q_emb_ann_lsh",
     oracle="""
-    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5 ORDER BY query_id
     """,
@@ -723,7 +725,9 @@ def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @reg.query(
     "q_emb_ann_ivf",
     oracle="""
-    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact,
+    SELECT vec_id AS query_id,
+           CAST(LEAST(5, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """,
@@ -1384,9 +1388,15 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.crossJoin(init).select(
         "n_points",
         F.lit(8).cast("long").alias("n_clusters_max"),
-        (F.col("final_inertia") <= F.col("init_inertia")).alias(
-            "inertia_improved"
-        ),
+        # Inertias are sums of per-point floor(dist*1e9), so each side
+        # carries up to n_points nano-units of downward rounding; the
+        # comparison gets that same slack so a fixture that converges
+        # AT the initial assignment (true decrease below n*1e-9) can't
+        # flip the boolean spuriously (round-3 advisor item).
+        (
+            F.col("final_inertia")
+            <= F.col("init_inertia") + F.col("n_points")
+        ).alias("inertia_improved"),
         (
             (F.col("n_points") == F.col("n_init"))
             & (F.col("n_clusters_used") <= 8)

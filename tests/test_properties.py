@@ -8,6 +8,7 @@ local Spark round trip costs ~0.5 s.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -103,6 +104,74 @@ def test_jaccard_pairs_canonical_and_bounded(spark, txts):
                         r for r in rows if r["id_a"] == a and r["id_b"] == b
                     ]
                     assert match and abs(match[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_jaccard_max_df_stop_shingle_hardening(spark):
+    """Adversarial stop-shingle corpus: every document shares one
+    boilerplate line, so the unfiltered inverted index pays ~N² join
+    rows for the boilerplate shingles.  Asserts three things:
+
+    1. NEAR-LINEAR: the actual cost driver of the sparse plan —
+       Σ_s df_s² over index postings — is quadratic in N unfiltered
+       but ≤ max_df · (total postings) after the df-filter, i.e. the
+       quadratic term is gone (structural check on the real data, not
+       a wall-clock race).
+    2. EXACT VALUES: every pair the max_df path emits carries the
+       same jaccard as the dense ground truth (the rare-shingle index
+       decides WHICH pairs to score, never WHAT the score is).
+    3. RECALL: the engineered near-dups (which share rare shingles,
+       as real near-dups do) are all found — the result set equals
+       the dense ground truth at this threshold.
+    """
+    from fortymhz_spark.operators.text import shingle_set
+
+    n = 120
+    boiler = "the terms of service apply to all documents in this corpus"
+    rows = []
+    for i in range(n):
+        uniq = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, f"{boiler} {uniq}"))
+    rows.append((n, rows[0][1]))                 # exact dup of doc 0
+    rows.append((n + 1, rows[1][1] + " tail"))   # near dup of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 4
+
+    # (1) structural near-linearity of the index join
+    postings = df.select(F.explode(shingle_set("text", 3)).alias("sh"))
+    dfreq = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    full_cost, capped_cost, total_postings = dfreq.agg(
+        F.sum(F.col("df_") * F.col("df_")),
+        F.sum(
+            F.when(F.col("df_") <= max_df, F.col("df_") * F.col("df_"))
+        ),
+        F.sum("df_"),
+    ).first()
+    assert full_cost >= n * n  # the boilerplate really is quadratic
+    assert capped_cost <= max_df * total_postings  # filtered: linear
+
+    # (2) + (3) exactness and recall vs the dense ground truth
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, threshold=0.3, shingle_n=3, max_df=max_df
+        ).collect()
+    }
+    dense = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, threshold=0.3, shingle_n=3, method="dense"
+        ).collect()
+    }
+    assert (0, n) in dense and (1, n + 1) in dense  # corpus sanity
+    assert got.keys() == dense.keys()
+    for pair, j in got.items():
+        assert abs(j - dense[pair]) < 1e-12
+
+
+def test_jaccard_max_df_validation(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_df"):
+        jaccard_pairs(df, max_df=0)
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])

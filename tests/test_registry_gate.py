@@ -2,11 +2,11 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 3 rotates the gate: the 8 new/re-oracled
-queries plus 42 previously-ungraded shapes grade now; the 45 rows that
-were driver-green in round 2 rotate out (their evidence stands in
-CORRECTNESS_r02.json); 7 shape-duplicate stragglers are explicitly
-deferred.  These tests pin that every registered query is accounted
+queries/__init__.py).  Round 4 completes the rotation: the 7 queries
+deferred from round 3 plus the 2 media queries whose sanitize step
+changed post-grading enter the gate; 9 round-3 greens rotate out
+(their evidence stands in CORRECTNESS_r03.json); the deferred list is
+now empty.  These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.
 """

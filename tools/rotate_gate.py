@@ -26,32 +26,43 @@ def main() -> int:
     from fortymhz_spark.queries import all_queries
 
     names = list(all_queries())
-    green: dict[str, str] = {}
-    weak: dict[str, str] = {}
+    green: dict[str, str] = {}       # any-round green (historical record)
+    latest: dict[str, tuple[int, bool, str]] = {}  # most recent verdict
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")]
+    paths = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    # numeric round order ('r10' sorts before 'r2' lexicographically);
+    # the LATEST round's verdict wins, so a regression in a newer round
+    # is reported even when an older round graded the query green.
+    for path in sorted(
+        paths,
+        key=lambda p: int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]),
+    ):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if row.get("err") is None and row.get("hash_match"):
-                green[name] = rnd
-            else:
-                weak[name] = f"r{rnd}: {row.get('err') or 'mismatch'}"
-    # a green row in ANY round supersedes weak rows from other rounds
-    weak = {n: w for n, w in weak.items() if n not in green}
+            is_green = row.get("err") is None and row.get("hash_match")
+            if is_green:
+                green[name] = f"{rnd}"
+            latest[name] = (rnd, bool(is_green), row.get("err") or "mismatch")
+    # weak = the most recent grading was not green (regardless of history)
+    weak = {
+        n: f"r{rnd}: {why}" + (f" (was green r{green[n]})" if n in green else "")
+        for n, (rnd, ok, why) in latest.items()
+        if not ok
+    }
 
     never = [n for n in names if n not in green and n not in weak]
     gated = names[:50]
     print(f"registered: {len(names)}  graded-green (any round): {len(green)}")
-    print(f"graded weak/rows-only/failed: {len(weak)}  never graded: {len(never)}")
+    print(f"latest-verdict weak/failed: {len(weak)}  never graded: {len(never)}")
     print()
     print("== green queries still holding a gate slot (rotate OUT next) ==")
     for n in gated:
-        if n in green:
+        if n in green and n not in weak:
             print(f"  {n}  (green in r{green[n]})")
     print()
-    print("== weak rows (keep in gate until green) ==")
+    print("== weak rows: latest grading not green (keep in gate) ==")
     for n, why in sorted(weak.items()):
         print(f"  {n}  ({why})")
     print()
