@@ -255,11 +255,12 @@ def q_events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join WITH a bounded lookback (``tolerance``): the unbounded
-    form materializes every prior order per event before the argmax —
-    linear here, a blow-up at 100 TB when keys carry years of history.
-    A 10-year tolerance bounds the intermediate join without changing
-    results for this data (orders span ~7 years)."""
+    """As-of join via the sort-merge sweep (operators/asof.py): one
+    shuffle on the key, one partition-local sort, no pair
+    materialization — safe for keys with arbitrarily long histories.
+    ``tolerance`` is a semantic lookback filter (match must be within
+    10 years), which the oracle's range predicate mirrors; it no longer
+    changes the plan's scale shape."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"

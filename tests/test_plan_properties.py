@@ -189,15 +189,18 @@ def test_q9_star_join_never_shuffles_fact(plans):
     assert "SortMergeJoin" not in plan
 
 
-def test_asof_flagship_bounds_lookback(plans):
-    # the as-of flagship passes a tolerance: the join carries a range
-    # lower bound (ts - interval), so no key accumulates unbounded
-    # history in the intermediate join — and it stays an equi-join on
-    # the key (hash/sort-merge), never a nested loop.
+def test_asof_flagship_is_a_joinless_sweep(plans):
+    # the as-of operator is a sort-merge sweep: union + keyed window
+    # carry-forward, so the plan must contain NO join node at all —
+    # pair materialization (the old equi-join + argmax shape that
+    # needed a tolerance bound to stay scale-safe) is structurally
+    # impossible.  The tolerance now applies as a post-sweep filter;
+    # its interval literal must still reach the plan.
     plan = plans["q_events_asof_last_order"]
-    assert "3650" in plan  # the INTERVAL literal reached the join cond
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "3650" in plan  # the lookback filter survives in the plan
 
 
 def test_cosine_near_dup_lsh_path_is_bucketed(spark, sf_dir):

@@ -462,30 +462,85 @@ def test_near_dup_components_raises_rather_than_partial(spark):
         near_dup_components(pairs, max_iter=2)
 
 
-def test_asof_join_warns_without_tolerance(spark):
-    """The unbounded (full-history) as-of form is allowed but must warn:
-    without a lookback bound the intermediate join is the
-    100 TB-unsafe shape (asof.py docstring)."""
+def test_asof_join_sweep_matches_reference_and_never_joins(spark):
+    """The sort-merge sweep form of asof_join: (a) output equals an
+    independently computed per-row argmax reference on a randomized
+    history (ties, equal timestamps, unmatched lefts, null keys and
+    null timestamps all present), with and without tolerance; (b) the
+    physical plan contains NO join node at all — the pair-materializing
+    shape the old implementation warned about is structurally gone, so
+    the unbounded form is scale-safe and warning-free."""
     import warnings as _warnings
+    from datetime import datetime, timedelta
 
     from fortymhz_spark.operators.asof import asof_join
 
-    from datetime import datetime
-
-    left = spark.createDataFrame(
-        [(1, datetime(2024, 1, 2))], "k long, ts timestamp"
-    )
+    base = datetime(2024, 1, 1)
+    # deterministic pseudo-random history: 40 left rows / 60 right rows
+    # over 5 keys, timestamps colliding on purpose (mod 7 buckets)
+    lrows = [
+        (i, (i * 7919) % 5 if i % 11 else None,
+         base + timedelta(days=(i * 13) % 7) if i % 9 else None)
+        for i in range(40)
+    ]
+    rrows = [
+        (j, (j * 104729) % 5, base + timedelta(days=(j * 17) % 7), f"v{j}")
+        for j in range(60)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
     right = spark.createDataFrame(
-        [(1, datetime(2024, 1, 1), "x")], "k long, ts timestamp, v string"
+        rrows, "rid long, k long, rts timestamp, v string"
     )
-    with _warnings.catch_warnings(record=True) as caught:
-        _warnings.simplefilter("always")
-        asof_join(left, right, "k", "k", "ts", "ts")
-    assert any("tolerance" in str(w.message) for w in caught)
-    with _warnings.catch_warnings(record=True) as caught:
-        _warnings.simplefilter("always")
-        asof_join(left, right, "k", "k", "ts", "ts", tolerance="30 days")
-    assert not any("tolerance" in str(w.message) for w in caught)
+
+    def reference(tolerance_days):
+        out = {}
+        for lid, k, ts in lrows:
+            best = None
+            if k is not None and ts is not None:
+                for rid, rk, rts, v in rrows:
+                    if rk != k or rts > ts:
+                        continue
+                    if tolerance_days is not None and not (
+                        rts > ts - timedelta(days=tolerance_days)
+                    ):
+                        continue
+                    if best is None or (rts, rid) > (best[2], best[0]):
+                        best = (rid, rk, rts, v)
+            out[lid] = best
+        return out
+
+    for tol_days, tol in ((None, None), (3, "3 days")):
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            got_rows = asof_join(
+                left,
+                right,
+                left_on="k",
+                right_on="k",
+                left_ts="ts",
+                right_ts="rts",
+                tie_breakers=["rid"],
+                tolerance=tol,
+            ).collect()
+        assert not any("tolerance" in str(w.message) for w in caught)
+        ref = reference(tol_days)
+        assert len(got_rows) == len(lrows)  # how='left' keeps all
+        for r in got_rows:
+            want = ref[r["lid"]]
+            got = (
+                None
+                if r["rid"] is None
+                else (r["rid"], None, None, r["v"])
+            )
+            if want is None:
+                assert got is None, (r["lid"], r)
+            else:
+                assert got is not None and got[0] == want[0], (r["lid"], r, want)
+
+    plan = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
 
 
 def test_portable_simhash_matches_python_reference(spark):
