@@ -546,3 +546,125 @@ def test_pure_column_operators_unified_on_streams(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_late_data_past_watermark_is_dropped(spark, tmp_path):
+    """Watermark contract, adversarially: a row arriving AFTER the
+    watermark has passed its window must contribute nothing — the
+    emitted count for that window equals the on-time rows only.
+
+    Micro-batch sequence (one file per trigger, mtime-ordered):
+    batch 0 fills the contested window; batch 1 carries far-future rows
+    that advance the watermark past the window's end; batch 2 (another
+    future row) lets the state store EVICT and emit the finalized
+    window; batch 3 then delivers a late row into it — Spark's
+    late-record filter only engages once the window's state is gone,
+    so the eviction batch makes the drop deterministic.  If late-row
+    filtering ever broke, the window's count would read 3 (and its
+    value 102) instead of 2."""
+    from datetime import datetime
+
+    src = tmp_path / "late"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+    w0 = datetime(2024, 1, 1, 0, 0)  # the contested window [00:00, 01:00)
+    files = (
+        ("a", [
+            (datetime(2024, 1, 1, 0, 10), "view", 1.0),
+            (datetime(2024, 1, 1, 0, 20), "view", 1.0),
+        ]),
+        # far future: watermark advances to 10:05 - 1h = 09:05 > 01:00
+        ("b", [
+            (datetime(2024, 1, 1, 10, 0), "view", 1.0),
+            (datetime(2024, 1, 1, 10, 5), "view", 1.0),
+        ]),
+        # eviction batch: the finalized [00:00, 01:00) window emits here
+        ("c", [(datetime(2024, 1, 1, 10, 6), "view", 1.0)]),
+        ("d", [
+            (datetime(2024, 1, 1, 0, 30), "view", 100.0),  # late: dropped
+            (datetime(2024, 1, 1, 10, 30), "view", 1.0),   # batch stays real
+        ]),
+    )
+    for fname, data in files:
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            str(src / fname)
+        )
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got = run_to_memory(streaming_hourly_by_type(stream), spark).collect()
+    by_window = {(r["window_start"], r["event_type"]): r for r in got}
+    key = (int(w0.timestamp()), "view")
+    assert key in by_window, f"finalized window missing: {sorted(by_window)}"
+    # 2 on-time rows, late row dropped: count 2 and its value absent
+    assert by_window[key]["n_events"] == 2
+    assert abs(by_window[key]["total_value"] - 2.0) < 1e-9
+
+
+def test_orbit_state_ttl_flush_then_late_hit_starts_fresh_state(spark, tmp_path):
+    """State-TTL eviction, adversarially: an orbit flushes by
+    inactivity timeout, then a LATE hit for the same orbit arrives.
+    The operator must open FRESH state (a second output row summarizing
+    only the late hits) — never resurrect or corrupt the flushed state
+    (a cumulative second row would double-count the first batch)."""
+    src = tmp_path / "ttl_hits"
+    src.mkdir()
+    batch_a = [
+        (2, 0, 10, 42, 100, 0),
+        (2, 0, 11, 42, 200, 0),
+        (2, 0, 12, 42, 300, 0),
+    ]
+    batch_b = [  # late hits, same orbit, different channels/bx
+        (2, 0, 20, 42, 50, 0),
+        (2, 0, 21, 42, 60, 0),
+    ]
+    cols = "HEAD short, FPGA short, TDC_CHANNEL int, ORBIT_CNT long, BX_COUNTER int, TDC_MEAS int"
+    spark.createDataFrame(batch_a, cols).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+
+    stream = file_stream(spark, str(src / "*"), DT_HIT)
+    name = "ttl_orbits_out"
+    ckpt = tempfile.mkdtemp(prefix="fmhz_ttl_ckpt_")
+    q = (
+        assemble_orbits(stream, inactivity_ms=1_500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        def rows_for_42():
+            return sorted(
+                (
+                    tuple(r)
+                    for r in spark.table(name).collect()
+                    if r["ORBIT_CNT"] == 42
+                ),
+            )
+
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows_for_42()) < 1:
+            time.sleep(0.5)
+        first = rows_for_42()
+        assert first == [(42, 3, 3, 100, 300)], first  # A's hits only
+
+        # late arrival AFTER the flush: fresh state must open
+        spark.createDataFrame(batch_b, cols).coalesce(1).write.parquet(
+            str(src / "b")
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows_for_42()) < 2:
+            time.sleep(0.5)
+        both = rows_for_42()
+        # second row summarizes ONLY the late hits — no double count
+        assert both == [(42, 2, 2, 50, 60), (42, 3, 3, 100, 300)], both
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
