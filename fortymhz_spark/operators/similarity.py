@@ -358,6 +358,90 @@ def _nearest_centroid(vec_col: str, centroids: list):
     return F.array_sort(scored)[0]
 
 
+_KMEANSPAR_SEED = 0x464D485A  # fixed hash seed — determinism, not secrecy
+
+
+def _kmeanspar_centroids(
+    proj: DataFrame, k: int, *, rounds: int = 2, oversample: int | None = None
+) -> list:
+    """Deterministic k-means‖-style seeding (Bahmani et al., VLDB'12)
+    over a persisted ``(id, v)`` projection.
+
+    Shape per round: one map-only pass scores every point by
+    ``ln(u) / d²(x, C)`` — the Efraimidis–Spirakis weighted-sampling
+    key with ``u`` a hash of (seed, round, id), so "random" is a pure
+    column expression — and a ``TakeOrdered`` top-l keeps the l best.
+    Driver traffic is l vectors per round plus one (candidate, weight)
+    count pass; no full collect anywhere, so the init holds at 100 TB
+    exactly like the Lloyd loop it feeds.  The final k are chosen on
+    the driver from the ~rounds×l weighted candidates by greedy
+    weighted max-min (k-means++-style), which is O(l²k) on a few dozen
+    rows.
+    """
+    l = oversample or max(2 * k, 8)
+    first = (
+        proj.orderBy(
+            F.xxhash64(F.lit(_KMEANSPAR_SEED), F.col("id")).asc(),
+            F.col("id").asc(),
+        )
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    cands = [list(map(float, first[0]["v"]))]
+    for rnd in range(rounds):
+        d2 = _nearest_centroid("v", cands)["dist"]
+        # u ∈ (0, 1) from a 53-bit hash slice; +1/+2 keeps it strictly
+        # inside the open interval so ln(u) is finite and non-zero.
+        u = (
+            F.pmod(
+                F.xxhash64(F.lit(_KMEANSPAR_SEED), F.lit(rnd), F.col("id")),
+                F.lit(1 << 53),
+            )
+            + F.lit(1)
+        ).cast("double") / F.lit(float((1 << 53) + 2))
+        picked = (
+            proj.select("id", "v", d2.alias("d2"), (F.log(u) / d2).alias("skey"))
+            .filter(F.col("d2") > 0)
+            .orderBy(F.desc("skey"), F.asc("id"))
+            .limit(l)
+            .collect()
+        )
+        if not picked:
+            break  # every point coincides with an existing candidate
+        cands.extend(list(map(float, r["v"])) for r in picked)
+    wrows = (
+        proj.select(_nearest_centroid("v", cands)["cluster"].alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = {r["c"]: int(r["w"]) for r in wrows}
+
+    def dist2(a: list, b: list) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    # greedy weighted k-means++: heaviest candidate first, then
+    # repeatedly the candidate with max weight × distance² to the
+    # chosen set (ties → lowest index, so the pick is deterministic)
+    chosen = [max(range(len(cands)), key=lambda i: (weights.get(i, 0), -i))]
+    while len(chosen) < min(k, len(cands)):
+        best_i, best_score = -1, -1.0
+        for i in range(len(cands)):
+            if i in chosen:
+                continue
+            score = weights.get(i, 0) * min(
+                dist2(cands[i], cands[j]) for j in chosen
+            )
+            if score > best_score:
+                best_i, best_score = i, score
+        if best_i < 0 or best_score <= 0:
+            break  # remaining candidates are duplicates of chosen ones
+        chosen.append(best_i)
+    return [cands[i] for i in chosen]
+
+
 def kmeans_assign(
     corpus: DataFrame,
     *,
@@ -365,6 +449,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, returning each row's
     final ``cluster`` (int) and squared distance integerized as
@@ -378,26 +463,47 @@ def kmeans_assign(
     bit-reproducible on any partitioning).  Only k×dim aggregated
     floats ever reach the driver per round (same bounded-collect
     contract as ``_centroids``); the corpus itself never moves except
-    one shuffle per round on (cluster, dim) pairs.  Initialization is
-    the k lowest-id vectors (deterministic, oracle-friendly).  Empty
-    clusters keep their previous centroid.
+    one shuffle per round on (cluster, dim) pairs.  Empty clusters
+    keep their previous centroid.
+
+    ``init``: ``"lowest_id"`` (default) seeds with the k lowest-id
+    vectors — deterministic and SQL-derivable, which is what the
+    Lloyd-monotonicity oracle (queries/llm.py::q_vec_kmeans) needs;
+    ``"kmeanspar"`` is the deterministic hash-seeded k-means‖ variant
+    (:func:`_kmeanspar_centroids`) — same determinism, better-spread
+    seeds on clustered data, the choice for quality-sensitive runs.
     """
-    cents = _centroids(corpus, id_col, vec_col, k)
-    # Degenerate corpus (fewer rows than k): every row is its own
-    # centroid; clamp so the update loop never indexes past the init.
-    k = min(k, len(cents))
-    if k == 0:
-        raise ValueError("kmeans_assign requires a non-empty corpus")
-    cents = cents[:k]
+    if init not in ("lowest_id", "kmeanspar"):
+        raise ValueError(f"init must be lowest_id|kmeanspar, got {init!r}")
     # Persist the 2-column projection for the duration of the driver
-    # loop: Lloyd's re-reads the corpus every round, and at 100 TB that
-    # is `iters` full scans unless the (id, vec) slice is materialized
-    # once.  Unpersisted before returning — the final assignment plan
-    # reads the source directly, so the returned DataFrame carries no
-    # dependency on the temporary cache.
+    # loop: Lloyd's re-reads the corpus every round (and the init may
+    # scan it too), and at 100 TB that is `iters` full scans unless the
+    # (id, vec) slice is materialized once.  Unpersisted before
+    # returning — the final assignment plan reads the source directly,
+    # so the returned DataFrame carries no dependency on the cache.
     proj = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     proj.persist()
     try:
+        if init == "kmeanspar":
+            cents = _kmeanspar_centroids(proj, k)
+            if len(cents) < k:
+                # tiny/degenerate corpora: top up from the lowest-id
+                # pool so k stays as close to the request as the data
+                # allows (dedup keeps determinism)
+                seen = {tuple(c) for c in cents}
+                cents += [
+                    c
+                    for c in _centroids(proj, "id", "v", k)
+                    if tuple(c) not in seen
+                ][: k - len(cents)]
+        else:
+            cents = _centroids(proj, "id", "v", k)
+        # Degenerate corpus (fewer rows than k): every row is its own
+        # centroid; clamp so the update loop never indexes past init.
+        k = min(k, len(cents))
+        if k == 0:
+            raise ValueError("kmeans_assign requires a non-empty corpus")
+        cents = cents[:k]
         for _ in range(iters):
             # NB: the argmin select and the posexplode must stay in
             # SEPARATE selects — combining a lambda-bearing struct with

@@ -157,3 +157,56 @@ def test_kmeans_degenerate_small_corpus(spark):
     assert len(out) == 3
     assert {r["cluster"] for r in out} == {0, 1, 2}
     assert all(r["dist_e9"] == 0 for r in out)
+
+def test_kmeanspar_init_beats_lowest_id_on_adversarial_ids(spark):
+    """Blob-separation quality gate for the k-means|| init: ids are
+    assigned so the k LOWEST ids all fall in ONE blob — the worst case
+    for the default lowest-id seeding (all seeds start in the same
+    cluster; two Lloyd rounds cannot always un-merge the far blobs).
+    The hash-seeded k-means|| init must (a) be deterministic across
+    runs, (b) end with inertia at least as good as lowest-id, and
+    (c) recover the true partition (one pure cluster per blob)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(11)
+    blobs = [(0.0, 0.0), (1000.0, 0.0), (0.0, 1000.0), (1000.0, 1000.0)]
+    rows = []
+    # ids 0..9 all in blob 0 (the adversarial part), the rest round-robin
+    for i in range(120):
+        b = 0 if i < 10 else i % 4
+        cx, cy = blobs[b]
+        rows.append((i, b, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)]))
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    true_blob = {i: b for i, b, _ in rows}
+
+    def inertia(assigned):
+        return sum(r["dist_e9"] for r in assigned)
+
+    par1 = kmeans_assign(df, k=4, iters=2, init="kmeanspar").collect()
+    par2 = kmeans_assign(df, k=4, iters=2, init="kmeanspar").collect()
+    low = kmeans_assign(df, k=4, iters=2, init="lowest_id").collect()
+    assert sorted(map(tuple, par1)) == sorted(map(tuple, par2))  # (a)
+    assert inertia(par1) <= inertia(low)  # (b)
+    by_cluster: dict[int, set[int]] = {}
+    for r in par1:
+        by_cluster.setdefault(r["cluster"], set()).add(true_blob[r["vec_id"]])
+    assert len(by_cluster) == 4  # (c): all four blobs found...
+    assert all(len(v) == 1 for v in by_cluster.values())  # ...each pure
+
+
+def test_kmeans_init_validation(spark):
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="init"):
+        kmeans_assign(df, k=1, iters=1, init="random")
