@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Synthetic 10× scale soak for the heavy operator family.
+
+SCALE.md argues 100 TB survival from plan shape; this tool adds a
+measured data point: blow the sf0.1 documents/embeddings tables up 10×
+with DETERMINISTIC generators whose statistics tile the originals —
+
+- documents: 10 replicas in DISJOINT TOKEN NAMESPACES (replica r
+  rewrites every token t → t_r for r > 0).  Per-namespace shingle
+  document frequencies equal the original corpus exactly, so a
+  near-linear algorithm (inverted index, banded LSH, pigeonhole
+  buckets) must cost ≈10× and a quadratic one ≈100× — the cleanest
+  possible scaling-exponent probe.
+- embeddings: 10 replicas with a cyclic DIMENSION ROTATION (r·7 dims),
+  which preserves every intra-replica cosine exactly while decorrelating
+  replicas, so neighbor structure per replica matches the original.
+
+Run:  python tools/scale_soak.py [--reps 2] [--out /tmp/fmhz_scale10x]
+Prints a markdown table of t(10×)/t(1×) ratios (min over reps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def build_10x(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.sources.batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(docs_path) and os.path.exists(emb_path):
+        return
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    docs10 = (
+        docs.select("doc_id", "text", "lang", "source", "n_chars", reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            # replica 0 keeps the original text verbatim; replica r>0
+            # suffixes every token, creating a disjoint namespace with
+            # an identical document-frequency profile
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(
+                            t, F.lit("_"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    docs10.write.mode("overwrite").parquet(docs_path)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    shift = lambda r: (r * 7) % dim  # noqa: E731
+    emb10 = (
+        emb.select("vec_id", "embedding", "label", reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n_vecs)).alias("vec_id"),
+            F.concat(
+                F.slice(
+                    "embedding",
+                    F.pmod(F.col("rep") * 7, F.lit(dim)) + 1,
+                    F.lit(dim) - F.pmod(F.col("rep") * 7, F.lit(dim)),
+                ),
+                F.slice(
+                    "embedding", 1, F.pmod(F.col("rep") * 7, F.lit(dim))
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    emb10.write.mode("overwrite").parquet(emb_path)
+
+
+def workloads(spark, docs, emb):
+    """(name, thunk) pairs: the heavy family.  Each thunk runs the
+    operator to completion with a count() so timing covers scan →
+    shuffle → result without driver-collect skew."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import dedup, similarity as sim
+
+    queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
+    return [
+        ("exact_dedup", lambda: dedup.exact_dedup(docs).count()),
+        (
+            "minhash_near_dups",
+            lambda: dedup.minhash_near_dups(docs, threshold=0.5).count(),
+        ),
+        (
+            "simhash_near_dups",
+            lambda: dedup.simhash_near_dups(docs, max_hamming=3).count(),
+        ),
+        (
+            "sparse_jaccard",
+            lambda: dedup.jaccard_pairs(docs, threshold=0.5).count(),
+        ),
+        (
+            "sparse_jaccard_max_df",
+            lambda: dedup.jaccard_pairs(
+                docs, threshold=0.5, max_df=64
+            ).count(),
+        ),
+        (
+            "components",
+            lambda: dedup.near_dup_components(
+                dedup.minhash_near_dups(docs, threshold=0.5)
+            ).count(),
+        ),
+        (
+            "ann_lsh",
+            lambda: sim.lsh_knn(emb, queries, k=10).count(),
+        ),
+        (
+            "ann_ivf",
+            lambda: sim.ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4).count(),
+        ),
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/fmhz_scale10x")
+    args = ap.parse_args()
+
+    from fortymhz_spark.session import get_session
+    from fortymhz_spark.sources.batch import load_table
+
+    spark = get_session("fmhz-scale-soak", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_10x(spark, args.out)
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    docs10 = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
+    emb10 = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
+
+    results: dict[str, dict[str, float]] = {}
+    for scale, docs, emb in (("1x", docs1, emb1), ("10x", docs10, emb10)):
+        for name, thunk in workloads(spark, docs, emb):
+            best = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                n = thunk()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[scale] = best
+            results[name][f"rows_{scale}"] = n
+            print(f"# {scale} {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+
+    print("| operator | t(1×) s | t(10×) s | ratio | rows 1× → 10× |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        ratio = r["10x"] / r["1x"] if r["1x"] > 0 else float("nan")
+        print(
+            f"| {name} | {r['1x']:.2f} | {r['10x']:.2f} | {ratio:.1f}× "
+            f"| {int(r['rows_1x'])} → {int(r['rows_10x'])} |"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
