@@ -621,3 +621,83 @@ def brute_force_knn_arrow(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic near-dup pairs (cluster-bucketed candidates)
+# ---------------------------------------------------------------------------
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_cells: int = 8,
+    probes: int = 2,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via cluster-bucketed candidate
+    generation (the SemDeDup recipe, Abbas et al. 2023): cluster the
+    corpus with deterministic k-means|| seeds, generate candidate
+    pairs only WITHIN a cell, then exact-cosine-verify every candidate
+    against ``threshold``.
+
+    Like the sign-RP LSH path in :func:`cosine_near_dup_pairs`, every
+    returned pair is exact-verified (precision 1.0) and the result is
+    a SUBSET of the exact all-pairs form; recall is governed by the
+    cell granularity.  ``probes`` assigns each vector to its
+    ``probes`` nearest cells (multi-probe), so a pair straddling a
+    cell boundary still collides unless the two vectors agree on none
+    of their top-``probes`` cells — the standard recall lever, same
+    role as IVF's nprobe.
+
+    Scale shape: centroids are a driver-side list (k x dim floats)
+    baked into the task binary; the corpus shuffles once on cell id
+    (x ``probes``); the self-join is hash-partitioned on the cell, so
+    candidate volume is sum over cells of |cell|^2 instead of |corpus|^2
+    — near-linear when cells are balanced (and the k-means|| seeding
+    exists exactly to keep them balanced).  The pair-dedup before the
+    cosine verify shuffles on (id_a, id_b) so a pair sharing several
+    probed cells is verified once, not ``probes``^2 times.
+    """
+    if probes < 1 or probes > n_cells:
+        raise ValueError(f"probes must be in [1, {n_cells}], got {probes}")
+    proj = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    proj.persist()
+    try:
+        cents = _kmeanspar_centroids(proj, n_cells)
+        if len(cents) < n_cells:
+            seen = {tuple(c) for c in cents}
+            cents += [
+                c
+                for c in _centroids(proj, "id", "v", n_cells)
+                if tuple(c) not in seen
+            ][: n_cells - len(cents)]
+        if not cents:
+            raise ValueError("semantic_near_dup_pairs requires a non-empty corpus")
+        probes = min(probes, len(cents))
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(_nearest_cells(vec_col, cents, probes)).alias("cell"),
+        )
+        a = assigned.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+        )
+        b = assigned.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+        )
+        cand = (
+            a.join(b, ["cell"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("cosine", cosine_similarity("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    finally:
+        proj.unpersist()

@@ -84,6 +84,33 @@ def shingle_set(text: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
+def ngram_list(text: Column | str, n: int = 2) -> Column:
+    """Ordered, NON-distinct word n-grams of the lowercased token
+    stream, space-joined.  Unlike :func:`shingle_set` this keeps
+    duplicates and document order — the event stream an n-gram
+    language model scores — and yields an EMPTY array for documents
+    shorter than ``n`` tokens (no whole-doc fallback shingle, which
+    would pollute frequency counts with unigram pseudo-grams).
+
+    Same let-binding discipline as ``shingle_set``: the token array is
+    bound once per row via a one-element ``transform`` scope.
+    """
+    t = _colified(text)
+    toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+
+    def build(tk: Column) -> Column:
+        k = F.size(tk)
+        joined = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+        return F.when(k >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of the lowercased text."""
     t = F.lower(_colified(text))

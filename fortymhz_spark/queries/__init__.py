@@ -21,11 +21,27 @@ only nine queries without a current-code driver row —
    and
 2. the two media queries whose sanitize step changed AFTER their
    round-2 grading (q_media_decode_stats, q_media_frame_sample —
-   re-verified locally, but their driver row predates the change).
+   re-verified locally, but their driver row predates the change),
+   and
+3. q_events_asof_last_order, whose as-of join was reimplemented this
+   round (operators/asof.py: joinless sort-merge sweep) — same
+   "behavior changed after grading" policy as the media rows.
 
-Nine round-3 greens rotate out to make room — the tpch_deep join/agg
-shapes most isomorphic to rows staying in the gate (q2, q7-q12, q14,
-q15; q5/q16/q17/q19/q20/q22 remain as the family's representatives).
+Round 4 also ADDS four curation queries (queries/curation.py:
+semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
+mixture rebalancing); they enter the gate immediately so they are
+never in the "registered but ungraded" state.
+
+Fourteen round-3 greens rotate out to make room — the tpch_deep
+join/agg shapes most isomorphic to rows staying in the gate (q2,
+q7-q12, q14, q15; q5/q16/q17/q19/q20/q22 remain as the family's
+representatives) plus q_grouping_sets_flag_year (A5 stays represented
+by the rollup and cube rows) and four text/sampling rows whose
+families keep other representatives in the gate
+(q_chunk_token_windows, q_text_repetition_stats, q_shuffle_epochs,
+q_mixture_upsample — the latter's family gains the newly-graded
+q_mixture_temperature).  Every rotated-out row's r3 green was produced
+by code unchanged since.
 After this round every registered query holds a driver-green row
 produced by the current code.  Everything outside the gate stays
 covered by the local sf0.001 differential (tests/test_oracle_parity.py)
@@ -40,9 +56,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-4 gate (slots 1-50).  Composition: the 9 queries without a
+# Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
-# sanitize step changed post-grading) + 41 rows held over from round 3.
+# sanitize step changed post-grading + the reimplemented as-of join)
+# + the 4 new curation queries + 36 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -55,6 +72,13 @@ ROUND_GATE: tuple[str, ...] = (
     # —— media queries re-graded after the sanitize-step change ——
     "q_media_decode_stats",
     "q_media_frame_sample",
+    # —— as-of join reimplemented this round (sort-merge sweep) ——
+    "q_events_asof_last_order",
+    # —— NEW this round (queries/curation.py) ——
+    "q_emb_semantic_dedup",        # SemDeDup cells: subset-of-exact + recall bound
+    "q_docs_tfidf_top_terms",      # log-free idf, bit-exact oracle
+    "q_docs_bigram_familiarity",   # n-gram-LM perplexity proxy, integer-exact
+    "q_mixture_temperature",       # sqrt-exact T=2 rebalancing factors
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
     "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
@@ -68,7 +92,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_window_running_revenue",
     "q_window_lag_order_gap",
     "q_rollup_returnflag_status",
-    "q_grouping_sets_flag_year",
     "q_distinct_parts_per_flag",
     "q_quantity_percentiles",
     "q_pivot_flag_by_status",
@@ -83,8 +106,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q20_part_share_suppliers",
     "q22_wealthy_inactive_customers",
-    "q_chunk_token_windows",
-    "q_text_repetition_stats",
     "q_vec_int8_quant_error",
     "q_pack_sequences",
     "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
@@ -93,9 +114,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_pipeline_curation",
     "q_text_crossdoc_blocks",
     "q_sketch_heavy_hitters",      # containment check
-    "q_shuffle_epochs",
     "q_text_rarity_score",
-    "q_mixture_upsample",
     "q_pack_export",
 )
 
@@ -123,7 +142,7 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_dt_streaming_occupancy", "q_dt_custom_source_occupancy",
     "q_events_hourly_by_type", "q_events_sliding_1h_30m",
     "q_events_sessionize", "q_events_json_props",
-    "q_events_user_enrichment", "q_events_asof_last_order",
+    "q_events_user_enrichment", "q_grouping_sets_flag_year",
     "q_events_latest_per_user", "q_events_value_stats",
     "q_events_grouped_pandas_stats", "q_events_view_to_purchase",
     "q_events_dedup_ingest", "q1_pricing_summary",
@@ -131,6 +150,8 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_customers_without_orders", "q_customer_order_counts_outer",
     "q_full_outer_daily_activity", "q_range_join_price_bands",
     "q_cube_flag_status", "q_pandas_udf_revenue",
+    "q_chunk_token_windows", "q_text_repetition_stats",
+    "q_shuffle_epochs", "q_mixture_upsample",
     # rotated out after their round-3 green
     "q2_min_cost_supplier", "q7_nation_trade_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -140,11 +161,19 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
 
 
 def _merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from fortymhz_spark.queries import events, llm, media, tpch, tpch_deep, dt
+    from fortymhz_spark.queries import (
+        curation,
+        dt,
+        events,
+        llm,
+        media,
+        tpch,
+        tpch_deep,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (llm, dt, media, events, tpch, tpch_deep):
+    for mod in (llm, curation, dt, media, events, tpch, tpch_deep):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

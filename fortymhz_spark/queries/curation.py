@@ -1,0 +1,281 @@
+"""Training-corpus curation queries, round 4 additions: SemDeDup-style
+semantic dedup, TF-IDF term salience, bigram language-model
+familiarity scoring, and temperature-based mixture rebalancing.
+
+These extend the LLM-pipeline surface in queries/llm.py with the four
+curation shapes a large pretraining-data build still needed from this
+engine: cluster-bucketed embedding dedup (the scale path semantic
+dedup actually ships with, vs. the exact/LSH pair in llm.py), salience
+ranking for keyword extraction, corpus-frequency scoring as a log-free
+perplexity proxy, and the ``(n_max/n_s)^(1/T)`` source-rebalancing rule
+used for multilingual / multi-source mixtures.
+
+Float discipline (see q_search_bm25): every double in a graded column
+is produced by a short, explicitly-ordered chain of IEEE-exact-rounded
+ops (integer casts, one multiply, one divide, sqrt) that Spark and
+DuckDB compute bit-identically; no log(), no cross-row float sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fortymhz_spark.operators import similarity as sim
+from fortymhz_spark.operators import text as tx
+from fortymhz_spark.queries.llm import _SQL_DOT, _SQL_NORM, _SQL_TOKENS
+from fortymhz_spark.queries.registry import Registry
+from fortymhz_spark.sources.batch import load_table
+
+reg = Registry()
+QUERIES = reg.queries
+ORACLE = reg.oracle
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic near-dup pairs, graded (like
+# q_emb_near_dup_lsh_subset) as a VERIFIED SUBSET of the exact pairs —
+# per-pair `missing_from_exact` flags grade precision structurally,
+# while recall over the cell partitioning is an aggregate bound.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_semantic_dedup",
+    oracle=f"""
+    SELECT
+      a.vec_id AS id_a,
+      b.vec_id AS id_b,
+      {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) AS cosine,
+      FALSE AS missing_from_exact,
+      TRUE AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs from the k-means-cell candidate
+    generator (operators/similarity.py::semantic_near_dup_pairs),
+    joined against the exact all-pairs ground truth in-plan.
+
+    Grading mirrors q_emb_near_dup_lsh_subset: PRECISION is structural
+    (every emitted pair is exact-cosine-verified, so
+    ``missing_from_exact`` is always FALSE and a broken verify step
+    flips a cell); RECALL over the cell partitioning is an aggregate
+    ``>= 0.8`` bound — a pair is only missed when its two vectors
+    share none of their top-2 probed cells, and the fixtures' near-dup
+    pairs are tight enough that measured recall is 1.0 at sf0.001 and
+    sf0.01."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_near_dup_pairs(emb, threshold=0.45)
+    sem = sim.semantic_near_dup_pairs(
+        emb, threshold=0.45, n_cells=8, probes=2
+    ).select("id_a", "id_b", F.lit(True).alias("__sem__"))
+    matched = exact.join(sem, ["id_a", "id_b"], "full").select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.col("cosine").isNull().alias("missing_from_exact"),
+        F.coalesce("__sem__", F.lit(False)).alias("found"),
+    )
+    w_all = Window.partitionBy()
+    hits = F.sum(
+        F.when(~F.col("missing_from_exact"), F.col("found").cast("long"))
+    ).over(w_all)
+    base = F.sum((~F.col("missing_from_exact")).cast("long")).over(w_all)
+    return (
+        matched.withColumn("recall_ok", hits >= base * F.lit(0.8))
+        .select("id_a", "id_b", "cosine", "missing_from_exact", "recall_ok")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term salience: top-3 terms per document
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='lower(text)')} AS toks
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, term_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS term_rank
+      FROM scored
+    )
+    WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms under TF-IDF with the log-free
+    idf ``N/df``: score = tf x N / df computed as one exact BIGINT
+    product and one double division, so Spark and DuckDB agree
+    bit-for-bit (same reasoning as q_search_bm25's log-free idf).
+
+    Scale shape: the explode shuffles once on (doc_id, term) for tf;
+    document frequency is a second shuffle on term with map-side
+    partial counts; the tf-df join hash-partitions on term (the vocab
+    is data-sized at 100 TB — no broadcast); N is a 1-row broadcast
+    cross-join; ranking is a per-doc window.  No step is quadratic and
+    no float crosses a row boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM familiarity: log-free perplexity proxy
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_bigram_familiarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='lower(text)')} AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, unnest(
+        list_transform(range(1, len(toks)),
+                       i -> toks[i::INT] || ' ' || toks[(i+1)::INT])
+      ) AS bg
+      FROM tok
+    ),
+    bgdf AS (
+      SELECT bg, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, bg FROM occ)
+      GROUP BY 1
+    )
+    SELECT
+      occ.doc_id,
+      COUNT(*) AS n_bigrams,
+      CAST(SUM(bgdf.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS familiarity
+    FROM occ JOIN bgdf USING (bg)
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def q_docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus familiarity: the mean document frequency of
+    the doc's bigram OCCURRENCES (ordered, non-distinct —
+    operators/text.py::ngram_list) — a log-free n-gram-LM perplexity
+    proxy: boilerplate-heavy documents score high, out-of-distribution
+    gibberish scores near 1.  All-integer until one final division, so
+    the oracle comparison is exact.
+
+    Scale shape: two shuffles (distinct (doc, bigram) -> df on bigram;
+    occurrence-df join on bigram) plus the per-doc aggregate; the
+    bigram table is data-sized, so the join stays hash-partitioned.
+    Documents with fewer than 2 tokens contribute no rows (an LM has
+    nothing to score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tx.ngram_list(F.col("text"), 2)).alias("bg")
+    )
+    bgdf = (
+        occ.dropDuplicates(["doc_id", "bg"])
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        occ.join(bgdf, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("df").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture rebalancing (T = 2)
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_mixture_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT MAX(n_docs) AS n_max FROM c)
+    SELECT
+      source,
+      n_docs,
+      sqrt(CAST(n_max AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        AS upsample_factor,
+      CAST(FLOOR(CAST(n_docs AS DOUBLE)
+                 * sqrt(CAST(n_max AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+           AS BIGINT) AS expected_rows
+    FROM c CROSS JOIN m
+    ORDER BY source
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-T upsampling factors with T = 2 — the
+    ``(n_max/n_s)^(1/T)`` rule multilingual mixtures use to flatten
+    source skew without letting tiny sources dominate.  T = 2 makes
+    the exponent a plain ``sqrt``, which IEEE 754 requires to be
+    correctly rounded, so the factor is one exact division + one exact
+    sqrt in both engines — the same determinism trick as the log-free
+    BM25 idf (a general ``pow(x, 1/T)`` would hostage the oracle to
+    libm).
+
+    Shape: one aggregate on source, a 5-row window max, and per-row
+    arithmetic — the output is mixture-table-sized, never data-sized.
+    Complements q_mixture_upsample (which materializes the resampled
+    rows for a FIXED factor table): this query derives the factors."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_max = F.max("n_docs").over(Window.partitionBy())
+    factor = F.sqrt(n_max.cast("double") / F.col("n_docs").cast("double"))
+    return (
+        counts.withColumn("upsample_factor", factor)
+        .withColumn(
+            "expected_rows",
+            F.floor(
+                F.col("n_docs").cast("double") * F.col("upsample_factor")
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )

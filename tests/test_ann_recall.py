@@ -210,3 +210,59 @@ def test_kmeans_init_validation(spark):
     )
     with _pytest.raises(ValueError, match="init"):
         kmeans_assign(df, k=1, iters=1, init="random")
+
+
+def test_semantic_near_dup_is_verified_subset_with_full_recall_on_blobs(spark):
+    """SemDeDup cells on angularly-separated blobs: every returned pair
+    must appear in the exact all-pairs form with the identical cosine
+    (precision 1.0 — the exact-verify step), and on well-separated
+    blobs multi-probe assignment must reach recall 1.0."""
+    import math
+    import random
+
+    from fortymhz_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # four angular blobs at 0/90/180/270 degrees +- ~3 degrees: within a
+    # blob cosine ~1, across blobs cosine <= ~0.1
+    for i in range(80):
+        theta = (i % 4) * math.pi / 2 + rng.uniform(-0.05, 0.05)
+        r = rng.uniform(1.0, 3.0)
+        rows.append((i, [r * math.cos(theta), r * math.sin(theta)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_near_dup_pairs(
+            df, threshold=0.99, n_cells=4, probes=2
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    # precision: subset with bit-identical cosines (same verify expr)
+    for pair, cos in sem.items():
+        assert pair in exact
+        assert cos == exact[pair]
+    # recall on separated blobs: everything found
+    assert set(sem) == set(exact)
+
+
+def test_semantic_near_dup_validates_probes(spark):
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.similarity import semantic_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        semantic_near_dup_pairs(df, threshold=0.9, n_cells=4, probes=0)
+    with _pytest.raises(ValueError):
+        semantic_near_dup_pairs(df, threshold=0.9, n_cells=4, probes=5)

@@ -647,3 +647,31 @@ def test_near_dup_components_random_graphs_vs_union_find(spark):
             for r in near_dup_components(pairs).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_ngram_list_keeps_order_and_duplicates(spark):
+    """ngram_list is the NON-distinct, ordered counterpart of
+    shingle_set: duplicates stay (an LM scores occurrences), short
+    docs yield an empty array (no whole-doc fallback), and text is
+    lowercased before splitting."""
+    from fortymhz_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "A b a B"),
+            (2, "one"),
+            (3, ""),
+            (4, "x  y"),  # double space: empty tokens dropped
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["bgs"]
+        for r in df.select(
+            "id", tx.ngram_list(F.col("text"), 2).alias("bgs")
+        ).collect()
+    }
+    assert out[1] == ["a b", "b a", "a b"]
+    assert out[2] == []
+    assert out[3] == []
+    assert out[4] == ["x y"]
