@@ -112,6 +112,7 @@ HEADLINE = [
     "q_docs_tfidf_top_terms",
     "q_docs_bigram_familiarity",
     "q_mixture_temperature",
+    "q_docs_minhash_estimate",
 ]
 
 

@@ -304,6 +304,42 @@ def minhash_near_dups(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures — the mergeable sketch
+    itself, exposed so callers can estimate Jaccard from lane agreement
+    (``mean(sig_a[i] == sig_b[i])``) without rerunning the shingle
+    explode per comparison.
+
+    Same plan-shape discipline as :func:`minhash_near_dups`: the
+    signature is an explode + min-aggregate (one shingle expression
+    total, partial aggregation collapses each map partition before the
+    shuffle), and the array is assembled from the aggregated lanes in
+    a single select so no per-lane expression is ever duplicated.
+    """
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
+    exploded = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -27,16 +27,18 @@ only nine queries without a current-code driver row —
    round (operators/asof.py: joinless sort-merge sweep) — same
    "behavior changed after grading" policy as the media rows.
 
-Round 4 also ADDS four curation queries (queries/curation.py:
+Round 4 also ADDS five curation queries (queries/curation.py:
 semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
-mixture rebalancing); they enter the gate immediately so they are
-never in the "registered but ungraded" state.
+mixture rebalancing, MinHash estimation accuracy); they enter the
+gate immediately so they are never in the "registered but ungraded"
+state.
 
-Fourteen round-3 greens rotate out to make room — the tpch_deep
+Fifteen round-3 greens rotate out to make room — the tpch_deep
 join/agg shapes most isomorphic to rows staying in the gate (q2,
 q7-q12, q14, q15; q5/q16/q17/q19/q20/q22 remain as the family's
 representatives) plus q_grouping_sets_flag_year (A5 stays represented
-by the rollup and cube rows) and four text/sampling rows whose
+by the rollup and cube rows), q_date_functions (F2; its scalar-fn
+sibling q_scalar_functions stays), and four text/sampling rows whose
 families keep other representatives in the gate
 (q_chunk_token_windows, q_text_repetition_stats, q_shuffle_epochs,
 q_mixture_upsample — the latter's family gains the newly-graded
@@ -59,7 +61,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
 # sanitize step changed post-grading + the reimplemented as-of join)
-# + the 4 new curation queries + 36 rows held over from round 3.
+# + the 5 new curation queries + 35 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -79,6 +81,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_tfidf_top_terms",      # log-free idf, bit-exact oracle
     "q_docs_bigram_familiarity",   # n-gram-LM perplexity proxy, integer-exact
     "q_mixture_temperature",       # sqrt-exact T=2 rebalancing factors
+    "q_docs_minhash_estimate",     # sketch-accuracy error-band grading
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
     "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
@@ -98,7 +101,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_unpivot_part_sizes",
     "q_set_ops_nations",
     "q_scalar_functions",
-    "q_date_functions",
     "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
     "q_cogroup_user_orders",
@@ -151,7 +153,7 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_full_outer_daily_activity", "q_range_join_price_bands",
     "q_cube_flag_status", "q_pandas_udf_revenue",
     "q_chunk_token_windows", "q_text_repetition_stats",
-    "q_shuffle_epochs", "q_mixture_upsample",
+    "q_shuffle_epochs", "q_mixture_upsample", "q_date_functions",
     # rotated out after their round-3 green
     "q2_min_cost_supplier", "q7_nation_trade_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",

@@ -24,7 +24,12 @@ from pyspark.sql.window import Window
 
 from fortymhz_spark.operators import similarity as sim
 from fortymhz_spark.operators import text as tx
-from fortymhz_spark.queries.llm import _SQL_DOT, _SQL_NORM, _SQL_TOKENS
+from fortymhz_spark.queries.llm import (
+    _SQL_DOT,
+    _SQL_NORM,
+    _SQL_SHINGLES,
+    _SQL_TOKENS,
+)
 from fortymhz_spark.queries.registry import Registry
 from fortymhz_spark.sources.batch import load_table
 
@@ -278,4 +283,88 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard ESTIMATION accuracy — sketch-error grading for the
+# near-dup sketch itself (the q_sketch_cardinality pattern applied to
+# MinHash): the plan computes the lane-agreement estimate AND the exact
+# Jaccard side by side and emits a boolean asserting the estimate sits
+# inside the estimator's error band.  The xxhash64 lanes are not
+# SQL-portable, so the estimate can never hash-match an oracle value —
+# but the exact Jaccard and the band boolean can, which grades the
+# sketch's accuracy contract rather than its bit pattern.
+# ---------------------------------------------------------------------------
+_MH_LANES = 64
+# 3-shingle Jaccard >= 0.7 pairs; sigma = sqrt(J(1-J)/64) <= 0.0573 at
+# J=0.7.  0.25 is > 4 sigma — loose enough to be regeneration-proof,
+# tight enough that a broken lane (hash seed drift, min over the wrong
+# column) fails: a decorrelated signature estimates ~2^-64, error ~0.7.
+_MH_BAND = 0.25
+
+
+@reg.query(
+    "q_docs_minhash_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    )
+    SELECT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard,
+      TRUE AS est_within_band
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q_docs_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every true near-dup pair (exact 3-shingle Jaccard >= 0.7),
+    estimate Jaccard from 64-lane MinHash signature agreement
+    (operators/dedup.py::minhash_signatures) and grade
+    ``|estimate - exact| <= 0.25`` (``_MH_BAND``) in-plan.
+
+    Scale shape: signatures are one explode + min-aggregate pass
+    (docs x 64 longs of shuffle); the pair set comes from the banded
+    LSH + exact verify (minhash_near_dups, proven green at this
+    threshold); the estimate join moves only (id, 64-long array) per
+    side.  At 100 TB the estimate REPLACES the exact verify (that is
+    the point of the sketch) — this query is the accuracy canary that
+    justifies doing so."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fortymhz_spark.operators import dedup as dd
+
+    pairs = dd.minhash_near_dups(docs, threshold=0.7, bands=16)
+    sigs = dd.minhash_signatures(docs, num_hashes=_MH_LANES)
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    est = agree.cast("double") / F.lit(float(_MH_LANES))
+    return (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            ["id_a"],
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            ["id_b"],
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= F.lit(_MH_BAND)).alias(
+                "est_within_band"
+            ),
+        )
+        .orderBy("id_a", "id_b")
     )

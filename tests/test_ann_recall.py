@@ -266,3 +266,60 @@ def test_semantic_near_dup_validates_probes(spark):
         semantic_near_dup_pairs(df, threshold=0.9, n_cells=4, probes=0)
     with _pytest.raises(ValueError):
         semantic_near_dup_pairs(df, threshold=0.9, n_cells=4, probes=5)
+
+
+def test_semantic_near_dup_arrow_path_matches_expr_on_blobs(spark):
+    """The large-k physical forms (hash seeding + Arrow batch-matmul
+    assignment) must find the same verified pairs as the small-k
+    expression path on well-separated blobs — different candidate
+    generators, same exact-verified output when recall is 1.0 — and
+    must stay deterministic across runs."""
+    import math
+    import random
+
+    from fortymhz_spark.operators.similarity import semantic_near_dup_pairs
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(80):
+        theta = (i % 4) * math.pi / 2 + rng.uniform(-0.05, 0.05)
+        r = rng.uniform(1.0, 3.0)
+        rows.append((i, [r * math.cos(theta), r * math.sin(theta)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    expr = sorted(
+        map(
+            tuple,
+            semantic_near_dup_pairs(
+                df, threshold=0.99, n_cells=4, probes=2
+            ).collect(),
+        )
+    )
+    arrow1 = sorted(
+        map(
+            tuple,
+            semantic_near_dup_pairs(
+                df,
+                threshold=0.99,
+                n_cells=4,
+                probes=2,
+                init="hash",
+                assign="arrow",
+            ).collect(),
+        )
+    )
+    arrow2 = sorted(
+        map(
+            tuple,
+            semantic_near_dup_pairs(
+                df,
+                threshold=0.99,
+                n_cells=4,
+                probes=2,
+                init="hash",
+                assign="arrow",
+            ).collect(),
+        )
+    )
+    assert arrow1 == arrow2  # deterministic
+    assert arrow1 == expr  # same exact-verified pairs at full recall

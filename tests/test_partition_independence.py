@@ -41,6 +41,14 @@ SENSITIVE = [
     "q_vec_kmeans",
     "q_emb_near_dup_lsh_subset",
     "q_docs_jaccard_blocked",
+    # round-4 curation queries: centroid-seeding collect + subset/recall
+    # joins (semantic dedup), explode fan-out + double-ordered window
+    # (tfidf), explode + occurrence-df join (bigram familiarity),
+    # global window max + per-row sqrt (mixture temperature)
+    "q_emb_semantic_dedup",
+    "q_docs_tfidf_top_terms",
+    "q_docs_bigram_familiarity",
+    "q_mixture_temperature",
 ]
 
 _QUERIES = all_queries()

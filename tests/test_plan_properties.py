@@ -347,3 +347,38 @@ def test_pivot_declared_domain_single_agg(plans):
     plan = plans["q_pivot_flag_by_status"]
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_docs_tfidf_top_terms",
+        "q_docs_bigram_familiarity",
+        "q_mixture_temperature",
+    ],
+)
+def test_curation_queries_stay_jvm_side(plans, name):
+    # TF-IDF, bigram familiarity, and temperature rebalancing are pure
+    # column expressions + joins on data-derived keys: no Python
+    # boundary, nothing quadratic.
+    plan = plans[name]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_near_dup_operator_is_bucketed(spark, sf_dir):
+    """The PRODUCTION form of semantic_near_dup_pairs (unlike the
+    graded query, which deliberately embeds the exact all-pairs
+    ground-truth branch) must generate candidates via the cell join
+    only: hash-partitioned on the cell id, nothing quadratic, no
+    Python boundary."""
+    from fortymhz_spark.operators.similarity import semantic_near_dup_pairs
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(
+        semantic_near_dup_pairs(emb, threshold=0.45, n_cells=8, probes=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

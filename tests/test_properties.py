@@ -675,3 +675,26 @@ def test_ngram_list_keeps_order_and_duplicates(spark):
     assert out[2] == []
     assert out[3] == []
     assert out[4] == ["x y"]
+
+
+def test_minhash_signature_estimate_bounds(spark):
+    """Lane-agreement Jaccard estimation sanity: identical docs agree
+    on every lane (estimate 1.0), token-disjoint docs agree on ~none,
+    and signatures are deterministic across runs."""
+    from fortymhz_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words with zero overlap here today"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=64).collect()}
+    assert len(sigs[1]) == 64
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_13 <= 4  # disjoint shingles -> near-zero agreement
+    sigs2 = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=64).collect()}
+    assert sigs == sigs2  # deterministic

@@ -97,10 +97,14 @@ def build_10x(spark, out_dir: str) -> None:
     emb10.write.mode("overwrite").parquet(emb_path)
 
 
-def workloads(spark, docs, emb):
+def workloads(spark, docs, emb, scale_mult: int = 1):
     """(name, thunk) pairs: the heavy family.  Each thunk runs the
     operator to completion with a count() so timing covers scan →
-    shuffle → result without driver-collect skew."""
+    shuffle → result without driver-collect skew.  ``scale_mult`` is
+    the corpus blow-up factor: operators whose index granularity is a
+    deployment knob tied to corpus size (semantic dedup cells) scale
+    it accordingly — that IS the 100 TB operating rule (keep |cell|
+    constant), so the soak measures the operated-as-designed cost."""
     from pyspark.sql import functions as F
 
     from fortymhz_spark.operators import dedup, similarity as sim
@@ -140,6 +144,26 @@ def workloads(spark, docs, emb):
             "ann_ivf",
             lambda: sim.ivf_knn(emb, queries, k=10, n_cells=16, nprobe=4).count(),
         ),
+        (
+            # production form (cell-bucketed), NOT the graded query's
+            # exact ground-truth branch; n_cells grows with the corpus
+            # (constant expected |cell|), so candidate volume
+            # N²/n_cells stays ∝ N — the deployment rule at 100 TB.
+            # hash seeding + arrow assignment are the explicit large-k
+            # forms (the expression argmin's plan is O(k·dim) literals
+            # and stalls planning at k ≳ 100 — measured, see
+            # semantic_near_dup_pairs docstring); used at BOTH scales
+            # so the ratio compares like with like.
+            "semantic_dedup",
+            lambda: sim.semantic_near_dup_pairs(
+                emb,
+                threshold=0.45,
+                n_cells=16 * scale_mult,
+                probes=2,
+                init="hash",
+                assign="arrow",
+            ).count(),
+        ),
     ]
 
 
@@ -162,8 +186,11 @@ def main() -> int:
     emb10 = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
 
     results: dict[str, dict[str, float]] = {}
-    for scale, docs, emb in (("1x", docs1, emb1), ("10x", docs10, emb10)):
-        for name, thunk in workloads(spark, docs, emb):
+    for scale, docs, emb, mult in (
+        ("1x", docs1, emb1, 1),
+        ("10x", docs10, emb10, REPLICAS),
+    ):
+        for name, thunk in workloads(spark, docs, emb, scale_mult=mult):
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
