@@ -197,6 +197,38 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
     )
 
 
+def _lane_mins(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, h0..h{num_hashes-1}) per-lane MinHash minima — the ONE
+    signature computation shared by :func:`minhash_near_dups` (which
+    bands the lanes) and :func:`minhash_signatures` (which arrays
+    them), so the graded estimate and the pair generator can never
+    silently decorrelate.
+
+    Explode + min-aggregate, NOT a per-row array expression: 32 inline
+    copies of the shingle expression make the plan tree so large that
+    optimize+codegen dominates (measured 46 s of pure planning at 500
+    rows once the tree is duplicated into both sides of the bucket
+    self-join).  The agg form keeps one shingle expression total;
+    partial aggregation collapses each map partition to one row per
+    doc before the shuffle, so shuffle volume is docs × num_hashes
+    longs — shingle strings never move.
+    """
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
+    exploded = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -233,27 +265,7 @@ def minhash_near_dups(
       wide shuffle.
     """
     rows_per_band = num_hashes // bands
-    shingles = (
-        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
-    )
-
-    # Signature via explode + min-aggregate, NOT a per-row array
-    # expression: 32 inline copies of the shingle expression make the
-    # plan tree so large that optimize+codegen dominates (measured 46 s
-    # of pure planning at 500 rows once the tree is duplicated into
-    # both sides of the bucket self-join).  The agg form keeps one
-    # shingle expression total; partial aggregation collapses each
-    # map partition to one row per doc before the shuffle, so shuffle
-    # volume is docs × num_hashes longs — shingle strings never move.
-    exploded = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
-    )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    sig = _lane_mins(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
@@ -285,6 +297,9 @@ def minhash_near_dups(
         .distinct()
     )
 
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
     ws_tbl = _spread(df).select(F.col(id_col).alias("id"), shingles.alias("ws"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
@@ -317,24 +332,14 @@ def minhash_signatures(
     (``mean(sig_a[i] == sig_b[i])``) without rerunning the shingle
     explode per comparison.
 
-    Same plan-shape discipline as :func:`minhash_near_dups`: the
-    signature is an explode + min-aggregate (one shingle expression
-    total, partial aggregation collapses each map partition before the
-    shuffle), and the array is assembled from the aggregated lanes in
+    Built on the same :func:`_lane_mins` pass as
+    :func:`minhash_near_dups` — BY CONSTRUCTION the same hash family
+    and shingle source, so a sketch-accuracy grade over these
+    signatures (q_docs_minhash_estimate) speaks for the pair
+    generator too; the array is assembled from the aggregated lanes in
     a single select so no per-lane expression is ever duplicated.
     """
-    shingles = (
-        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
-    )
-    exploded = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
-    )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    sig = _lane_mins(df, id_col, text_col, num_hashes, shingle_n)
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -376,7 +376,10 @@ def _kmeanspar_centroids(
     exactly like the Lloyd loop it feeds.  The final k are chosen on
     the driver from the ~rounds×l weighted candidates by greedy
     weighted max-min (k-means++-style), which is O(l²k) on a few dozen
-    rows.
+    rows.  If the sampling finds fewer than k distinct candidates
+    (tiny/degenerate corpora), the result is topped up from the
+    lowest-id pool — defined here, once, so every caller gets
+    identical degenerate behavior.
     """
     l = oversample or max(2 * k, 8)
     first = (
@@ -439,7 +442,18 @@ def _kmeanspar_centroids(
         if best_i < 0 or best_score <= 0:
             break  # remaining candidates are duplicates of chosen ones
         chosen.append(best_i)
-    return [cands[i] for i in chosen]
+    out = [cands[i] for i in chosen]
+    if len(out) < k:
+        # tiny/degenerate corpora: the sampling rounds found fewer than
+        # k distinct candidates — top up from the lowest-id pool so k
+        # stays as close to the request as the data allows (the
+        # seen-set dedup keeps determinism).  Defined HERE, once, so
+        # every caller gets identical degenerate behavior.
+        seen = {tuple(c) for c in out}
+        out += [
+            c for c in _centroids(proj, "id", "v", k) if tuple(c) not in seen
+        ][: k - len(out)]
+    return out
 
 
 def kmeans_assign(
@@ -486,16 +500,6 @@ def kmeans_assign(
     try:
         if init == "kmeanspar":
             cents = _kmeanspar_centroids(proj, k)
-            if len(cents) < k:
-                # tiny/degenerate corpora: top up from the lowest-id
-                # pool so k stays as close to the request as the data
-                # allows (dedup keeps determinism)
-                seen = {tuple(c) for c in cents}
-                cents += [
-                    c
-                    for c in _centroids(proj, "id", "v", k)
-                    if tuple(c) not in seen
-                ][: k - len(cents)]
         else:
             cents = _centroids(proj, "id", "v", k)
         # Degenerate corpus (fewer rows than k): every row is its own
@@ -652,18 +656,21 @@ def _hash_centroids(proj: DataFrame, k: int) -> list:
 def _assign_cells_arrow(
     df: DataFrame, id_col: str, vec_col: str, cents: list, probes: int
 ) -> DataFrame:
-    """(id, v, cell) multi-probe cell assignment through one Arrow
-    batch matmul per partition — the large-k twin of the
-    ``_nearest_cells`` column expression, whose plan size is O(k·dim)
-    literals and whose per-row ``array_sort`` is O(k log k)
-    interpreted.  Here the centroid matrix rides the task closure once
-    and each batch costs a single ``X @ C.T``.  Deterministic: stable
-    argsort on (-dot, cell index) breaks ties by lowest cell id, and
-    each row's assignment is independent of batching."""
+    """(id, cell) multi-probe cell assignment through one Arrow batch
+    matmul per partition — the large-k twin of the ``_nearest_cells``
+    column expression, whose plan size is O(k·dim) literals and whose
+    per-row ``array_sort`` is O(k log k) interpreted.  Here the
+    centroid matrix rides the task closure once and each batch costs a
+    single ``X @ C.T``.  Deterministic, and tie-compatible with the
+    expression path: equal dot products rank the HIGHER cell index
+    first, exactly like ``_nearest_cells``'s ``reverse(array_sort)``
+    (stable argsort over the column-reversed dots, mapped back), so
+    the two physical forms probe identical cells row for row."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=np.float64)
+    k = C.shape[0]
 
     def fn(batches):
         for pdf in batches:
@@ -673,20 +680,16 @@ def _assign_cells_arrow(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             dots = X @ C.T
-            idx = np.argsort(-dots, axis=1, kind="stable")[:, :probes]
+            rev = np.argsort(-dots[:, ::-1], axis=1, kind="stable")[:, :probes]
+            idx = (k - 1) - rev
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy().repeat(probes),
-                    "v": pdf[vec_col].iloc[
-                        np.arange(len(pdf)).repeat(probes)
-                    ].to_numpy(),
                     "cell": idx.ravel().astype("int32"),
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        fn, "id long, v array<float>, cell int"
-    )
+    return df.select(id_col, vec_col).mapInPandas(fn, "id long, cell int")
 
 
 def semantic_near_dup_pairs(
@@ -744,46 +747,51 @@ def semantic_near_dup_pairs(
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be expr|arrow, got {assign!r}")
     proj = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    proj.persist()
-    try:
-        if init == "hash":
-            cents = _hash_centroids(proj, n_cells)
-        else:
+    if init == "hash":
+        # one TakeOrdered pass — nothing to reuse, so nothing to cache
+        cents = _hash_centroids(proj, n_cells)
+    else:
+        # k-means|| makes rounds+2 passes over proj; cache for the
+        # duration of the seeding only (the candidate join below reads
+        # the source directly)
+        proj.persist()
+        try:
             cents = _kmeanspar_centroids(proj, n_cells)
-            if len(cents) < n_cells:
-                seen = {tuple(c) for c in cents}
-                cents += [
-                    c
-                    for c in _centroids(proj, "id", "v", n_cells)
-                    if tuple(c) not in seen
-                ][: n_cells - len(cents)]
-        if not cents:
-            raise ValueError("semantic_near_dup_pairs requires a non-empty corpus")
-        probes = min(probes, len(cents))
-        if assign == "arrow":
-            assigned = _assign_cells_arrow(df, id_col, vec_col, cents, probes)
-        else:
-            assigned = df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-                F.explode(_nearest_cells(vec_col, cents, probes)).alias("cell"),
-            )
-        a = assigned.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+        finally:
+            proj.unpersist()
+    if not cents:
+        raise ValueError("semantic_near_dup_pairs requires a non-empty corpus")
+    probes = min(probes, len(cents))
+    if assign == "arrow":
+        assigned = _assign_cells_arrow(df, id_col, vec_col, cents, probes)
+    else:
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_nearest_cells(vec_col, cents, probes)).alias("cell"),
         )
-        b = assigned.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    # Dedup SLIM (id_a, id_b) pairs first, then join the vectors back
+    # for the verify — same payload discipline as minhash_near_dups
+    # ("shingle strings never move"): shipping (va, vb) through the
+    # pair-dedup shuffle would cost 2·dim floats per candidate where
+    # 16 bytes suffice.
+    a = assigned.select(F.col("id").alias("id_a"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), "cell")
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(
+            proj.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            ["id_a"],
         )
-        cand = (
-            a.join(b, ["cell"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .dropDuplicates(["id_a", "id_b"])
+        .join(
+            proj.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            ["id_b"],
         )
-        return (
-            cand.withColumn("cosine", cosine_similarity("va", "vb"))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-        )
-    finally:
-        proj.unpersist()
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -323,3 +323,40 @@ def test_semantic_near_dup_arrow_path_matches_expr_on_blobs(spark):
     )
     assert arrow1 == arrow2  # deterministic
     assert arrow1 == expr  # same exact-verified pairs at full recall
+
+
+def test_arrow_and_expr_cell_assignment_agree_on_ties(spark):
+    """With a FIXED centroid list containing duplicates and a vector
+    equidistant from everything (all dots tie), the Arrow batch-matmul
+    assignment must pick the same cells as the expression path —
+    both break dot-product ties toward the HIGHER cell index
+    (_nearest_cells' reverse(array_sort) order)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.similarity import (
+        _assign_cells_arrow,
+        _nearest_cells,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.5, 0.5]]  # 0 == 2
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),  # ties cells 0 and 2
+            (1, [0.0, 0.0]),  # ties ALL cells (every dot 0)
+            (2, [2.0, 0.0]),
+            (3, [0.3, 0.3]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    expr = df.select(
+        F.col("vec_id").alias("id"),
+        F.explode(_nearest_cells("embedding", cents, 2)).alias("cell"),
+    )
+    got_expr = sorted(map(tuple, expr.collect()))
+    got_arrow = sorted(
+        map(
+            tuple,
+            _assign_cells_arrow(df, "vec_id", "embedding", cents, 2).collect(),
+        )
+    )
+    assert got_expr == got_arrow

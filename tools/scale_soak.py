@@ -44,7 +44,10 @@ def build_10x(spark, out_dir: str) -> None:
         return
 
     docs = load_table(spark, SF_DIR, "documents")
-    n_docs = docs.count()
+    # Stride by max(id)+1, NOT by row count: with a sparse or 1-based
+    # id space a count stride would collide replica r's low ids with
+    # replica r-1's high ids, silently merging rows across replicas.
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
     docs10 = (
         docs.select("doc_id", "text", "lang", "source", "n_chars", reps)
@@ -74,9 +77,8 @@ def build_10x(spark, out_dir: str) -> None:
     docs10.write.mode("overwrite").parquet(docs_path)
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    n_vecs = emb.count()
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1  # stride, see above
     dim = len(emb.select("embedding").first()[0])
-    shift = lambda r: (r * 7) % dim  # noqa: E731
     emb10 = (
         emb.select("vec_id", "embedding", "label", reps)
         .select(
