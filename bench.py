@@ -113,6 +113,7 @@ HEADLINE = [
     "q_docs_bigram_familiarity",
     "q_mixture_temperature",
     "q_docs_minhash_estimate",
+    "q_docs_decontaminate_fuzzy",
 ]
 
 

@@ -1,14 +1,17 @@
 """Training-corpus curation queries, round 4 additions: SemDeDup-style
 semantic dedup, TF-IDF term salience, bigram language-model
-familiarity scoring, and temperature-based mixture rebalancing.
+familiarity scoring, temperature-based mixture rebalancing, MinHash
+estimation accuracy, and fuzzy decontamination.
 
-These extend the LLM-pipeline surface in queries/llm.py with the four
+These extend the LLM-pipeline surface in queries/llm.py with the
 curation shapes a large pretraining-data build still needed from this
 engine: cluster-bucketed embedding dedup (the scale path semantic
 dedup actually ships with, vs. the exact/LSH pair in llm.py), salience
 ranking for keyword extraction, corpus-frequency scoring as a log-free
-perplexity proxy, and the ``(n_max/n_s)^(1/T)`` source-rebalancing rule
-used for multilingual / multi-source mixtures.
+perplexity proxy, the ``(n_max/n_s)^(1/T)`` source-rebalancing rule
+used for multilingual / multi-source mixtures, an error-band grade of
+the MinHash sketch the near-dup filters rest on, and near-verbatim
+eval-leak detection over that same sketch.
 
 Float discipline (see q_search_bm25): every double in a graded column
 is produced by a short, explicitly-ordered chain of IEEE-exact-rounded
@@ -367,4 +370,77 @@ def q_docs_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination — the MinHash companion to
+# q_docs_decontaminate's exact shingle-overlap flagging: near-verbatim
+# eval leakage (reworded boilerplate, light paraphrase) shares most
+# but not all shingles, so the production filter matches on banded
+# signatures and verifies with exact Jaccard.  Recall at tau=0.7 with
+# 16 bands of 2 lanes is the same operating point the already-graded
+# q_docs_minhash_near_dups runs (per-pair collision ~1-(1-0.49)^16);
+# every emitted pair is exact-verified, so the oracle recomputes the
+# full pair set in SQL and the comparison is cell-for-cell.
+# ---------------------------------------------------------------------------
+_EVAL_MOD = 7
+
+
+@reg.query(
+    "q_docs_decontaminate_fuzzy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    ),
+    pairs AS (
+      SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+      FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7
+    )
+    SELECT
+      CASE WHEN id_a % {_EVAL_MOD} = 0 THEN id_b ELSE id_a END AS train_id,
+      CASE WHEN id_a % {_EVAL_MOD} = 0 THEN id_a ELSE id_b END AS eval_id,
+      jaccard
+    FROM pairs
+    WHERE (id_a % {_EVAL_MOD} = 0) <> (id_b % {_EVAL_MOD} = 0)
+    ORDER BY train_id, eval_id
+    """,
+)
+def q_docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training documents within 3-shingle Jaccard >= 0.7 of any eval
+    document (eval split: doc_id % 7 == 0), found via banded MinHash —
+    fuzzy decontamination, catching the near-verbatim leakage that
+    exact shingle-set overlap (q_docs_decontaminate) over-counts and
+    pure equality misses.
+
+    Scale shape: identical to minhash_near_dups (one signature pass,
+    bucket self-join on (band, bucket), exact verify on the candidate
+    set); the eval/train split is a post-filter on the verified pairs,
+    so at 100 TB the eval side rides the SAME index as the corpus —
+    no second signature pass and no broadcast of eval text."""
+    from fortymhz_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, threshold=0.7, bands=16)
+    a_eval = F.col("id_a") % _EVAL_MOD == 0
+    b_eval = F.col("id_b") % _EVAL_MOD == 0
+    return (
+        pairs.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+            F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+            "jaccard",
+        )
+        .orderBy("train_id", "eval_id")
     )
