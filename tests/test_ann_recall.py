@@ -360,3 +360,38 @@ def test_arrow_and_expr_cell_assignment_agree_on_ties(spark):
         )
     )
     assert got_expr == got_arrow
+
+
+def test_kmeans_arrow_assignment_matches_expr_on_blobs(spark):
+    """kmeans_assign(assign='arrow') must recover the same clustering
+    as the expression argmin on well-separated blobs (partition = the
+    semantic content; only exact-boundary points could ever differ
+    between BLAS and the JVM fold) and must be deterministic."""
+    import random
+
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(29)
+    blobs = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    rows = []
+    for i in range(90):
+        cx, cy = blobs[i % 3]
+        rows.append((i, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def partition(result):
+        by_cluster: dict[int, frozenset[int]] = {}
+        for r in result:
+            by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+        return {frozenset(v) for v in by_cluster.values()}
+
+    expr = kmeans_assign(df, k=3, iters=2, init="kmeanspar").collect()
+    arrow1 = kmeans_assign(df, k=3, iters=2, init="kmeanspar", assign="arrow").collect()
+    arrow2 = kmeans_assign(df, k=3, iters=2, init="kmeanspar", assign="arrow").collect()
+    assert sorted(map(tuple, arrow1)) == sorted(map(tuple, arrow2))
+    assert partition(expr) == partition(arrow1)
+    # dist_e9 may differ in the last ulp between BLAS and the fold;
+    # on separated blobs it must agree to within a few nano-units
+    e = {r["vec_id"]: r["dist_e9"] for r in expr}
+    for r in arrow1:
+        assert abs(e[r["vec_id"]] - r["dist_e9"]) <= 10

@@ -49,6 +49,11 @@ SENSITIVE = [
     "q_docs_tfidf_top_terms",
     "q_docs_bigram_familiarity",
     "q_mixture_temperature",
+    # minhash-lane aggregation under hostile partitioning: the min is
+    # order-independent by algebra, these two pin it stays so through
+    # the banded join and the estimate/cross-split post-processing
+    "q_docs_minhash_estimate",
+    "q_docs_decontaminate_fuzzy",
 ]
 
 _QUERIES = all_queries()

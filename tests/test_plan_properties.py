@@ -88,6 +88,10 @@ def test_q1_single_aggregation_shuffle(plans):
         # UNBLOCKED exact-Jaccard ground truth equi-joins on the
         # shingle key — no cross product anywhere in the family
         "q_docs_ngram_jaccard_pairs",
+        # round-4 minhash-family queries: estimation accuracy and
+        # fuzzy decontamination both ride the banded bucket join
+        "q_docs_minhash_estimate",
+        "q_docs_decontaminate_fuzzy",
     ],
 )
 def test_lsh_pipelines_never_cartesian(plans, name):
