@@ -468,7 +468,9 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, returning each row's
     final ``cluster`` (int) and squared distance integerized as
-    ``dist_e9`` (BIGINT) — deterministic end to end.
+    ``dist_e9`` (BIGINT) — deterministic end to end with the default
+    ``assign="expr"`` (the partition-independence claims below are
+    scoped to that path; see the ``assign`` paragraph).
 
     Iterative algorithms are where a declarative engine needs a driver
     loop: each of the ``iters`` rounds is one distributed pass —
@@ -494,7 +496,12 @@ def kmeans_assign(
     beyond k ≈ 32 (measured on the semantic-dedup twin); ``"arrow"``
     (:func:`_assign_nearest_arrow`) computes each round's assignment
     as one batch matmul per partition — the explicit opt-in for large
-    k, with BLAS last-ulp divergence on exact cluster boundaries.
+    k.  BLAS summation order can vary with batch shape, so under
+    ``"arrow"`` a point lying numerically ON a cluster boundary may
+    flip assignment across different partitionings — the run is
+    deterministic for a fixed partitioning, but the expr path's
+    any-partitioning bit-reproducibility is NOT promised (same
+    contract as ``brute_force_knn_arrow`` vs the JVM fold).
     """
     if init not in ("lowest_id", "kmeanspar"):
         raise ValueError(f"init must be lowest_id|kmeanspar, got {init!r}")
@@ -525,8 +532,8 @@ def kmeans_assign(
             # a generator in one projection makes Spark drop the struct
             # field names (FIELD_NOT_FOUND col1/col2).
             if assign == "arrow":
-                assigned = _assign_nearest_arrow(proj, "id", "v", cents).select(
-                    "cluster", "v"
+                assigned = _assign_nearest_arrow(
+                    proj, "id", "v", cents, slim=True
                 )
             else:
                 assigned = proj.select(
@@ -687,7 +694,10 @@ def _assign_cells_arrow(
     expression path: equal dot products rank the HIGHER cell index
     first, exactly like ``_nearest_cells``'s ``reverse(array_sort)``
     (stable argsort over the column-reversed dots, mapped back), so
-    the two physical forms probe identical cells row for row."""
+    the two physical forms probe identical cells row for row.  The
+    Arrow schema is pinned to the fixture/production types (integer
+    ids, float32 vectors); the expression path carries no such
+    constraint."""
     import numpy as np
     import pandas as pd
 
@@ -715,7 +725,7 @@ def _assign_cells_arrow(
 
 
 def _assign_nearest_arrow(
-    df: DataFrame, id_col: str, vec_col: str, cents: list
+    df: DataFrame, id_col: str, vec_col: str, cents: list, *, slim: bool = False
 ) -> DataFrame:
     """(id, v, cluster, dist) euclidean argmin against the centroid
     list through one Arrow batch matmul per partition — the large-k
@@ -723,13 +733,26 @@ def _assign_nearest_arrow(
     :func:`_assign_cells_arrow` for the dot-product ranking.  Ties
     break toward the LOWEST centroid index (numpy argmin first
     occurrence), matching ``_nearest_centroid``'s ascending
-    ``array_sort``.  ``dist`` is the squared distance, clamped at 0:
-    the expanded form |x|²+|c|²-2x·c can round to a tiny negative
-    where the expression path's sum-of-squared-differences cannot.
+    ``array_sort``.
+
+    The ARGMIN uses the expanded form |c|²-2x·c (the per-row |x|² term
+    is constant across centroids, so it cannot change the winner and
+    is dropped); the reported ``dist`` is then recomputed EXACTLY as
+    Σ(x-c)² against the chosen centroid only — O(n·dim), no (n,k,dim)
+    blow-up, and none of the catastrophic cancellation the expanded
+    form suffers when |x|² dwarfs the true distance.
+
+    ``slim=True`` yields only (v, cluster) — the Lloyd-loop shape,
+    which needs neither ids nor distances and shouldn't pay their
+    Arrow transfer every round.
+
     Opt-in (``assign="arrow"``): BLAS sums in a different order than
     the JVM fold, so boundary points may flip cells in the last ulp —
     a physical-strategy choice the caller makes explicitly, exactly
-    like ``brute_force_knn_arrow`` vs the JVM fold.
+    like ``brute_force_knn_arrow`` vs the JVM fold.  Like that kernel,
+    the Arrow schema is pinned to the fixture/production types
+    (integer ids, float32 vectors); the expression path carries no
+    such constraint.
     """
     import numpy as np
     import pandas as pd
@@ -744,23 +767,24 @@ def _assign_nearest_arrow(
             X = np.asarray(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
-            d = np.maximum(
-                (X**2).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T),
-                0.0,
-            )
-            cluster = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "v": pdf[vec_col].to_numpy(),
-                    "cluster": cluster.astype("int32"),
-                    "dist": d[np.arange(len(d)), cluster],
-                }
-            )
+            score = c_sq[None, :] - 2.0 * (X @ C.T)
+            cluster = np.argmin(score, axis=1)
+            out = {
+                "v": pdf[vec_col].to_numpy(),
+                "cluster": cluster.astype("int32"),
+            }
+            if not slim:
+                diff = X - C[cluster]
+                out["id"] = pdf[id_col].to_numpy()
+                out["dist"] = (diff**2).sum(axis=1)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        fn, "id long, v array<float>, cluster int, dist double"
+    schema = (
+        "v array<float>, cluster int"
+        if slim
+        else "v array<float>, cluster int, id long, dist double"
     )
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
 def semantic_near_dup_pairs(
