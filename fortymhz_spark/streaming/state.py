@@ -281,3 +281,116 @@ def assemble_orbits_batch(hits: DataFrame) -> DataFrame:
             F.max("BX_COUNTER").cast("int").alias("last_bx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: bucket-keyed Misra-Gries over a doc stream
+# ---------------------------------------------------------------------------
+
+MG_CANDIDATES = StructType(
+    [
+        StructField("bucket", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+# state: counters as a JSON [["term", cnt], ...] payload + an emission
+# sequence number so readers can select each bucket's LATEST summary
+_MG_STATE = StructType(
+    [
+        StructField("payload", StringType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+
+def streaming_frequent_terms(
+    docs_stream: DataFrame, *, counters: int = 50, buckets: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter candidates — the unbounded
+    twin of ``operators/sketches.py::frequent_terms``: tokens hash to
+    one of ``buckets`` keyed state cells, each cell folds its token
+    stream through an MG summary of ``counters`` counters that lives
+    ACROSS micro-batches, and every batch emits the cell's current
+    candidate set stamped with a monotone ``seq`` (take each bucket's
+    max-``seq`` rows for the up-to-date summary; terms are disjoint
+    across buckets, so the union is the global candidate set).
+
+    The MG guarantee carries over per bucket: a term's undercount is
+    at most (bucket tokens so far)/``counters``, so any term with true
+    count above that bound is present — tested against exact counts in
+    tests/test_streaming.py.  Within a batch the fold processes tokens
+    in (doc_id, pos) order, making the whole run deterministic for a
+    deterministic file/trigger order (MG results are order-dependent;
+    an unsorted fold would flap across reruns).
+
+    Scale shape: only (bucket, term, pos) rows reach the shuffle; per-
+    bucket state is ``counters`` entries regardless of stream length;
+    emission is ≤ counters rows per active bucket per batch.
+    ``buckets`` sizes the parallelism — state cells spread across
+    executors by bucket key exactly like any keyed aggregation.
+    """
+    if counters < 1 or buckets < 1:
+        raise ValueError(f"need counters >= 1 and buckets >= 1, got {counters=} {buckets=}")
+    from fortymhz_spark.operators import text as tx
+
+    toks = docs_stream.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.lower(F.col("text")))).alias("pos", "term"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("long")
+    )
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        counts: dict[str, int] = {}
+        seq = 0
+        if state.exists:
+            payload, seq = state.get
+            counts = dict(json.loads(payload))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["doc_id", "pos"], kind="stable"
+        )
+        for tok in rows["term"]:
+            if tok in counts:
+                counts[tok] += 1
+            elif len(counts) < counters:
+                counts[tok] = 1
+            else:
+                dead = []
+                for t in counts:
+                    counts[t] -= 1
+                    if counts[t] == 0:
+                        dead.append(t)
+                for t in dead:
+                    del counts[t]
+        seq += 1
+        state.update((json.dumps(sorted(counts.items())), seq))
+        if counts:
+            items = sorted(counts.items())
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]] * len(items),
+                    "term": [t for t, _ in items],
+                    "cnt": [c for _, c in items],
+                    "seq": [seq] * len(items),
+                }
+            )
+
+    return toks.groupBy("bucket").applyInPandasWithState(
+        fold,
+        MG_CANDIDATES,
+        _MG_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -698,3 +698,30 @@ def test_minhash_signature_estimate_bounds(spark):
     assert agree_13 <= 4  # disjoint shingles -> near-zero agreement
     sigs2 = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=64).collect()}
     assert sigs == sigs2  # deterministic
+
+
+@given(txts=texts)
+@_SETTINGS
+def test_ngram_list_matches_python_reference(spark, txts):
+    """ngram_list agrees with a 5-line pure-Python reference on random
+    tiny-alphabet strings (collision-heavy: repeated tokens, empty
+    tokens from doubled spaces, docs below the n threshold)."""
+    from fortymhz_spark.operators import text as tx
+
+    def ref(t: str, n: int = 2) -> list[str]:
+        toks = [w for w in t.lower().split(" ") if w != ""]
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["bgs"]
+        for r in df.select(
+            "id", tx.ngram_list(F.col("text"), 2).alias("bgs")
+        ).collect()
+    }
+    for i, t in enumerate(txts):
+        assert got[i] == ref(t), (i, t)

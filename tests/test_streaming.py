@@ -668,3 +668,93 @@ def test_orbit_state_ttl_flush_then_late_hit_starts_fresh_state(spark, tmp_path)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_frequent_terms_guarantee_and_determinism(spark, tmp_path):
+    """Cross-batch Misra-Gries: three files staged before the stream
+    start (maxFilesPerTrigger=1 → three micro-batches) so the sketch
+    state must survive batch boundaries.  Asserts the MG contract per
+    bucket — every term whose true count exceeds its bucket's
+    token-count/counters bound is present in the final (max-seq)
+    summary with true-count-bounded estimates — plus cross-batch
+    accumulation (seq ≥ 2 for the hot bucket) and end-to-end
+    determinism across two independent runs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.streaming.sinks import run_to_memory
+    from fortymhz_spark.streaming.state import streaming_frequent_terms
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(45):
+        words = ["hot"] * 6 + [rng.choice(vocab) for _ in range(6)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "docs"
+    src.mkdir()
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.parquet(
+            str(src / f"f{part}")
+        )
+
+    counters, buckets = 10, 4
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = run_to_memory(
+            streaming_frequent_terms(stream, counters=counters, buckets=buckets),
+            spark,
+            output_mode="update",
+        ).collect()
+        last_seq = {}
+        for r in out:
+            last_seq[r["bucket"]] = max(last_seq.get(r["bucket"], 0), r["seq"])
+        final = {
+            (r["bucket"], r["term"]): r["cnt"]
+            for r in out
+            if r["seq"] == last_seq[r["bucket"]]
+        }
+        return final, last_seq
+
+    final, last_seq = run_stream()
+    final2, _ = run_stream()
+    assert final == final2  # deterministic end to end
+
+    # ground truth: exact counts + each term's bucket (same hash expr)
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucketed = toks.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("long")
+    )
+    true_counts = {
+        (r["bucket"], r["term"]): r["n"]
+        for r in bucketed.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bucket_tokens = {}
+    for (b, _), n in true_counts.items():
+        bucket_tokens[b] = bucket_tokens.get(b, 0) + n
+
+    hot_bucket = next(b for (b, t) in true_counts if t == "hot")
+    assert last_seq[hot_bucket] >= 2  # state really crossed batches
+
+    for (b, t), true_n in true_counts.items():
+        bound = bucket_tokens[b] / counters
+        if true_n > bound:
+            assert (b, t) in final, (b, t, true_n, bound)
+    for (b, t), est in final.items():
+        true_n = true_counts[(b, t)]
+        assert est <= true_n
+        assert est >= true_n - bucket_tokens[b] // counters - 1
+    # the designed heavy hitter is guaranteed present
+    assert ("hot") in {t for (_, t) in final}
