@@ -114,6 +114,8 @@ HEADLINE = [
     "q_mixture_temperature",
     "q_docs_minhash_estimate",
     "q_docs_decontaminate_fuzzy",
+    "q_profile_orders",
+    "q_histogram_quantity",
 ]
 
 

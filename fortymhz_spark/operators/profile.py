@@ -1,0 +1,64 @@
+"""ANALYZE-style table profiling: one pass, one row per column.
+
+The statistics a warehouse keeps per column (null count, distinct
+count, min/max) drive join reordering and partition sizing; at 100 TB
+you cannot afford one scan per column, so the profile is ONE aggregate
+over the table computing every column's stats side by side (Catalyst
+fuses them into a single partial-agg pass), then an unpivot of the
+1-row result — driver-side cost is columns × a few scalars.
+
+Values are stringified for the cross-column schema (min/max of a
+bigint and a varchar must share one output column); the cast uses
+Spark's canonical string forms, which DuckDB mirrors for integers and
+strings — the profiled fixture columns — so the oracle comparison
+stays cell-for-cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_value, max_value) for
+    each requested column (default: all), computed in one scan.
+
+    ``n_distinct`` is exact (null excluded, the SQL convention).  For
+    the sketch form at open-vocabulary scale swap in
+    ``approx_count_distinct`` — same single-pass shape; the exact form
+    is what a differential oracle can verify.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}__"),
+            F.countDistinct(F.col(c)).alias(f"__ndv_{i}__"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}__"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}__"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n_rows"),
+                F.col(f"__nulls_{i}__").alias("n_nulls"),
+                F.col(f"__ndv_{i}__").alias("n_distinct"),
+                F.col(f"__min_{i}__").alias("min_value"),
+                F.col(f"__max_{i}__").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        one.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

@@ -448,3 +448,99 @@ def q_docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id", "eval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile — the stats pass a warehouse runs before
+# planning (null counts, NDVs, min/max) as ONE scan + unpivot
+# ---------------------------------------------------------------------------
+# integer/varchar columns only: their canonical string forms agree
+# between Spark and DuckDB (the fixture's o_orderdate is a TIMESTAMP
+# whose string form is loader-dependent; doubles differ in repr)
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+@reg.query(
+    "q_profile_orders",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT
+          '{c}' AS "column",
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          COUNT(DISTINCT {c}) AS n_distinct,
+          CAST(MIN({c}) AS VARCHAR) AS min_value,
+          CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    )
+    + ' ORDER BY "column"',
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of ``orders``
+    (operators/profile.py::profile_table): every column's null count,
+    exact NDV, and stringified min/max from ONE aggregate — the
+    scan-count discipline ANALYZE needs at 100 TB (six per-column
+    scans would read the table six times; the fused aggregate reads it
+    once and Catalyst keeps all partial aggregates in the same pass).
+    Profiled columns are integer/varchar only — see _PROFILE_COLS."""
+    from fortymhz_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# equal-width histogram — the distribution summary behind optimizer
+# selectivity estimates and data-quality dashboards
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_histogram_quantity",
+    oracle="""
+    SELECT
+      CAST(LEAST(FLOOR(l_quantity / 5), 9) AS BIGINT) AS bucket,
+      CAST(LEAST(FLOOR(l_quantity / 5), 9) * 5 AS BIGINT) AS lo,
+      CAST((LEAST(FLOOR(l_quantity / 5), 9) + 1) * 5 AS BIGINT) AS hi,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    ORDER BY bucket
+    """,
+)
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equal-width histogram of ``l_quantity`` over fixed
+    bounds [0, 50) with the top bucket absorbing the boundary — fixed
+    bounds keep the bucketing a pure per-row expression (a
+    data-dependent min/max would need a second pass or a 1-row
+    broadcast like q_search_bm25's stats).  One shuffle on the bucket
+    id; quantities are integer-valued so the per-bucket sums are
+    BIGINT-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_quantity") / 5), F.lit(9)).cast("long")
+    return (
+        li.select(
+            bucket.alias("bucket"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("q").cast("long").alias("sum_qty"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5).cast("long").alias("lo"),
+            ((F.col("bucket") + 1) * 5).cast("long").alias("hi"),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("bucket")
+    )

@@ -725,3 +725,30 @@ def test_ngram_list_matches_python_reference(spark, txts):
     }
     for i, t in enumerate(txts):
         assert got[i] == ref(t), (i, t)
+
+
+def test_profile_table_single_scan_stats(spark):
+    """profile_table: exact stats per column from one aggregate —
+    null counting, NDV excluding nulls, stringified min/max — plus
+    input validation."""
+    from fortymhz_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a"), (None, "a")],
+        "k long, s string",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s"}
+    assert out["k"]["n_rows"] == 4 and out["s"]["n_rows"] == 4
+    assert out["k"]["n_nulls"] == 1 and out["s"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2 and out["s"]["n_distinct"] == 2
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "2")
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table(df, [])
+    # the whole profile is ONE scan
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
