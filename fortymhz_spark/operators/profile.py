@@ -3,9 +3,20 @@
 The statistics a warehouse keeps per column (null count, distinct
 count, min/max) drive join reordering and partition sizing; at 100 TB
 you cannot afford one scan per column, so the profile is ONE aggregate
-over the table computing every column's stats side by side (Catalyst
-fuses them into a single partial-agg pass), then an unpivot of the
-1-row result — driver-side cost is columns × a few scalars.
+over the table computing every column's stats side by side, then an
+unpivot of the 1-row result — driver-side cost is columns × a few
+scalars.
+
+Honest cost note: "one scan" is not "a few scalars of work" — N
+EXACT ``countDistinct`` aggregates over different columns make
+Catalyst rewrite through an ``Expand`` that replicates every input
+row N+1 times into the partial aggregation (RewriteDistinctAggregates
+needs one grouping per distinct column), so the pass processes
+(columns+1)× the row count even though the table is read once.  At
+open-vocabulary 100 TB scale swap ``countDistinct`` for
+``approx_count_distinct`` — the HLL++ sketch folds all columns in the
+same partial-agg pass with NO Expand and constant memory; the exact
+form here is what a differential oracle can verify cell-for-cell.
 
 Values are stringified for the cross-column schema (min/max of a
 bigint and a varchar must share one output column); the cast uses
@@ -24,10 +35,9 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_value, max_value) for
     each requested column (default: all), computed in one scan.
 
-    ``n_distinct`` is exact (null excluded, the SQL convention).  For
-    the sketch form at open-vocabulary scale swap in
-    ``approx_count_distinct`` — same single-pass shape; the exact form
-    is what a differential oracle can verify.
+    ``n_distinct`` is exact (null excluded, the SQL convention) — see
+    the module docstring for the Expand cost this implies and the
+    ``approx_count_distinct`` swap that removes it at scale.
     """
     cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]

@@ -315,8 +315,9 @@ def streaming_frequent_terms(
     stream through an MG summary of ``counters`` counters that lives
     ACROSS micro-batches, and every batch emits the cell's current
     candidate set stamped with a monotone ``seq`` (take each bucket's
-    max-``seq`` rows for the up-to-date summary; terms are disjoint
-    across buckets, so the union is the global candidate set).
+    max-``seq`` rows — dropping ``cnt = 0`` empty-summary markers —
+    for the up-to-date summary; terms are disjoint across buckets, so
+    the union is the global candidate set).
 
     The MG guarantee carries over per bucket: a term's undercount is
     at most (bucket tokens so far)/``counters``, so any term with true
@@ -376,16 +377,21 @@ def streaming_frequent_terms(
                     del counts[t]
         seq += 1
         state.update((json.dumps(sorted(counts.items())), seq))
-        if counts:
-            items = sorted(counts.items())
-            yield pd.DataFrame(
-                {
-                    "bucket": [key[0]] * len(items),
-                    "term": [t for t, _ in items],
-                    "cnt": [c for _, c in items],
-                    "seq": [seq] * len(items),
-                }
-            )
+        # A batch can drive the summary to EMPTY (decrement-evictions
+        # with no survivors).  Emit an explicit empty-marker row
+        # (term="", cnt=0 — "" can never be a real token, the
+        # tokenizer drops empties) so the max-seq reader sees the
+        # bucket is now empty instead of resurrecting the previous
+        # batch's evicted candidates.
+        items = sorted(counts.items()) or [("", 0)]
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "term": [t for t, _ in items],
+                "cnt": [c for _, c in items],
+                "seq": [seq] * len(items),
+            }
+        )
 
     return toks.groupBy("bucket").applyInPandasWithState(
         fold,

@@ -54,6 +54,10 @@ SENSITIVE = [
     # the banded join and the estimate/cross-split post-processing
     "q_docs_minhash_estimate",
     "q_docs_decontaminate_fuzzy",
+    # fused multi-column aggregate (countDistinct x4 + stringified
+    # min/max) and fixed-bounds bucketing under hostile partitioning
+    "q_profile_orders",
+    "q_histogram_quantity",
 ]
 
 _QUERIES = all_queries()

@@ -720,7 +720,7 @@ def test_streaming_frequent_terms_guarantee_and_determinism(spark, tmp_path):
         final = {
             (r["bucket"], r["term"]): r["cnt"]
             for r in out
-            if r["seq"] == last_seq[r["bucket"]]
+            if r["seq"] == last_seq[r["bucket"]] and r["cnt"] > 0
         }
         return final, last_seq
 
@@ -758,3 +758,40 @@ def test_streaming_frequent_terms_guarantee_and_determinism(spark, tmp_path):
         assert est >= true_n - bucket_tokens[b] // counters - 1
     # the designed heavy hitter is guaranteed present
     assert ("hot") in {t for (_, t) in final}
+
+
+def test_streaming_frequent_terms_emptied_bucket_not_stale(spark, tmp_path):
+    """A batch that drives a bucket's MG summary to empty must emit an
+    empty-marker so the max-seq reader does not resurrect evicted
+    candidates: counters=1, batch1='a' (summary {a:1}), batch2='b'
+    (decrement evicts 'a', 'b' discarded → summary {}).  The final
+    summary is EMPTY — a stale reader would report {a:1}."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fortymhz_spark.streaming.sinks import run_to_memory
+    from fortymhz_spark.streaming.state import streaming_frequent_terms
+
+    src = tmp_path / "docs2"
+    src.mkdir()
+    spark.createDataFrame([(0, "a")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    spark.createDataFrame([(1, "b")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = run_to_memory(
+        streaming_frequent_terms(stream, counters=1, buckets=1),
+        spark,
+        output_mode="update",
+    ).collect()
+    last = max(r["seq"] for r in out)
+    assert last == 2  # both batches processed the bucket
+    final = [r for r in out if r["seq"] == last and r["cnt"] > 0]
+    assert final == []  # summary is empty, not the stale {a: 1}
+    assert [(r["term"], r["cnt"]) for r in out if r["seq"] == last] == [("", 0)]
