@@ -105,10 +105,11 @@ HEADLINE = [
     # family are q_emb_ann_lsh / q_emb_ann_ivf.
     "q_docs_jaccard_blocked",
     "q_right_outer_order_counts",
-    # round-4 curation additions.  q_emb_semantic_dedup is gate-only
-    # for the same reason as q_emb_near_dup_lsh_subset: its graded
-    # form embeds the exact all-pairs ground-truth branch, which is
-    # quadratic BY DESIGN at verification scale.
+    # round-4 curation additions.  q_emb_semantic_dedup and
+    # q_emb_semantic_keep_list are gate-only for the same reason as
+    # q_emb_near_dup_lsh_subset: their graded forms embed the exact
+    # all-pairs ground-truth branch, which is quadratic BY DESIGN at
+    # verification scale.
     "q_docs_tfidf_top_terms",
     "q_docs_bigram_familiarity",
     "q_mixture_temperature",

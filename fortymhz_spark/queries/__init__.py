@@ -27,14 +27,14 @@ only nine queries without a current-code driver row —
    round (operators/asof.py: joinless sort-merge sweep) — same
    "behavior changed after grading" policy as the media rows.
 
-Round 4 also ADDS eight curation/ops queries (queries/curation.py:
+Round 4 also ADDS nine curation/ops queries (queries/curation.py:
 semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
 mixture rebalancing, MinHash estimation accuracy, fuzzy
-decontamination, single-pass ANALYZE profile, fixed-bounds
-histogram); they enter the gate immediately so they are never in the
-"registered but ungraded" state.
+decontamination, single-pass ANALYZE profile, fixed-bounds histogram,
+semantic keep-list); they enter the gate immediately so they are
+never in the "registered but ungraded" state.
 
-Eighteen round-3 greens rotate out to make room — the tpch_deep
+Nineteen round-3 greens rotate out to make room — the tpch_deep
 join/agg shapes most isomorphic to rows staying in the gate (q2,
 q7-q12, q14, q15; q5/q16/q17/q19/q20/q22 remain as the family's
 representatives) plus q_grouping_sets_flag_year (A5 stays represented
@@ -45,9 +45,9 @@ q_sketch_cardinality), and four text/sampling rows whose families
 keep other representatives in the gate (q_chunk_token_windows,
 q_text_repetition_stats, q_shuffle_epochs, q_mixture_upsample — the
 latter's family gains the newly-graded q_mixture_temperature) and
-q_window_lag_order_gap / q_unpivot_part_sizes (W3/W7; the window
-family keeps W1/W2 in the gate and the new profile query itself
-grades an unpivot shape).  Every rotated-out row's r3 green was
+q_window_lag_order_gap / q_unpivot_part_sizes / q_set_ops_nations
+(W3/W7/W5; the window family keeps W1/W2 in the gate and the new
+profile query itself grades an unpivot shape).  Every rotated-out row's r3 green was
 produced by code unchanged since.
 After this round every registered query holds a driver-green row
 produced by the current code.  Everything outside the gate stays
@@ -66,7 +66,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
 # sanitize step changed post-grading + the reimplemented as-of join)
-# + the 8 new curation/ops queries + 32 rows held over from round 3.
+# + the 9 new curation/ops queries + 31 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -90,6 +90,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_decontaminate_fuzzy",  # banded-minhash eval-leak pairs, exact-verified
     "q_profile_orders",            # single-pass ANALYZE profile
     "q_histogram_quantity",        # fixed-bounds equal-width histogram
+    "q_emb_semantic_keep_list",    # pairs -> components -> representative per vector
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
     "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
@@ -104,7 +105,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_rollup_returnflag_status",
     "q_distinct_parts_per_flag",
     "q_pivot_flag_by_status",
-    "q_set_ops_nations",
     "q_scalar_functions",
     "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
@@ -160,7 +160,7 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_chunk_token_windows", "q_text_repetition_stats",
     "q_shuffle_epochs", "q_mixture_upsample", "q_date_functions",
     "q_quantity_percentiles", "q_window_lag_order_gap",
-    "q_unpivot_part_sizes",
+    "q_unpivot_part_sizes", "q_set_ops_nations",
     # rotated out after their round-3 green
     "q2_min_cost_supplier", "q7_nation_trade_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",

@@ -544,3 +544,74 @@ def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup KEEP-LIST — the end of the SemDeDup pipeline: pairs →
+# transitive groups → one representative per group, for EVERY vector
+# (singletons keep themselves).  The approximate candidate generator
+# is graded separately (q_emb_semantic_dedup, subset + recall bound);
+# this query grades the exact-pair → components → keep-list semantics
+# against a recursive-CTE closure, the q_docs_dedup_groups pattern
+# extended with singleton handling.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_semantic_keep_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT
+      COALESCE(c.component, e.vec_id) AS component,
+      e.vec_id,
+      (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_rep
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    ORDER BY component, vec_id
+    """,
+)
+def q_emb_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per vector: its semantic-dup component (min reachable
+    vec_id over cosine >= 0.45 pairs, transitively) and whether it is
+    the component's representative — keep ``is_rep`` rows and the
+    corpus is semantically deduped even across chains A~B~C where A~C
+    was never emitted.
+
+    Uses the exact pair form as input (this query grades the
+    components + keep-list semantics; the bucketed candidate
+    generator has its own subset-graded row), then the iterative
+    min-label + pointer-jumping components
+    (operators/dedup.py::near_dup_components) and a left join back to
+    the corpus so singletons keep themselves.  Scale: components is
+    O(log diameter) rounds; the left join shuffles on vec_id once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from fortymhz_spark.operators import dedup as dd
+
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.45)
+    comp = dd.near_dup_components(pairs).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, ["vec_id"], "left")
+        .select(
+            F.coalesce("component", "vec_id").alias("component"),
+            "vec_id",
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias(
+                "is_rep"
+            ),
+        )
+        .orderBy("component", "vec_id")
+    )

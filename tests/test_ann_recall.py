@@ -395,3 +395,39 @@ def test_kmeans_arrow_assignment_matches_expr_on_blobs(spark):
     e = {r["vec_id"]: r["dist_e9"] for r in expr}
     for r in arrow1:
         assert abs(e[r["vec_id"]] - r["dist_e9"]) <= 10
+
+
+def test_semantic_near_dup_precision_structural_on_random_vectors(spark):
+    """Precision of the cell-bucketed path is STRUCTURAL — on fully
+    random (unclustered, adversarial-for-recall) vectors, every
+    emitted pair must still appear in the exact form with an identical
+    cosine, for both physical forms.  (Recall on such data is NOT
+    asserted — cells can split neighbors; that contract is the graded
+    aggregate bound on the fixtures.)"""
+    import random
+
+    from fortymhz_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_near_dup_pairs,
+    )
+
+    rng = random.Random(97)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(df, threshold=0.6).collect()
+    }
+    for kwargs in (
+        {},
+        {"init": "hash", "assign": "arrow"},
+    ):
+        sem = semantic_near_dup_pairs(
+            df, threshold=0.6, n_cells=6, probes=2, **kwargs
+        ).collect()
+        for r in sem:
+            key = (r["id_a"], r["id_b"])
+            assert key in exact, (kwargs, key)
+            assert r["cosine"] == exact[key], (kwargs, key)
