@@ -752,3 +752,34 @@ def test_profile_table_single_scan_stats(spark):
     # the whole profile is ONE scan
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_keep_list_all_singletons_when_no_pairs(spark):
+    """The semantic keep-list's singleton handling must hold in the
+    degenerate no-pairs case: components over an empty pair set is
+    empty, and the left-join + coalesce makes every vector its own
+    representative."""
+    from fortymhz_spark.operators.dedup import near_dup_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    comp = near_dup_components(empty)
+    assert comp.count() == 0
+    emb = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+    kl = (
+        emb.join(
+            comp.select(F.col("id").alias("vec_id"), "component"),
+            ["vec_id"],
+            "left",
+        ).select(
+            F.coalesce("component", "vec_id").alias("component"),
+            "vec_id",
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias(
+                "is_rep"
+            ),
+        )
+    )
+    assert sorted(map(tuple, kl.collect())) == [
+        (1, 1, True),
+        (2, 2, True),
+        (3, 3, True),
+    ]
