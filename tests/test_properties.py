@@ -783,3 +783,36 @@ def test_keep_list_all_singletons_when_no_pairs(spark):
         (2, 2, True),
         (3, 3, True),
     ]
+
+
+def test_columnar_and_text_format_round_trips(spark, tmp_path):
+    """Format surface beyond parquet: ORC (the other columnar
+    built-in), CSV, and JSON lines all round-trip the TPC-H-ish row
+    shape with declared schemas (CSV/JSON read back with the writer's
+    schema — streaming-safe, no inference)."""
+    df = spark.createDataFrame(
+        [(1, "a b", 1.5, True), (2, None, -0.25, False)],
+        "k long, s string, x double, f boolean",
+    )
+    want = sorted(map(tuple, df.collect()))
+    orc_p, csv_p, json_p = (str(tmp_path / n) for n in ("o", "c", "j"))
+    df.write.orc(orc_p)
+    df.write.option("header", True).csv(csv_p)
+    df.write.json(json_p)
+    assert sorted(map(tuple, spark.read.orc(orc_p).collect())) == want
+    assert (
+        sorted(
+            map(
+                tuple,
+                spark.read.schema(df.schema)
+                .option("header", True)
+                .csv(csv_p)
+                .collect(),
+            )
+        )
+        == want
+    )
+    assert (
+        sorted(map(tuple, spark.read.schema(df.schema).json(json_p).collect()))
+        == want
+    )
