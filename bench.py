@@ -117,6 +117,11 @@ HEADLINE = [
     "q_docs_decontaminate_fuzzy",
     "q_profile_orders",
     "q_histogram_quantity",
+    "q_docs_decontaminate_bloom",
+    "q_docs_quality_classifier",
+    # PQ ANN: like the LSH/IVF rows, cost includes the in-plan exact
+    # ground-truth branch its recall oracle requires.
+    "q_emb_ann_pq",
 ]
 
 

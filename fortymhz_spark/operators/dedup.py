@@ -605,6 +605,113 @@ def contaminated_ids(
 
 
 # ---------------------------------------------------------------------------
+# bloom-filter decontamination (map-only train scan)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(s, j: int, m_bits: int):
+    """Engine-portable bloom bit position for shingle ``s`` and hash
+    index ``j``: the first 8 hex digits of ``md5(s || '#' || j)`` mod
+    ``m_bits``.  md5 renders the identical hex string in Spark and
+    DuckDB (the simhash-portable trick, see
+    ``simhash_fingerprints_portable``), so an oracle can replay the
+    ENTIRE bloom construction and membership test cell-for-cell."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 8), 16, 10)
+        .cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 8,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Decontamination via a bloom filter of the eval shingle set:
+    train docs with ANY shingle whose ``k_hashes`` bloom bits are all
+    set.  Returns ``(id, n_candidate)`` — candidate-shingle counts,
+    a SUPERSET of :func:`contaminated_ids`'s exact overlaps (bloom
+    filters have no false negatives; false positives are bounded by
+    ``(1 - e^(-k·n/m))^k``).
+
+    The 100 TB shape this buys over the exact semi-join twin: the
+    train side is a MAP-ONLY scan — no explode, no join, no shuffle
+    until the final tiny aggregate.  The eval side collapses to an
+    ``m_bits``-bit set (8 KB here) built by one bounded aggregate
+    (≤ ``m_bits/32`` rows collect to the driver) and shipped to
+    executors as a single array literal in the task binary.  Size
+    ``m_bits`` to the eval corpus (~10 bits/shingle for ~1 % FP); past
+    tens of MB of bitset, prefer the broadcast semi-join twin
+    (``contaminated_ids``) — the crossover is exactly the point where
+    the candidate-set inexactness stops paying for itself.
+
+    Bit layout is 32-bit lanes stored in BIGINT words (no sign-bit
+    traffic), and the in-lambda bit test is ``word / 2^bit`` in
+    doubles — exact for 32-bit words, and expressible inside a
+    higher-order-function lambda where the fixed-shift API is not.
+    """
+    if m_bits % 32 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+
+    sh = shingle_set(text_col, shingle_n)
+    positions = (
+        eval_df.select(F.explode(sh).alias("s"))
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s"), j, m_bits) for j in range(k_hashes)])
+            ).alias("pos")
+        )
+    )
+    word_rows = (
+        positions.groupBy((F.col("pos") / F.lit(32)).cast("long").alias("w"))
+        # 2^bit is exact in doubles for bit <= 31 — a shift the agg
+        # API can't express with a column shift amount.
+        .agg(
+            F.bit_or(
+                F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double")).cast("long")
+            ).alias("word")
+        )
+        .collect()  # bounded driver-side reduce: <= m_bits/32 rows (2048 here)
+    )
+    words = [0] * (m_bits // 32)
+    for r in word_rows:
+        words[int(r["w"])] = int(r["word"])
+    # Single array literal (not CreateArray): constant-folded once per
+    # task, O(1) element_at lookups per probe.
+    words_lit = F.lit(words).cast("array<bigint>")
+
+    def member(s):
+        cond = None
+        for j in range(k_hashes):
+            pos = _bloom_pos(s, j, m_bits)
+            word = F.element_at(
+                words_lit, ((pos / F.lit(32)).cast("long") + 1).cast("int")
+            )
+            bit = (pos % 32).cast("double")
+            c = (
+                (word.cast("double") / F.pow(F.lit(2.0), bit)).cast("long") % 2
+            ) == 1
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    return (
+        train.select(
+            F.col(id_col).alias("id"),
+            F.size(F.filter(sh, member)).alias("n_candidate"),
+        )
+        .filter(F.col("n_candidate") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram / word-set Jaccard within blocks
 # ---------------------------------------------------------------------------
 

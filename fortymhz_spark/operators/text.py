@@ -185,6 +185,49 @@ def quality_score(text: Column | str) -> Column:
     return (len_ok + atl_ok + sw_ok + punct_ok) / F.lit(4.0)
 
 
+def hashed_linear_score(text: Column | str, *, scale: int = 1000) -> Column:
+    """Model-scored quality filtering: the integer logit of a
+    fastText-style linear classifier over HASHED unigram features —
+    ``sum over tokens of w(token)`` with
+    ``w(tok) = portable_hash(tok) % (2*scale+1) - scale``, i.e. weights
+    in [-scale, scale] looked up by feature hashing (no vocabulary
+    table at all).
+
+    The weights here are a deterministic hash-derived STAND-IN — no
+    trained model ships in this environment — but the plumbing is the
+    real contract a production classifier drops into: tokenization →
+    per-token weight lookup as a pure column expression → exact
+    integer fold, map-only, zero shuffles, no UDF.  A trained model
+    replaces ``w`` with (hash % n_buckets) indexing a literal weight
+    array (a few MB in the task binary, the PQ-codebook pattern).  The
+    hash is the engine-portable md5 prefix
+    (operators/dedup.py::_bloom_pos family) and the fold is all-BIGINT,
+    so a SQL oracle reproduces the logit exactly — no float crosses a
+    row boundary.
+
+    Returns the integer logit (milli-units when scale=1000); classify
+    with ``logit > 0``.  Token array is let-bound once per row
+    (shingle_set discipline).
+    """
+    t = _colified(text)
+    toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    mod = 2 * scale + 1
+
+    def fold(tk: Column) -> Column:
+        return F.aggregate(
+            tk,
+            F.lit(0).cast("long"),
+            lambda acc, tok: acc
+            + (
+                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+                % mod
+                - scale
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), fold), 1)
+
+
 def content_md5(text: Column | str) -> Column:
     """Exact-dedup key: md5 of the lowercased, space-normalized text."""
     t = _colified(text)

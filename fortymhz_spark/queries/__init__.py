@@ -27,14 +27,17 @@ only nine queries without a current-code driver row —
    round (operators/asof.py: joinless sort-merge sweep) — same
    "behavior changed after grading" policy as the media rows.
 
-Round 4 also ADDS nine curation/ops queries (queries/curation.py:
+Round 4 also ADDS twelve curation/ops queries (queries/curation.py:
 semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
 mixture rebalancing, MinHash estimation accuracy, fuzzy
 decontamination, single-pass ANALYZE profile, fixed-bounds histogram,
-semantic keep-list); they enter the gate immediately so they are
-never in the "registered but ungraded" state.
+semantic keep-list, bloom-filter decontamination, PQ ANN, and the
+hashed-feature quality classifier); they enter the gate immediately
+so they are never in the "registered but ungraded" state.
 
-Nineteen round-3 greens rotate out to make room — the tpch_deep
+Twenty-two round-3 greens rotate out to make room (the last three —
+q19, q20, q22 — mid-round, when the bloom/PQ/classifier rows were
+added; see PREVIOUSLY_GREEN's trailer note) — the tpch_deep
 join/agg shapes most isomorphic to rows staying in the gate (q2,
 q7-q12, q14, q15; q5/q16/q17/q19/q20/q22 remain as the family's
 representatives) plus q_grouping_sets_flag_year (A5 stays represented
@@ -66,7 +69,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
 # sanitize step changed post-grading + the reimplemented as-of join)
-# + the 9 new curation/ops queries + 31 rows held over from round 3.
+# + the 12 new curation/ops queries + 28 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -91,6 +94,9 @@ ROUND_GATE: tuple[str, ...] = (
     "q_profile_orders",            # single-pass ANALYZE profile
     "q_histogram_quantity",        # fixed-bounds equal-width histogram
     "q_emb_semantic_keep_list",    # pairs -> components -> representative per vector
+    "q_docs_decontaminate_bloom",  # full-algorithm portable-bloom oracle
+    "q_emb_ann_pq",                # PQ ADC + re-rank, in-plan recall@10
+    "q_docs_quality_classifier",   # hashed-feature linear model, exact logit
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
     "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
@@ -110,9 +116,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q_cogroup_user_orders",
     "q16_supplier_diversity",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q22_wealthy_inactive_customers",
     "q_vec_int8_quant_error",
     "q_pack_sequences",
     "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
@@ -166,6 +169,14 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_suppliers", "q12_shipping_delay",
     "q14_promo_revenue_share", "q15_top_supplier",
+    # rotated out mid-round-4 to admit the bloom/PQ/classifier rows
+    # (policy: new queries enter the gate immediately); all three
+    # graded green in round 3 by code unchanged since, and their
+    # families keep gate representatives: q19 (part-lineitem
+    # join+agg) by q17, q20 (left semi) by q18, q22 (left anti +
+    # scalar subquery) by q16 and q21.
+    "q19_disjunctive_revenue", "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
 )
 
 

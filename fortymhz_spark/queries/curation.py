@@ -31,6 +31,7 @@ from fortymhz_spark.queries.llm import (
     _SQL_DOT,
     _SQL_NORM,
     _SQL_SHINGLES,
+    _SQL_SHINGLES_N,
     _SQL_TOKENS,
 )
 from fortymhz_spark.queries.registry import Registry
@@ -614,4 +615,206 @@ def q_emb_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("component", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the map-only scale twin of
+# q_docs_decontaminate.  The bloom's hash family is the portable
+# md5-prefix (operators/dedup.py::_bloom_pos), so the oracle replays
+# the ENTIRE algorithm — bit positions, 32-bit-lane word bitset,
+# k-of-k membership — cell-for-cell, false positives included; this is
+# a full differential check of the operator, not an error band.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1 << 16
+_BLOOM_K = 3
+_SQL_BLOOM_POS = (
+    "(('0x' || substr(md5({s} || '#' || {j}), 1, 8))::BIGINT % " f"{_BLOOM_M})"
+)
+
+
+@reg.query(
+    "q_docs_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest({_SQL_SHINGLES_N.format(tk='tk', n=4)}) AS s
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    pos AS (
+      SELECT {_SQL_BLOOM_POS.format(s='ev.s', j='t.j')} AS pos
+      FROM ev, range({_BLOOM_K}) t(j)
+    ),
+    words AS (
+      SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)::INT) AS word
+      FROM pos GROUP BY 1
+    ),
+    tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+    chk AS (
+      SELECT tsh.doc_id, tsh.s,
+             bool_and(
+               COALESCE((w2.word >> (p.pos % 32)::INT) & 1, 0) = 1
+             ) AS member
+      FROM tsh
+      CROSS JOIN range({_BLOOM_K}) t(j)
+      CROSS JOIN LATERAL (
+        SELECT {_SQL_BLOOM_POS.format(s='tsh.s', j='t.j')} AS pos
+      ) p
+      LEFT JOIN words w2 ON w2.w = p.pos // 32
+      GROUP BY tsh.doc_id, tsh.s
+    ),
+    hits AS (
+      SELECT doc_id AS id, COUNT(*) AS n_candidate
+      FROM chk WHERE member GROUP BY doc_id
+    )
+    SELECT
+      d.source,
+      COUNT(*) AS n_train,
+      CAST(SUM(CASE WHEN h.n_candidate IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_flagged,
+      CAST(COALESCE(MAX(h.n_candidate), 0) AS BIGINT)
+        AS max_candidate_shingles
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q_docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a bloom filter of the eval
+    shingle set (operators/dedup.py::bloom_decontaminate), aggregated
+    per source exactly like its exact twin q_docs_decontaminate — same
+    eval split (doc_id % 97), same 4-word shingles — so the two rows
+    read side-by-side as exact-vs-sketch.
+
+    Scale shape: the train side is a MAP-ONLY scan (no explode, no
+    join, no shuffle before the final per-source aggregate); the eval
+    set collapses to an 8 KB bitset built by one bounded aggregate.
+    At 100 TB this removes the train-side (id, shingle) explode+join
+    entirely — the candidate set gains hash-deterministic false
+    positives, which the oracle reproduces bit-for-bit."""
+    from fortymhz_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = dd.bloom_decontaminate(
+        train, eval_df, shingle_n=4, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    return (
+        train.join(hits, train["doc_id"] == hits["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("n_candidate").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+            F.coalesce(F.max("n_candidate"), F.lit(0))
+            .cast("bigint")
+            .alias("max_candidate_shingles"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN: compressed-code ADC scan + exact re-rank, graded by the same
+# in-plan recall check as the LSH/IVF rows (code assignments are
+# codebook-training-specific — no oracle for the candidate sets — but
+# recall vs the exact top-k is plan-computable).  Measured min
+# per-query recall@10 with 8x16 Lloyd-trained codebooks and 16x
+# re-rank: 0.8 at sf0.001 AND sf0.01 (mean 0.97 / 0.91; the synthetic
+# embeddings are near-random, the hard case for quantizers — rerank
+# width carries more recall than codebook finesse here).  Bound 0.5
+# leaves regeneration margin (the q_emb_ann_ivf reasoning: at ~0.9+
+# per-neighbor find probability, P(any query finds < 5 of 10) is
+# vanishing, while a real defect in the encode/ADC/re-rank chain
+# craters recall toward the random ~k/N floor and flips every row).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_pq",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id >= 5 AND vec_id < 15 ORDER BY query_id
+    """,
+)
+def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for query vectors with
+    5 <= vec_id < 15 (operators/similarity.py::pq_knn) — the
+    compressed-scan third member of the ANN family beside sign-RP LSH
+    and IVF — with per-query recall@10 verified in-plan against the
+    exact top-10.  The query-set predicate matches the oracle's WHERE
+    verbatim (the q_emb_ann_ivf convention), offset from the LSH/IVF
+    query sets so the three rows don't grade the identical slice."""
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15))
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.pq_knn(
+        emb, queries, k=10, n_sub=8, n_cells=16, rerank=16
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_check(exact, ann, bound=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Model-scored quality filtering: hashed-feature linear classifier.
+# The logit is an exact BIGINT fold over portable per-token hash
+# weights, so the oracle reproduces every cell bit-for-bit — this
+# grades the feature-hashing + weight-lookup + fold plumbing, with the
+# hash-derived weights standing in for a trained model (the
+# operators/multimodal.py fake-decode stance, stated in the operator
+# docstring).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='lower(text)')} AS tk
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(len(tk) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(list_sum(list_transform(tk, tok ->
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % 2001) - 1000
+           )), 0) AS BIGINT) AS logit_milli,
+      CAST(COALESCE(list_sum(list_transform(tk, tok ->
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % 2001) - 1000
+           )), 0) AS BIGINT) > 0 AS keep
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality classification by a hashed-feature linear
+    model (operators/text.py::hashed_linear_score): integer milli-logit
+    and the keep/drop verdict, beside the heuristic q_docs_quality row
+    — the two quality surfaces a curation pipeline composes (cheap
+    heuristics gate first, the model scores what survives).
+
+    Scale shape: map-only — tokenize, hash, fold, all inside one
+    projection; no explode, no join, no shuffle except the output
+    sort.  At 100 TB this is a single pass over text bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = tx.hashed_linear_score("text", scale=1000)
+    return (
+        docs.select(
+            "doc_id",
+            tx.token_count(F.lower(F.col("text"))).alias("n_tokens"),
+            logit.alias("logit_milli"),
+            (logit > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

@@ -58,6 +58,10 @@ SENSITIVE = [
     # min/max) and fixed-bounds bucketing under hostile partitioning
     "q_profile_orders",
     "q_histogram_quantity",
+    # bloom words collect (the bit_or aggregate must be partition-
+    # count-invariant) and the map-only classifier fold
+    "q_docs_decontaminate_bloom",
+    "q_docs_quality_classifier",
 ]
 
 _QUERIES = all_queries()
@@ -85,6 +89,8 @@ ENGINE_HASH_GATE = [
     "q_docs_simhash_near_dups",
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
+    # trained-codebook candidates are engine-internal the same way
+    "q_emb_ann_pq",
 ]
 
 

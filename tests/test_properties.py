@@ -816,3 +816,128 @@ def test_columnar_and_text_format_round_trips(spark, tmp_path):
         sorted(map(tuple, spark.read.schema(df.schema).json(json_p).collect()))
         == want
     )
+
+
+def test_bloom_decontaminate_superset_and_maponly_plan(spark):
+    """Bloom candidates must be a SUPERSET of the exact semi-join
+    overlaps (bloom filters have no false negatives — a miss here is a
+    broken bit layout, not bad luck), and the train-side plan must be
+    join-free and exchange-free up to the operator's output (the whole
+    point of the bloom twin: decontamination as a map-only scan)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import dedup as dd
+    from fortymhz_spark.sources.batch import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["id"]
+        for r in dd.contaminated_ids(train, eval_df, shingle_n=4).collect()
+    }
+    bloom_df = dd.bloom_decontaminate(train, eval_df, shingle_n=4)
+    bloom = {r["id"] for r in bloom_df.collect()}
+    assert exact, "fixture regression: exact decontamination found nothing"
+    assert exact <= bloom, f"false negatives: {sorted(exact - bloom)[:5]}"
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_decontaminate_validates_parameters():
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import dedup as dd
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        dd.bloom_decontaminate(None, None, m_bits=100)
+    with _pytest.raises(ValueError, match="k_hashes"):
+        dd.bloom_decontaminate(None, None, k_hashes=0)
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """Pin the hashed-feature classifier logit against a pure-Python
+    md5 reference (the portable-simhash pinning pattern), including
+    the empty-text → 0 edge."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.text import hashed_linear_score
+
+    texts = [
+        "The quick brown Fox jumps",
+        "  padded   tokens   here ",
+        "",
+        "one",
+        "repeat repeat repeat",
+    ]
+
+    def ref_logit(text: str, scale: int = 1000) -> int:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        out = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            out += h % (2 * scale + 1) - scale
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: r["logit"]
+        for r in df.select(
+            "text", hashed_linear_score("text").alias("logit")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == ref_logit(t), t
+
+
+def test_pq_knn_exact_when_rerank_covers_corpus(spark):
+    """With a shortlist as wide as the corpus, PQ's ADC ordering cannot
+    drop a true neighbor — the exact-cosine re-rank must reproduce
+    brute-force top-k exactly (ids AND tie-order).  Also pins run
+    determinism of the trained-codebook path."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import similarity as sim
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_knn(df, queries, k=5).collect()
+    )
+    got1 = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_knn(
+            df, queries, k=5, n_sub=4, n_cells=8, rerank=10, train_sample=48
+        ).collect()
+    )
+    got2 = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_knn(
+            df, queries, k=5, n_sub=4, n_cells=8, rerank=10, train_sample=48
+        ).collect()
+    )
+    assert got1 == exact
+    assert got2 == got1
+
+
+def test_pq_knn_validates_dimension():
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError, match="divisible"):
+        sim.pq_knn(None, None, n_sub=5, dim=64)
