@@ -102,24 +102,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
 
 def test_format_round_trips(spark, tmp_path):
     """Format breadth for the batch IO layer: the same relation must
-    survive parquet, ORC, JSON, and CSV round trips (CSV/JSON with
-    explicit schema on read — schema inference at 100 TB is a full
-    extra pass)."""
+    survive parquet, ORC, JSON, CSV, and XML round trips (CSV/JSON/XML
+    with explicit schema on read — schema inference at 100 TB is a
+    full extra pass).  XML is the Spark-4 built-in source; Avro's
+    external module jar is NOT deployed in this environment (verified:
+    `Failed to find data source: avro`), the same class of gap as the
+    Kafka connector jar — documented, not worked around."""
     df = spark.createDataFrame(
         [(1, "a b", 0.5, True), (2, "", -1.25, False), (3, None, 0.0, True)],
         "id long, txt string, score double, flag boolean",
     )
     want = sorted(map(tuple, df.collect()))
     schema = df.schema
-    for fmt in ("parquet", "orc", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv", "xml"):
         path = str(tmp_path / fmt)
         w = df.write.format(fmt).mode("overwrite")
         if fmt == "csv":
             w = w.option("header", "true").option("nullValue", "\\N")
+        if fmt == "xml":
+            w = w.option("rootTag", "rows").option("rowTag", "row")
         w.save(path)
         r = spark.read.format(fmt).schema(schema)
         if fmt == "csv":
             r = r.option("header", "true").option("nullValue", "\\N")
+        if fmt == "xml":
+            r = r.option("rowTag", "row")
         got = sorted(map(tuple, r.load(path).collect()))
         assert got == want, f"{fmt} round trip drifted"
 
@@ -213,3 +220,67 @@ def test_shuffle_hash_hint_skips_the_sort(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    """Dynamic partition pruning (DPP): when a hive-partitioned fact
+    joins a dim filtered by a NON-partition predicate, the dim-side
+    result must prune the fact's partition listing at RUNTIME — the
+    100 TB star-join pattern where the date/region filter lives on the
+    dimension and a static pruner sees nothing to push.  The scan must
+    carry a `dynamicpruning` partition filter, and the result must
+    equal the semantically-identical unpartitioned join."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "fact_byflag")
+    write_partitioned(li, out, ["l_returnflag"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "flag string, label string",
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(dim, fact.l_returnflag == dim.flag)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert joined.count() == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a sort-merge join with one hot key must
+    come out of adaptive execution with the skewed partition SPLIT
+    (`skew=true` on the join node) instead of one straggler task —
+    the runtime half of the salting story (operators/partitioning.py
+    handles aggregation skew; AQE handles join skew).  Results must be
+    unaffected."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, 0)
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's own query execution — the
+        # adaptive plan only shows its final (skew-split) form after
+        # the very plan we inspect has actually run.
+        assert len(joined.collect()) == 60000  # every left row matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
