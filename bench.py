@@ -119,9 +119,10 @@ HEADLINE = [
     "q_histogram_quantity",
     "q_docs_decontaminate_bloom",
     "q_docs_quality_classifier",
-    # PQ ANN: like the LSH/IVF rows, cost includes the in-plan exact
-    # ground-truth branch its recall oracle requires.
+    # PQ / IVFPQ ANN: like the LSH/IVF rows, cost includes the in-plan
+    # exact ground-truth branch their recall oracles require.
     "q_emb_ann_pq",
+    "q_emb_ann_ivfpq",
 ]
 
 

@@ -508,7 +508,21 @@ def pq_knn(
         .filter(F.col("rn") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    # Candidate fetch: raw vectors come back ONLY for the shortlist.
+    return _fetch_and_rerank(shortlist, corpus, queries, id_col, vec_col, k)
+
+
+def _fetch_and_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared ANN tail: fetch raw vectors ONLY for the shortlisted
+    (query_id, neighbor_id) candidates, exact-cosine re-rank, keep the
+    top-k per query (ties → lowest neighbor id, the family
+    convention)."""
     fetched = shortlist.join(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -532,6 +546,123 @@ def pq_knn(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_cells: int = 16,
+    rerank: int = 16,
+    train_rounds: int = 8,
+    train_sample: int = 512,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the architecture large-scale ANN actually
+    deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
+    each query to ``nprobe`` cells' worth of candidates, and within
+    those cells the scan reads PQ CODES (``n_sub`` small ints), not
+    vectors; ADC ranks the candidates, raw vectors come back only for
+    the ``k * rerank`` shortlist, exact cosine re-ranks.
+
+    Scale shape: candidate volume is corpus × nprobe / n_coarse per
+    query (the IVF term) AND each candidate row is ~``n_sub`` bytes
+    (the PQ term) — at 100 TB both terms matter: IVF bounds the rows
+    touched, PQ bounds the bytes per row.  The join is
+    hash-partitioned on the cell id exactly like ``ivf_knn``; no stage
+    touches the full corpus × queries product.  Codes quantize the
+    normalized vector directly (FAISS ``by_residual=false``) — the
+    residual-encoding refinement is a recall/quality knob orthogonal
+    to the plan shape, and the exact re-rank absorbs the difference at
+    these rerank widths.  Coarse cells follow ``ivf_knn``'s dot-product
+    assignment and codebooks follow ``pq_knn``'s Lloyd training, so
+    each half of the composition matches its already-verified
+    standalone twin.
+    """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("ivfpq_knn: empty corpus")
+        dim = int(first["d"])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+
+    coarse = _centroids(corpus, id_col, vec_col, n_coarse)
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max(train_sample, n_cells))
+        .collect()
+    )
+    sample = []
+    for r in seed_rows:
+        full = [float(x) for x in r["v"]]
+        nrm = math.sqrt(sum(x * x for x in full)) or 1.0
+        sample.append([x / nrm for x in full])
+    books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
+
+    def argmin_cell(sub_expr, cells: list):
+        scored = F.array(
+            *[
+                F.struct(
+                    _l2sq(sub_expr, c).alias("dist"), F.lit(i).alias("cell")
+                )
+                for i, c in enumerate(cells)
+            ]
+        )
+        return F.array_sort(scored)[0]["cell"]
+
+    vn = _normalized(vec_col)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
+        *[
+            argmin_cell(F.slice(vn, s * d_sub + 1, d_sub), books[s]).alias(
+                f"code_{s}"
+            )
+            for s in range(n_sub)
+        ],
+    )
+    qtabs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_nearest_cells(vec_col, coarse, nprobe)).alias("cell"),
+        *[
+            F.array(
+                *[
+                    _l2sq(F.slice(vn, s * d_sub + 1, d_sub), c)
+                    for c in books[s]
+                ]
+            ).alias(f"dtab_{s}")
+            for s in range(n_sub)
+        ],
+    )
+    adc = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.col(f"dtab_{s}"), (F.col(f"code_{s}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.join(qtabs, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _fetch_and_rerank(shortlist, corpus, queries, id_col, vec_col, k)
 
 
 # ---------------------------------------------------------------------------

@@ -27,19 +27,20 @@ only nine queries without a current-code driver row —
    round (operators/asof.py: joinless sort-merge sweep) — same
    "behavior changed after grading" policy as the media rows.
 
-Round 4 also ADDS twelve curation/ops queries (queries/curation.py:
+Round 4 also ADDS thirteen curation/ops queries (queries/curation.py:
 semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
 mixture rebalancing, MinHash estimation accuracy, fuzzy
 decontamination, single-pass ANALYZE profile, fixed-bounds histogram,
-semantic keep-list, bloom-filter decontamination, PQ ANN, and the
-hashed-feature quality classifier); they enter the gate immediately
+semantic keep-list, bloom-filter decontamination, PQ ANN, the
+IVF+PQ composition, and the hashed-feature quality classifier); they enter the gate immediately
 so they are never in the "registered but ungraded" state.
 
-Twenty-two round-3 greens rotate out to make room (the last three —
-q19, q20, q22 — mid-round, when the bloom/PQ/classifier rows were
-added; see PREVIOUSLY_GREEN's trailer note) — the tpch_deep
+Twenty-three round-3 greens rotate out to make room (the last four —
+q19, q20, q22, q_window_running_revenue — mid-round, when the bloom/PQ/classifier rows were
+added; see PREVIOUSLY_GREEN's trailer notes) — the tpch_deep
 join/agg shapes most isomorphic to rows staying in the gate (q2,
-q7-q12, q14, q15; q5/q16/q17/q19/q20/q22 remain as the family's
+q7-q12, q14, q15, and later q19/q20/q22; q5/q16/q17 plus the
+re-graded q13/q18/q21 remain as the family's
 representatives) plus q_grouping_sets_flag_year (A5 stays represented
 by the rollup and cube rows), q_date_functions (F2; its scalar-fn
 sibling q_scalar_functions stays), q_quantity_percentiles (A4's
@@ -48,10 +49,11 @@ q_sketch_cardinality), and four text/sampling rows whose families
 keep other representatives in the gate (q_chunk_token_windows,
 q_text_repetition_stats, q_shuffle_epochs, q_mixture_upsample — the
 latter's family gains the newly-graded q_mixture_temperature) and
-q_window_lag_order_gap / q_unpivot_part_sizes / q_set_ops_nations
-(W3/W7/W5; the window family keeps W1/W2 in the gate and the new
-profile query itself grades an unpivot shape).  Every rotated-out row's r3 green was
-produced by code unchanged since.
+q_window_lag_order_gap / q_unpivot_part_sizes / q_set_ops_nations /
+q_window_running_revenue (W3/W7/W5/W2; the window family keeps W1 in
+the gate and the new profile query itself grades an unpivot shape).
+Every rotated-out row's r3 green was produced by code unchanged
+since.
 After this round every registered query holds a driver-green row
 produced by the current code.  Everything outside the gate stays
 covered by the local sf0.001 differential (tests/test_oracle_parity.py)
@@ -69,7 +71,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
 # sanitize step changed post-grading + the reimplemented as-of join)
-# + the 12 new curation/ops queries + 28 rows held over from round 3.
+# + the 13 new curation/ops queries + 27 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -96,6 +98,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_semantic_keep_list",    # pairs -> components -> representative per vector
     "q_docs_decontaminate_bloom",  # full-algorithm portable-bloom oracle
     "q_emb_ann_pq",                # PQ ADC + re-rank, in-plan recall@10
+    "q_emb_ann_ivfpq",             # IVF+PQ composition, in-plan recall@10
     "q_docs_quality_classifier",   # hashed-feature linear model, exact logit
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
@@ -107,7 +110,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_jaccard_blocked",      # scale twin of the unblocked cartesian
     "q_emb_near_dup_lsh_subset",   # LSH pairs ⊆ exact pairs, verified
     "q_window_top_orders_per_customer",
-    "q_window_running_revenue",
     "q_rollup_returnflag_status",
     "q_distinct_parts_per_flag",
     "q_pivot_flag_by_status",
@@ -136,9 +138,10 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 # Driver-green rows (CORRECTNESS_r02/r03.json) that sit OUTSIDE the
 # round-4 gate; kept here so the registry can assert nothing falls
 # through the cracks (graded-green ∪ gate ∪ deferred == all).  The
-# nine tpch_deep shapes rotated out this round (q2, q7-q12, q14, q15)
-# graded green in round 3 and are plan-isomorphic to q5/q16/q17/q19/
-# q20/q22, which remain in the gate.
+# twelve tpch_deep shapes rotated out this round (q2, q7-q12, q14,
+# q15, then q19/q20/q22 mid-round) graded green in round 3 and are
+# plan-isomorphic to q5/q16/q17 + the re-graded q13/q18/q21, which
+# remain in the gate.
 PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_docs_exact_dedup", "q_docs_token_stats", "q_docs_quality",
     "q_docs_lang_id_confusion", "q_docs_fingerprints",
@@ -177,6 +180,9 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     # scalar subquery) by q16 and q21.
     "q19_disjunctive_revenue", "q20_part_share_suppliers",
     "q22_wealthy_inactive_customers",
+    # rotated out when q_emb_ann_ivfpq was added (W2's running-agg
+    # window is plan-isomorphic to W1's ranking window, which stays)
+    "q_window_running_revenue",
 )
 
 

@@ -818,3 +818,49 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ ANN: the composed coarse-cells + compressed-codes architecture
+# (FAISS IVFxx,PQyy) — candidate ROWS bounded by the inverted file,
+# candidate BYTES bounded by the codes.  Graded like its standalone
+# halves: in-plan recall@10 vs the exact top-k.  nprobe=8 of 16 cells
+# (the q_emb_ann_ivf convention — the synthetic embeddings are
+# near-random, so true neighbors scatter across coarse cells and
+# recall is probe-bound); measured min per-query recall on the graded
+# slice: 0.6 at BOTH sf0.001 and sf0.01 (mean 0.87/0.88).  Bound 0.4
+# per the family's regeneration-margin reasoning (q_emb_ann_ivf): a
+# real defect craters recall toward the random floor and flips every
+# row, while fixture-regeneration noise at ~0.87 mean leaves P(any
+# query below 0.4) vanishing.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_ivfpq",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id >= 10 AND vec_id < 20 ORDER BY query_id
+    """,
+)
+def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN top-10 for query vectors with 10 <= vec_id < 20
+    (operators/similarity.py::ivfpq_knn) — the deployed-at-scale
+    composition of the separately-graded IVF and PQ rows — with
+    per-query recall@10 verified in-plan against the exact top-10.
+    The query-set predicate matches the oracle's WHERE verbatim and is
+    offset from the LSH/IVF/PQ sets so the four ANN rows grade four
+    different slices."""
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.ivfpq_knn(
+        emb, queries, k=10, n_coarse=16, nprobe=8, n_sub=8, n_cells=16,
+        rerank=16,
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_check(exact, ann, bound=0.4)

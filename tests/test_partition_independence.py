@@ -89,8 +89,10 @@ ENGINE_HASH_GATE = [
     "q_docs_simhash_near_dups",
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
-    # trained-codebook candidates are engine-internal the same way
+    # trained-codebook / coarse-cell candidates are engine-internal
+    # the same way
     "q_emb_ann_pq",
+    "q_emb_ann_ivfpq",
 ]
 
 

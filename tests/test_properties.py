@@ -941,3 +941,61 @@ def test_pq_knn_validates_dimension():
 
     with _pytest.raises(ValueError, match="divisible"):
         sim.pq_knn(None, None, n_sub=5, dim=64)
+
+
+def test_ivfpq_knn_exact_when_probes_and_rerank_cover_corpus(spark):
+    """With every coarse cell probed and a shortlist as wide as the
+    corpus, IVFPQ loses nothing to either approximation — the exact
+    re-rank must reproduce brute-force top-k exactly, and two runs
+    must agree (trained-codebook + coarse-cell determinism)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import similarity as sim
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_knn(df, queries, k=5).collect()
+    )
+    kwargs = dict(
+        k=5, n_coarse=4, nprobe=4, n_sub=4, n_cells=8, rerank=10,
+        train_sample=48,
+    )
+    got1 = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivfpq_knn(df, queries, **kwargs).collect()
+    )
+    got2 = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivfpq_knn(df, queries, **kwargs).collect()
+    )
+    assert got1 == exact
+    assert got2 == got1
+
+
+def test_ivfpq_candidates_are_cell_bounded(spark):
+    """The IVFPQ candidate join must key on the coarse cell — no
+    CartesianProduct and no full corpus x queries broadcast join ahead
+    of the shortlist (the plan property that separates IVFPQ's
+    candidate generation from pq_knn's full ADC scan)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import similarity as sim
+    from fortymhz_spark.sources.batch import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim.ivfpq_knn(emb, queries, k=5, n_coarse=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "cell" in plan  # the candidate join's key survives to the plan

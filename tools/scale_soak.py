@@ -110,6 +110,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
     from pyspark.sql import functions as F
 
     from fortymhz_spark.operators import dedup, similarity as sim
+    from fortymhz_spark.operators import text as text_ops
 
     queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
     return [
@@ -165,6 +166,41 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
                 init="hash",
                 assign="arrow",
             ).count(),
+        ),
+        (
+            # m_bits grows with the eval corpus (constant bits per eval
+            # shingle — the bloom deployment rule, keeping the FP rate
+            # flat instead of letting the bitset saturate); the bitset
+            # literal is m/8 bytes, 80 KB at 10×.
+            "bloom_decontaminate",
+            lambda: dedup.bloom_decontaminate(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+                shingle_n=4,
+                m_bits=(1 << 16) * scale_mult,
+            ).count(),
+        ),
+        (
+            # codes scan is ∝ corpus x queries; codebook size is a
+            # quality knob, not corpus-tied — fixed across scales.
+            "ann_pq",
+            lambda: sim.pq_knn(
+                emb, queries, k=10, n_sub=8, n_cells=16, rerank=16
+            ).count(),
+        ),
+        (
+            # collect() the 1-row aggregate (a count() over a global
+            # aggregate can shortcut without evaluating the fold)
+            "quality_classifier",
+            lambda: len(
+                docs.select(
+                    F.sum(
+                        (text_ops.hashed_linear_score("text") > 0).cast(
+                            "long"
+                        )
+                    )
+                ).collect()
+            ),
         ),
     ]
 
