@@ -497,13 +497,16 @@ def test_partition_upsert_sink_rejects_partition_outside_key():
 
 def test_pure_column_operators_unified_on_streams(spark, tmp_path):
     """Every pure-column operator (sampling predicate, quality score,
-    repetition fold, PII redaction, fingerprints, epoch shuffle key)
-    must produce IDENTICAL results on a stream and on the same rows as
-    a batch — the unified-engine guarantee that lets one curation
-    codebase serve both the backfill and the live ingest."""
+    classifier logit, repetition fold, PII redaction, fingerprints,
+    epoch shuffle key) must produce IDENTICAL results on a stream and
+    on the same rows as a batch — the unified-engine guarantee that
+    lets one curation codebase serve both the backfill and the live
+    ingest.  The hashed-feature classifier riding a stream unchanged
+    is the live-ingest quality gate for free."""
     from fortymhz_spark.operators.sampling import epoch_shuffle_key, sample_score
     from fortymhz_spark.operators.text import (
         content_md5,
+        hashed_linear_score,
         quality_score,
         redact_pii,
         repetition_stats,
@@ -531,6 +534,7 @@ def test_pure_column_operators_unified_on_streams(spark, tmp_path):
             repetition_stats("text")["top_bigram_count"].alias("topbg"),
             content_md5("text").alias("fp"),
             redact_pii("text").alias("clean"),
+            hashed_linear_score("text").alias("logit"),
         )
 
     stream = (
