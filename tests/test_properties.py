@@ -999,3 +999,60 @@ def test_ivfpq_candidates_are_cell_bounded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "cell" in plan  # the candidate join's key survives to the plan
+
+
+@given(txts=texts)
+@_SETTINGS
+def test_bloom_never_false_negative_on_random_corpora(spark, txts):
+    """No-false-negative is a MATHEMATICAL property of the bloom
+    construction (every inserted shingle's bits are set), so it must
+    hold for arbitrary corpora and any train/eval split — not just the
+    fixture.  Exact overlaps ⊆ bloom candidates, always."""
+    from fortymhz_spark.operators.dedup import bloom_decontaminate, contaminated_ids
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "doc_id long, text string"
+    )
+    eval_df = df.filter(F.col("doc_id") % 3 == 0)
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    exact = {
+        r["id"] for r in contaminated_ids(train, eval_df, shingle_n=2).collect()
+    }
+    bloom = {
+        r["id"]
+        for r in bloom_decontaminate(
+            train, eval_df, shingle_n=2, m_bits=1 << 10
+        ).collect()
+    }
+    assert exact <= bloom, sorted(exact - bloom)
+
+
+@given(txts=texts)
+@_SETTINGS
+def test_hashed_linear_score_reference_on_random_texts(spark, txts):
+    """The classifier logit equals the pure-Python md5 fold for
+    arbitrary texts (not just the fixed pinning examples) — token
+    splitting edge cases (leading/trailing/repeated spaces, empty
+    strings) included."""
+    import hashlib
+
+    from fortymhz_spark.operators.text import hashed_linear_score
+
+    def ref(text: str) -> int:
+        return sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for t in text.lower().split(" ")
+            if t != ""
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(txts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in df.select(
+            "doc_id", hashed_linear_score("text").alias("logit")
+        ).collect()
+    }
+    for i, t in enumerate(txts):
+        assert got[i] == ref(t), (i, t)
