@@ -256,27 +256,36 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:
 
 def _nearest_cells(vec_col: str, centroids: list, nprobe: int):
     """array<int> of the ``nprobe`` centroid indices with the highest
-    dot product against ``vec_col``.  Each centroid dot appears exactly
-    once in the expression tree (plan-size discipline, see dedup.py)."""
-    scored = F.array(
-        *[
-            F.struct(
+    dot product against ``vec_col``.  Built as one
+    transform-over-sequence lambda with the centroid matrix as a
+    single nested literal (the ``_pq_code_col`` construction — the
+    per-centroid literal-array form costs O(n_cells x dim) py4j
+    expression-building calls, which dominated the ANN queries' wall
+    time before any Spark job ran).  Ordering is IDENTICAL to the
+    original per-centroid form: struct (dot, cell) sorted ascending
+    then reversed, so equal dots tie-break toward the HIGHER cell."""
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+
+    def over(v):
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
                 F.aggregate(
                     F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(x) for x in c]),
+                        v,
+                        F.element_at(cents_lit, (i + F.lit(1)).cast("int")),
                         lambda a, b: a.cast("double") * b,
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ).alias("dot"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    ranked = F.reverse(F.array_sort(scored))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+                i.alias("cell"),
+            ),
+        )
+        ranked = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+    return F.element_at(F.transform(F.array(F.col(vec_col)), over), 1)
 
 
 def ivf_knn(
@@ -330,20 +339,6 @@ def ivf_knn(
 # ---------------------------------------------------------------------------
 
 
-def _l2sq(vec_expr, cent: list):
-    """Squared L2 distance between a (sub)vector Column expression and
-    a literal centroid — one fold, centroid literals appear once."""
-    return F.aggregate(
-        F.zip_with(
-            vec_expr,
-            F.array(*[F.lit(x) for x in cent]),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _normalized(vec_col: str):
     """L2-normalized copy of ``vec_col`` as double, with the norm
     LET-BOUND via a one-element transform scope (the shingle_set
@@ -359,6 +354,69 @@ def _normalized(vec_col: str):
             lambda nv: F.transform(v, lambda x: x / nv),
         ),
         1,
+    )
+
+
+def _pq_code_col(vn, books_lit, s: int, d_sub: int, n_cells: int):
+    """PQ code for subquantizer ``s``: argmin codebook cell for the
+    normalized subvector, built as ONE transform-over-sequence lambda
+    whose body is independent of ``n_cells`` — the per-cell
+    literal-array form costs O(n_sub x n_cells x d_sub) expression
+    nodes, which measured 11-16 s of PURE py4j expression construction
+    plus ~8 s of data-independent codegen per query at 8x16x8.  The
+    codebooks ride in as one nested literal; ``element_at`` with the
+    loop variable keeps the lambda body constant-size.  Ties break to
+    the lowest cell (struct compare on (dist, cell)), matching the
+    numpy trainer's argmin."""
+    cells = F.element_at(books_lit, s + 1)
+
+    def over(sub):
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.element_at(cells, (c + F.lit(1)).cast("int")),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c.alias("cell"),
+            ),
+        )
+        return F.array_sort(scored)[0]["cell"]
+
+    # let-bind the slice so the norm fold inside vn runs once per
+    # column, not once per cell (shingle_set discipline)
+    return F.element_at(
+        F.transform(F.array(F.slice(vn, s * d_sub + 1, d_sub)), over), 1
+    )
+
+
+def _pq_dtab_col(vn, books_lit, s: int, d_sub: int, n_cells: int):
+    """ADC distance table for subquantizer ``s``: squared L2 from the
+    query subvector to every codebook cell, same constant-size lambda
+    construction as ``_pq_code_col``."""
+    cells = F.element_at(books_lit, s + 1)
+
+    def over(sub):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.element_at(cells, (c + F.lit(1)).cast("int")),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.slice(vn, s * d_sub + 1, d_sub)), over), 1
     )
 
 
@@ -456,37 +514,20 @@ def pq_knn(
         nrm = math.sqrt(sum(x * x for x in full)) or 1.0
         sample.append([x / nrm for x in full])
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-
-    def argmin_cell(sub_expr, cells: list) -> F.Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    _l2sq(sub_expr, c).alias("dist"), F.lit(i).alias("cell")
-                )
-                for i, c in enumerate(cells)
-            ]
-        )
-        return F.array_sort(scored)[0]["cell"]
+    books_lit = F.lit(books)
 
     vn = _normalized(vec_col)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         *[
-            argmin_cell(F.slice(vn, s * d_sub + 1, d_sub), books[s]).alias(
-                f"code_{s}"
-            )
+            _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(f"code_{s}")
             for s in range(n_sub)
         ],
     )
     qtabs = queries.select(
         F.col(id_col).alias("query_id"),
         *[
-            F.array(
-                *[
-                    _l2sq(F.slice(vn, s * d_sub + 1, d_sub), c)
-                    for c in books[s]
-                ]
-            ).alias(f"dtab_{s}")
+            _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(f"dtab_{s}")
             for s in range(n_sub)
         ],
     )
@@ -607,26 +648,14 @@ def ivfpq_knn(
         nrm = math.sqrt(sum(x * x for x in full)) or 1.0
         sample.append([x / nrm for x in full])
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-
-    def argmin_cell(sub_expr, cells: list):
-        scored = F.array(
-            *[
-                F.struct(
-                    _l2sq(sub_expr, c).alias("dist"), F.lit(i).alias("cell")
-                )
-                for i, c in enumerate(cells)
-            ]
-        )
-        return F.array_sort(scored)[0]["cell"]
+    books_lit = F.lit(books)
 
     vn = _normalized(vec_col)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
         *[
-            argmin_cell(F.slice(vn, s * d_sub + 1, d_sub), books[s]).alias(
-                f"code_{s}"
-            )
+            _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(f"code_{s}")
             for s in range(n_sub)
         ],
     )
@@ -634,12 +663,7 @@ def ivfpq_knn(
         F.col(id_col).alias("query_id"),
         F.explode(_nearest_cells(vec_col, coarse, nprobe)).alias("cell"),
         *[
-            F.array(
-                *[
-                    _l2sq(F.slice(vn, s * d_sub + 1, d_sub), c)
-                    for c in books[s]
-                ]
-            ).alias(f"dtab_{s}")
+            _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(f"dtab_{s}")
             for s in range(n_sub)
         ],
     )
