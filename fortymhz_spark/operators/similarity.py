@@ -87,18 +87,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def rp_bucket_code(vec_col, planes: list[list[float]]):
     """Sign-projection code: bit p = 1 iff dot(vec, plane_p) > 0.
-    Returns array<int> of bits (kept unpacked for banding)."""
+    Returns array<int> of bits (kept unpacked for banding).
+
+    Constant-size construction (the ``_pq_code_col`` lesson): the
+    plane matrix rides as ONE nested literal and the per-plane dot is
+    a transform-over-sequence lambda — the per-plane literal-array
+    form cost O(n_planes x dim) py4j expression-building calls per
+    call site.  Bit values are arithmetic-identical to the original
+    per-plane form."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bits = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+
+    def over(vb):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vb,
+                        F.element_at(planes_lit, (p + F.lit(1)).cast("int")),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                1,
+            ).otherwise(0),
         )
-        bits.append(F.when(dot > 0, 1).otherwise(0))
-    return F.array(*bits)
+
+    return F.element_at(F.transform(F.array(v), over), 1)
 
 
 def lsh_knn(
@@ -695,31 +713,39 @@ def ivfpq_knn(
 
 
 def _nearest_centroid(vec_col: str, centroids: list):
-    """Index of the euclidean-nearest centroid (ties → lowest index).
+    """(dist, cluster) struct of the euclidean-nearest centroid (ties
+    → lowest index).
 
-    Same plan-size discipline as ``_nearest_cells``: each centroid's
-    distance expression appears exactly once; argmin is an
-    ``array_sort`` over k (distance, index) structs.
+    Constant-size construction (the ``_pq_code_col`` /
+    ``_nearest_cells`` lesson): the centroid matrix is ONE nested
+    literal and the per-centroid distance is a transform-over-sequence
+    lambda, so the expression tree — rebuilt every Lloyd round by
+    ``kmeans_assign`` — sizes O(1) in k instead of O(k·dim) py4j
+    literal calls.  Distances and tie-breaking are
+    arithmetic-identical to the per-centroid literal form.
     """
-    scored = F.array(
-        *[
-            F.struct(
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+
+    def over(v):
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
                 F.aggregate(
                     F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(x) for x in c]),
+                        v,
+                        F.element_at(cents_lit, (i + F.lit(1)).cast("int")),
                         lambda a, b: (a.cast("double") - b)
                         * (a.cast("double") - b),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ).alias("dist"),
-                F.lit(i).alias("cluster"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_sort(scored)[0]
+                i.alias("cluster"),
+            ),
+        )
+        return F.array_sort(scored)[0]
+
+    return F.element_at(F.transform(F.array(F.col(vec_col)), over), 1)
 
 
 _KMEANSPAR_SEED = 0x464D485A  # fixed hash seed — determinism, not secrecy
