@@ -207,9 +207,13 @@ def hashed_linear_score(text: Column | str, *, scale: int = 1000) -> Column:
 
     Returns the integer logit (milli-units when scale=1000); classify
     with ``logit > 0``.  Token array is let-bound once per row
-    (shingle_set discipline).
+    (shingle_set discipline).  NULL text scores 0 (same as empty) —
+    this matches the SQL oracle's COALESCE and keeps the filter
+    decision total: real lakes contain null payloads and a
+    null-propagating score would silently drop them from BOTH the
+    keep and the drop side of a boolean filter.
     """
-    t = _colified(text)
+    t = F.coalesce(_colified(text), F.lit(""))
     toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     mod = 2 * scale + 1
 

@@ -1056,3 +1056,42 @@ def test_hashed_linear_score_reference_on_random_texts(spark, txts):
     }
     for i, t in enumerate(txts):
         assert got[i] == ref(t), (i, t)
+
+
+def test_null_and_empty_text_conventions(spark):
+    """Real lakes contain null and empty payloads; pin each operator's
+    convention so a refactor can't silently change it: exact_dedup
+    keeps null and empty as DISTINCT contents; the classifier scores
+    both 0 (total filter decision — matches its oracle's COALESCE);
+    quality_score degrades to 0.0 on null; shingle_set gives the
+    empty-string whole-doc shingle for both."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.dedup import exact_dedup
+    from fortymhz_spark.operators.text import (
+        hashed_linear_score,
+        quality_score,
+        shingle_set,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    assert sorted(r["doc_id"] for r in exact_dedup(df).collect()) == [1, 2, 3]
+    logits = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", hashed_linear_score("text").alias("l")
+        ).collect()
+    }
+    assert logits[2] == 0 and logits[3] == 0 and logits[1] is not None
+    quals = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert quals[2] == 0.0
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shingle_set("text", 2).alias("s")).collect()
+    }
+    assert sh[2] == [""] and sh[3] == [""]
