@@ -609,16 +609,17 @@ def contaminated_ids(
 # ---------------------------------------------------------------------------
 
 
-def _bloom_pos(s, j: int, m_bits: int):
-    """Engine-portable bloom bit position for shingle ``s`` and hash
-    index ``j``: the first 8 hex digits of ``md5(s || '#' || j)`` mod
-    ``m_bits``.  md5 renders the identical hex string in Spark and
-    DuckDB (the simhash-portable trick, see
+def _bloom_pos(hex_col, j: int, m_bits: int):
+    """Engine-portable bloom bit position ``j`` for a shingle's md5
+    hex string: hex digits ``[8j+1, 8j+8]`` as an integer, mod
+    ``m_bits``.  ONE md5 per shingle yields up to four independent
+    32-bit lanes (k_hashes ≤ 4) — a 3× hash-cost cut over hashing
+    ``s || '#' || j`` per position, and md5 renders the identical hex
+    string in Spark and DuckDB (the simhash-portable trick, see
     ``simhash_fingerprints_portable``), so an oracle can replay the
     ENTIRE bloom construction and membership test cell-for-cell."""
     return (
-        F.conv(F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 8), 16, 10)
-        .cast("long")
+        F.conv(F.substring(hex_col, 8 * j + 1, 8), 16, 10).cast("long")
         % m_bits
     )
 
@@ -658,15 +659,18 @@ def bloom_decontaminate(
     """
     if m_bits % 32 != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
-    if k_hashes < 1:
-        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    if not 1 <= k_hashes <= 4:
+        raise ValueError(
+            f"k_hashes must be in [1, 4] (md5 lanes), got {k_hashes}"
+        )
 
     sh = shingle_set(text_col, shingle_n)
     positions = (
         eval_df.select(F.explode(sh).alias("s"))
+        .select(F.md5(F.col("s")).alias("h"))
         .select(
             F.explode(
-                F.array(*[_bloom_pos(F.col("s"), j, m_bits) for j in range(k_hashes)])
+                F.array(*[_bloom_pos(F.col("h"), j, m_bits) for j in range(k_hashes)])
             ).alias("pos")
         )
     )
@@ -689,18 +693,24 @@ def bloom_decontaminate(
     words_lit = F.lit(words).cast("array<bigint>")
 
     def member(s):
-        cond = None
-        for j in range(k_hashes):
-            pos = _bloom_pos(s, j, m_bits)
-            word = F.element_at(
-                words_lit, ((pos / F.lit(32)).cast("long") + 1).cast("int")
-            )
-            bit = (pos % 32).cast("double")
-            c = (
-                (word.cast("double") / F.pow(F.lit(2.0), bit)).cast("long") % 2
-            ) == 1
-            cond = c if cond is None else (cond & c)
-        return cond
+        # md5 LET-BOUND once per shingle (shingle_set discipline);
+        # each of the k lanes reads its own 8 hex digits.
+        def over(h):
+            cond = None
+            for j in range(k_hashes):
+                pos = _bloom_pos(h, j, m_bits)
+                word = F.element_at(
+                    words_lit, ((pos / F.lit(32)).cast("long") + 1).cast("int")
+                )
+                bit = (pos % 32).cast("double")
+                c = (
+                    (word.cast("double") / F.pow(F.lit(2.0), bit)).cast("long")
+                    % 2
+                ) == 1
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        return F.element_at(F.transform(F.array(F.md5(s)), over), 1)
 
     return (
         train.select(

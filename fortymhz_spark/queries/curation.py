@@ -628,8 +628,10 @@ def q_emb_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BLOOM_M = 1 << 16
 _BLOOM_K = 3
+# position j = hex lane [8j+1, 8j+8] of ONE md5 per shingle (the
+# operator's 3x-fewer-hashes schedule, operators/dedup.py::_bloom_pos)
 _SQL_BLOOM_POS = (
-    "(('0x' || substr(md5({s} || '#' || {j}), 1, 8))::BIGINT % " f"{_BLOOM_M})"
+    "(('0x' || substr(md5({s}), 1 + 8 * {j}, 8))::BIGINT % " f"{_BLOOM_M})"
 )
 
 
