@@ -123,6 +123,7 @@ HEADLINE = [
     # exact ground-truth branch their recall oracles require.
     "q_emb_ann_pq",
     "q_emb_ann_ivfpq",
+    "q_docs_bpe_merges",
 ]
 
 

@@ -1,0 +1,156 @@
+"""BPE tokenizer induction at corpus scale.
+
+Learns byte-pair-encoding merges (Sennrich et al., ACL 2016 — the
+`get_stats` / `merge_vocab` loop) as a Spark driver loop over a
+DISTRIBUTED word-count table:
+
+- ONE corpus pass builds ``(word, n)`` — at 100 TB this is the only
+  step that touches the text; the vocabulary table it produces is
+  orders of magnitude smaller and stays distributed.
+- each merge round is one pair-count aggregate over the vocab plus a
+  ``TakeOrdered(1)`` — a SINGLE ROW crosses to the driver per round.
+- the merge is applied as a pure column fold (left-to-right,
+  non-overlapping — exactly the reference algorithm's `merge_vocab`)
+  and the vocab is ``localCheckpoint``-ed so the plan stays flat
+  across rounds (the near_dup_components lineage discipline).
+
+Determinism: ties in the top-pair selection break by (count DESC,
+left ASC, right ASC) — a total order, so the same corpus always
+yields the same merge table (pinned against a pure-Python reference
+in tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n): lowercase whitespace-token frequencies — the one
+    full-corpus pass; everything after operates on this table."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    return (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word_col):
+    """Character symbols plus the end-of-word marker (the reference
+    algorithm's representation: 'low' → [l, o, w, </w>])."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _adjacent_pairs(sym_col):
+    """array<struct<l,r>> of every adjacent symbol pair (duplicates
+    kept — `get_stats` counts every occurrence)."""
+    n = F.size(sym_col)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(sym_col, i.cast("int")).alias("l"),
+                F.element_at(sym_col, (i + F.lit(1)).cast("int")).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _apply_merge(sym_col, left: str, right: str):
+    """Replace every left-to-right NON-OVERLAPPING (left, right)
+    adjacency with the merged symbol — `merge_vocab` as a column
+    fold: append each symbol unless it completes the pair with the
+    accumulator's last element, in which case the last element is
+    rewritten to the merge."""
+    merged = left + right
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0)
+            & (last == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym_col, F.array().cast("array<string>"), step)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges; returns
+    ``[(left, right, pair_count), ...]`` in merge order.  Stops early
+    when the best remaining pair's corpus count drops below
+    ``min_count``.  Driver traffic: one (pair, count) row per round."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    vocab = (
+        word_counts(docs, text_col)
+        .select("n", _initial_symbols(F.col("w")).alias("sym"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                vocab.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or int(top[0]["c"]) < min_count:
+                break
+            left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((left, right, c))
+            vocab = vocab.select(
+                "n", _apply_merge(F.col("sym"), left, right).alias("sym")
+            ).localCheckpoint()
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    ``(rank, left, right, pair_count)`` with rank 1 = first merge."""
+    spark = docs.sparkSession
+    merges = learn_bpe_merges(
+        docs, text_col, n_merges=n_merges, min_count=min_count
+    )
+    rows = [
+        (i + 1, left, right, c) for i, (left, right, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    )

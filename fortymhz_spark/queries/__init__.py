@@ -27,16 +27,17 @@ only nine queries without a current-code driver row —
    round (operators/asof.py: joinless sort-merge sweep) — same
    "behavior changed after grading" policy as the media rows.
 
-Round 4 also ADDS thirteen curation/ops queries (queries/curation.py:
+Round 4 also ADDS fourteen curation/ops queries (queries/curation.py:
 semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
 mixture rebalancing, MinHash estimation accuracy, fuzzy
 decontamination, single-pass ANALYZE profile, fixed-bounds histogram,
 semantic keep-list, bloom-filter decontamination, PQ ANN, the
-IVF+PQ composition, and the hashed-feature quality classifier); they enter the gate immediately
+IVF+PQ composition, the hashed-feature quality classifier, and BPE
+tokenizer induction); they enter the gate immediately
 so they are never in the "registered but ungraded" state.
 
-Twenty-three round-3 greens rotate out to make room (the last four —
-q19, q20, q22, q_window_running_revenue — mid-round, when the bloom/PQ/classifier rows were
+Twenty-four round-3 greens rotate out to make room (the last five —
+q19, q20, q22, q_window_running_revenue, q_pack_sequences — mid-round, when the bloom/PQ/classifier rows were
 added; see PREVIOUSLY_GREEN's trailer notes) — the tpch_deep
 join/agg shapes most isomorphic to rows staying in the gate (q2,
 q7-q12, q14, q15, and later q19/q20/q22; q5/q16/q17 plus the
@@ -71,7 +72,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 gate (slots 1-50).  Composition: the 10 queries without a
 # current-code driver row (7 deferred-from-r3 + 2 media queries whose
 # sanitize step changed post-grading + the reimplemented as-of join)
-# + the 13 new curation/ops queries + 27 rows held over from round 3.
+# + the 14 new curation/ops queries + 26 rows held over from round 3.
 ROUND_GATE: tuple[str, ...] = (
     # —— the 7 deferred from round 3 (green r1, ungraded since) ——
     "q_brand_volume",
@@ -100,6 +101,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_ann_pq",                # PQ ADC + re-rank, in-plan recall@10
     "q_emb_ann_ivfpq",             # IVF+PQ composition, in-plan recall@10
     "q_docs_quality_classifier",   # hashed-feature linear model, exact logit
+    "q_docs_bpe_merges",           # BPE induction: exact rank-1 + monotonic counts
     # —— held over from round 3's gate ——
     "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
     "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
@@ -119,7 +121,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_cogroup_user_orders",
     "q16_supplier_diversity",
     "q_vec_int8_quant_error",
-    "q_pack_sequences",
     "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
     "q_search_bm25",
     "q_vec_knn_arrow",             # neighbor-identity check
@@ -183,6 +184,9 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     # rotated out when q_emb_ann_ivfpq was added (W2's running-agg
     # window is plan-isomorphic to W1's ranking window, which stays)
     "q_window_running_revenue",
+    # rotated out when q_docs_bpe_merges was added (the packing
+    # operator stays graded through q_pack_export, its export end)
+    "q_pack_sequences",
 )
 
 

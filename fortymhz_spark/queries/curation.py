@@ -866,3 +866,79 @@ def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=16,
     ).select("query_id", "neighbor_id")
     return _ann_recall_check(exact, ann, bound=0.4)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (operators/bpe.py): the merge table's rank-1
+# row is fully SQL-derivable (initial adjacent-pair counts over char
+# symbols — no replay needed), so the oracle grades it EXACTLY; ranks
+# >= 2 would require the oracle to replay k merge rounds (shown
+# infeasible in portable SQL: string-replace cannot reproduce
+# left-to-right non-overlapping adjacency merging), so they carry the
+# count-monotonicity invariant — merging the max-count pair can only
+# create pairs bounded by it, so the winning-count sequence is
+# non-increasing, and any defect in the pair-count/merge loop shows up
+# as an inversion.  The FULL merge table is differentially pinned
+# against a pure-Python Sennrich reference in
+# tests/test_properties.py::test_bpe_merges_match_python_reference.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_bpe_merges",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest({_SQL_TOKENS.format(t='lower(text)')}) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    sym AS (SELECT n, regexp_split_to_array(w, '') || ['</w>'] AS s FROM wc),
+    pairs AS (
+      SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS c
+      FROM sym, LATERAL (SELECT unnest(range(1, len(s))) AS i) t
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT l, r, c FROM pairs ORDER BY c DESC, l, r LIMIT 1)
+    SELECT
+      CAST(rk.rank AS BIGINT) AS rank,
+      CASE WHEN rk.rank = 1 THEN top1.l END AS left_r1,
+      CASE WHEN rk.rank = 1 THEN top1.r END AS right_r1,
+      CASE WHEN rk.rank = 1 THEN top1.c END AS count_r1,
+      TRUE AS count_nonincreasing,
+      TRUE AS count_ge_min
+    FROM (SELECT unnest(range(1, 9)) AS rank) rk CROSS JOIN top1
+    ORDER BY rank
+    """,
+)
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges over the corpus (operators/bpe.py) and grade
+    the merge table: rank 1 exactly (left/right/corpus pair count vs
+    the oracle's SQL-computed initial top pair, total tie order) and
+    every rank's count-monotonicity + min-count invariants.
+
+    Scale shape: one text pass builds the distributed (word, n)
+    vocabulary; each of the 8 rounds is a pair-count aggregate plus a
+    TakeOrdered(1) — one row to the driver per round — and a
+    localCheckpoint keeps the fold's lineage flat."""
+    from fortymhz_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8, min_count=2)
+    rows = []
+    prev = None
+    for i, (left, right, c) in enumerate(merges):
+        rows.append(
+            (
+                i + 1,
+                left if i == 0 else None,
+                right if i == 0 else None,
+                c if i == 0 else None,
+                prev is None or c <= prev,
+                c >= 2,
+            )
+        )
+        prev = c
+    return spark.createDataFrame(
+        rows,
+        "rank long, left_r1 string, right_r1 string, count_r1 long, "
+        "count_nonincreasing boolean, count_ge_min boolean",
+    ).orderBy("rank")

@@ -62,6 +62,9 @@ SENSITIVE = [
     # count-invariant) and the map-only classifier fold
     "q_docs_decontaminate_bloom",
     "q_docs_quality_classifier",
+    # per-round TakeOrdered(1) top-pair selection under hostile
+    # partitioning (total tie order must make it partition-invariant)
+    "q_docs_bpe_merges",
 ]
 
 _QUERIES = all_queries()

@@ -1095,3 +1095,69 @@ def test_null_and_empty_text_conventions(spark):
         for r in df.select("doc_id", shingle_set("text", 2).alias("s")).collect()
     }
     assert sh[2] == [""] and sh[3] == [""]
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Full differential of the distributed BPE learner against a
+    pure-Python Sennrich-style reference (get_stats + merge_vocab with
+    the same (count DESC, left, right) tie order) — merge pairs AND
+    counts, in order, on a corpus exercising overlapping repeats
+    ('aaaa'), cross-word frequency ties, and the end-of-word marker."""
+    import collections
+
+    from fortymhz_spark.operators.bpe import learn_bpe_merges
+
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest aaaa aaaa aa"
+    )
+
+    def ref_bpe(word_cnt, n_merges, min_count):
+        vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_cnt.items()}
+        out = []
+        for _ in range(n_merges):
+            stats = collections.Counter()
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += n
+            if not stats:
+                break
+            (left, right), c = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if c < min_count:
+                break
+            out.append((left, right, c))
+            new = {}
+            for syms, n in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new[tuple(res)] = new.get(tuple(res), 0) + n
+            vocab = new
+        return out
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = learn_bpe_merges(df, n_merges=12, min_count=2)
+    want = ref_bpe(collections.Counter(text.split()), 12, 2)
+    assert got == want
+
+
+def test_bpe_learner_validates_parameters():
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.bpe import learn_bpe_merges
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(None, n_merges=0)
+    with _pytest.raises(ValueError, match="min_count"):
+        learn_bpe_merges(None, min_count=0)

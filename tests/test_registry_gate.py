@@ -4,8 +4,8 @@ The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
 queries/__init__.py).  Round 4 completes the rotation: the 7 queries
 deferred from round 3, the 2 media queries whose sanitize step changed
-post-grading, the reimplemented as-of join, and the 13 new
-curation/ops queries enter the gate; 23 round-3 greens rotate out
+post-grading, the reimplemented as-of join, and the 14 new
+curation/ops queries enter the gate; 24 round-3 greens rotate out
 (their evidence stands in CORRECTNESS_r03.json; the full roster is in
 queries/__init__.py's docstring); the deferred list is now empty.
 These tests pin that every registered query is accounted
