@@ -154,3 +154,30 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "rank long, left string, right string, pair_count long"
     )
+
+
+def encode_words(
+    df: DataFrame,
+    word_col: str = "w",
+    *,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Tokenize with a LEARNED merge table: apply every merge, in
+    learned order, to each word's character symbols — the encode side
+    of :func:`learn_bpe_merges` (the reference algorithm applies
+    merges by rank exactly like this).  Map-only: the merge table is
+    a few hundred literals in the task binary; no shuffle, no UDF.
+
+    Plan depth grows with ``len(merges)`` (one fold per merge) — fine
+    for the tens of merges a test corpus learns; a production
+    vocabulary (tens of thousands of merges) would move the merge
+    loop into an Arrow ``mapInPandas`` kernel, the same
+    expression-vs-kernel split as ``kmeans_assign``'s
+    ``assign="arrow"``.
+    """
+    sym = _initial_symbols(F.col(word_col))
+    for m in merges:
+        left, right = m[0], m[1]
+        sym = _apply_merge(sym, left, right)
+    return df.withColumn(out_col, sym)

@@ -1161,3 +1161,47 @@ def test_bpe_learner_validates_parameters():
         learn_bpe_merges(None, n_merges=0)
     with _pytest.raises(ValueError, match="min_count"):
         learn_bpe_merges(None, min_count=0)
+
+
+def test_bpe_encode_matches_python_and_reconstructs(spark):
+    """The encode side: applying the learned merge table must produce
+    the same symbol sequences as the Python reference encoder, and
+    concatenating any word's symbols must reconstruct word + '</w>'
+    (merges only ever join adjacent symbols — a lossless regrouping)."""
+    from fortymhz_spark.operators.bpe import (
+        END_OF_WORD,
+        encode_words,
+        learn_bpe_merges,
+    )
+
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=6, min_count=2)
+
+    words = sorted(set(text.split()))
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: list(r["symbols"])
+        for r in encode_words(wdf, merges=merges).collect()
+    }
+
+    def ref_encode(word):
+        syms = list(word) + [END_OF_WORD]
+        for left, right, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    for w in words:
+        assert got[w] == ref_encode(w), w
+        assert "".join(got[w]) == w + END_OF_WORD, w
