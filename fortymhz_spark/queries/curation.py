@@ -1,7 +1,10 @@
 """Training-corpus curation queries, round 4 additions: SemDeDup-style
-semantic dedup, TF-IDF term salience, bigram language-model
-familiarity scoring, temperature-based mixture rebalancing, MinHash
-estimation accuracy, and fuzzy decontamination.
+semantic dedup (pairs + keep-list), TF-IDF term salience, bigram
+language-model familiarity scoring, temperature-based mixture
+rebalancing, MinHash estimation accuracy, fuzzy AND bloom-filter
+decontamination, a single-pass ANALYZE profile, a fixed-bounds
+histogram, PQ / IVFPQ ANN, a hashed-feature quality classifier, and
+BPE tokenizer induction.
 
 These extend the LLM-pipeline surface in queries/llm.py with the
 curation shapes a large pretraining-data build still needed from this
@@ -10,8 +13,9 @@ dedup actually ships with, vs. the exact/LSH pair in llm.py), salience
 ranking for keyword extraction, corpus-frequency scoring as a log-free
 perplexity proxy, the ``(n_max/n_s)^(1/T)`` source-rebalancing rule
 used for multilingual / multi-source mixtures, an error-band grade of
-the MinHash sketch the near-dup filters rest on, and near-verbatim
-eval-leak detection over that same sketch.
+the MinHash sketch the near-dup filters rest on, near-verbatim
+eval-leak detection over that same sketch, compressed-code similarity
+search, model-scored filtering, and in-engine tokenizer induction.
 
 Float discipline (see q_search_bm25): every double in a graded column
 is produced by a short, explicitly-ordered chain of IEEE-exact-rounded
