@@ -113,47 +113,28 @@ def learn_bpe_merges(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            top = (
-                vocab.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("n").alias("c"))
-                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not top or int(top[0]["c"]) < min_count:
-                break
-            left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-            merges.append((left, right, c))
-            vocab = vocab.select(
-                "n", _apply_merge(F.col("sym"), left, right).alias("sym")
-            ).localCheckpoint()
-    finally:
-        vocab.unpersist()
+    # NB each round's localCheckpoint leaves its block set alive until
+    # the ContextCleaner reaps the unreferenced RDD — Dataset.unpersist
+    # would NOT free it (it only talks to the cache manager), so no
+    # cleanup call is made here; the vocab table is small relative to
+    # the corpus by construction (the near_dup_components posture).
+    for _ in range(n_merges):
+        top = (
+            vocab.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["c"]) < min_count:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+        vocab = vocab.select(
+            "n", _apply_merge(F.col("sym"), left, right).alias("sym")
+        ).localCheckpoint()
     return merges
-
-
-def bpe_merge_table(
-    docs: DataFrame,
-    text_col: str = "text",
-    *,
-    n_merges: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """The learned merge table as a DataFrame:
-    ``(rank, left, right, pair_count)`` with rank 1 = first merge."""
-    spark = docs.sparkSession
-    merges = learn_bpe_merges(
-        docs, text_col, n_merges=n_merges, min_count=min_count
-    )
-    rows = [
-        (i + 1, left, right, c) for i, (left, right, c) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows, "rank long, left string, right string, pair_count long"
-    )
 
 
 def encode_words(

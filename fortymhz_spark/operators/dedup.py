@@ -177,26 +177,6 @@ def exact_dup_groups(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
-    """MinHash signature column (array<long>, one min per hash family).
-
-    Hash family i is ``xxhash64(i, shingle)`` — Spark's built-in 64-bit
-    xxhash with the family index mixed in as a first argument.  The
-    whole signature is computed map-side per row; no explode/shuffle.
-    Shingles (n-word, Broder-style) rather than unigrams: unigram sets
-    saturate on small vocabularies and make every pair a candidate.
-    """
-    ws = shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(ws, lambda tok: F.xxhash64(F.lit(i), tok))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def _lane_mins(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
@@ -250,6 +230,11 @@ def minhash_near_dups(
     a self-join on the bucket key, never on the full corpus — then
     deduped and verified.
 
+    ``bands`` must divide ``num_hashes`` — otherwise the trailing hash
+    lanes would be computed (paid for in the aggregate) but never
+    banded, silently degrading recall below the requested
+    configuration.
+
     Plan shape matters here:
 
     - Each hash-family minimum appears EXACTLY ONCE in the expression
@@ -264,6 +249,10 @@ def minhash_near_dups(
       smaller than corpus × bands, so two slim hash joins beat one
       wide shuffle.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands {bands} must divide num_hashes {num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     sig = _lane_mins(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
@@ -350,35 +339,14 @@ def minhash_signatures(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text_col):
-    """64-bit SimHash: per token hash, each bit votes ±1; the sign of
-    each bit-sum sets the fingerprint bit.  Entirely map-side."""
-    ws = word_set(text_col)
-    hashes = F.transform(ws, lambda tok: F.xxhash64(tok))
-
-    def bit_sum(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
-    return out
-
-
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document: ``(id, sim)``.
 
-    Same plan-shape rule as minhash_near_dups: the per-row
-    ``simhash64`` expression (64 bit-sums × token hashing) is fine
-    once, but duplicated across chunk extraction and both join sides
-    it dominates planning+codegen.  Explode tokens, hash once, and
+    Same plan-shape rule as minhash_near_dups: a per-row 64-bit-sum
+    expression form would be fine once, but duplicated across chunk
+    extraction and both join sides it dominates planning+codegen.  Explode tokens, hash once, and
     count set bits per position with map-side-combined sums (shuffle
     = 65 longs per doc); then fold the counts into the fingerprint
     with one small select.  Plain bit sums instead of ±1 case-when

@@ -85,40 +85,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def rp_bucket_code(vec_col, planes: list[list[float]]):
-    """Sign-projection code: bit p = 1 iff dot(vec, plane_p) > 0.
-    Returns array<int> of bits (kept unpacked for banding).
-
-    Constant-size construction (the ``_pq_code_col`` lesson): the
-    plane matrix rides as ONE nested literal and the per-plane dot is
-    a transform-over-sequence lambda — the per-plane literal-array
-    form cost O(n_planes x dim) py4j expression-building calls per
-    call site.  Bit values are arithmetic-identical to the original
-    per-plane form."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
-
-    def over(vb):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(planes) - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vb,
-                        F.element_at(planes_lit, (p + F.lit(1)).cast("int")),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                1,
-            ).otherwise(0),
-        )
-
-    return F.element_at(F.transform(F.array(v), over), 1)
-
-
 def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,14 +92,32 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: sign-RP LSH candidate generation + exact
     cosine re-rank.  Bands of ``n_planes/bands`` bits each; a corpus row
-    is a candidate if any band code matches the query's."""
+    is a candidate if any band code matches the query's.
+
+    ``dim`` is inferred from the corpus when not given — hyperplanes
+    shorter than the vectors would NULL every dot (zip_with pads with
+    NULL), rendering every bit 0 and collapsing all rows into one
+    bucket: results would stay correct through the exact re-rank while
+    the candidate generation silently became the full quadratic scan
+    this operator exists to avoid."""
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"bands {bands} must divide n_planes {n_planes} — trailing "
+            "planes would be paid for but never banded, silently "
+            "lowering recall below the requested configuration"
+        )
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("lsh_knn: empty corpus")
+        dim = int(first["d"])
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
 
@@ -269,6 +253,10 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:
         .limit(k)
         .collect()
     )
+    if not rows:
+        # fail HERE, not as an 'array indices start at 1' error deep in
+        # execution when _nearest_cells' sequence(0, -1) descends
+        raise ValueError("empty corpus: no vectors to seed centroids from")
     return [list(map(float, r["v"])) for r in rows]
 
 
@@ -506,34 +494,10 @@ def pq_knn(
     fixed init, fixed round count, lowest-index tie-breaks — so the
     same corpus always yields the same codes.
     """
-    if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("pq_knn: empty corpus")
-        dim = int(first["d"])
-    if dim % n_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    d_sub = dim // n_sub
-
-    # Codebooks: Lloyd-train on the ``train_sample`` lowest-id
-    # NORMALIZED vectors — one bounded collect (sample x dim floats,
-    # ~256 KB here), training driver-side in numpy.  Codebook quality
-    # needs determinism, not cross-engine bit-equality (recall is
-    # graded vs the in-plan exact branch).
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(max(train_sample, n_cells))
-        .collect()
+    d_sub, books_lit = _pq_train(
+        corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
+        train_sample, dim,
     )
-    sample = []
-    for r in seed_rows:
-        full = [float(x) for x in r["v"]]
-        nrm = math.sqrt(sum(x * x for x in full)) or 1.0
-        sample.append([x / nrm for x in full])
-    books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-    books_lit = F.lit(books)
-
     vn = _normalized(vec_col)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -549,25 +513,76 @@ def pq_knn(
             for s in range(n_sub)
         ],
     )
+    cand = (
+        codes.join(F.broadcast(qtabs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_sum(n_sub).alias("adc"))
+    )
+    shortlist = _adc_shortlist(cand, k * rerank)
+    return _fetch_and_rerank(shortlist, corpus, queries, id_col, vec_col, k)
+
+
+def _pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int,
+    n_cells: int,
+    train_rounds: int,
+    train_sample: int,
+    dim: int | None,
+):
+    """Shared PQ setup for :func:`pq_knn` / :func:`ivfpq_knn`: infer
+    the dimension, validate divisibility, collect + L2-normalize the
+    ``train_sample`` lowest-id vectors (one bounded collect, sample x
+    dim floats), Lloyd-train the codebooks driver-side, and wrap them
+    in the single nested literal the lambda forms index.  Returns
+    ``(d_sub, books_lit)``."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty corpus: nothing to train codebooks on")
+        dim = int(first["d"])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max(train_sample, n_cells))
+        .collect()
+    )
+    sample = []
+    for r in seed_rows:
+        full = [float(x) for x in r["v"]]
+        nrm = math.sqrt(sum(x * x for x in full)) or 1.0
+        sample.append([x / nrm for x in full])
+    books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
+    return dim // n_sub, F.lit(books)
+
+
+def _adc_sum(n_sub: int):
+    """The asymmetric-distance sum: per subquantizer, look the stored
+    code up in the query's distance table (columns ``code_s`` /
+    ``dtab_s``) and add."""
     adc = None
     for s in range(n_sub):
         term = F.element_at(
             F.col(f"dtab_{s}"), (F.col(f"code_{s}") + 1).cast("int")
         )
         adc = term if adc is None else adc + term
-    cand = (
-        codes.join(F.broadcast(qtabs), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
-    )
+    return adc
+
+
+def _adc_shortlist(cand: DataFrame, width: int) -> DataFrame:
+    """Keep the ``width`` best (lowest-ADC) candidates per query; ties
+    break to the lowest neighbor id (the family convention)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id")
     )
-    shortlist = (
+    return (
         cand.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= k * rerank)
+        .filter(F.col("rn") <= width)
         .select("query_id", "neighbor_id")
     )
-    return _fetch_and_rerank(shortlist, corpus, queries, id_col, vec_col, k)
 
 
 def _fetch_and_rerank(
@@ -644,30 +659,11 @@ def ivfpq_knn(
     each half of the composition matches its already-verified
     standalone twin.
     """
-    if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("ivfpq_knn: empty corpus")
-        dim = int(first["d"])
-    if dim % n_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    d_sub = dim // n_sub
-
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(max(train_sample, n_cells))
-        .collect()
+    d_sub, books_lit = _pq_train(
+        corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
+        train_sample, dim,
     )
-    sample = []
-    for r in seed_rows:
-        full = [float(x) for x in r["v"]]
-        nrm = math.sqrt(sum(x * x for x in full)) or 1.0
-        sample.append([x / nrm for x in full])
-    books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-    books_lit = F.lit(books)
-
     vn = _normalized(vec_col)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -685,25 +681,12 @@ def ivfpq_knn(
             for s in range(n_sub)
         ],
     )
-    adc = None
-    for s in range(n_sub):
-        term = F.element_at(
-            F.col(f"dtab_{s}"), (F.col(f"code_{s}") + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
     cand = (
         codes.join(qtabs, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
+        .select("query_id", "neighbor_id", _adc_sum(n_sub).alias("adc"))
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        cand.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= k * rerank)
-        .select("query_id", "neighbor_id")
-    )
+    shortlist = _adc_shortlist(cand, k * rerank)
     return _fetch_and_rerank(shortlist, corpus, queries, id_col, vec_col, k)
 
 
@@ -794,8 +777,15 @@ def _kmeanspar_centroids(
             )
             + F.lit(1)
         ).cast("double") / F.lit(float((1 << 53) + 2))
+        # Bind the distance fold ONCE in its own projection and derive
+        # the sampling key from the bound column in a second select —
+        # referencing `d2` twice in one projection embeds the
+        # O(|cands| x dim) argmin fold twice per row (the kmeans_assign
+        # CollapseProject discipline; the optimizer declines to inline
+        # a multiply-referenced expensive alias across projections).
         picked = (
-            proj.select("id", "v", d2.alias("d2"), (F.log(u) / d2).alias("skey"))
+            proj.select("id", "v", d2.alias("d2"))
+            .select("id", "v", "d2", (F.log(u) / F.col("d2")).alias("skey"))
             .filter(F.col("d2") > 0)
             .orderBy(F.desc("skey"), F.asc("id"))
             .limit(l)

@@ -112,10 +112,19 @@ def ngram_list(text: Column | str, n: int = 2) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams (shingles) of the lowercased text."""
+    """Distinct character n-grams (shingles) of the lowercased text.
+
+    Texts shorter than ``n`` characters contribute the whole text as a
+    single shingle (the :func:`shingle_set` fallback convention, so
+    exact short duplicates still match) — guarded explicitly because
+    ``sequence(1, 0)`` DESCENDS and the unguarded form produced an
+    undocumented sub-n pseudo-gram via the substr position-0 quirk."""
     t = F.lower(_colified(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n)))),
+    ).otherwise(F.array(t))
 
 
 def punct_count(text: Column | str) -> Column:

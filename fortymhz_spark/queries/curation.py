@@ -815,12 +815,23 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort.  At 100 TB this is a single pass over text bytes."""
     docs = load_table(spark, sf_dir, "documents")
     logit = tx.hashed_linear_score("text", scale=1000)
+    # Bind the O(len(text)) fold ONCE in its own projection and derive
+    # `keep` from the bound column — referencing `logit` twice in one
+    # select embeds the tokenize+md5+fold twice per row (the
+    # kmeans_assign CollapseProject discipline: the optimizer declines
+    # to inline a multiply-referenced expensive alias, so the
+    # two-projection form evaluates the fold once).
     return (
         docs.select(
             "doc_id",
             tx.token_count(F.lower(F.col("text"))).alias("n_tokens"),
             logit.alias("logit_milli"),
-            (logit > 0).alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_milli",
+            (F.col("logit_milli") > 0).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -941,6 +952,15 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         prev = c
+    # Pad to the full 8 ranks if the corpus dried up before n_merges —
+    # the oracle's row count (range(1, 9)) cannot replay the early-stop
+    # rule, and a row-count mismatch would fail the gate on fixture
+    # size rather than on any real defect.  Padded rows carry NULL
+    # invariants so a dried-up corpus is visible in the output (the
+    # pure-Python differential in tests/test_properties.py grades the
+    # real merge table either way).
+    for rank in range(len(merges) + 1, 9):
+        rows.append((rank, None, None, None, None, None))
     return spark.createDataFrame(
         rows,
         "rank long, left_r1 string, right_r1 string, count_r1 long, "

@@ -1205,3 +1205,39 @@ def test_bpe_encode_matches_python_and_reconstructs(spark):
     for w in words:
         assert got[w] == ref_encode(w), w
         assert "".join(got[w]) == w + END_OF_WORD, w
+
+
+def test_review_fix_conventions(spark):
+    """Pins for the round-4 review fixes: char_ngrams' short-text
+    fallback, lsh_knn's dim inference (a wrong dim must not silently
+    single-bucket the corpus), and the banding divisibility
+    validations."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.dedup import minhash_near_dups
+    from fortymhz_spark.operators.similarity import lsh_knn
+    from fortymhz_spark.operators.text import char_ngrams
+
+    df = spark.createDataFrame(
+        [("ab",), ("",), ("abcd",)], "text string"
+    )
+    got = {r["text"]: r["g"] for r in df.select(
+        "text", char_ngrams("text", 3).alias("g")).collect()}
+    assert got["ab"] == ["ab"]      # whole-text fallback, documented
+    assert got[""] == [""]
+    assert got["abcd"] == ["abc", "bcd"]
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    # 2-dim corpus with the old hard-coded dim=64 would have NULLed
+    # every hyperplane dot; inference must produce buckets that do not
+    # collapse into a single candidate set per band
+    out = lsh_knn(emb, emb.filter(F.col("vec_id") < 2), k=2)
+    assert out.count() > 0
+
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dups(df, num_hashes=32, bands=6)
+    with pytest.raises(ValueError, match="bands"):
+        lsh_knn(emb, emb, n_planes=16, bands=3)
