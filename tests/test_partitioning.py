@@ -284,3 +284,101 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Bit-exact pin of the Morton interleave against a pure-Python
+    reference, including boundary clamping of out-of-range values."""
+    from fortymhz_spark.operators.partitioning import zorder_key
+
+    rows = [(0.0, 0.0), (1.0, 1.0), (0.5, 0.25), (-3.0, 9.9), (0.999, 0.001)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0)], bits=8).alias("z")
+        ).collect()
+    ]
+
+    def ref(x, y, bits=8):
+        def cell(v, lo, hi):
+            s = int(((v - lo) / (hi - lo)) * (1 << bits))
+            return max(0, min((1 << bits) - 1, s))
+        cx, cy = cell(x, 0.0, 1.0), cell(y, 0.0, 1.0)
+        out = 0
+        for b in range(bits):
+            out |= ((cx >> b) & 1) << (2 * b)
+            out |= ((cy >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert got == [ref(x, y) for x, y in rows]
+
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.partitioning import zorder_key as zk
+
+    with _pytest.raises(ValueError, match="BIGINT"):
+        zk([("x", 0, 1)] * 4, bits=16)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zk([("x", 1.0, 1.0)])
+
+
+def test_zorder_layout_balances_pruning_across_dimensions(spark, tmp_path):
+    """What Z-ordering actually buys (and what a single-column sort
+    cannot): BALANCED file pruning.  A layout range-partitioned by x
+    is optimal for x-predicates but a y-only predicate touches EVERY
+    file; the Z-ordered layout confines both dimensions at once, so
+    the WORST case over {x-band, y-band} predicates touches a small
+    fraction of files.  File membership is observed directly via
+    input_file_name()."""
+    from fortymhz_spark.operators.partitioning import zorder_key
+
+    n_files = 16
+    df = spark.range(0, 20000).select(
+        ((F.col("id") * 2654435761) % 10007).alias("h"),
+    ).select(
+        ((F.col("h") % 100).cast("double") / 100).alias("x"),
+        (((F.col("h") / 100).cast("long") % 100).cast("double") / 100).alias(
+            "y"
+        ),
+    )
+    z = zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0)], bits=8)
+
+    zdir, xdir = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    df.withColumn("zkey", z).repartitionByRange(n_files, "zkey").drop(
+        "zkey"
+    ).write.parquet(zdir)
+    df.repartitionByRange(n_files, "x").write.parquet(xdir)
+
+    # [0.25, 0.5) is aligned to the top two bit planes of each
+    # dimension (cells 64..127: high bits exactly (0, 1)), the layout
+    # a curator would pick knowing the key geometry; an unaligned band
+    # straddling 0.5 still prunes, just less sharply (measured 10/16).
+    x_band = (F.col("x") >= 0.25) & (F.col("x") < 0.5)
+    y_band = (F.col("y") >= 0.25) & (F.col("y") < 0.5)
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # x-sort: perfect on x, useless on y (all 16 files contain the band)
+    assert files_touched(xdir, x_band) <= 6
+    assert files_touched(xdir, y_band) == n_files
+    # z-order: BOTH bands confined — strictly better worst case than
+    # the single-column sort's all-files y scan, and well under half
+    # the file set for bit-aligned bands
+    z_worst = max(
+        files_touched(zdir, x_band), files_touched(zdir, y_band)
+    )
+    assert z_worst <= n_files // 2, z_worst
+    assert z_worst < n_files
+    # and both layouts agree on the data itself
+    assert (
+        spark.read.parquet(zdir).filter(x_band & y_band).count()
+        == spark.read.parquet(xdir).filter(x_band & y_band).count()
+    )
