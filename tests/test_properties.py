@@ -1241,3 +1241,30 @@ def test_review_fix_conventions(spark):
         minhash_near_dups(df, num_hashes=32, bands=6)
     with pytest.raises(ValueError, match="bands"):
         lsh_knn(emb, emb, n_planes=16, bands=3)
+
+
+def test_variant_json_path_matches_string_path(spark):
+    """Spark 4's VARIANT type (parse_json once → typed variant_get
+    extractions) must agree row-for-row with the get_json_object
+    string path the graded q_events_json_props rides — the modern
+    semi-structured route a production build would migrate to (parse
+    once, extract many, no per-extraction re-parse)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.sources.batch import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    both = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k_str"),
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "long"
+        ).alias("k_var"),
+    )
+    n = both.count()
+    assert n > 0
+    agree = both.filter(
+        (F.col("k_str") == F.col("k_var"))
+        | (F.col("k_str").isNull() & F.col("k_var").isNull())
+    ).count()
+    assert agree == n

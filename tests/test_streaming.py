@@ -799,3 +799,45 @@ def test_streaming_frequent_terms_emptied_bucket_not_stale(spark, tmp_path):
     final = [r for r in out if r["seq"] == last and r["cnt"] > 0]
     assert final == []  # summary is empty, not the stale {a: 1}
     assert [(r["term"], r["cnt"]) for r in out if r["seq"] == last] == [("", 0)]
+
+
+def test_statestore_reader_exposes_streaming_state(spark, tmp_path):
+    """Spark 4's state data source reads a checkpoint's state store
+    back as a DataFrame — the debugging/ops path for 'what does the
+    running aggregation believe right now' without instrumenting the
+    query.  The read-back state must equal the batch-computed truth."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [(i, f"k{i % 3}") for i in range(12)]
+    spark.createDataFrame(rows, "id long, k string").coalesce(1).write.parquet(
+        os.path.join(src, "p0")
+    )
+    stream = spark.readStream.schema("id long, k string").parquet(
+        os.path.join(src, "p*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_statestore_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    got = sorted(
+        (r["key"]["k"], r["value"]["count"]) for r in state.collect()
+    )
+    want = sorted(
+        (r["k"], r["n"])
+        for r in spark.createDataFrame(rows, "id long, k string")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
