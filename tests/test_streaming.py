@@ -503,6 +503,7 @@ def test_pure_column_operators_unified_on_streams(spark, tmp_path):
     lets one curation codebase serve both the backfill and the live
     ingest.  The hashed-feature classifier riding a stream unchanged
     is the live-ingest quality gate for free."""
+    from fortymhz_spark.operators.partitioning import zorder_key
     from fortymhz_spark.operators.sampling import epoch_shuffle_key, sample_score
     from fortymhz_spark.operators.text import (
         content_md5,
@@ -535,6 +536,14 @@ def test_pure_column_operators_unified_on_streams(spark, tmp_path):
             content_md5("text").alias("fp"),
             redact_pii("text").alias("clean"),
             hashed_linear_score("text").alias("logit"),
+            # z-order key riding a stream = clustered streaming ingest
+            zorder_key(
+                [
+                    (F.col("doc_id").cast("double"), 0.0, 30.0),
+                    (token_count("text").cast("double"), 0.0, 32.0),
+                ],
+                bits=8,
+            ).alias("zkey"),
         )
 
     stream = (
