@@ -189,6 +189,22 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
             ).count(),
         ),
         (
+            # coarse cells grow with the corpus (constant expected
+            # |cell| — the IVF deployment rule), so candidate volume
+            # stays ∝ corpus x nprobe / n_coarse.
+            "ann_ivfpq",
+            lambda: sim.ivfpq_knn(
+                emb,
+                queries,
+                k=10,
+                n_coarse=16 * scale_mult,
+                nprobe=8,
+                n_sub=8,
+                n_cells=16,
+                rerank=16,
+            ).count(),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
