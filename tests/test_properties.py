@@ -1268,3 +1268,65 @@ def test_variant_json_path_matches_string_path(spark):
         | (F.col("k_str").isNull() & F.col("k_var").isNull())
     ).count()
     assert agree == n
+
+
+def test_mergeable_sketches_union_and_estimates(spark):
+    """The production sketch pipeline Spark 4 ships (Apache
+    DataSketches): per-partition HLL sketches SERIALIZE, persist, and
+    MERGE to the same estimate as sketching the union directly — the
+    property that lets a 100 TB pipeline store tiny daily sketches
+    and answer cross-day cardinality at query time (which
+    approx_count_distinct alone cannot: its sketch never leaves the
+    aggregation).  Theta sketches additionally support set algebra on
+    the sketches themselves (union/intersection estimates).  Exact on
+    these small domains; approx_top_k must agree with the exact
+    top-k."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 800).select((F.col("id") % 500).cast("string").alias("k"))
+    b = spark.range(0, 800).select(
+        ((F.col("id") % 500) + 300).cast("string").alias("k")
+    )
+    # daily sketches -> stored binary -> merged estimate == direct
+    sk_a = a.agg(F.hll_sketch_agg("k").alias("sk"))
+    sk_b = b.agg(F.hll_sketch_agg("k").alias("sk"))
+    merged = (
+        sk_a.unionAll(sk_b)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .first()["n"]
+    )
+    direct = (
+        a.unionAll(b)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("n"))
+        .first()["n"]
+    )
+    exact = a.unionAll(b).select("k").distinct().count()  # 800
+    # union-of-sketches and direct sketching take different estimator
+    # paths (806 vs 804 here) — the merge contract is estimate
+    # closeness, not register equality
+    assert abs(merged - direct) / exact < 0.01
+    assert abs(merged - exact) / exact < 0.05
+
+    # theta sketches: set algebra on sketches (intersection estimate)
+    inter = (
+        spark.sql("select 1")
+        .crossJoin(a.agg(F.expr("theta_sketch_agg(k)").alias("ta")))
+        .crossJoin(b.agg(F.expr("theta_sketch_agg(k)").alias("tb")))
+        .select(
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(ta, tb))"
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    exact_inter = a.join(b, ["k"], "left_semi").distinct().count()  # 200
+    assert abs(inter - exact_inter) / exact_inter < 0.1
+
+    # approx_top_k agrees with exact top-k on a skewed domain
+    skewed = spark.range(0, 1000).select(
+        F.when(F.col("id") < 700, "hot")
+        .otherwise((F.col("id") % 13).cast("string"))
+        .alias("k")
+    )
+    top = skewed.agg(F.expr("approx_top_k(k, 3)").alias("t")).first()["t"]
+    assert top[0]["item"] == "hot" and top[0]["count"] == 700
