@@ -252,15 +252,23 @@ def rolling_fingerprint(text: Column | str) -> Column:
 
     A left fold ``acc = (acc * 31 + ascii(c)) % M`` — order-fixed and
     engine-portable (DuckDB mirrors it with list_reduce).  Used as a
-    cheap content fingerprint; collisions ~ n^2 / M.
+    cheap content fingerprint; collisions ~ n^2 / M.  Empty text
+    fingerprints to 0 EXPLICITLY (the unguarded ``sequence(1, 0)``
+    descends and only produced 0 by the ascii('')=0 accident; DuckDB's
+    two-argument list_reduce ERRORS on the empty list, so the oracle
+    carries the same guard); null text stays null (distinct content
+    classes, the exact_dedup convention).
     """
     t = _colified(text)
     idx = F.sequence(F.lit(1), F.length(t))
     codes = F.transform(idx, lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"))
-    return F.aggregate(
+    folded = F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * POLY_BASE + c) % POLY_MOD,
+    )
+    return F.when(F.length(t) > 0, folded).otherwise(
+        F.when(t.isNotNull(), F.lit(0).cast("long"))
     )
 
 

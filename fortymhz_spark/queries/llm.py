@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fortymhz_spark.functions.vectors import cosine_similarity
 from fortymhz_spark.operators import dedup as dd
 from fortymhz_spark.operators import similarity as sim
 from fortymhz_spark.operators import text as tx
@@ -209,11 +208,14 @@ def q_docs_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      list_reduce(
-        list_transform(range(1, length(text) + 1),
-                       i -> ascii(substring(text, i::INT, 1))::BIGINT),
-        (acc, c) -> (acc * 31 + c) % 1000000007
-      ) AS fingerprint
+      CASE
+        WHEN length(text) > 0 THEN list_reduce(
+          list_transform(range(1, length(text) + 1),
+                         i -> ascii(substring(text, i::INT, 1))::BIGINT),
+          (acc, c) -> (acc * 31 + c) % 1000000007
+        )
+        WHEN text IS NOT NULL THEN 0
+      END AS fingerprint
     FROM documents
     WHERE doc_id < 100
     ORDER BY doc_id
@@ -614,22 +616,29 @@ def _ann_recall_check(
     exact_pairs: DataFrame, ann_pairs: DataFrame, bound: float
 ) -> DataFrame:
     """(query_id, n_exact, recall_ok) for an ANN result vs its exact
-    ground truth, all inside one plan — two aggregates over a semi-join,
-    no driver-side loops."""
-    hits = (
-        exact_pairs.join(ann_pairs, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    ground truth, all inside one plan and ONE traversal of
+    ``exact_pairs``: a left join flags found neighbors and a single
+    aggregate counts both totals — the two-aggregate semi-join form
+    re-executed the expensive brute-force subtree twice per query (the
+    same double-traversal q_emb_near_dup_lsh_subset's comment
+    engineered away; Spark does not CSE shared subtrees across
+    separate aggregations)."""
+    flagged = exact_pairs.join(
+        ann_pairs.withColumn("__found__", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
     )
     return (
-        exact_pairs.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, ["query_id"], "left")
+        flagged.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("__found__"), F.lit(0)).alias("n_hit"),
+        )
         .select(
             "query_id",
             "n_exact",
             (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                F.col("n_hit").cast("double")
                 >= F.col("n_exact").cast("double") * bound
             ).alias("recall_ok"),
         )
@@ -740,7 +749,6 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle's WHERE verbatim (an orderBy+limit form would
     silently diverge from it if a fixture regeneration ever produced
     non-contiguous vec_ids)."""
-    from fortymhz_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1074,7 +1082,6 @@ def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one partial+final agg on (lang, term) + a per-lang top-k
     window; integer-only output keeps it oracle-exact (a tf·idf score
     would compare floats across engines' libm)."""
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1641,7 +1648,6 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Total movement at 100 TB: one scan + two window shuffles (fp,
     source) + one skinny agg — pinned by
     tests/test_plan_properties.py::test_curation_funnel_single_scan."""
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -1894,7 +1900,6 @@ def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees is bit-reproducible on any cluster.  Each epoch's top-10 is a
     TakeOrdered per epoch — no global sort materializes at this query's
     scale shape."""
-    from pyspark.sql.window import Window
 
     from fortymhz_spark.operators.sampling import epoch_shuffle_key
 
@@ -1970,7 +1975,6 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; a full vocabulary would not be), the corpus explodes once and
     joins the 1000-row dict by hash broadcast, and everything after is
     partial+final integer aggregation."""
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(

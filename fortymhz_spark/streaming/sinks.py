@@ -135,8 +135,14 @@ def run_to_memory(
         .start()
     )
     query.awaitTermination(timeout_seconds)
-    if query.isActive:  # pragma: no cover - defensive
+    if query.isActive:
+        # A silent partial table here turns into flaky downstream
+        # assertions that look like operator bugs — fail loudly.
         query.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not finish within {timeout_seconds}s; "
+            "stopped with only partially-committed batches"
+        )
     return spark.table(name)
 
 
@@ -189,22 +195,50 @@ def start_partition_upsert_sink(
 
             try:
                 existing = spark.read.parquet(path)
-            except AnalysisException:  # first batch: table does not exist
-                # Only analysis-time failures (PATH_NOT_FOUND) mean "no
-                # table yet".  A TRANSIENT read error must NOT be
-                # swallowed here: treating it as missing-table would
-                # skip the read-merge and overwrite touched partitions
-                # with only the changed groups — the exact data loss
-                # this merge exists to prevent.  Let it fail the batch;
-                # the checkpoint retries.
+            except AnalysisException as exc:
+                # ONLY a missing path means "first batch, no table
+                # yet".  Any other analysis failure over existing data
+                # (schema-inference on a transiently-empty listing,
+                # partial external cleanup) must NOT be swallowed:
+                # treating it as missing-table would skip the
+                # read-merge and overwrite touched partitions with
+                # only the changed groups — the exact data loss this
+                # merge exists to prevent.  Let it fail the batch; the
+                # checkpoint retries.
+                cls = (
+                    exc.getErrorClass()
+                    if hasattr(exc, "getErrorClass")
+                    else None
+                )
+                if cls != "PATH_NOT_FOUND":
+                    raise
                 existing = None
             if existing is not None:
+                # Null-SAFE key comparisons throughout: a null grouping
+                # key (e.g. a null event time producing a null window)
+                # must anti-match its re-emitted group and semi-match
+                # its partition exactly like any other value — the
+                # null-unsafe name-list join would DELETE untouched
+                # null-partition rows and DUPLICATE re-emitted
+                # null-key groups.
                 touched = batch_df.select(*partition_by).distinct()
+                sem_cond = None
+                for c in partition_by:
+                    term = F.col(f"ex.{c}").eqNullSafe(F.col(f"t.{c}"))
+                    sem_cond = term if sem_cond is None else sem_cond & term
+                in_touched = existing.alias("ex").join(
+                    F.broadcast(touched.alias("t")), sem_cond, "left_semi"
+                )
+                batch_keys = batch_df.select(*keys).distinct()
+                anti_cond = None
+                for c in keys:
+                    term = F.col(f"ex.{c}").eqNullSafe(F.col(f"kd.{c}"))
+                    anti_cond = term if anti_cond is None else anti_cond & term
                 keep = (
-                    existing.join(F.broadcast(touched), partition_by, "left_semi")
+                    in_touched.alias("ex")
                     .join(
-                        F.broadcast(batch_df.select(*keys).distinct()),
-                        keys,
+                        F.broadcast(batch_keys.alias("kd")),
+                        anti_cond,
                         "left_anti",
                     )
                     .select(*out_cols)

@@ -46,6 +46,19 @@ _ASSEMBLE_STATE = StructType(
 )
 
 
+# THE definition of a physical drift-tube hit — single source of truth
+# for the pre-shuffle filters AND the Arrow processors' refilters (a
+# divergence between copies would silently change operator semantics;
+# the two forms below express the same predicate for Column and pandas
+# evaluation).
+def physical_hits(df: DataFrame) -> DataFrame:
+    return df.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+
+
+def _physical_pdf(pdf):
+    return pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+
+
 def _make_assemble(inactivity_ms: int):
     """Build the stateful assembly function with a given inactivity
     flush timeout (closure — the function is pickled to workers)."""
@@ -81,7 +94,7 @@ def _make_assemble(inactivity_ms: int):
         )
         channel_set = set(int(c) for c in chans.split(",") if c != "")
         for pdf in pdfs:
-            phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+            phys = _physical_pdf(pdf)
             if len(phys) == 0:
                 continue
             n_hits += len(phys)
@@ -89,10 +102,12 @@ def _make_assemble(inactivity_ms: int):
             last_bx = max(last_bx, int(phys["BX_COUNTER"].max()))
             channel_set.update(int(c) for c in phys["TDC_CHANNEL"].unique())
         if n_hits == 0:
-            # Every row in the group was non-physical (HEAD != 2 or
-            # trigger channel).  Creating state here would later emit a
-            # phantom orbit (n_hits=0, first_bx=INT_MAX, last_bx=-1) the
-            # batch twin never produces — so don't.
+            # Unreachable through assemble_orbits (it pre-filters
+            # before the keyed shuffle) but kept as defense-in-depth
+            # for direct processor use: creating state for an
+            # all-noise group would later emit a phantom orbit
+            # (n_hits=0, first_bx=INT_MAX, last_bx=-1) the batch twin
+            # never produces.
             return
         state.update(
             (n_hits, first_bx, last_bx, ",".join(str(c) for c in sorted(channel_set)))
@@ -120,7 +135,7 @@ def assemble_orbits(hits_stream: DataFrame, inactivity_ms: int = 2_000) -> DataF
     shuffle to physical hits only, and it keeps stream/batch outputs
     convergent (no state is ever created for an all-noise orbit).
     """
-    phys = hits_stream.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+    phys = physical_hits(hits_stream)
     return (
         phys.groupBy("ORBIT_CNT")
         .applyInPandasWithState(
@@ -188,7 +203,7 @@ class OrbitProfileProcessor(_StatefulProcessor):
             self._summary.get() if self._summary.exists() else (0, 2**31 - 1, -1)
         )
         for pdf in rows:
-            phys = pdf[(pdf["HEAD"] == 2) & (pdf["TDC_CHANNEL"] <= 128)]
+            phys = _physical_pdf(pdf)
             if len(phys) == 0:
                 continue
             n_hits += len(phys)
@@ -200,7 +215,9 @@ class OrbitProfileProcessor(_StatefulProcessor):
                     (int(chan),), ((prev[0] if prev else 0) + int(cnt),)
                 )
         if n_hits == 0:
-            # all-noise group: no state, no timer, no phantom orbit
+            # all-noise group (unreachable via profile_orbits' pre-
+            # filter; defense-in-depth for direct processor use):
+            # no state, no timer, no phantom orbit
             return iter(())
         self._summary.update((n_hits, first_bx, last_bx))
         # re-arm the inactivity timer: one live timer per orbit
@@ -240,7 +257,7 @@ def profile_orbits(hits_stream: DataFrame, inactivity_ms: int = 2_000) -> DataFr
     :func:`assemble_orbits`, plus per-channel hit counts from MapState.
     The session must run the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``)."""
-    phys = hits_stream.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+    phys = physical_hits(hits_stream)
     return phys.groupBy("ORBIT_CNT").transformWithStateInPandas(
         statefulProcessor=OrbitProfileProcessor(inactivity_ms),
         outputStructType=ORBIT_PROFILE,
@@ -252,7 +269,7 @@ def profile_orbits(hits_stream: DataFrame, inactivity_ms: int = 2_000) -> DataFr
 def profile_orbits_batch(hits: DataFrame) -> DataFrame:
     """Batch twin of :func:`profile_orbits` — what the stream converges
     to once every orbit has flushed."""
-    phys = hits.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+    phys = physical_hits(hits)
     per_chan = phys.groupBy("ORBIT_CNT", "TDC_CHANNEL").agg(
         F.count(F.lit(1)).alias("chan_hits"),
         F.min("BX_COUNTER").alias("min_bx"),
@@ -272,7 +289,7 @@ def assemble_orbits_batch(hits: DataFrame) -> DataFrame:
     aggregate expressions (what the streaming form converges to once
     every orbit has flushed)."""
     return (
-        hits.filter((F.col("HEAD") == 2) & (F.col("TDC_CHANNEL") <= 128))
+        physical_hits(hits)
         .groupBy("ORBIT_CNT")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),

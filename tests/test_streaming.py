@@ -850,3 +850,55 @@ def test_statestore_reader_exposes_streaming_state(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_partition_upsert_sink_null_keys_neither_lost_nor_duplicated(
+    spark, tmp_path
+):
+    """Null grouping keys (a null event time makes a null window) must
+    behave like any other key through the read-merge: a second batch
+    touching the null partition neither deletes its untouched groups
+    nor duplicates its re-emitted group — the null-unsafe name-list
+    join form failed BOTH ways (null != null)."""
+    import os
+
+    from fortymhz_spark.streaming.sinks import start_partition_upsert_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out, ck = str(tmp_path / "table"), str(tmp_path / "ck")
+
+    def emit(rows, part):
+        spark.createDataFrame(
+            rows, "w string, k string, v long"
+        ).coalesce(1).write.parquet(os.path.join(src, part))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("w string, k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "p*"))
+        )
+        agg = stream.groupBy("w", "k").agg(F.sum("v").alias("total"))
+        q = start_partition_upsert_sink(
+            agg, out, ck, ["w"], key_cols=["w", "k"]
+        )
+        q.awaitTermination(120)
+
+    # batch 1: the null-w partition holds two groups (ka, kb) plus a
+    # null-k group; batch 2 touches the null partition, re-emitting
+    # ONLY (null, ka) and (null, null)
+    emit([(None, "ka", 1), (None, "kb", 2), (None, None, 3), ("w1", "ka", 4)], "p0")
+    run_once()
+    emit([(None, "ka", 10), (None, None, 30)], "p1")
+    run_once()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select("w", "k", "total").collect()),
+        key=str,
+    )
+    want = sorted(
+        [(None, "ka", 11), (None, "kb", 2), (None, None, 33), ("w1", "ka", 4)],
+        key=str,
+    )
+    assert got == want
