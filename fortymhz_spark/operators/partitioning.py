@@ -151,7 +151,9 @@ def zorder_key(
     key must not depend on a full data scan, and out-of-range values
     clamp to the edge bins (they cluster at the boundary instead of
     corrupting the interleave).  Total key width ``bits * len(cols)``
-    must fit a BIGINT (≤ 62 used here).
+    must fit a BIGINT (≤ 62 used here).  NULL and NaN values map to
+    bin 0 (the low edge) rather than erroring or silently clamping
+    high — layout keys must be total functions of the row.
     """
     if not cols:
         raise ValueError("zorder_key needs at least one (col, lo, hi)")
@@ -165,14 +167,23 @@ def zorder_key(
         if not hi > lo:
             raise ValueError(f"bounds must satisfy hi > lo, got ({lo}, {hi})")
         col = F.col(c) if isinstance(c, str) else c
+        cold = col.cast("double")
         scaled = F.floor(
-            (col.cast("double") - F.lit(float(lo)))
+            (cold - F.lit(float(lo)))
             / F.lit(float(hi - lo))
             * F.lit(float(1 << bits))
         ).cast("long")
-        cell = F.greatest(
-            F.lit(0).cast("long"),
-            F.least(F.lit((1 << bits) - 1).cast("long"), scaled),
+        # greatest/least skip NULLs, so a NULL value would silently
+        # clamp HIGH to the max bin, and a NaN would error at the long
+        # cast under ANSI mode — route both to bin 0 explicitly (they
+        # cluster at the low edge, same contract as out-of-range lows).
+        cell = F.when(
+            cold.isNull() | F.isnan(cold), F.lit(0).cast("long")
+        ).otherwise(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit((1 << bits) - 1).cast("long"), scaled),
+            )
         )
         planes.append((i, cell))
     key = F.lit(0).cast("long")

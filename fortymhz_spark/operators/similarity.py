@@ -114,10 +114,28 @@ def lsh_knn(
             "lowering recall below the requested configuration"
         )
     if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
+        # One column-pruned aggregate instead of first(): a NULL
+        # embedding or a ragged corpus would otherwise infer a wrong
+        # dim from whichever row came first, NULL-ing the zip_with
+        # dots for the other rows and silently collapsing them into
+        # one bucket (the full-scan pathology documented above).
+        stats = corpus.select(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+            F.count(F.when(F.col(vec_col).isNull(), 1)).alias("nulls"),
+        ).first()
+        if stats is None or stats["lo"] is None:
             raise ValueError("lsh_knn: empty corpus")
-        dim = int(first["d"])
+        if stats["nulls"]:
+            raise ValueError(
+                f"lsh_knn: {stats['nulls']} NULL embeddings in corpus"
+            )
+        if stats["lo"] != stats["hi"]:
+            raise ValueError(
+                f"lsh_knn: ragged embedding dims [{stats['lo']}, "
+                f"{stats['hi']}] — pass dim= only with uniform vectors"
+            )
+        dim = int(stats["lo"])
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
 
@@ -539,8 +557,11 @@ def _pq_train(
     ``(d_sub, books_lit)``."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("empty corpus: nothing to train codebooks on")
+        if first is None or first["d"] is None:
+            raise ValueError(
+                "empty corpus or NULL embedding in first row: nothing "
+                "to train codebooks on"
+            )
         dim = int(first["d"])
     if dim % n_sub != 0:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -555,6 +576,14 @@ def _pq_train(
         full = [float(x) for x in r["v"]]
         nrm = math.sqrt(sum(x * x for x in full)) or 1.0
         sample.append([x / nrm for x in full])
+    if len(sample) < n_cells:
+        # Short codebooks would make the probe sides iterate
+        # sequence(0, n_cells-1) past the array end — an opaque
+        # INVALID_ARRAY_INDEX deep in execution under ANSI mode.
+        raise ValueError(
+            f"corpus has {len(sample)} vectors but n_cells={n_cells}: "
+            "codebooks need at least n_cells training vectors"
+        )
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
     return dim // n_sub, F.lit(books)
 

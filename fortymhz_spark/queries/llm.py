@@ -622,9 +622,15 @@ def _ann_recall_check(
     re-executed the expensive brute-force subtree twice per query (the
     same double-traversal q_emb_near_dup_lsh_subset's comment
     engineered away; Spark does not CSE shared subtrees across
-    separate aggregations)."""
+    separate aggregations).
+
+    ``ann_pairs`` is deduped here (tiny: ≤ queries × k rows) — a
+    duplicate ann pair would fan out its matching exact row, inflating
+    n_exact and n_hit together and biasing recall_ok upward."""
     flagged = exact_pairs.join(
-        ann_pairs.withColumn("__found__", F.lit(1)),
+        ann_pairs.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("__found__", F.lit(1)),
         ["query_id", "neighbor_id"],
         "left",
     )

@@ -431,3 +431,38 @@ def test_semantic_near_dup_precision_structural_on_random_vectors(spark):
             key = (r["id_a"], r["id_b"])
             assert key in exact, (kwargs, key)
             assert r["cosine"] == exact[key], (kwargs, key)
+
+
+def test_lsh_dim_inference_rejects_null_and_ragged(spark):
+    """Dim inference must fail loudly on NULL or ragged embeddings —
+    a wrong inferred dim NULLs the zip_with dots for the other rows
+    and silently collapses them into one bucket (full-scan recall
+    pathology), the exact failure the inference exists to prevent."""
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = ragged.filter("vec_id = 0")
+    with pytest.raises(ValueError, match="ragged"):
+        lsh_knn(ragged, q, k=1)
+
+    nulled = spark.createDataFrame(
+        [(0, None), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        lsh_knn(nulled, nulled.filter("vec_id = 1"), k=1)
+
+
+def test_pq_train_rejects_corpus_smaller_than_n_cells(spark):
+    """A corpus with fewer vectors than n_cells used to train short
+    codebooks that the probe side indexed past the end of
+    (INVALID_ARRAY_INDEX under ANSI mode) — now a clear ValueError."""
+    from fortymhz_spark.operators.similarity import pq_knn
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_cells"):
+        pq_knn(tiny, tiny, k=1, n_sub=2, n_cells=16)

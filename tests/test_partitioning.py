@@ -408,3 +408,24 @@ def test_zorder_key_monotonic_per_dimension(spark):
     for fixed, pairs in list(by_y.items()) + list(by_x.items()):
         keys = [z for _, z in sorted(pairs)]
         assert keys == sorted(keys), f"non-monotonic at fixed={fixed}"
+
+
+def test_zorder_key_null_and_nan_map_to_bin_zero(spark):
+    """NULL and NaN inputs must land in bin 0 — greatest/least skip
+    NULLs (which used to clamp HIGH to the max bin) and a NaN reaching
+    the long cast errors under ANSI mode.  A layout key is a total
+    function of the row."""
+    from fortymhz_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 0.0), (float("nan"), 0.0), (0.0, 0.0)],
+        "x double, y double",
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0)], bits=8).alias("z")
+        ).collect()
+    ]
+    # all three rows: x-cell 0, y-cell 0 -> key 0
+    assert got == [0, 0, 0]
