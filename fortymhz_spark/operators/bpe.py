@@ -137,6 +137,96 @@ def learn_bpe_merges(
     return merges
 
 
+def _merge_syms(
+    syms: tuple[str, ...], left: str, right: str
+) -> tuple[str, ...]:
+    """Pure-Python `merge_vocab` for one word: replace every
+    left-to-right NON-OVERLAPPING (left, right) adjacency — the same
+    semantics as the :func:`_apply_merge` column fold (differentially
+    pinned in tests/test_properties.py)."""
+    merged = left + right
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _local_merge_loop(
+    vocab: list[tuple[tuple[str, ...], int]],
+    n_merges: int,
+    min_count: int,
+) -> list[tuple[str, str, int]]:
+    """The Sennrich `get_stats` / `merge_vocab` loop over a DRIVER-SIDE
+    (symbols, count) vocabulary.  Tie-break identical to the
+    distributed path: (count DESC, left ASC, right ASC)."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        (left, right), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((left, right, c))
+        vocab = [(_merge_syms(s, left, right), n) for s, n in vocab]
+    return merges
+
+
+def learn_bpe_merges_local(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    min_count: int = 2,
+    top_v: int | None = 65536,
+) -> list[tuple[str, str, int]]:
+    """Learn BPE merges the way you would actually build a 32k–50k
+    tokenizer at corpus scale: ONE distributed pass builds the
+    ``(word, n)`` vocabulary, the ``top_v`` most frequent words come
+    to the driver in a single bounded TakeOrdered (ties break by word
+    so the collect is deterministic), and the Sennrich merge loop runs
+    LOCALLY over that vocabulary — zero Spark jobs per merge round,
+    vs :func:`learn_bpe_merges`'s one aggregate per round (correct,
+    but job count ∝ n_merges: a 32k-merge build is 32k sequential
+    jobs).  This is the standard recipe — HuggingFace tokenizers and
+    SentencePiece likewise train on a bounded word-frequency table,
+    not by re-scanning the corpus per merge.
+
+    ``top_v=None`` collects the whole vocabulary (exact — use when the
+    distinct-word table is known small); the default bounds driver
+    memory at web scale, where tail words carry negligible pair mass.
+    :func:`learn_bpe_merges` remains the distributed validation twin —
+    with ``top_v=None`` the two produce IDENTICAL merge tables
+    (pinned in tests/test_properties.py)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_v is not None and top_v < 1:
+        raise ValueError(f"top_v must be >= 1 or None, got {top_v}")
+    wc = word_counts(docs, text_col)
+    if top_v is not None:
+        wc = wc.orderBy(F.desc("n"), F.asc("w")).limit(top_v)
+    rows = wc.collect()
+    vocab = [
+        (tuple(r["w"]) + (END_OF_WORD,), int(r["n"])) for r in rows
+    ]
+    return _local_merge_loop(vocab, n_merges, min_count)
+
+
 def encode_words(
     df: DataFrame,
     word_col: str = "w",
@@ -162,3 +252,53 @@ def encode_words(
         left, right = m[0], m[1]
         sym = _apply_merge(sym, left, right)
     return df.withColumn(out_col, sym)
+
+
+def encode_words_arrow(
+    df: DataFrame,
+    word_col: str = "w",
+    *,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    out_col: str = "symbols",
+) -> DataFrame:
+    """:func:`encode_words` for PRODUCTION merge-table sizes: the
+    expression form nests one fold per merge, so its plan depth grows
+    with ``len(merges)`` and Catalyst planning stalls long before a
+    32k-merge vocabulary.  This twin ships the merge table to the
+    executors once (closure capture — a few hundred KB for 32k
+    merges) and applies it inside an Arrow-batched pandas UDF with
+    rank-priority encoding: repeatedly merge the LOWEST-RANK mergeable
+    adjacency, which for a table produced by the learn loop yields the
+    same result as applying merges in rank order (each is a fixpoint
+    of the other's output) while doing one dict lookup per adjacency
+    instead of one pass per merge.  Differentially pinned against the
+    expression form in tests/test_properties.py.
+
+    Map-only: no shuffle; the only Python boundary is this Arrow
+    batch (``ArrowEvalPython`` in the plan, never ``BatchEvalPython``).
+    """
+    rank: dict[tuple[str, str], int] = {
+        (m[0], m[1]): i for i, m in enumerate(merges)
+    }
+
+    def encode_one(word: str) -> list[str]:
+        syms = list(word) + [END_OF_WORD]
+        while len(syms) > 1:
+            best_i, best_r = -1, len(rank)
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            # merge ALL non-overlapping occurrences of this pair
+            # left-to-right (the merge_vocab contract), then rescan
+            left, right = syms[best_i], syms[best_i + 1]
+            syms = list(_merge_syms(tuple(syms), left, right))
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def _encode(words):  # pandas Series[str] -> Series[list[str]]
+        return words.map(encode_one)
+
+    return df.withColumn(out_col, _encode(F.col(word_col)))

@@ -1330,3 +1330,132 @@ def test_mergeable_sketches_union_and_estimates(spark):
     )
     top = skewed.agg(F.expr("approx_top_k(k, 3)").alias("t")).first()["t"]
     assert top[0]["item"] == "hot" and top[0]["count"] == 700
+
+
+def test_bpe_local_learner_matches_distributed_and_python(spark):
+    """The production-shape learner (one corpus pass + driver-local
+    Sennrich loop, operators/bpe.py::learn_bpe_merges_local) must
+    produce the IDENTICAL merge table to both the distributed
+    per-round learner and the pure-Python reference — pairs, counts,
+    and order — on the overlapping-repeat/tie fixture."""
+    import collections
+
+    from fortymhz_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_local,
+    )
+
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest aaaa aaaa aa"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    dist = learn_bpe_merges(df, n_merges=12, min_count=2)
+    local = learn_bpe_merges_local(df, n_merges=12, min_count=2, top_v=None)
+    assert local == dist
+
+    # and at a REALISTIC merge count on the real documents fixture,
+    # against the pure-Python loop over the exact word counts
+    from fortymhz_spark.operators.bpe import _local_merge_loop
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = learn_bpe_merges_local(docs, n_merges=64, min_count=2, top_v=None)
+    cnt = collections.Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in (r["text"] or "").lower().split()
+        if w
+    )
+    vocab = [(tuple(w) + ("</w>",), n) for w, n in cnt.items()]
+    assert got == _local_merge_loop(vocab, 64, 2)
+    assert len(got) == 64
+    counts = [c for _, _, c in got]
+    assert counts == sorted(counts, reverse=True) or all(
+        counts[i] >= counts[i + 1] for i in range(len(counts) - 1)
+    )
+
+
+def test_bpe_local_top_v_truncates_vocabulary(spark):
+    """top_v bounds the driver collect: merges must equal the Python
+    loop over only the top_v most frequent words (ties by word), and
+    the parameter is validated."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.bpe import (
+        _local_merge_loop,
+        learn_bpe_merges_local,
+    )
+
+    text = "aa aa aa aa bb bb bb cc cc dd"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = learn_bpe_merges_local(df, n_merges=4, min_count=2, top_v=2)
+    # top-2 words by (n desc, w asc): aa(4), bb(3)
+    vocab = [(("a", "a", "</w>"), 4), (("b", "b", "</w>"), 3)]
+    assert got == _local_merge_loop(vocab, 4, 2)
+
+    with _pytest.raises(ValueError, match="top_v"):
+        learn_bpe_merges_local(df, top_v=0)
+
+
+def test_bpe_encode_arrow_matches_expression_and_reconstructs(spark):
+    """The Arrow encode kernel (rank-priority, one closure-captured
+    merge table) must agree with the expression-fold encoder on a
+    small merge table, and with the sequential rank-order Python
+    reference on a REALISTIC 64-merge table — plus the lossless
+    regrouping property (concat(symbols) == word + '</w>')."""
+    from fortymhz_spark.operators.bpe import (
+        END_OF_WORD,
+        encode_words,
+        encode_words_arrow,
+        learn_bpe_merges_local,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = learn_bpe_merges_local(docs, n_merges=64, min_count=2, top_v=None)
+    assert len(merges) == 64
+
+    words = sorted(
+        {
+            w
+            for r in docs.select("text").limit(50).collect()
+            for w in (r["text"] or "").lower().split()
+            if w
+        }
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    arrow = {
+        r["w"]: list(r["symbols"])
+        for r in encode_words_arrow(wdf, merges=merges).collect()
+    }
+
+    def ref_encode(word):  # sequential rank-order application
+        syms = list(word) + [END_OF_WORD]
+        for left, right, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    for w in words:
+        assert arrow[w] == ref_encode(w), w
+        assert "".join(arrow[w]) == w + END_OF_WORD, w
+
+    # expression-fold agreement at a plan-friendly table size
+    small = merges[:8]
+    expr = {
+        r["w"]: list(r["symbols"])
+        for r in encode_words(wdf, merges=small).collect()
+    }
+    arrow_small = {
+        r["w"]: list(r["symbols"])
+        for r in encode_words_arrow(wdf, merges=small).collect()
+    }
+    assert arrow_small == expr
