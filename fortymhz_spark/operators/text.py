@@ -194,7 +194,12 @@ def quality_score(text: Column | str) -> Column:
     return (len_ok + atl_ok + sw_ok + punct_ok) / F.lit(4.0)
 
 
-def hashed_linear_score(text: Column | str, *, scale: int = 1000) -> Column:
+def hashed_linear_score(
+    text: Column | str,
+    *,
+    scale: int = 1000,
+    weights: list[int] | None = None,
+) -> Column:
     """Model-scored quality filtering: the integer logit of a
     fastText-style linear classifier over HASHED unigram features —
     ``sum over tokens of w(token)`` with
@@ -202,14 +207,22 @@ def hashed_linear_score(text: Column | str, *, scale: int = 1000) -> Column:
     in [-scale, scale] looked up by feature hashing (no vocabulary
     table at all).
 
-    The weights here are a deterministic hash-derived STAND-IN — no
+    The default weights are a deterministic hash-derived STAND-IN — no
     trained model ships in this environment — but the plumbing is the
     real contract a production classifier drops into: tokenization →
     per-token weight lookup as a pure column expression → exact
-    integer fold, map-only, zero shuffles, no UDF.  A trained model
-    replaces ``w`` with (hash % n_buckets) indexing a literal weight
-    array (a few MB in the task binary, the PQ-codebook pattern).  The
-    hash is the engine-portable md5 prefix
+    integer fold, map-only, zero shuffles, no UDF.
+
+    ``weights`` IS the trained-model slot: a bucketed integer weight
+    array (fastText's feature-hashing shape — train offline, quantize
+    logits to integers, ship the array).  When given, each token's
+    weight is ``weights[hash(tok) % len(weights)]`` — ONE array
+    literal in the task binary (the PQ-codebook pattern; a 2M-bucket
+    int table is a few MB), still map-only and whole-stage-codegen.
+    For a vocabulary-keyed (non-hashed) model too large for a literal,
+    use :func:`vocab_linear_score`, the broadcast-join twin.
+
+    The hash is the engine-portable md5 prefix
     (operators/dedup.py::_bloom_pos family) and the fold is all-BIGINT,
     so a SQL oracle reproduces the logit exactly — no float crosses a
     row boundary.
@@ -226,19 +239,92 @@ def hashed_linear_score(text: Column | str, *, scale: int = 1000) -> Column:
     toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     mod = 2 * scale + 1
 
+    if weights is not None:
+        if not weights:
+            raise ValueError("weights must be a non-empty list of ints")
+        n_buckets = len(weights)
+        w_lit = F.lit([int(w) for w in weights])
+
+        def tok_weight(tok: Column) -> Column:
+            h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            return F.element_at(w_lit, (h % n_buckets + 1).cast("int"))
+
+    else:
+
+        def tok_weight(tok: Column) -> Column:
+            return (
+                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+                % mod
+                - scale
+            )
+
     def fold(tk: Column) -> Column:
         return F.aggregate(
             tk,
             F.lit(0).cast("long"),
-            lambda acc, tok: acc
-            + (
-                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
-                % mod
-                - scale
-            ),
+            lambda acc, tok: acc + tok_weight(tok).cast("long"),
         )
 
     return F.element_at(F.transform(F.array(toks_expr), fold), 1)
+
+
+def vocab_linear_score(
+    docs,
+    weights,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    weight_col: str = "weight",
+    out_col: str = "logit",
+):
+    """:func:`hashed_linear_score`'s trained-model twin for a
+    VOCABULARY-KEYED weight table (token → integer weight, e.g. an
+    exported logistic-regression head) too large or too exact for the
+    hashed-bucket literal: explode tokens (term frequency kept — each
+    occurrence scores), broadcast-join the weight table, and aggregate
+    the integer logit per document.  OOV tokens weigh 0.
+
+    Scale shape: the weight table broadcasts (a 1M-token vocab of
+    (string, long) is tens of MB — fastText-scale heads fit); the
+    groupBy's map-side partial aggregation collapses each document's
+    token rows to ONE (id, logit) row before the shuffle, because a
+    document's exploded tokens never span partitions.  All-BIGINT
+    fold, no UDF.  Documents with NULL/empty text keep a 0 logit via
+    the final left join + coalesce (the totality contract of
+    :func:`hashed_linear_score`).
+    """
+    from pyspark.sql import functions as _F
+
+    toks = docs.select(
+        _F.col(id_col),
+        _F.explode_outer(
+            _F.filter(
+                _F.split(
+                    _F.lower(_F.coalesce(_F.col(text_col), _F.lit(""))), " "
+                ),
+                lambda x: x != "",
+            )
+        ).alias("__tok__"),
+    )
+    w = _F.broadcast(
+        weights.select(
+            _F.col(token_col).alias("__tok__"),
+            _F.col(weight_col).cast("long").alias("__w__"),
+        )
+    )
+    per_doc = (
+        toks.join(w, "__tok__", "left")
+        .groupBy(id_col)
+        .agg(
+            _F.coalesce(_F.sum("__w__"), _F.lit(0))
+            .cast("long")
+            .alias(out_col)
+        )
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        out_col, _F.coalesce(_F.col(out_col), _F.lit(0).cast("long"))
+    )
 
 
 def content_md5(text: Column | str) -> Column:

@@ -1459,3 +1459,76 @@ def test_bpe_encode_arrow_matches_expression_and_reconstructs(spark):
         for r in encode_words_arrow(wdf, merges=small).collect()
     }
     assert arrow_small == expr
+
+
+def test_hashed_linear_score_trained_weight_array(spark):
+    """The trained-model slot: an explicit bucketed weight array must
+    score exactly like the pure-Python feature-hashing fold
+    (w[md5prefix % n_buckets], every occurrence counted), stay
+    map-only (no BatchEvalPython), and validate emptiness."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.text import hashed_linear_score
+
+    weights = [((7 * i + 3) % 41) - 20 for i in range(64)]  # fake trained head
+    rows = [
+        (1, "the quick brown fox the fox"),
+        (2, ""),
+        (3, None),
+        (4, "singleton"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", hashed_linear_score("text", weights=weights).alias("logit")
+    )
+    assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["doc_id"]: r["logit"] for r in out.collect()}
+
+    def ref(text):
+        s = 0
+        for tok in (text or "").lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            s += weights[h % len(weights)]
+        return s
+
+    for i, text in rows:
+        assert got[i] == ref(text), (i, text)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        hashed_linear_score("text", weights=[])
+
+
+def test_vocab_linear_score_matches_python_fold(spark):
+    """The vocabulary-keyed scorer: broadcast-joined (token, weight)
+    table, term frequency counted, OOV = 0, NULL/empty text = 0 — all
+    matching a pure-Python fold over the same weights fixture; the
+    plan must broadcast the weight table and contain no Python."""
+    from fortymhz_spark.operators.text import vocab_linear_score
+
+    wfix = {"the": -5, "fox": 12, "quick": 7, "lazy": -9}
+    weights = spark.createDataFrame(
+        list(wfix.items()), "token string, weight long"
+    )
+    rows = [
+        (1, "the quick brown fox the fox"),
+        (2, "unseen words only"),
+        (3, ""),
+        (4, None),
+        (5, "lazy lazy LAZY"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_linear_score(docs, weights)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    got = {r["doc_id"]: r["logit"] for r in out.collect()}
+
+    def ref(text):
+        return sum(wfix.get(t, 0) for t in (text or "").lower().split())
+
+    for i, text in rows:
+        assert got[i] == ref(text), (i, text)
+    # schema: original columns + logit
+    assert set(out.columns) == {"doc_id", "text", "logit"}
