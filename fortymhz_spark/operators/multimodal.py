@@ -50,11 +50,18 @@ def _decode_one(
     if payload is None:
         return [0.0] * FEATURE_DIM, [0] * FEATURE_DIM
     # Deterministic fake: byte-histogram moments, stable across runs.
-    acc = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload):
-        acc[i % FEATURE_DIM] += byte
+    # Vectorized — zero-copy byte view, zero-pad to a lane multiple,
+    # strided-reshape column sums (a per-byte Python loop was the
+    # kernel's bottleneck at real payload sizes, before any codec).
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-arr.size) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    acc = arr.reshape(-1, FEATURE_DIM).sum(axis=0, dtype=np.int64)
     total = max(len(payload), 1)
-    return [a / total for a in acc], acc
+    return [float(a) / total for a in acc], [int(a) for a in acc]
 
 
 def decode_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
