@@ -44,6 +44,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
@@ -135,6 +136,112 @@ def read_snapshot(
             f"(published: {sorted(map(int, manifest['versions'])) or 'none'})"
         )
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    delete_col: str | None = None,
+    note: str = "",
+) -> int:
+    """Row-level MERGE published as a NEW snapshot version — the
+    missing half of the lakehouse story between :func:`write_snapshot`
+    (whole-table versions) and the streaming partition-upsert sink
+    (incremental, no history): read current ``v=N``, upsert/delete by
+    key, publish ``v=N+1`` atomically.  Time travel keeps working —
+    ``v=N`` stays byte-identical — and a reader racing the merge sees
+    the old version or the complete new one, never a mix.
+
+    Semantics (Delta/Iceberg MERGE reduced to its keyed core):
+
+    - a target row whose key matches an update row is REPLACED
+      (or DELETED when the update row's ``delete_col`` is true);
+    - an update row with no matching target key is INSERTED
+      (unless delete-marked — deleting an absent key is a no-op,
+      which is what makes replaying the same merge batch idempotent);
+    - all other target rows carry over unchanged, including NULL-key
+      rows (updates may not carry NULL keys, so they can never match).
+
+    Validation happens in ONE aggregate over ``updates``: duplicate
+    update keys are rejected (ambiguous merge — Delta raises here
+    too) and NULL update keys are rejected (equi-joins drop them
+    silently; a "replace the null-key row" intent needs a real key).
+
+    Scale shape: copy-on-write — one anti-join of the target against
+    the update KEYS (projected + distinct; AQE broadcasts it when
+    small) plus a unionByName, so the merge cost is a full rewrite of
+    the table, the honest baseline for immutable-version semantics.
+    At partition-table scale the refinement is file-level manifests
+    (rewrite only matched files); that bookkeeping is deliberately out
+    of scope here, and the streaming upsert sink covers the
+    high-frequency incremental shape.
+    """
+    if not key_cols:
+        raise ValueError("merge_snapshot needs at least one key column")
+    data_cols = [c for c in updates.columns if c != delete_col]
+    missing = [k for k in key_cols if k not in data_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} absent from updates")
+
+    key_struct = F.struct(*[F.col(k) for k in key_cols])
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    stats = updates.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(key_struct).alias("n_keys"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
+    ).first()
+    if stats is None or stats["n"] == 0:
+        raise ValueError("merge_snapshot: empty updates frame")
+    if int(stats["n_null"] or 0) > 0:
+        raise ValueError(
+            f"merge_snapshot: {stats['n_null']} update rows carry NULL "
+            f"key values for {key_cols} — equi-joins cannot match them"
+        )
+    # count_distinct skips nothing here (no NULL keys past the guard)
+    if int(stats["n_keys"]) != int(stats["n"]):
+        raise ValueError(
+            f"merge_snapshot: duplicate keys in updates "
+            f"({stats['n']} rows, {stats['n_keys']} distinct "
+            f"{key_cols}) — an ambiguous merge; dedupe upstream"
+        )
+
+    upserts = updates
+    if delete_col is not None:
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+
+    manifest = _load_manifest(table_dir)
+    current = int(manifest["current"])
+    if current == 0:
+        merged = upserts
+        partition_by: list[str] = []
+    else:
+        target = read_snapshot(spark, table_dir)
+        if set(target.columns) != set(data_cols):
+            raise ValueError(
+                f"merge_snapshot: updates columns {sorted(data_cols)} != "
+                f"target columns {sorted(target.columns)}"
+            )
+        upd_keys = updates.select(*key_cols).distinct()
+        merged = target.join(upd_keys, key_cols, "left_anti").unionByName(
+            upserts
+        )
+        partition_by = list(
+            manifest["versions"][str(current)].get("partition_by", [])
+        )
+    return write_snapshot(
+        merged,
+        table_dir,
+        partition_by=partition_by or None,
+        note=note or f"merge on {key_cols}",
+    )
 
 
 def snapshot_versions(table_dir: str) -> list[dict[str, Any]]:

@@ -93,3 +93,127 @@ def test_manifest_is_valid_json_after_publish(spark, table_dir):
         m = json.load(f)
     assert m["current"] == 1
     assert m["versions"]["1"]["rows"] == 3
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+
+
+def test_merge_snapshot_upsert_insert_delete(spark, table_dir):
+    """One merge batch exercising all three MERGE arms — replace a
+    matched key, insert an unmatched key, delete a marked key — plus
+    the carry-over of untouched rows and of NULL-key target rows
+    (which updates can never address)."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")],
+        "k int, val string",
+    )
+    v1 = write_snapshot(base, table_dir)
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k int, val string, is_delete boolean",
+    )
+    v2 = merge_snapshot(
+        spark, table_dir, updates, ["k"], delete_col="is_delete"
+    )
+    assert (v1, v2) == (1, 2)
+    assert _rows(read_snapshot(spark, table_dir)) == [
+        (None, "nullkey"),
+        (1, "a"),
+        (2, "B"),
+        (4, "d"),
+    ]
+    # time travel: v1 byte-identical
+    assert _rows(read_snapshot(spark, table_dir, version=1)) == _rows(base)
+
+
+def test_merge_snapshot_idempotent_replay(spark, table_dir):
+    """Replaying the SAME merge batch (a retried job) publishes a new
+    version with IDENTICAL content — replace is absorbing, insert
+    matches the now-present key, delete of an absent key is a no-op."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, val string"),
+        table_dir,
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (1, None, True)],
+        "k int, val string, is_delete boolean",
+    )
+    merge_snapshot(spark, table_dir, updates, ["k"], delete_col="is_delete")
+    first = _rows(read_snapshot(spark, table_dir))
+    merge_snapshot(spark, table_dir, updates, ["k"], delete_col="is_delete")
+    assert _rows(read_snapshot(spark, table_dir)) == first == [
+        (2, "B"),
+        (4, "d"),
+    ]
+    assert [m["version"] for m in snapshot_versions(table_dir)] == [1, 2, 3]
+
+
+def test_merge_snapshot_first_merge_bootstraps_v1(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    updates = spark.createDataFrame(
+        [(1, "a", False), (2, "x", True)], "k int, val string, is_delete boolean"
+    )
+    v = merge_snapshot(
+        spark, table_dir, updates, ["k"], delete_col="is_delete"
+    )
+    assert v == 1
+    assert _rows(read_snapshot(spark, table_dir)) == [(1, "a")]
+
+
+def test_merge_snapshot_validates_updates(spark, table_dir):
+    """Duplicate update keys, NULL update keys, schema drift, and an
+    empty batch are all rejected with specific messages — each is a
+    silent-corruption class if allowed through an equi-join."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, val string"), table_dir
+    )
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "k int, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_snapshot(spark, table_dir, dup, ["k"])
+    nul = spark.createDataFrame([(None, "x")], "k int, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_snapshot(spark, table_dir, nul, ["k"])
+    drift = spark.createDataFrame([(2, 9)], "k int, other int")
+    with pytest.raises(ValueError, match="columns"):
+        merge_snapshot(spark, table_dir, drift, ["k"])
+    empty = spark.createDataFrame([], "k int, val string")
+    with pytest.raises(ValueError, match="empty updates"):
+        merge_snapshot(spark, table_dir, empty, ["k"])
+    with pytest.raises(ValueError, match="key column"):
+        merge_snapshot(spark, table_dir, dup, [])
+    with pytest.raises(ValueError, match="absent"):
+        merge_snapshot(spark, table_dir, dup, ["nope"])
+
+
+def test_merge_snapshot_preserves_partition_layout(spark, table_dir):
+    """A merge into a partitioned snapshot republishes with the SAME
+    partition_by (layout is a table property, not a per-write whim),
+    and the partition directories exist on disk for v2."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k int, val string, part string"
+    )
+    write_snapshot(base, table_dir, partition_by=["part"])
+    updates = spark.createDataFrame(
+        [(2, "Y", "p2")], "k int, val string, part string"
+    )
+    v2 = merge_snapshot(spark, table_dir, updates, ["k"])
+    meta = snapshot_versions(table_dir)[-1]
+    assert meta["version"] == v2 and meta["partition_by"] == ["part"]
+    assert os.path.isdir(os.path.join(table_dir, f"v={v2}", "part=p2"))
+    got = _rows(read_snapshot(spark, table_dir).select("k", "val", "part"))
+    assert got == [(1, "x", "p1"), (2, "Y", "p2")]
