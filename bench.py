@@ -184,6 +184,32 @@ def main() -> None:
     # partial cold sample for a broken query into the round-over-round
     # comparison; it is named in "excluded" so total comparisons can
     # detect the changed denominator.
+    # Measured ANN recall@k AT BENCH SCALE (round-4 advisor item: the
+    # correctness gate only grades recall at sf0.001/0.01; a collapse
+    # at 10x corpus must be visible per-round).  Guarded: a recall
+    # failure must not void the timing bench.
+    ann_recall: dict[str, float] = {}
+    ann_recall_detail: dict[str, dict[str, float]] = {}
+    try:
+        from fortymhz_spark.queries.llm import ann_recall_report
+
+        rstart = time.perf_counter()
+        report = ann_recall_report(spark, sf_dir)
+        ann_recall = {f: round(v["mean"], 3) for f, v in report.items()}
+        ann_recall_detail = {
+            f: {k2: round(v2, 4) if isinstance(v2, float) else v2
+                for k2, v2 in v.items()}
+            for f, v in report.items()
+        }
+        print(
+            f"# ann_recall ({time.perf_counter() - rstart:.1f}s): "
+            f"{ann_recall}",
+            file=sys.stderr,
+        )
+    except Exception as ex:
+        print(f"# ann_recall: ERROR {type(ex).__name__}: {str(ex)[:200]}",
+              file=sys.stderr)
+
     ok = {n: ts for n, ts in times.items() if ts and n not in errors}
     medians = {n: statistics.median(ts) for n, ts in ok.items()}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -196,10 +222,12 @@ def main() -> None:
         "excluded": sorted(set(names) - set(medians)),
         "reps": reps_run,
         "sf": float(sf) if sf else None,
+        "ann_recall": ann_recall,
     }
     details = {
         **result,
         "queries": {n: round(m, 4) for n, m in medians.items()},
+        "ann_recall": ann_recall_detail,
         "cold": {n: round(ts[0], 4) for n, ts in ok.items()},
         "spread": {n: round(max(ts) - min(ts), 4) for n, ts in ok.items()},
         "samples": {n: [round(t, 4) for t in ts] for n, ts in ok.items()},

@@ -256,6 +256,16 @@ def cosine_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _auto_cells(corpus: DataFrame, n_cells: int | None) -> int:
+    """Resolve an ``n_cells=None`` request to ``⌈√N⌉`` (capped at
+    4096, floored at 1) with one corpus count — the standard IVF
+    sizing rule.  Explicit values pass through untouched."""
+    if n_cells is not None:
+        return n_cells
+    n = corpus.count()
+    return max(1, min(4096, int(math.isqrt(max(n - 1, 0))) + 1))
+
+
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:
     """Deterministic coarse centroids: the k lowest-id vectors.
 
@@ -319,7 +329,7 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows are
@@ -332,7 +342,15 @@ def ivf_knn(
     hash-partitioned on the cell — candidate volume is
     corpus × nprobe / n_cells per query instead of the full corpus.
     Recall is controlled by nprobe (probe all cells → exact).
+
+    ``n_cells=None`` auto-sizes to ``⌈√N⌉`` (the FAISS IVF guideline —
+    balances cell-scan cost √N against candidate volume N/√N) via one
+    corpus count, capped at 4096: past ~a few thousand cells the
+    expression-argmin assignment hits the Catalyst plan-size ceiling
+    and the arrow-assign k-means twin (``kmeans_assign``) is the right
+    tool for cell assignment instead.
     """
+    n_cells = _auto_cells(corpus, n_cells)
     cents = _centroids(corpus, id_col, vec_col, n_cells)
     c_assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -658,7 +676,7 @@ def ivfpq_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_coarse: int = 16,
+    n_coarse: int | None = 16,
     nprobe: int = 4,
     n_sub: int = 8,
     n_cells: int = 16,
@@ -687,7 +705,11 @@ def ivfpq_knn(
     assignment and codebooks follow ``pq_knn``'s Lloyd training, so
     each half of the composition matches its already-verified
     standalone twin.
+
+    ``n_coarse=None`` auto-sizes to ``⌈√N⌉`` capped at 4096 (the
+    ``ivf_knn`` rule; see :func:`_auto_cells`).
     """
+    n_coarse = _auto_cells(corpus, n_coarse)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
     d_sub, books_lit = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,

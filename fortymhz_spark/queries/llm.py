@@ -627,19 +627,8 @@ def _ann_recall_check(
     ``ann_pairs`` is deduped here (tiny: ≤ queries × k rows) — a
     duplicate ann pair would fan out its matching exact row, inflating
     n_exact and n_hit together and biasing recall_ok upward."""
-    flagged = exact_pairs.join(
-        ann_pairs.select("query_id", "neighbor_id")
-        .distinct()
-        .withColumn("__found__", F.lit(1)),
-        ["query_id", "neighbor_id"],
-        "left",
-    )
     return (
-        flagged.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.coalesce(F.sum("__found__"), F.lit(0)).alias("n_hit"),
-        )
+        _ann_recall_counts(exact_pairs, ann_pairs)
         .select(
             "query_id",
             "n_exact",
@@ -650,6 +639,89 @@ def _ann_recall_check(
         )
         .orderBy("query_id")
     )
+
+
+def _ann_recall_counts(
+    exact_pairs: DataFrame, ann_pairs: DataFrame
+) -> DataFrame:
+    """(query_id, n_exact, n_hit) — the shared per-query recall
+    numerator/denominator behind both the graded boolean form above
+    and the measured-recall bench report below."""
+    flagged = exact_pairs.join(
+        ann_pairs.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("__found__", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("__found__"), F.lit(0)).alias("n_hit"),
+    )
+
+
+def ann_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, dict[str, float]]:
+    """MEASURED recall@k for every ANN family at ``sf_dir``, in the
+    exact configurations the graded q_emb_ann_* rows run — the gate
+    only checks recall at sf0.001/0.01, so bench.py calls this at its
+    scale factor and records the numbers in BENCH_DETAILS.json: a
+    recall collapse at 10× corpus size cannot hide behind a green
+    gate.  Returns {family: {k, n_queries, mean, min}}.
+
+    The configurations here MUST mirror the graded queries
+    (tests/test_ann_recall.py pins each family's measured values to
+    the graded bounds, so drift between the two fails loudly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    configs: dict[str, tuple[DataFrame, int, object]] = {
+        "lsh": (
+            emb.filter(vid < 5),
+            10,
+            lambda e, q: sim.lsh_knn(e, q, k=10, n_planes=16, bands=8),
+        ),
+        "ivf": (
+            emb.filter(vid < 10),
+            5,
+            lambda e, q: sim.ivf_knn(e, q, k=5, n_cells=16, nprobe=8),
+        ),
+        "pq": (
+            emb.filter((vid >= 5) & (vid < 15)),
+            10,
+            lambda e, q: sim.pq_knn(
+                e, q, k=10, n_sub=8, n_cells=16, rerank=16
+            ),
+        ),
+        "ivfpq": (
+            emb.filter((vid >= 10) & (vid < 20)),
+            10,
+            lambda e, q: sim.ivfpq_knn(
+                e, q, k=10, n_coarse=16, nprobe=8, n_sub=8, n_cells=16,
+                rerank=16,
+            ),
+        ),
+    }
+    report: dict[str, dict[str, float]] = {}
+    for fam, (queries, k, ann_fn) in configs.items():
+        exact = sim.brute_force_knn(emb, queries, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        ann = ann_fn(emb, queries).select("query_id", "neighbor_id")
+        rows = _ann_recall_counts(exact, ann).collect()
+        recalls = [
+            r["n_hit"] / r["n_exact"] for r in rows if r["n_exact"] > 0
+        ]
+        if not recalls:
+            report[fam] = {"k": k, "n_queries": 0, "mean": 0.0, "min": 0.0}
+            continue
+        report[fam] = {
+            "k": k,
+            "n_queries": len(recalls),
+            "mean": sum(recalls) / len(recalls),
+            "min": min(recalls),
+        }
+    return report
 
 
 @reg.query(

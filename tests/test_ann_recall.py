@@ -466,3 +466,43 @@ def test_pq_train_rejects_corpus_smaller_than_n_cells(spark):
     )
     with pytest.raises(ValueError, match="n_cells"):
         pq_knn(tiny, tiny, k=1, n_sub=2, n_cells=16)
+
+
+def test_ann_recall_report_mirrors_graded_bounds(spark):
+    """The bench-scale recall report must run the SAME configurations
+    as the graded q_emb_ann_* rows: each family's measured min recall
+    at sf0.001 must clear that family's graded bound (lsh 0.7, ivf
+    0.4, pq 0.5, ivfpq 0.4) — if someone edits a query's parameters
+    without updating the report (or vice versa), the drifted config's
+    recall profile changes and this trips."""
+    from fortymhz_spark.queries.llm import ann_recall_report
+
+    report = ann_recall_report(spark, SF)
+    bounds = {"lsh": 0.7, "ivf": 0.4, "pq": 0.5, "ivfpq": 0.4}
+    assert set(report) == set(bounds)
+    for fam, bound in bounds.items():
+        r = report[fam]
+        assert r["n_queries"] > 0, fam
+        assert r["min"] >= bound, (fam, r)
+        assert 0.0 <= r["min"] <= r["mean"] <= 1.0, (fam, r)
+
+
+def test_ivf_auto_cells_sqrt_sizing(spark):
+    """n_cells=None auto-sizes to ceil(sqrt(N)) capped at 4096, and the
+    auto-sized index still returns k neighbors per query."""
+    from fortymhz_spark.operators.similarity import _auto_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    want = int(n ** 0.5) if (int(n ** 0.5)) ** 2 == n else int(n ** 0.5) + 1
+    assert _auto_cells(emb, None) == want
+    assert _auto_cells(emb, 7) == 7
+
+    queries = emb.orderBy("vec_id").limit(3)
+    got = ivf_knn(emb, queries, k=3, n_cells=None, nprobe=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(per_q) == 3
+    for q, ns in per_q.items():
+        assert len(ns) == 3, (q, ns)
