@@ -124,6 +124,14 @@ HEADLINE = [
     "q_emb_ann_pq",
     "q_emb_ann_ivfpq",
     "q_docs_bpe_merges",
+    # round-5 additions: the trained-classifier slots (bucketed-array
+    # and broadcast-vocab), production-size BPE encode, and the
+    # snapshot MERGE protocol (timing includes its v1 write + merge
+    # rewrite + manifest reads — it is an I/O operator by design).
+    "q_docs_classifier_trained",
+    "q_docs_vocab_classifier",
+    "q_docs_bpe_encode_stats",
+    "q_snapshot_merge_orders",
 ]
 
 

@@ -10,55 +10,40 @@ exposes to the driver harness.
 
 Registration order is EVIDENCE POLICY: the driver's correctness gate
 grades exactly the first 50 registered queries per round.  Round 2
-graded the north-star surfaces (45 green — CORRECTNESS_r02.json);
-round 3 rotated in the never-graded long tail (50/50 green —
-CORRECTNESS_r03.json).  Round 4 COMPLETES the rotation: it grades the
-only nine queries without a current-code driver row —
+graded the north-star surfaces (45 green), round 3 the never-graded
+long tail (50/50), round 4 completed the rotation (50/50 — after it,
+every registered query held a driver-green row produced by
+then-current code; see CORRECTNESS_r0{2,3,4}.json).
 
-1. the seven queries deferred from round 3's 50-slot tiebreak
-   (q_brand_volume, q_salted_agg_volume, q_sql_revenue_by_nation,
-   q_top_customers, q13, q18, q21 — green in round 1, ungraded since),
-   and
-2. the two media queries whose sanitize step changed AFTER their
-   round-2 grading (q_media_decode_stats, q_media_frame_sample —
-   re-verified locally, but their driver row predates the change),
-   and
-3. q_events_asof_last_order, whose as-of join was reimplemented this
-   round (operators/asof.py: joinless sort-merge sweep) — same
-   "behavior changed after grading" policy as the media rows.
+Round 5 keeps the gate honest two ways:
 
-Round 4 also ADDS fourteen curation/ops queries (queries/curation.py:
-semantic dedup, TF-IDF salience, bigram-LM familiarity, temperature
-mixture rebalancing, MinHash estimation accuracy, fuzzy
-decontamination, single-pass ANALYZE profile, fixed-bounds histogram,
-semantic keep-list, bloom-filter decontamination, PQ ANN, the
-IVF+PQ composition, the hashed-feature quality classifier, and BPE
-tokenizer induction); they enter the gate immediately
-so they are never in the "registered but ungraded" state.
+1. CHANGED CODE RE-GRADES.  Ten round-4 rows stay in because their
+   code changed this round: q_docs_bpe_merges (now the driver-local
+   64-merge learner), q_docs_quality_classifier (weight-slot
+   refactor), the three media rows (vectorized decode kernel), the
+   four ANN rows + q_emb_near_dup_lsh_subset (recall-check dedup,
+   lsh dim-inference and PQ codebook guards).
+2. FRESHNESS ROTATION.  Four NEW queries enter immediately
+   (q_docs_classifier_trained, q_docs_vocab_classifier,
+   q_docs_bpe_encode_stats, q_snapshot_merge_orders — the trained
+   classifier slots, production-size BPE encode, and the snapshot
+   MERGE protocol graded differentially).  The remaining 36 slots
+   re-grade the rows whose last driver check is OLDEST (round 2):
+   regressions in long-stable code should not be able to hide behind
+   a years-old green row.  The 6 round-2 rows that didn't fit
+   (q_events_user_enrichment, q_events_value_stats,
+   q_events_view_to_purchase, q_full_outer_daily_activity,
+   q_pandas_udf_revenue, q_range_join_price_bands) defer to round 6
+   with families covered: events/window shapes by the six events rows
+   in the gate, the pandas-UDF boundary by
+   q_events_grouped_pandas_stats, outer-join shapes by
+   q_customer_order_counts_outer/q_customers_without_orders; all six
+   hold green rows, so deferral costs zero union coverage.
 
-Twenty-four round-3 greens rotate out to make room (the last five —
-q19, q20, q22, q_window_running_revenue, q_pack_sequences — mid-round, when the bloom/PQ/classifier rows were
-added; see PREVIOUSLY_GREEN's trailer notes) — the tpch_deep
-join/agg shapes most isomorphic to rows staying in the gate (q2,
-q7-q12, q14, q15, and later q19/q20/q22; q5/q16/q17 plus the
-re-graded q13/q18/q21 remain as the family's
-representatives) plus q_grouping_sets_flag_year (A5 stays represented
-by the rollup and cube rows), q_date_functions (F2; its scalar-fn
-sibling q_scalar_functions stays), q_quantity_percentiles (A4's
-exact+approx quantile surface is also graded this round inside
-q_sketch_cardinality), and four text/sampling rows whose families
-keep other representatives in the gate (q_chunk_token_windows,
-q_text_repetition_stats, q_shuffle_epochs, q_mixture_upsample — the
-latter's family gains the newly-graded q_mixture_temperature) and
-q_window_lag_order_gap / q_unpivot_part_sizes / q_set_ops_nations /
-q_window_running_revenue (W3/W7/W5/W2; the window family keeps W1 in
-the gate and the new profile query itself grades an unpivot shape).
-Every rotated-out row's r3 green was produced by code unchanged
-since.
-After this round every registered query holds a driver-green row
-produced by the current code.  Everything outside the gate stays
-covered by the local sf0.001 differential (tests/test_oracle_parity.py)
-either way.
+The 40 round-4-green rows whose code is unchanged rotate to
+PREVIOUSLY_GREEN (their r4 rows were produced by current code).
+Everything outside the gate stays covered by the local sf0.001
+differential (tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -69,66 +54,62 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-4 gate (slots 1-50).  Composition: the 10 queries without a
-# current-code driver row (7 deferred-from-r3 + 2 media queries whose
-# sanitize step changed post-grading + the reimplemented as-of join)
-# + the 14 new curation/ops queries + 26 rows held over from round 3.
+# Round-5 gate (slots 1-50): 4 new + 10 changed-code re-grades + the
+# 36 rows with the oldest (round-2) driver checks.
 ROUND_GATE: tuple[str, ...] = (
-    # —— the 7 deferred from round 3 (green r1, ungraded since) ——
-    "q_brand_volume",
-    "q_salted_agg_volume",
-    "q_sql_revenue_by_nation",
-    "q_top_customers",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q21_suppliers_kept_waiting",
-    # —— media queries re-graded after the sanitize-step change ——
+    # —— NEW this round ——
+    "q_docs_classifier_trained",
+    "q_docs_vocab_classifier",
+    "q_docs_bpe_encode_stats",
+    "q_snapshot_merge_orders",
+    # —— held over: code changed this round ——
+    "q_docs_bpe_merges",
+    "q_docs_quality_classifier",
     "q_media_decode_stats",
     "q_media_frame_sample",
-    # —— as-of join reimplemented this round (sort-merge sweep) ——
-    "q_events_asof_last_order",
-    # —— NEW this round (queries/curation.py) ——
-    "q_emb_semantic_dedup",        # SemDeDup cells: subset-of-exact + recall bound
-    "q_docs_tfidf_top_terms",      # log-free idf, bit-exact oracle
-    "q_docs_bigram_familiarity",   # n-gram-LM perplexity proxy, integer-exact
-    "q_mixture_temperature",       # sqrt-exact T=2 rebalancing factors
-    "q_docs_minhash_estimate",     # sketch-accuracy error-band grading
-    "q_docs_decontaminate_fuzzy",  # banded-minhash eval-leak pairs, exact-verified
-    "q_profile_orders",            # single-pass ANALYZE profile
-    "q_histogram_quantity",        # fixed-bounds equal-width histogram
-    "q_emb_semantic_keep_list",    # pairs -> components -> representative per vector
-    "q_docs_decontaminate_bloom",  # full-algorithm portable-bloom oracle
-    "q_emb_ann_pq",                # PQ ADC + re-rank, in-plan recall@10
-    "q_emb_ann_ivfpq",             # IVF+PQ composition, in-plan recall@10
-    "q_docs_quality_classifier",   # hashed-feature linear model, exact logit
-    "q_docs_bpe_merges",           # BPE induction: exact rank-1 + monotonic counts
-    # —— held over from round 3's gate ——
-    "q_docs_simhash_near_dups",    # portable-hash full-algorithm oracle
-    "q_emb_ann_lsh",               # in-plan recall@10 vs exact top-k
-    "q_emb_ann_ivf",               # in-plan recall@5 vs exact top-k
-    "q_media_features",            # integer byte-lane checksums
-    "q_sketch_cardinality",        # exact twins + error-band booleans
-    "q_right_outer_order_counts",
-    "q_docs_jaccard_blocked",      # scale twin of the unblocked cartesian
-    "q_emb_near_dup_lsh_subset",   # LSH pairs ⊆ exact pairs, verified
-    "q_window_top_orders_per_customer",
-    "q_rollup_returnflag_status",
-    "q_distinct_parts_per_flag",
-    "q_pivot_flag_by_status",
-    "q_scalar_functions",
-    "q5_local_supplier_volume",
-    "q17_small_quantity_revenue",
-    "q_cogroup_user_orders",
-    "q16_supplier_diversity",
-    "q_vec_int8_quant_error",
-    "q_vec_kmeans",                # oracle: Lloyd monotonicity invariant
-    "q_search_bm25",
-    "q_vec_knn_arrow",             # neighbor-identity check
-    "q_pipeline_curation",
-    "q_text_crossdoc_blocks",
-    "q_sketch_heavy_hitters",      # containment check
-    "q_text_rarity_score",
-    "q_pack_export",
+    "q_media_features",
+    "q_emb_ann_lsh",
+    "q_emb_ann_ivf",
+    "q_emb_ann_pq",
+    "q_emb_ann_ivfpq",
+    "q_emb_near_dup_lsh_subset",
+    # —— freshness re-grades (last driver check: round 2) ——
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q_cube_flag_status",
+    "q_customer_order_counts_outer",
+    "q_customers_without_orders",
+    "q_docs_bpe_token_stats",
+    "q_docs_decontaminate",
+    "q_docs_dedup_groups",
+    "q_docs_exact_dedup",
+    "q_docs_fingerprints",
+    "q_docs_lang_id_confusion",
+    "q_docs_minhash_near_dups",
+    "q_docs_ngram_jaccard_pairs",
+    "q_docs_pii_stats",
+    "q_docs_quality",
+    "q_docs_stratified_sample",
+    "q_docs_token_stats",
+    "q_docs_top_terms",
+    "q_dt_channel_occupancy",
+    "q_dt_custom_source_occupancy",
+    "q_dt_event_time_span",
+    "q_dt_hits_per_orbit",
+    "q_dt_orbit_assembly",
+    "q_dt_streaming_occupancy",
+    "q_emb_knn_bruteforce",
+    "q_emb_label_centroids",
+    "q_emb_near_dup_pairs",
+    "q_events_dedup_ingest",
+    "q_events_grouped_pandas_stats",
+    "q_events_hourly_by_type",
+    "q_events_json_props",
+    "q_events_latest_per_user",
+    "q_events_sessionize",
+    "q_events_sliding_1h_30m",
 )
 
 # Empty as of round 4: the rotation is complete — every registered
@@ -136,57 +117,82 @@ ROUND_GATE: tuple[str, ...] = (
 # in some round, and nothing is waiting for a slot.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 
-# Driver-green rows (CORRECTNESS_r02/r03.json) that sit OUTSIDE the
-# round-4 gate; kept here so the registry can assert nothing falls
-# through the cracks (graded-green ∪ gate ∪ deferred == all).  The
-# twelve tpch_deep shapes rotated out this round (q2, q7-q12, q14,
-# q15, then q19/q20/q22 mid-round) graded green in round 3 and are
-# plan-isomorphic to q5/q16/q17 + the re-graded q13/q18/q21, which
-# remain in the gate.
+# Driver-green rows that sit OUTSIDE the round-5 gate: the 40
+# round-4-green rows whose code is unchanged since their grading, the
+# 24 round-3 greens, and the 6 round-2 rows deferred to round 6 (see
+# module docstring).  The registry asserts
+# graded-green ∪ gate ∪ deferred == all registered queries.
 PREVIOUSLY_GREEN: tuple[str, ...] = (
-    "q_docs_exact_dedup", "q_docs_token_stats", "q_docs_quality",
-    "q_docs_lang_id_confusion", "q_docs_fingerprints",
-    "q_docs_ngram_jaccard_pairs", "q_docs_minhash_near_dups",
-    "q_emb_knn_bruteforce", "q_emb_near_dup_pairs",
-    "q_emb_label_centroids", "q_docs_bpe_token_stats",
-    "q_docs_pii_stats", "q_docs_stratified_sample",
-    "q_docs_dedup_groups", "q_docs_decontaminate", "q_docs_top_terms",
-    "q_dt_channel_occupancy", "q_dt_hits_per_orbit",
-    "q_dt_event_time_span", "q_dt_orbit_assembly",
-    "q_dt_streaming_occupancy", "q_dt_custom_source_occupancy",
-    "q_events_hourly_by_type", "q_events_sliding_1h_30m",
-    "q_events_sessionize", "q_events_json_props",
-    "q_events_user_enrichment", "q_grouping_sets_flag_year",
-    "q_events_latest_per_user", "q_events_value_stats",
-    "q_events_grouped_pandas_stats", "q_events_view_to_purchase",
-    "q_events_dedup_ingest", "q1_pricing_summary",
-    "q3_shipping_priority", "q6_forecast_revenue", "q4_order_priority",
-    "q_customers_without_orders", "q_customer_order_counts_outer",
-    "q_full_outer_daily_activity", "q_range_join_price_bands",
-    "q_cube_flag_status", "q_pandas_udf_revenue",
-    "q_chunk_token_windows", "q_text_repetition_stats",
-    "q_shuffle_epochs", "q_mixture_upsample", "q_date_functions",
-    "q_quantity_percentiles", "q_window_lag_order_gap",
-    "q_unpivot_part_sizes", "q_set_ops_nations",
-    # rotated out after their round-3 green
-    "q2_min_cost_supplier", "q7_nation_trade_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_suppliers", "q12_shipping_delay",
-    "q14_promo_revenue_share", "q15_top_supplier",
-    # rotated out mid-round-4 to admit the bloom/PQ/classifier rows
-    # (policy: new queries enter the gate immediately); all three
-    # graded green in round 3 by code unchanged since, and their
-    # families keep gate representatives: q19 (part-lineitem
-    # join+agg) by q17, q20 (left semi) by q18, q22 (left anti +
-    # scalar subquery) by q16 and q21.
-    "q19_disjunctive_revenue", "q20_part_share_suppliers",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q21_suppliers_kept_waiting",
     "q22_wealthy_inactive_customers",
-    # rotated out when q_emb_ann_ivfpq was added (W2's running-agg
-    # window is plan-isomorphic to W1's ranking window, which stays)
-    "q_window_running_revenue",
-    # rotated out when q_docs_bpe_merges was added (the packing
-    # operator stays graded through q_pack_export, its export end)
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_brand_volume",
+    "q_chunk_token_windows",
+    "q_cogroup_user_orders",
+    "q_date_functions",
+    "q_distinct_parts_per_flag",
+    "q_docs_bigram_familiarity",
+    "q_docs_decontaminate_bloom",
+    "q_docs_decontaminate_fuzzy",
+    "q_docs_jaccard_blocked",
+    "q_docs_minhash_estimate",
+    "q_docs_simhash_near_dups",
+    "q_docs_tfidf_top_terms",
+    "q_emb_semantic_dedup",
+    "q_emb_semantic_keep_list",
+    "q_events_asof_last_order",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
+    "q_events_view_to_purchase",
+    "q_full_outer_daily_activity",
+    "q_grouping_sets_flag_year",
+    "q_histogram_quantity",
+    "q_mixture_temperature",
+    "q_mixture_upsample",
+    "q_pack_export",
     "q_pack_sequences",
+    "q_pandas_udf_revenue",
+    "q_pipeline_curation",
+    "q_pivot_flag_by_status",
+    "q_profile_orders",
+    "q_quantity_percentiles",
+    "q_range_join_price_bands",
+    "q_right_outer_order_counts",
+    "q_rollup_returnflag_status",
+    "q_salted_agg_volume",
+    "q_scalar_functions",
+    "q_search_bm25",
+    "q_set_ops_nations",
+    "q_shuffle_epochs",
+    "q_sketch_cardinality",
+    "q_sketch_heavy_hitters",
+    "q_sql_revenue_by_nation",
+    "q_text_crossdoc_blocks",
+    "q_text_rarity_score",
+    "q_text_repetition_stats",
+    "q_top_customers",
+    "q_unpivot_part_sizes",
+    "q_vec_int8_quant_error",
+    "q_vec_kmeans",
+    "q_vec_knn_arrow",
+    "q_window_lag_order_gap",
+    "q_window_running_revenue",
+    "q_window_top_orders_per_customer",
 )
 
 
@@ -195,6 +201,7 @@ def _merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         curation,
         dt,
         events,
+        lakehouse,
         llm,
         media,
         tpch,
@@ -203,7 +210,7 @@ def _merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (llm, curation, dt, media, events, tpch, tpch_deep):
+    for mod in (llm, curation, lakehouse, dt, media, events, tpch, tpch_deep):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

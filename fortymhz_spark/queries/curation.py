@@ -969,3 +969,195 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, left_r1 string, right_r1 string, count_r1 long, "
         "count_nonincreasing boolean, count_ge_min boolean",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# The classifier's TRAINED-MODEL slot, graded end to end: an explicit
+# bucketed weight array (the artifact a fastText-style training run
+# exports) replaces the hash-derived stand-in.  The weights below are
+# a deterministic fixture playing the role of trained parameters; the
+# oracle indexes the IDENTICAL array literal with the same md5-prefix
+# bucket hash, so every logit is bit-exact.
+# ---------------------------------------------------------------------------
+_TRAINED_WEIGHTS = [((7 * i + 3) % 41) - 20 for i in range(64)]
+
+
+@reg.query(
+    "q_docs_classifier_trained",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKENS.format(t='lower(text)')} AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT
+        lang,
+        CAST(COALESCE(list_sum(list_transform(tk, tok ->
+          ([{','.join(str(w) for w in _TRAINED_WEIGHTS)}])
+            [(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64) + 1]
+        )), 0) AS BIGINT) AS logit
+      FROM tok
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(SUM(logit) AS BIGINT) AS total_logit
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_docs_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored filtering with an EXPLICIT weight array — the
+    trained-model slot of operators/text.py::hashed_linear_score
+    exercised end to end (the hash-derived default is graded by
+    q_docs_quality_classifier): per-language document counts, keep
+    counts under logit > 0, and the exact total logit.
+
+    Scale shape identical to the default path: the 64-bucket weight
+    table is ONE array literal in the task binary (a production 2M-
+    bucket head is a few MB — the PQ-codebook pattern), lookup + fold
+    stay map-only whole-stage codegen; the only shuffle is the
+    per-language aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = tx.hashed_linear_score("text", weights=_TRAINED_WEIGHTS)
+    return (
+        docs.select("lang", logit.alias("logit"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit") > 0).cast("long")).alias("n_keep"),
+            F.sum("logit").alias("total_logit"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The vocabulary-keyed classifier twin: the weight table is a separate
+# (token, weight) relation broadcast-joined to the exploded tokens —
+# the shape an exported logistic-regression head with a real
+# vocabulary takes.  The fixture vocabulary is every corpus token of
+# length >= 5 with a portable-hash weight, so BOTH engines derive the
+# identical table from the data and every logit is bit-exact; OOV
+# tokens (length < 5) weigh 0 by the left join.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_vocab_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='lower(text)')} AS tk
+      FROM documents
+    ),
+    vocab AS (
+      SELECT
+        tok AS token,
+        (('0x' || substr(md5(tok), 1, 8))::BIGINT % 201) - 100 AS weight
+      FROM (SELECT DISTINCT unnest(tk) AS tok FROM tok)
+      WHERE len(tok) >= 5
+    ),
+    scored AS (
+      SELECT
+        t.doc_id,
+        CAST(COALESCE(SUM(v.weight), 0) AS BIGINT) AS logit
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM tok) t
+      LEFT JOIN vocab v ON t.tok = v.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.logit, 0) AS BIGINT) AS logit,
+           COALESCE(s.logit, 0) > 0 AS keep
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_docs_vocab_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored filtering from a VOCABULARY-KEYED weight table
+    (operators/text.py::vocab_linear_score): the weight relation
+    broadcast-joins the exploded tokens and the integer logit
+    aggregates per document — the third classifier surface beside the
+    hashed default and the bucketed-array trained slot.
+
+    Scale shape: the vocabulary broadcasts; term-frequency rows
+    collapse map-side to one (doc_id, logit) row before the shuffle
+    (a document's exploded tokens never span input partitions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    weights = toks.filter(F.length("token") >= 5).select(
+        "token",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+            % 201
+            - 100
+        ).alias("weight"),
+    )
+    scored = tx.vocab_linear_score(docs, weights, out_col="logit")
+    return (
+        scored.select(
+            "doc_id", "logit", (F.col("logit") > 0).alias("keep")
+        ).orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE at a realistic merge-table size, graded by derived
+# invariants: the 64-merge table itself is engine-internal (SQL cannot
+# replay merge ranking), but the encode output's lossless-regrouping
+# property is checkable — concatenating any word's symbols must
+# reconstruct word + '</w>', and the symbol count per word is bounded
+# by [1, chars+1].  n_words and total_chars are SQL-exact, so a
+# broken encoder (dropped symbol, wrong merge application, kernel
+# batching bug) fails a TRUE column or an exact count.  The merge
+# table + encoder are additionally pinned against pure-Python
+# references in tests/test_properties.py.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_bpe_encode_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({_SQL_TOKENS.format(t='lower(text)')}) AS w
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+      TRUE AS all_reconstruct,
+      TRUE AS symbols_bounded
+    FROM words
+    """,
+)
+def q_docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 64 merges (driver-local Sennrich loop), Arrow-encode the
+    corpus's distinct words (operators/bpe.py::encode_words_arrow),
+    and grade the encode: exact word/char totals plus the lossless-
+    regrouping and symbol-count-bound invariants over EVERY word.
+
+    Scale shape: the merge table rides the task binary (closure
+    capture); encode is one Arrow-batched map over the distinct-word
+    table (corpus-pass output, orders of magnitude smaller than the
+    text); the final aggregate is a single row."""
+    from fortymhz_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges_local(
+        docs, n_merges=64, min_count=2, top_v=None
+    )
+    words = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    ).distinct()
+    enc = bpe.encode_words_arrow(words, "w", merges=merges)
+    return enc.select(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+        F.every(
+            F.concat_ws("", F.col("symbols"))
+            == F.concat(F.col("w"), F.lit(bpe.END_OF_WORD))
+        ).alias("all_reconstruct"),
+        F.every(
+            (F.size("symbols") >= 1)
+            & (F.size("symbols") <= F.length("w") + 1)
+        ).alias("symbols_bounded"),
+    )

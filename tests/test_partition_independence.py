@@ -65,6 +65,16 @@ SENSITIVE = [
     # per-round TakeOrdered(1) top-pair selection under hostile
     # partitioning (total tie order must make it partition-invariant)
     "q_docs_bpe_merges",
+    # round-5: bucketed-array classifier fold (map-only, but the
+    # per-lang SUM must stay associative-exact), broadcast-vocab
+    # classifier (explode + left join + per-doc agg), arrow-batched
+    # BPE encode (pandas-UDF batch boundaries + TakeOrdered vocab
+    # collect), and the snapshot MERGE (write partitioning + anti-join
+    # + unionByName must not leak into the graded aggregate)
+    "q_docs_classifier_trained",
+    "q_docs_vocab_classifier",
+    "q_docs_bpe_encode_stats",
+    "q_snapshot_merge_orders",
 ]
 
 _QUERIES = all_queries()

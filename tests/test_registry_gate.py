@@ -2,12 +2,11 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 4 completes the rotation: the 7 queries
-deferred from round 3, the 2 media queries whose sanitize step changed
-post-grading, the reimplemented as-of join, and the 14 new
-curation/ops queries enter the gate; 24 round-3 greens rotate out
-(their evidence stands in CORRECTNESS_r03.json; the full roster is in
-queries/__init__.py's docstring); the deferred list is now empty.
+queries/__init__.py).  Round 5 runs the steady-state policy: new
+queries and changed-code rows enter the gate immediately, and the
+remaining slots re-grade the rows with the OLDEST driver checks
+(round-2 greens); the 6 round-2 rows that didn't fit defer to round 6
+(family-cover justification in queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.

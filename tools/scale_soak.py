@@ -99,7 +99,7 @@ def build_10x(spark, out_dir: str) -> None:
     emb10.write.mode("overwrite").parquet(emb_path)
 
 
-def workloads(spark, docs, emb, scale_mult: int = 1):
+def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     """(name, thunk) pairs: the heavy family.  Each thunk runs the
     operator to completion with a count() so timing covers scan →
     shuffle → result without driver-collect skew.  ``scale_mult`` is
@@ -109,7 +109,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
     constant), so the soak measures the operated-as-designed cost."""
     from pyspark.sql import functions as F
 
-    from fortymhz_spark.operators import dedup, similarity as sim
+    from fortymhz_spark.operators import bpe, dedup, similarity as sim
     from fortymhz_spark.operators import text as text_ops
 
     queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
@@ -205,6 +205,28 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
             ).count(),
         ),
         (
+            # production BPE shape: one corpus pass + bounded vocab
+            # collect + driver-local merge loop.  Job count is CONSTANT
+            # in n_merges; corpus cost is the word-count pass, so the
+            # ratio should track the text volume.  The 10x corpus's
+            # disjoint token namespaces mean 10x distinct words, same
+            # per-namespace profile.
+            "bpe_local_64",
+            lambda: len(
+                bpe.learn_bpe_merges_local(
+                    docs, n_merges=64, min_count=2, top_v=65536
+                )
+            ),
+        ),
+        (
+            # streaming Misra-Gries over a file-source stream of the
+            # same parquet (AvailableNow): state is counters x buckets
+            # regardless of stream length, emission <= counters rows
+            # per bucket per batch — cost should track token volume.
+            "streaming_misra_gries",
+            lambda: streaming_mg_rows(spark, docs_path),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
@@ -219,6 +241,42 @@ def workloads(spark, docs, emb, scale_mult: int = 1):
             ),
         ),
     ]
+
+
+def streaming_mg_rows(spark, docs_path: str) -> int:
+    """Run streaming_frequent_terms over a file-source stream of
+    ``docs_path`` to completion (AvailableNow → memory sink) and
+    return the emitted row count.  maxFilesPerTrigger=4 forces
+    multiple micro-batches so the cross-batch state path is actually
+    exercised at both scales."""
+    from fortymhz_spark.streaming.sinks import run_to_memory
+    from fortymhz_spark.streaming.state import streaming_frequent_terms
+
+    # FileStreamSource needs a DIRECTORY; the 1x fixture is a single
+    # parquet file — stage it behind a symlink dir under /tmp (the
+    # testdata tree is read-only to us; the symlink costs nothing).
+    if os.path.isfile(docs_path):
+        import hashlib
+
+        tag = hashlib.md5(docs_path.encode()).hexdigest()[:12]
+        staged = f"/tmp/fmhz_streamdir_{tag}"
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(docs_path, link)
+        docs_path = staged
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_path)
+    )
+    out = run_to_memory(
+        streaming_frequent_terms(stream, counters=64, buckets=8),
+        spark,
+        output_mode="update",
+        timeout_seconds=600.0,
+    )
+    return out.count()
 
 
 def main() -> int:
@@ -240,11 +298,19 @@ def main() -> int:
     emb10 = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
 
     results: dict[str, dict[str, float]] = {}
-    for scale, docs, emb, mult in (
-        ("1x", docs1, emb1, 1),
-        ("10x", docs10, emb10, REPLICAS),
+    for scale, docs, emb, mult, dpath in (
+        ("1x", docs1, emb1, 1, os.path.join(SF_DIR, "documents.parquet")),
+        (
+            "10x",
+            docs10,
+            emb10,
+            REPLICAS,
+            os.path.join(args.out, "documents.parquet"),
+        ),
     ):
-        for name, thunk in workloads(spark, docs, emb, scale_mult=mult):
+        for name, thunk in workloads(
+            spark, docs, emb, scale_mult=mult, docs_path=dpath
+        ):
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
