@@ -135,7 +135,16 @@ def _spread(df: DataFrame) -> DataFrame:
     cluster has slots.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() reads the plan's file index without the plan→RDD
+    # conversion df.rdd would trigger (analysis + physical planning of
+    # a throwaway RDD lineage).  Non-file inputs report zero files and
+    # take the repartition — at 100 TB every real input is a file scan
+    # with thousands of splits, so this stays a no-op there.
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:
+        n_input = 0
+    if n_input < target:
         return df.repartition(target)
     return df
 
