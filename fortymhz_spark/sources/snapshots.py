@@ -244,6 +244,122 @@ def merge_snapshot(
     )
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    *,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change-data-capture between two published versions: every row
+    of ``v_to`` (default: current) whose key is absent from ``v_from``
+    or whose non-key columns changed, plus every ``v_from`` row whose
+    key disappeared — tagged ``_change in ('insert','update','delete')``
+    with the NEW row values for insert/update and the OLD values for
+    delete.  The incremental-consumer half of the lakehouse story:
+    a downstream pipeline that processed v_from needs exactly this
+    frame, not a full re-read, to catch up to v_to.
+
+    Implementation is a single full-outer join on the keys with an
+    any-column-differs predicate (null-safe: ``<=>`` semantics via
+    eqNullSafe, so NULL→value and value→NULL count as changes and
+    NULL==NULL does not).  Rows with NULL keys never join; they
+    surface as a delete (old side) + insert (new side), the honest
+    reading of an unaddressable row.  Cost: one shuffle of each
+    version on the key — no state, no log replay; versions being
+    immutable is what makes the diff well-defined.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    old = read_snapshot(spark, table_dir, version=v_from)
+    new = read_snapshot(spark, table_dir, version=v_to)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_diff: column sets differ between v{v_from} "
+            f"{sorted(old.columns)} and the target version "
+            f"{sorted(new.columns)} — diff the overlapping columns "
+            "explicitly if schema evolved"
+        )
+    data_cols = [c for c in new.columns if c not in key_cols]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) & F.col(
+            f"o.{k}"
+        ).isNotNull()
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    # a row "exists" on a side iff ANY of its columns is non-null
+    # there (an absent full-outer side is all-null); presence via keys
+    # alone would misread NULL-key rows, which join nothing.
+    old_any = F.lit(False)
+    for c in old.columns:
+        old_any = old_any | F.col(f"o.{c}").isNotNull()
+    new_any = F.lit(False)
+    for c in new.columns:
+        new_any = new_any | F.col(f"n.{c}").isNotNull()
+    changed = F.lit(False)
+    for c in data_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(old_any & ~new_any, F.lit("delete"))
+        .when(~old_any & new_any, F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        if c in key_cols
+        else F.when(new_any, F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
+        for c in new.columns
+    ]
+    return joined.select(*out_cols, change.alias("_change")).filter(
+        F.col("_change").isNotNull()
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_files: int | None = None,
+    note: str = "",
+) -> int:
+    """OPTIMIZE: republish the current version's CONTENT in
+    ``target_files`` files (default: the session's shuffle
+    parallelism, cap 1 per ~nonempty table) as v=N+1 — the small-file
+    compaction every streaming-ingested table eventually needs.  The
+    data is byte-identical row-wise (pinned by test); only the file
+    layout changes, and time travel to the fragmented version keeps
+    working.  Uses coalesce (no shuffle) when shrinking file count,
+    repartition otherwise."""
+    manifest = _load_manifest(table_dir)
+    current = int(manifest["current"])
+    if current == 0:
+        raise ValueError(f"compact_snapshot: no published version in {table_dir}")
+    df = read_snapshot(spark, table_dir)
+    meta = manifest["versions"][str(current)]
+    if target_files is None:
+        target_files = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
+        )
+    n_now = len(df.inputFiles())
+    out = (
+        df.coalesce(target_files)
+        if target_files <= max(n_now, 1)
+        else df.repartition(target_files)
+    )
+    return write_snapshot(
+        out,
+        table_dir,
+        partition_by=list(meta.get("partition_by", [])) or None,
+        note=note or f"compact v{current} -> {target_files} files",
+    )
+
+
 def snapshot_versions(table_dir: str) -> list[dict[str, Any]]:
     """Published version metadata, oldest first: version, rows,
     created_unix, note — the audit trail for "what did run N read"."""

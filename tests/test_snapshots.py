@@ -217,3 +217,79 @@ def test_merge_snapshot_preserves_partition_layout(spark, table_dir):
     assert os.path.isdir(os.path.join(table_dir, f"v={v2}", "part=p2"))
     got = _rows(read_snapshot(spark, table_dir).select("k", "val", "part"))
     assert got == [(1, "x", "p1"), (2, "Y", "p2")]
+
+
+def test_snapshot_diff_tags_insert_update_delete(spark, table_dir):
+    """CDC between versions: the diff of v1→v2 after a merge must tag
+    exactly the merged batch — replaced keys as update (new values),
+    new keys as insert, deleted keys as delete (old values) — and
+    nothing else; null-safe compare means NULL→value edits count."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (9, "same")],
+        "k int, val string",
+    )
+    write_snapshot(base, table_dir)
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True), (9, "same", False)],
+        "k int, val string, is_delete boolean",
+    )
+    merge_snapshot(spark, table_dir, updates, ["k"], delete_col="is_delete")
+
+    diff = snapshot_diff(spark, table_dir, ["k"], v_from=1, v_to=2)
+    got = {(r["k"], r["val"], r["_change"]) for r in diff.collect()}
+    assert got == {
+        (2, "B", "update"),    # NULL -> value counts as a change
+        (4, "d", "insert"),
+        (3, "c", "delete"),    # delete carries the OLD values
+        # key 9 re-merged with identical values: NOT in the diff
+    }
+    # diff in the empty direction: v2 -> v2 is empty
+    assert snapshot_diff(spark, table_dir, ["k"], v_from=2, v_to=2).count() == 0
+    # and the reverse direction inverts insert/delete
+    rev = {
+        (r["k"], r["_change"])
+        for r in snapshot_diff(spark, table_dir, ["k"], v_from=2, v_to=1).collect()
+    }
+    assert rev == {(2, "update"), (4, "delete"), (3, "insert")}
+
+
+def test_snapshot_diff_validates(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import snapshot_diff
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, val string"), table_dir
+    )
+    with pytest.raises(ValueError, match="key column"):
+        snapshot_diff(spark, table_dir, [], v_from=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_diff(spark, table_dir, ["k"], v_from=7)
+
+
+def test_compact_snapshot_preserves_content_and_reduces_files(
+    spark, table_dir
+):
+    """OPTIMIZE: a fragmented table compacts to the requested file
+    count with byte-identical content as a NEW version; the fragmented
+    version stays time-travelable."""
+    from fortymhz_spark.sources.snapshots import compact_snapshot
+
+    frag = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, val string"
+    ).repartition(16)
+    write_snapshot(frag, table_dir)
+    n_files_v1 = len(read_snapshot(spark, table_dir).inputFiles())
+    assert n_files_v1 >= 8
+
+    v2 = compact_snapshot(spark, table_dir, target_files=2)
+    assert v2 == 2
+    compacted = read_snapshot(spark, table_dir)
+    assert len(compacted.inputFiles()) <= 2
+    assert _rows(compacted) == _rows(read_snapshot(spark, table_dir, version=1))
+    # metadata: same row count recorded
+    metas = {m["version"]: m for m in snapshot_versions(table_dir)}
+    assert metas[2]["rows"] == metas[1]["rows"] == 100
+
+    with pytest.raises(ValueError, match="no published version"):
+        compact_snapshot(spark, str(table_dir) + "_missing")
