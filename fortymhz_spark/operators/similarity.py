@@ -331,11 +331,22 @@ def ivf_knn(
     k: int = 10,
     n_cells: int | None = 16,
     nprobe: int = 4,
+    assign: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows are
     assigned to their nearest coarse-centroid cell (the inverted
     lists); each query probes its ``nprobe`` nearest cells and exact
     cosine re-ranks only those candidates.
+
+    ``assign``: ``"expr"`` (default) keeps cell assignment a pure
+    column expression — whole-stage codegen, but the per-row cost and
+    the plan both grow with ``n_cells``; ``"arrow"`` routes assignment
+    through :func:`_assign_cells_arrow`'s batch matmul (one ``X@C.T``
+    per Arrow batch, centroids in the task closure) — the large-cell
+    form for auto-sized indexes (``⌈√N⌉`` cells at a billion vectors
+    is ~31k — far past the expression form's plan-size ceiling).
+    Tie-compatible by construction; BLAS sum order can flip a
+    boundary cell in the last ulp (the ``kmeans_assign`` caveat).
 
     Scale shape: the corpus shuffles once on cell id (≈ corpus/n_cells
     rows per cell), queries explode ×nprobe, and the join is
@@ -350,18 +361,36 @@ def ivf_knn(
     and the arrow-assign k-means twin (``kmeans_assign``) is the right
     tool for cell assignment instead.
     """
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     n_cells = _auto_cells(corpus, n_cells)
     cents = _centroids(corpus, id_col, vec_col, n_cells)
-    c_assign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_v"),
-        _nearest_cells(vec_col, cents, 1)[0].alias("cell"),
-    )
-    q_assign = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_v"),
-        F.explode(_nearest_cells(vec_col, cents, nprobe)).alias("cell"),
-    )
+    if assign == "arrow":
+        c_assign = _assign_cells_arrow(
+            corpus, id_col, vec_col, cents, 1, keep_vec=True
+        ).select(
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("neighbor_v"),
+            "cell",
+        )
+        q_assign = _assign_cells_arrow(
+            queries, id_col, vec_col, cents, nprobe, keep_vec=True
+        ).select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("query_v"),
+            "cell",
+        )
+    else:
+        c_assign = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_v"),
+            _nearest_cells(vec_col, cents, 1)[0].alias("cell"),
+        )
+        q_assign = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_v"),
+            F.explode(_nearest_cells(vec_col, cents, nprobe)).alias("cell"),
+        )
     scored = (
         c_assign.join(q_assign, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -684,6 +713,7 @@ def ivfpq_knn(
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF + PQ composed — the architecture large-scale ANN actually
     deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
@@ -707,31 +737,71 @@ def ivfpq_knn(
     standalone twin.
 
     ``n_coarse=None`` auto-sizes to ``⌈√N⌉`` capped at 4096 (the
-    ``ivf_knn`` rule; see :func:`_auto_cells`).
+    ``ivf_knn`` rule; see :func:`_auto_cells`).  ``assign="arrow"``
+    routes the COARSE assignment through the batch-matmul kernel
+    (:func:`_assign_cells_arrow` with the vector carried through, so
+    the PQ code/table expressions compute downstream of the kernel
+    with no id-join back) — the large-``n_coarse`` form; the measured
+    10× soak's near-linear ``ann_ivfpq`` wall is dominated by the
+    expression form's O(n_coarse·dim) per-row term, which this
+    replaces with one matmul per Arrow batch.
     """
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     n_coarse = _auto_cells(corpus, n_coarse)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
     d_sub, books_lit = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
     )
-    vn = _normalized(vec_col)
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
-        *[
-            _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(f"code_{s}")
-            for s in range(n_sub)
-        ],
-    )
-    qtabs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(_nearest_cells(vec_col, coarse, nprobe)).alias("cell"),
-        *[
-            _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(f"dtab_{s}")
-            for s in range(n_sub)
-        ],
-    )
+    if assign == "arrow":
+        vna = _normalized("v")
+        codes = _assign_cells_arrow(
+            corpus, id_col, vec_col, coarse, 1, keep_vec=True
+        ).select(
+            F.col("id").alias("neighbor_id"),
+            "cell",
+            *[
+                _pq_code_col(vna, books_lit, s, d_sub, n_cells).alias(
+                    f"code_{s}"
+                )
+                for s in range(n_sub)
+            ],
+        )
+        qtabs = _assign_cells_arrow(
+            queries, id_col, vec_col, coarse, nprobe, keep_vec=True
+        ).select(
+            F.col("id").alias("query_id"),
+            "cell",
+            *[
+                _pq_dtab_col(vna, books_lit, s, d_sub, n_cells).alias(
+                    f"dtab_{s}"
+                )
+                for s in range(n_sub)
+            ],
+        )
+    else:
+        vn = _normalized(vec_col)
+        codes = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
+            *[
+                _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(
+                    f"code_{s}"
+                )
+                for s in range(n_sub)
+            ],
+        )
+        qtabs = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_nearest_cells(vec_col, coarse, nprobe)).alias("cell"),
+            *[
+                _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(
+                    f"dtab_{s}"
+                )
+                for s in range(n_sub)
+            ],
+        )
     cand = (
         codes.join(qtabs, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1114,7 +1184,13 @@ def _hash_centroids(proj: DataFrame, k: int) -> list:
 
 
 def _assign_cells_arrow(
-    df: DataFrame, id_col: str, vec_col: str, cents: list, probes: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list,
+    probes: int,
+    *,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) multi-probe cell assignment through one Arrow batch
     matmul per partition — the large-k twin of the ``_nearest_cells``
@@ -1128,7 +1204,12 @@ def _assign_cells_arrow(
     the two physical forms probe identical cells row for row.  The
     Arrow schema is pinned to the fixture/production types (integer
     ids, float32 vectors); the expression path carries no such
-    constraint."""
+    constraint.
+
+    ``keep_vec=True`` carries the vector through the kernel (schema
+    gains ``v array<float>``) so downstream stages (exact re-rank, PQ
+    code computation) don't need an id-join back to the corpus —
+    columnar pass-through, no extra shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -1145,14 +1226,20 @@ def _assign_cells_arrow(
             dots = X @ C.T
             rev = np.argsort(-dots[:, ::-1], axis=1, kind="stable")[:, :probes]
             idx = (k - 1) - rev
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy().repeat(probes),
-                    "cell": idx.ravel().astype("int32"),
-                }
-            )
+            out = {
+                "id": pdf[id_col].to_numpy().repeat(probes),
+                "cell": idx.ravel().astype("int32"),
+            }
+            if keep_vec:
+                out["v"] = pdf[vec_col].to_numpy().repeat(probes)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(fn, "id long, cell int")
+    schema = (
+        "id long, cell int, v array<float>"
+        if keep_vec
+        else "id long, cell int"
+    )
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
 def _assign_nearest_arrow(

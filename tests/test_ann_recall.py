@@ -506,3 +506,40 @@ def test_ivf_auto_cells_sqrt_sizing(spark):
     assert len(per_q) == 3
     for q, ns in per_q.items():
         assert len(ns) == 3, (q, ns)
+
+
+def test_ivf_arrow_assignment_matches_expression(spark, truth):
+    """assign='arrow' (batch-matmul cell assignment) must return the
+    SAME neighbors as the expression form on the real fixture — the
+    dots are well-separated doubles, so the documented last-ulp BLAS
+    caveat cannot reorder them here — and the mode is validated."""
+    emb, queries, _ = truth
+    expr_rows = ivf_knn(emb, queries, k=K, n_cells=16, nprobe=4).collect()
+    arrow_rows = ivf_knn(
+        emb, queries, k=K, n_cells=16, nprobe=4, assign="arrow"
+    ).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    assert sorted(map(key, arrow_rows)) == sorted(map(key, expr_rows))
+
+    with pytest.raises(ValueError, match="assign"):
+        ivf_knn(emb, queries, k=K, assign="nope")
+
+
+def test_ivfpq_arrow_assignment_matches_expression(spark, truth):
+    """The IVF+PQ composition with arrow coarse assignment must match
+    the expression form's output exactly: identical coarse cells
+    (tie-compatible kernel) feed identical PQ codes/tables, so the
+    whole candidate set and re-rank agree."""
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    kwargs = dict(
+        k=K, n_coarse=16, nprobe=4, n_sub=8, n_cells=16, rerank=8
+    )
+    expr_rows = ivfpq_knn(emb, queries, **kwargs).collect()
+    arrow_rows = ivfpq_knn(emb, queries, assign="arrow", **kwargs).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    assert sorted(map(key, arrow_rows)) == sorted(map(key, expr_rows))
+
+    with pytest.raises(ValueError, match="assign"):
+        ivfpq_knn(emb, queries, assign="bogus", **kwargs)

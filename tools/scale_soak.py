@@ -205,6 +205,25 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             ).count(),
         ),
         (
+            # same composition with the batch-matmul coarse assignment
+            # (assign="arrow") — the deployment form once n_coarse
+            # outgrows the expression plan (the semantic_dedup rule);
+            # measured beside the expression row so the win is a
+            # number, not a claim.
+            "ann_ivfpq_arrow",
+            lambda: sim.ivfpq_knn(
+                emb,
+                queries,
+                k=10,
+                n_coarse=16 * scale_mult,
+                nprobe=8,
+                n_sub=8,
+                n_cells=16,
+                rerank=16,
+                assign="arrow",
+            ).count(),
+        ),
+        (
             # production BPE shape: one corpus pass + bounded vocab
             # collect + driver-local merge loop.  Job count is CONSTANT
             # in n_merges; corpus cost is the word-count pass, so the
