@@ -254,6 +254,105 @@ def encode_words(
     return df.withColumn(out_col, sym)
 
 
+def vocab_from_merges(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    base_chars: list[str] | None = None,
+    specials: list[str] = ("<unk>", "<pad>"),
+) -> dict[str, int]:
+    """symbol → token-id table from a learned merge list — the
+    artifact a trained tokenizer actually ships (GPT-2's vocab.json
+    role).  Id assignment is deterministic and rank-structured:
+    specials first, then the base alphabet (the merges' constituent
+    characters plus ``END_OF_WORD``, or an explicit ``base_chars``
+    list, sorted), then one id per merge in LEARNED ORDER — so, for a
+    FIXED base alphabet (pass ``base_chars``; byte-level tokenizers
+    fix it at 256 by construction), a longer-trained vocabulary is a
+    strict prefix-extension of a shorter one — the property that lets
+    checkpointed training resume against a grown tokenizer.  With the
+    default inferred alphabet the ids are still deterministic, but
+    inference sees only the merges' constituent chars, so different
+    merge prefixes can infer different alphabets."""
+    vocab: dict[str, int] = {}
+    for s in specials:
+        vocab[s] = len(vocab)
+    if base_chars is None:
+        chars: set[str] = set()
+        for m in merges:
+            for part in (m[0], m[1]):
+                for ch in part:
+                    chars.add(ch)
+        base = sorted(chars) + [END_OF_WORD]
+    else:
+        base = list(base_chars)
+        if END_OF_WORD not in base:
+            base.append(END_OF_WORD)
+    for ch in base:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    for m in merges:
+        merged = m[0] + m[1]
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    return vocab
+
+
+def encode_token_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+    out_col: str = "token_ids",
+    count_col: str | None = "n_tok",
+) -> DataFrame:
+    """Document text → ``array<int>`` token ids: lowercase whitespace
+    words → rank-priority BPE encode (:func:`encode_words_arrow`'s
+    kernel) → vocabulary lookup (:func:`vocab_from_merges`; symbols a
+    grown corpus produced that the vocab lacks map to ``<unk>``).
+    This is the column a training-data EXPORT actually writes, and
+    ``count_col`` (the id count) is exactly what
+    ``operators/packing.py::pack_sequences`` budgets on — learn →
+    encode → pack, end to end in-engine.
+
+    Map-only: merge table + vocab ride the task closure (a 50k-entry
+    vocab is ~1 MB); one Arrow batch boundary, no shuffle."""
+    if vocab is None:
+        vocab = vocab_from_merges(merges)
+    unk = vocab.get("<unk>")
+    if unk is None:
+        raise ValueError("vocab must contain '<unk>' for OOV symbols")
+    rank: dict[tuple[str, str], int] = {
+        (m[0], m[1]): i for i, m in enumerate(merges)
+    }
+
+    def encode_one(text: str) -> list[int]:
+        ids: list[int] = []
+        for word in (text or "").lower().split():
+            syms = list(word) + [END_OF_WORD]
+            while len(syms) > 1:
+                best_i, best_r = -1, len(rank)
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]), len(rank))
+                    if r < best_r:
+                        best_i, best_r = i, r
+                if best_i < 0 or best_r >= len(rank):
+                    break
+                left, right = syms[best_i], syms[best_i + 1]
+                syms = list(_merge_syms(tuple(syms), left, right))
+            ids.extend(vocab.get(s, unk) for s in syms)
+        return ids
+
+    @F.pandas_udf("array<int>")
+    def _encode(texts):
+        return texts.map(encode_one)
+
+    out = df.withColumn(out_col, _encode(F.col(text_col)))
+    if count_col is not None:
+        out = out.withColumn(count_col, F.size(out_col))
+    return out
+
+
 def encode_words_arrow(
     df: DataFrame,
     word_col: str = "w",

@@ -1580,3 +1580,99 @@ def test_media_decode_kernel_vectorized_matches_per_byte_reference():
     loop = time.perf_counter() - t0
     # 3 vectorized passes vs ONE python-loop pass, still >5x headroom
     assert vec * 5 < loop, (vec, loop)
+
+
+def test_bpe_vocab_and_token_ids_round_trip(spark):
+    """The tokenizer artifact chain: vocab_from_merges assigns
+    deterministic prefix-stable ids (specials, sorted base chars +
+    '</w>', merges in rank order); encode_token_ids produces ids whose
+    inverse-vocab decode reconstructs the lowercased text exactly; a
+    truncated vocab maps the missing symbols to <unk>; and the id
+    count column is what pack_sequences budgets on."""
+    from fortymhz_spark.operators.bpe import (
+        encode_token_ids,
+        learn_bpe_merges_local,
+        vocab_from_merges,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = learn_bpe_merges_local(docs, n_merges=64, min_count=2, top_v=None)
+    vocab = vocab_from_merges(merges)
+
+    # prefix-extension property holds for a FIXED base alphabet —
+    # here the corpus's character set, so every word is decodable
+    corpus_chars = sorted(
+        {
+            ch
+            for r in docs.select("text").collect()
+            for ch in (r["text"] or "").lower()
+            if ch != " "
+        }
+    )
+    vocab = vocab_from_merges(merges, base_chars=corpus_chars)
+    v32 = vocab_from_merges(merges[:32], base_chars=corpus_chars)
+    for sym, i in v32.items():
+        assert vocab[sym] == i, sym
+    assert vocab["<unk>"] == 0 and vocab["<pad>"] == 1
+
+    sample = docs.select("doc_id", "text").limit(20)
+    enc = encode_token_ids(sample, merges=merges, vocab=vocab)
+    inv = {i: s for s, i in vocab.items()}
+    for r in enc.collect():
+        decoded = "".join(inv[i] for i in r["token_ids"])
+        want = "".join(
+            w + "</w>" for w in (r["text"] or "").lower().split()
+        )
+        assert decoded == want, r["doc_id"]
+        assert r["n_tok"] == len(r["token_ids"])
+
+    # OOV: a vocab truncated past the base alphabet maps to <unk>
+    small_vocab = {
+        s: i for s, i in vocab.items() if i < len(v32)
+    }
+    enc2 = encode_token_ids(sample, merges=merges, vocab=small_vocab)
+    unk = small_vocab["<unk>"]
+    ids2 = [i for r in enc2.collect() for i in r["token_ids"]]
+    assert all(i < len(small_vocab) for i in ids2)
+    # and the missing merged symbols really do appear as <unk>
+    assert unk in ids2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unk"):
+        encode_token_ids(sample, merges=merges, vocab={"a": 0})
+
+
+def test_bpe_ids_feed_pack_sequences(spark):
+    """learn → encode_token_ids → pack_sequences composes: packs
+    respect the budget on the REAL id counts and every doc lands in
+    exactly one pack (start-of-doc rule)."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.bpe import (
+        encode_token_ids,
+        learn_bpe_merges_local,
+    )
+    from fortymhz_spark.operators.packing import pack_sequences
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = learn_bpe_merges_local(docs, n_merges=32, min_count=2, top_v=None)
+    enc = encode_token_ids(
+        docs.select("doc_id", "text"), merges=merges
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    packed = pack_sequences(
+        enc, token_col="n_tok", shard_col="shard", order_col="doc_id",
+        budget=256,
+    )
+    rows = packed.select("shard", "doc_id", "n_tok", "pack_id").collect()
+    assert rows
+    # every doc exactly once, pack ids dense-ish and budget-derived
+    assert len({(r["shard"], r["doc_id"]) for r in rows}) == len(rows)
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (_, _), members in by_pack.items():
+        starts = sorted(m["doc_id"] for m in members)
+        assert starts  # non-empty packs only
