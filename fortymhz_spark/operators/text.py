@@ -307,12 +307,23 @@ def vocab_linear_score(
             )
         ).alias("__tok__"),
     )
-    w = _F.broadcast(
-        weights.select(
-            _F.col(token_col).alias("__tok__"),
-            _F.col(weight_col).cast("long").alias("__w__"),
-        )
+    wsel = weights.select(
+        _F.col(token_col).alias("__tok__"),
+        _F.col(weight_col).cast("long").alias("__w__"),
     )
+    # One vocab-sized aggregate guards the join contract: a duplicate
+    # token would fan out its occurrences and silently inflate logits.
+    wstats = wsel.select(
+        _F.count(_F.lit(1)).alias("n"),
+        _F.count_distinct(_F.col("__tok__")).alias("n_tok"),
+    ).first()
+    if wstats is not None and int(wstats["n"]) != int(wstats["n_tok"]):
+        raise ValueError(
+            f"vocab_linear_score: weights table has {wstats['n']} rows "
+            f"but {wstats['n_tok']} distinct tokens — duplicate tokens "
+            "would fan out the join and inflate logits; dedupe upstream"
+        )
+    w = _F.broadcast(wsel)
     per_doc = (
         toks.join(w, "__tok__", "left")
         .groupBy(id_col)

@@ -1676,3 +1676,18 @@ def test_bpe_ids_feed_pack_sequences(spark):
     for (_, _), members in by_pack.items():
         starts = sorted(m["doc_id"] for m in members)
         assert starts  # non-empty packs only
+
+
+def test_vocab_linear_score_rejects_duplicate_tokens(spark):
+    """A duplicate vocabulary token fans out the join and silently
+    inflates every containing document's logit — rejected upfront."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.text import vocab_linear_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "token string, weight long"
+    )
+    with _pytest.raises(ValueError, match="duplicate tokens"):
+        vocab_linear_score(docs, dup)
