@@ -336,6 +336,8 @@ def compact_snapshot(
     layout changes, and time travel to the fragmented version keeps
     working.  Uses coalesce (no shuffle) when shrinking file count,
     repartition otherwise."""
+    if target_files is not None and target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
     manifest = _load_manifest(table_dir)
     current = int(manifest["current"])
     if current == 0:

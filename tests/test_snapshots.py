@@ -293,3 +293,42 @@ def test_compact_snapshot_preserves_content_and_reduces_files(
 
     with pytest.raises(ValueError, match="no published version"):
         compact_snapshot(spark, str(table_dir) + "_missing")
+
+
+def test_merge_snapshot_delete_everything_publishes_empty_version(
+    spark, table_dir
+):
+    """A merge batch that deletes every target row must publish a
+    readable EMPTY version (Spark 4 writes schema-bearing empty
+    parquet) — and time travel back to the populated version works."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, val string"),
+        table_dir,
+    )
+    upd = spark.createDataFrame(
+        [(1, None, True), (2, None, True)],
+        "k int, val string, is_delete boolean",
+    )
+    v2 = merge_snapshot(spark, table_dir, upd, ["k"], delete_col="is_delete")
+    assert v2 == 2
+    assert read_snapshot(spark, table_dir).count() == 0
+    assert read_snapshot(spark, table_dir, version=1).count() == 2
+    # and a later merge re-populates from the empty state
+    v3 = merge_snapshot(
+        spark,
+        table_dir,
+        spark.createDataFrame([(5, "e")], "k int, val string"),
+        ["k"],
+    )
+    assert v3 == 3
+    assert _rows(read_snapshot(spark, table_dir)) == [(5, "e")]
+
+
+def test_compact_snapshot_validates_target(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import compact_snapshot
+
+    write_snapshot(spark.range(3), table_dir)
+    with pytest.raises(ValueError, match="target_files"):
+        compact_snapshot(spark, table_dir, target_files=0)
