@@ -297,6 +297,31 @@ def vocab_from_merges(
     return vocab
 
 
+def _bpe_encode_word(
+    rank: dict[tuple[str, str], int], word: str
+) -> list[str]:
+    """Rank-priority BPE encode of ONE word — the single shared kernel
+    behind :func:`encode_words_arrow` and :func:`encode_token_ids`
+    (one copy so a future change to the tie/rescan rule cannot drift
+    between them).  Repeatedly merges the LOWEST-RANK mergeable
+    adjacency (all non-overlapping occurrences left-to-right, the
+    merge_vocab contract), which for a learn-loop merge table is a
+    fixpoint of rank-order application."""
+    n_rank = len(rank)
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_i, best_r = -1, n_rank
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]), n_rank)
+            if r < best_r:
+                best_i, best_r = i, r
+        if best_i < 0 or best_r >= n_rank:
+            break
+        left, right = syms[best_i], syms[best_i + 1]
+        syms = list(_merge_syms(tuple(syms), left, right))
+    return syms
+
+
 def encode_token_ids(
     df: DataFrame,
     text_col: str = "text",
@@ -328,19 +353,17 @@ def encode_token_ids(
 
     def encode_one(text: str) -> list[int]:
         ids: list[int] = []
-        for word in (text or "").lower().split():
-            syms = list(word) + [END_OF_WORD]
-            while len(syms) > 1:
-                best_i, best_r = -1, len(rank)
-                for i in range(len(syms) - 1):
-                    r = rank.get((syms[i], syms[i + 1]), len(rank))
-                    if r < best_r:
-                        best_i, best_r = i, r
-                if best_i < 0 or best_r >= len(rank):
-                    break
-                left, right = syms[best_i], syms[best_i + 1]
-                syms = list(_merge_syms(tuple(syms), left, right))
-            ids.extend(vocab.get(s, unk) for s in syms)
+        # Split on a SINGLE SPACE, dropping empties — the exact
+        # tokenization word_counts uses (F.split(lower, " ") + filter),
+        # so the encoder sees the same words the merge table was
+        # learned from; str.split() (any whitespace run) would treat
+        # "foo\tbar" as two words the learner counted as one.
+        for word in (text or "").lower().split(" "):
+            if not word:
+                continue
+            ids.extend(
+                vocab.get(s, unk) for s in _bpe_encode_word(rank, word)
+            )
         return ids
 
     @F.pandas_udf("array<int>")
@@ -381,20 +404,7 @@ def encode_words_arrow(
     }
 
     def encode_one(word: str) -> list[str]:
-        syms = list(word) + [END_OF_WORD]
-        while len(syms) > 1:
-            best_i, best_r = -1, len(rank)
-            for i in range(len(syms) - 1):
-                r = rank.get((syms[i], syms[i + 1]), len(rank))
-                if r < best_r:
-                    best_i, best_r = i, r
-            if best_i < 0 or best_r >= len(rank):
-                break
-            # merge ALL non-overlapping occurrences of this pair
-            # left-to-right (the merge_vocab contract), then rescan
-            left, right = syms[best_i], syms[best_i + 1]
-            syms = list(_merge_syms(tuple(syms), left, right))
-        return syms
+        return _bpe_encode_word(rank, word)
 
     @F.pandas_udf("array<string>")
     def _encode(words):  # pandas Series[str] -> Series[list[str]]

@@ -135,16 +135,15 @@ def _spread(df: DataFrame) -> DataFrame:
     cluster has slots.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() reads the plan's file index without the plan→RDD
-    # conversion df.rdd would trigger (analysis + physical planning of
-    # a throwaway RDD lineage).  Non-file inputs report zero files and
-    # take the repartition — at 100 TB every real input is a file scan
-    # with thousands of splits, so this stays a no-op there.
-    try:
-        n_input = len(df.inputFiles())
-    except Exception:
-        n_input = 0
-    if n_input < target:
+    # df.rdd.getNumPartitions() is the ACTUAL scan partition count.
+    # inputFiles() is not a usable proxy in either direction: many
+    # small files bin-pack into few scan partitions (openCostInBytes),
+    # and one large file splits into many — both misjudge the spread
+    # and the first reintroduces the single-core hashing stall this
+    # helper exists to fix.  The plan→RDD conversion is driver-side
+    # planning only (milliseconds, no job) and runs once per operator
+    # call — a deliberate cost for an accurate answer.
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

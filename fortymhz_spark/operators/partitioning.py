@@ -168,23 +168,30 @@ def zorder_key(
             raise ValueError(f"bounds must satisfy hi > lo, got ({lo}, {hi})")
         col = F.col(c) if isinstance(c, str) else c
         cold = col.cast("double")
+        # Clamp on the DOUBLE side, before the long cast: ±Infinity or
+        # a huge finite value (1e300) would otherwise overflow the
+        # BIGINT cast and die under ANSI mode — the key must be a
+        # total function of the row.  greatest/least on doubles are
+        # safe for ±inf (they compare fine), and the clamped range
+        # [0, 2^bits - 1] always fits a long.
         scaled = F.floor(
-            (cold - F.lit(float(lo)))
-            / F.lit(float(hi - lo))
-            * F.lit(float(1 << bits))
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(float((1 << bits) - 1)),
+                    (cold - F.lit(float(lo)))
+                    / F.lit(float(hi - lo))
+                    * F.lit(float(1 << bits)),
+                ),
+            )
         ).cast("long")
         # greatest/least skip NULLs, so a NULL value would silently
-        # clamp HIGH to the max bin, and a NaN would error at the long
-        # cast under ANSI mode — route both to bin 0 explicitly (they
-        # cluster at the low edge, same contract as out-of-range lows).
+        # clamp HIGH to the max bin, and NaN poisons comparisons —
+        # route both to bin 0 explicitly (they cluster at the low
+        # edge, same contract as out-of-range lows).
         cell = F.when(
             cold.isNull() | F.isnan(cold), F.lit(0).cast("long")
-        ).otherwise(
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.least(F.lit((1 << bits) - 1).cast("long"), scaled),
-            )
-        )
+        ).otherwise(scaled)
         planes.append((i, cell))
     key = F.lit(0).cast("long")
     for b in range(bits):

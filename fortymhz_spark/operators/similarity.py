@@ -768,17 +768,30 @@ def ivfpq_knn(
                 for s in range(n_sub)
             ],
         )
-        qtabs = _assign_cells_arrow(
-            queries, id_col, vec_col, coarse, nprobe, keep_vec=True
-        ).select(
-            F.col("id").alias("query_id"),
-            "cell",
-            *[
-                _pq_dtab_col(vna, books_lit, s, d_sub, n_cells).alias(
-                    f"dtab_{s}"
-                )
-                for s in range(n_sub)
-            ],
+        # Distance tables are O(n_sub·n_cells·d_sub) per row — compute
+        # them on the one-row-per-query frame (explode=False), THEN
+        # explode the probe cells, so the Generate replicates computed
+        # values instead of re-evaluating the dtabs nprobe times.
+        qtabs = (
+            _assign_cells_arrow(
+                queries, id_col, vec_col, coarse, nprobe,
+                keep_vec=True, explode=False,
+            )
+            .select(
+                F.col("id").alias("query_id"),
+                "cells",
+                *[
+                    _pq_dtab_col(vna, books_lit, s, d_sub, n_cells).alias(
+                        f"dtab_{s}"
+                    )
+                    for s in range(n_sub)
+                ],
+            )
+            .select(
+                "query_id",
+                F.explode("cells").alias("cell"),
+                *[f"dtab_{s}" for s in range(n_sub)],
+            )
         )
     else:
         vn = _normalized(vec_col)
@@ -792,15 +805,24 @@ def ivfpq_knn(
                 for s in range(n_sub)
             ],
         )
-        qtabs = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(_nearest_cells(vec_col, coarse, nprobe)).alias("cell"),
-            *[
-                _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(
-                    f"dtab_{s}"
-                )
-                for s in range(n_sub)
-            ],
+        # Same explode-last discipline as the arrow route: dtabs are
+        # evaluated once per query row, the Generate only replicates.
+        qtabs = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                _nearest_cells(vec_col, coarse, nprobe).alias("cells"),
+                *[
+                    _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(
+                        f"dtab_{s}"
+                    )
+                    for s in range(n_sub)
+                ],
+            )
+            .select(
+                "query_id",
+                F.explode("cells").alias("cell"),
+                *[f"dtab_{s}" for s in range(n_sub)],
+            )
         )
     cand = (
         codes.join(qtabs, ["cell"])
@@ -1191,6 +1213,7 @@ def _assign_cells_arrow(
     probes: int,
     *,
     keep_vec: bool = False,
+    explode: bool = True,
 ) -> DataFrame:
     """(id, cell) multi-probe cell assignment through one Arrow batch
     matmul per partition — the large-k twin of the ``_nearest_cells``
@@ -1201,20 +1224,30 @@ def _assign_cells_arrow(
     expression path: equal dot products rank the HIGHER cell index
     first, exactly like ``_nearest_cells``'s ``reverse(array_sort)``
     (stable argsort over the column-reversed dots, mapped back), so
-    the two physical forms probe identical cells row for row.  The
-    Arrow schema is pinned to the fixture/production types (integer
-    ids, float32 vectors); the expression path carries no such
-    constraint.
+    the two physical forms probe identical cells row for row.
+
+    ``probes`` is clamped to the centroid count (the expression path's
+    ``F.slice`` truncates the same way), so the documented
+    "probe all cells → exact" configuration works for any nprobe.
 
     ``keep_vec=True`` carries the vector through the kernel (schema
-    gains ``v array<float>``) so downstream stages (exact re-rank, PQ
-    code computation) don't need an id-join back to the corpus —
-    columnar pass-through, no extra shuffle."""
+    gains ``v array<double>`` — double so an ``array<double>`` input
+    survives the Arrow boundary without a silent float32 truncation
+    that would flip exact-re-rank boundaries vs the expression path;
+    float32 inputs upcast losslessly) so downstream stages (exact
+    re-rank, PQ code computation) don't need an id-join back to the
+    corpus — columnar pass-through, no extra shuffle.
+
+    ``explode=False`` emits ONE row per input with ``cells
+    array<int>`` instead of ``probes`` exploded rows — the shape for
+    callers that compute per-INPUT expressions downstream (e.g. PQ
+    distance tables) and must not re-evaluate them per probe row."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=np.float64)
     k = C.shape[0]
+    probes = min(probes, k)
 
     def fn(batches):
         for pdf in batches:
@@ -1225,19 +1258,27 @@ def _assign_cells_arrow(
             )
             dots = X @ C.T
             rev = np.argsort(-dots[:, ::-1], axis=1, kind="stable")[:, :probes]
-            idx = (k - 1) - rev
-            out = {
-                "id": pdf[id_col].to_numpy().repeat(probes),
-                "cell": idx.ravel().astype("int32"),
-            }
+            idx = ((k - 1) - rev).astype("int32")
+            if explode:
+                out = {
+                    "id": pdf[id_col].to_numpy().repeat(probes),
+                    "cell": idx.ravel(),
+                }
+            else:
+                out = {
+                    "id": pdf[id_col].to_numpy(),
+                    "cells": list(idx),
+                }
             if keep_vec:
-                out["v"] = pdf[vec_col].to_numpy().repeat(probes)
+                vals = pdf[vec_col].to_numpy()
+                out["v"] = vals.repeat(probes) if explode else vals
             yield pd.DataFrame(out)
 
+    cell_part = "cell int" if explode else "cells array<int>"
     schema = (
-        "id long, cell int, v array<float>"
+        f"id long, {cell_part}, v array<double>"
         if keep_vec
-        else "id long, cell int"
+        else f"id long, {cell_part}"
     )
     return df.select(id_col, vec_col).mapInPandas(fn, schema)
 

@@ -316,13 +316,26 @@ def vocab_linear_score(
     wstats = wsel.select(
         _F.count(_F.lit(1)).alias("n"),
         _F.count_distinct(_F.col("__tok__")).alias("n_tok"),
+        # count(col) skips NULLs while count(1) doesn't — without this
+        # third cell a NULL token row would be misreported as a
+        # duplicate (n > n_tok) instead of named for what it is.
+        _F.count(_F.col("__tok__")).alias("n_nonnull"),
     ).first()
-    if wstats is not None and int(wstats["n"]) != int(wstats["n_tok"]):
-        raise ValueError(
-            f"vocab_linear_score: weights table has {wstats['n']} rows "
-            f"but {wstats['n_tok']} distinct tokens — duplicate tokens "
-            "would fan out the join and inflate logits; dedupe upstream"
-        )
+    if wstats is not None:
+        n_null = int(wstats["n"]) - int(wstats["n_nonnull"])
+        if n_null > 0:
+            raise ValueError(
+                f"vocab_linear_score: weights table has {n_null} NULL "
+                "token row(s) — a NULL token can never join a document "
+                "token; drop or fix those rows upstream"
+            )
+        if int(wstats["n_nonnull"]) != int(wstats["n_tok"]):
+            raise ValueError(
+                f"vocab_linear_score: weights table has "
+                f"{wstats['n_nonnull']} rows but {wstats['n_tok']} "
+                "distinct tokens — duplicate tokens would fan out the "
+                "join and inflate logits; dedupe upstream"
+            )
     w = _F.broadcast(wsel)
     per_doc = (
         toks.join(w, "__tok__", "left")
