@@ -132,6 +132,8 @@ HEADLINE = [
     "q_docs_vocab_classifier",
     "q_docs_bpe_encode_stats",
     "q_snapshot_merge_orders",
+    # DSIR selection: two fit aggregates + map-only scoring + top-k
+    "q_docs_dsir_selection",
 ]
 
 

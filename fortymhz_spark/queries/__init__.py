@@ -23,22 +23,25 @@ Round 5 keeps the gate honest two ways:
    refactor), the three media rows (vectorized decode kernel), the
    four ANN rows + q_emb_near_dup_lsh_subset (recall-check dedup,
    lsh dim-inference and PQ codebook guards).
-2. FRESHNESS ROTATION.  Four NEW queries enter immediately
+2. FRESHNESS ROTATION.  Five NEW queries enter immediately
    (q_docs_classifier_trained, q_docs_vocab_classifier,
-   q_docs_bpe_encode_stats, q_snapshot_merge_orders — the trained
-   classifier slots, production-size BPE encode, and the snapshot
-   MERGE protocol graded differentially).  The remaining 36 slots
-   re-grade the rows whose last driver check is OLDEST (round 2):
-   regressions in long-stable code should not be able to hide behind
-   a years-old green row.  The 6 round-2 rows that didn't fit
-   (q_events_user_enrichment, q_events_value_stats,
-   q_events_view_to_purchase, q_full_outer_daily_activity,
-   q_pandas_udf_revenue, q_range_join_price_bands) defer to round 6
-   with families covered: events/window shapes by the six events rows
-   in the gate, the pandas-UDF boundary by
+   q_docs_bpe_encode_stats, q_snapshot_merge_orders,
+   q_docs_dsir_selection — the trained classifier slots,
+   production-size BPE encode, the snapshot MERGE protocol, and
+   DSIR importance-resampling selection, all graded differentially).
+   The remaining 35 slots re-grade the rows whose last driver check
+   is OLDEST (round 2): regressions in long-stable code should not
+   be able to hide behind a years-old green row.  The 7 round-2 rows
+   that didn't fit (q_docs_top_terms, q_events_user_enrichment,
+   q_events_value_stats, q_events_view_to_purchase,
+   q_full_outer_daily_activity, q_pandas_udf_revenue,
+   q_range_join_price_bands) defer to round 6 with families covered:
+   the token-frequency family by q_docs_token_stats in the gate plus
+   q_docs_tfidf_top_terms's round-4 green, events/window shapes by
+   the six events rows in the gate, the pandas-UDF boundary by
    q_events_grouped_pandas_stats, outer-join shapes by
-   q_customer_order_counts_outer/q_customers_without_orders; all six
-   hold green rows, so deferral costs zero union coverage.
+   q_customer_order_counts_outer/q_customers_without_orders; all
+   seven hold green rows, so deferral costs zero union coverage.
 
 The 40 round-4-green rows whose code is unchanged rotate to
 PREVIOUSLY_GREEN (their r4 rows were produced by current code).
@@ -54,14 +57,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 gate (slots 1-50): 4 new + 10 changed-code re-grades + the
-# 36 rows with the oldest (round-2) driver checks.
+# Round-5 gate (slots 1-50): 5 new + 10 changed-code re-grades + the
+# 35 rows with the oldest (round-2) driver checks.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_docs_classifier_trained",
     "q_docs_vocab_classifier",
     "q_docs_bpe_encode_stats",
     "q_snapshot_merge_orders",
+    "q_docs_dsir_selection",
     # —— held over: code changed this round ——
     "q_docs_bpe_merges",
     "q_docs_quality_classifier",
@@ -93,7 +97,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_quality",
     "q_docs_stratified_sample",
     "q_docs_token_stats",
-    "q_docs_top_terms",
     "q_dt_channel_occupancy",
     "q_dt_custom_source_occupancy",
     "q_dt_event_time_span",
@@ -112,15 +115,24 @@ ROUND_GATE: tuple[str, ...] = (
     "q_events_sliding_1h_30m",
 )
 
-# Empty as of round 4: the rotation is complete — every registered
-# query has been graded green by a driver row produced by current code
-# in some round, and nothing is waiting for a slot.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
+# The seven round-2-green rows that lost their round-5 refresh slot
+# to the new queries (module docstring): still green (round-2 driver
+# rows, code unchanged), but they carry the OLDEST checks in the
+# registry, so round-6 gate assembly picks them up FIRST.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "q_docs_top_terms",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
+    "q_events_view_to_purchase",
+    "q_full_outer_daily_activity",
+    "q_pandas_udf_revenue",
+    "q_range_join_price_bands",
+)
 
 # Driver-green rows that sit OUTSIDE the round-5 gate: the 40
-# round-4-green rows whose code is unchanged since their grading, the
-# 24 round-3 greens, and the 6 round-2 rows deferred to round 6 (see
-# module docstring).  The registry asserts
+# round-4-green rows whose code is unchanged since their grading and
+# the 24 round-3 greens (the 6 deferred round-2 rows are tracked
+# above).  The registry asserts
 # graded-green ∪ gate ∪ deferred == all registered queries.
 PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q10_returned_items",
@@ -156,22 +168,16 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_emb_semantic_dedup",
     "q_emb_semantic_keep_list",
     "q_events_asof_last_order",
-    "q_events_user_enrichment",
-    "q_events_value_stats",
-    "q_events_view_to_purchase",
-    "q_full_outer_daily_activity",
     "q_grouping_sets_flag_year",
     "q_histogram_quantity",
     "q_mixture_temperature",
     "q_mixture_upsample",
     "q_pack_export",
     "q_pack_sequences",
-    "q_pandas_udf_revenue",
     "q_pipeline_curation",
     "q_pivot_flag_by_status",
     "q_profile_orders",
     "q_quantity_percentiles",
-    "q_range_join_price_bands",
     "q_right_outer_order_counts",
     "q_rollup_returnflag_status",
     "q_salted_agg_volume",

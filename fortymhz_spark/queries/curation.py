@@ -1161,3 +1161,93 @@ def q_docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.size("symbols") <= F.length("w") + 1)
         ).alias("symbols_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling selection (operators/dsir.py): hashed
+# unigram+bigram bucket features, target = the English slice, raw =
+# the whole corpus; per-bucket importance weights quantized to
+# floor-log2 via bit lengths (pure BIGINT — length(bin(x)) on both
+# engines), per-doc score = Σ occurrences' weights, keep the top 100.
+# The oracle replays the FULL algorithm in SQL: tokenize → grams →
+# md5 buckets → both fits → bit-length weights → join-sum scores →
+# deterministic top-k.  Float discipline: no log() anywhere in the
+# graded chain (module docstring of operators/dsir.py).
+# ---------------------------------------------------------------------------
+_DSIR_NB = 1024
+
+@reg.query(
+    "q_docs_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_SQL_TOKENS.format(t="lower(coalesce(text, ''))")} AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_concat(
+               tk,
+               CASE WHEN len(tk) >= 2 THEN
+                 list_transform(range(1, len(tk)),
+                                i -> tk[i] || ' ' || tk[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END
+             ) AS gs
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_NB} AS b
+      FROM (SELECT doc_id, lang, unnest(gs) AS g FROM grams)
+    ),
+    tfit AS (
+      SELECT b, count(*) AS n FROM ex WHERE lang = 'en' GROUP BY b
+    ),
+    rfit AS (SELECT b, count(*) AS n FROM ex GROUP BY b),
+    tot AS (
+      SELECT (SELECT count(*) FROM ex WHERE lang = 'en') + {_DSIR_NB}
+               AS t_tot,
+             (SELECT count(*) FROM ex) + {_DSIR_NB} AS r_tot
+    ),
+    wts AS (
+      SELECT r.b,
+             length(bin((coalesce(t.n, 0) + 1) * tot.r_tot))
+           - length(bin((r.n + 1) * tot.t_tot)) AS w
+      FROM rfit r LEFT JOIN tfit t USING (b), tot
+    ),
+    ds AS (
+      SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS dsir_q
+      FROM ex e JOIN wts w USING (b)
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, d.lang, coalesce(ds.dsir_q, 0) AS dsir_q
+    FROM documents d LEFT JOIN ds USING (doc_id)
+    ORDER BY dsir_q DESC, d.doc_id
+    LIMIT 100
+    """,
+)
+def q_docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection end to end (operators/dsir.py): fit hashed
+    bag-of-words models on the English slice (target) vs the whole
+    corpus (raw), score every document by its quantized importance
+    weight, and keep the 100 highest-weighted (ties → lowest doc_id).
+
+    Scale shape: two bucket-count aggregates (map-side combine,
+    ≤ {nb} rows each to the driver), then a MAP-ONLY score against
+    the literal weight table and one TakeOrderedAndProject — no join
+    or shuffle anywhere in the scoring path."""
+    from fortymhz_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.filter(F.col("lang") == "en")
+    sel = dsir.dsir_select(
+        docs, target, 100, n_buckets=_DSIR_NB,
+    )
+    return sel.select("doc_id", "lang", "dsir_q")
+
+
+q_docs_dsir_selection.__doc__ = q_docs_dsir_selection.__doc__.format(
+    nb=_DSIR_NB
+)

@@ -1,0 +1,178 @@
+"""DSIR importance-resampling selection (operators/dsir.py).
+
+Strategy: a pure-Python reference implementation of the WHOLE chain
+(tokenize → grams → portable buckets → fits → bit-length weights →
+scores → selection) pins every stage against the Spark operators on a
+small fixture with known overlaps; partition hostility and plan-shape
+assertions cover the scale contract (map-only scoring, no Python
+boundary).  The Gumbel variant is float-bearing, so it gets a
+pure-Python twin instead of an oracle (repo float discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators import dsir
+
+DOCS = [
+    # (doc_id, text, lang) — en docs share "spark table" vocabulary
+    # with enough repetition that the per-bucket target/raw ratio
+    # clears the floor-log2 quantization step (one OCTAVE — a tiny
+    # fixture with single-occurrence grams quantizes every weight to
+    # ~0 and the selection degenerates); others diverge; one empty
+    # and one None text for the edge rows.
+    (0, "spark table join scan spark table join scan spark table join", "en"),
+    (1, "table spark join table spark join table spark join", "en"),
+    (2, "der baum und wald der baum und wald der baum", "de"),
+    (3, "le chat et chien le chat et chien le chat", "fr"),
+    (4, "spark table join scan spark table join scan", "de"),
+    (5, "", "en"),
+    (6, None, "fr"),
+    (7, "wald und baum der wald und baum der wald", "de"),
+]
+NB = 64
+
+
+def _py_buckets(text: str | None, n_buckets: int) -> list[int]:
+    toks = [t for t in (text or "").lower().split(" ") if t != ""]
+    grams = list(toks)
+    grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+        for g in grams
+    ]
+
+
+def _py_fit(target_texts, raw_texts, n_buckets):
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    for txt in target_texts:
+        for b in _py_buckets(txt, n_buckets):
+            t_cnt[b] = t_cnt.get(b, 0) + 1
+    for txt in raw_texts:
+        for b in _py_buckets(txt, n_buckets):
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+    t_tot = sum(t_cnt.values()) + n_buckets
+    r_tot = sum(r_cnt.values()) + n_buckets
+    return [
+        ((t_cnt.get(b, 0) + 1) * r_tot).bit_length()
+        - ((r_cnt.get(b, 0) + 1) * t_tot).bit_length()
+        for b in range(n_buckets)
+    ]
+
+
+def _fixture(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_fit_weights_match_pure_python(spark):
+    docs = _fixture(spark)
+    target = docs.filter(F.col("lang") == "en")
+    got = dsir.dsir_fit_weights(
+        target, docs, text_col="text", n_buckets=NB
+    )
+    want = _py_fit(
+        [t for _, t, lang in DOCS if lang == "en"],
+        [t for _, t, _ in DOCS],
+        NB,
+    )
+    assert got == want
+
+
+def test_scores_match_pure_python_and_empty_docs_score_zero(spark):
+    docs = _fixture(spark)
+    weights = _py_fit(
+        [t for _, t, lang in DOCS if lang == "en"],
+        [t for _, t, _ in DOCS],
+        NB,
+    )
+    rows = {
+        r["doc_id"]: r["dsir_q"]
+        for r in dsir.dsir_score(docs, weights, text_col="text").collect()
+    }
+    for doc_id, text, _ in DOCS:
+        want = sum(weights[b] for b in _py_buckets(text, NB))
+        assert rows[doc_id] == want, doc_id
+    assert rows[5] == 0 and rows[6] == 0
+
+
+def test_select_prefers_target_like_docs_and_is_partition_invariant(spark):
+    docs = _fixture(spark)
+    target = docs.filter(F.col("lang") == "en")
+    sel = dsir.dsir_select(docs, target, 3, n_buckets=NB)
+    ids = [r["doc_id"] for r in sel.collect()]
+    # doc 4 shares the en vocabulary despite its 'de' label — DSIR
+    # selects by CONTENT, so the top-3 must be drawn from the
+    # spark/table docs, never the de/fr-vocabulary ones.
+    assert set(ids) <= {0, 1, 4}
+    hostile = dsir.dsir_select(
+        docs.repartition(7), target.repartition(3), 3, n_buckets=NB
+    )
+    assert [r["doc_id"] for r in hostile.collect()] == ids
+
+
+def test_score_plan_is_map_only_no_python_boundary(spark):
+    docs = _fixture(spark)
+    weights = [1] * NB
+    scored = dsir.dsir_score(docs, weights, text_col="text")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_gumbel_topk_matches_pure_python_twin(spark):
+    docs = _fixture(spark)
+    weights = _py_fit(
+        [t for _, t, lang in DOCS if lang == "en"],
+        [t for _, t, _ in DOCS],
+        NB,
+    )
+    scored = dsir.dsir_score(docs, weights, text_col="text")
+    got = [
+        r["doc_id"]
+        for r in dsir.gumbel_topk_select(
+            scored, 4, temperature=2.0, seed=7
+        ).collect()
+    ]
+
+    def key(doc_id, score):
+        h = int(
+            hashlib.md5(f"7|{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / float((1 << 32) + 1)
+        return score / 2.0 + -math.log(-math.log(u))
+
+    scores = {
+        doc_id: sum(weights[b] for b in _py_buckets(text, NB))
+        for doc_id, text, _ in DOCS
+    }
+    want = sorted(
+        scores, key=lambda d: (-key(d, scores[d]), d)
+    )[:4]
+    assert got == want
+
+
+def test_gumbel_sampling_is_seed_sensitive_but_seed_stable(spark):
+    docs = _fixture(spark)
+    scored = dsir.dsir_score(docs, [0] * NB, text_col="text")
+    a = [r["doc_id"] for r in dsir.gumbel_topk_select(scored, 4, seed=1).collect()]
+    b = [r["doc_id"] for r in dsir.gumbel_topk_select(scored, 4, seed=1).collect()]
+    c = [r["doc_id"] for r in dsir.gumbel_topk_select(scored, 4, seed=2).collect()]
+    assert a == b
+    # with flat scores the draw is pure noise — different seeds must
+    # be able to pick different sets (8 choose 4; collision would be
+    # a constant-noise bug, not chance)
+    assert a != c
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir.hashed_gram_buckets("text", 1)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir.gumbel_topk_select(None, 1, temperature=0.0)

@@ -75,6 +75,10 @@ SENSITIVE = [
     "q_docs_vocab_classifier",
     "q_docs_bpe_encode_stats",
     "q_snapshot_merge_orders",
+    # DSIR: the two fit aggregates feed driver-computed weights — the
+    # bucket counts (and so the whole weight table and selection) must
+    # be identical under hostile partitioning
+    "q_docs_dsir_selection",
 ]
 
 _QUERIES = all_queries()
