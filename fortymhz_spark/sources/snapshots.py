@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from typing import Any
@@ -360,6 +361,88 @@ def compact_snapshot(
         partition_by=list(meta.get("partition_by", [])) or None,
         note=note or f"compact v{current} -> {target_files} files",
     )
+
+
+def vacuum_snapshot(
+    table_dir: str,
+    *,
+    keep_last: int = 2,
+    min_age_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict[str, list[int]]:
+    """VACUUM: expire old published versions and garbage-collect
+    orphan ``v=N`` directories (writers that died between data write
+    and manifest swap), returning ``{"expired": [...], "orphans":
+    [...], "kept": [...]}``.
+
+    Retention contract: the newest ``keep_last`` published versions
+    plus ``current`` are always kept; other versions are eligible only
+    once older than ``min_age_s`` (the Delta/Iceberg retention-window
+    rule — a reader that resolved the manifest just before the vacuum
+    may still be scanning a version's files, so production retention
+    must exceed the longest-running reader; 0 is for tests and
+    single-process pipelines).
+
+    Protocol order is UNPUBLISH-THEN-DELETE: the manifest without the
+    expired entries is swapped in atomically FIRST, so any reader
+    arriving after the swap cannot resolve a version whose files are
+    mid-delete; only then are the directories removed.  Orphan
+    directories were never publishable (readers resolve through the
+    manifest only), so deleting them needs no manifest change — and
+    ``write_snapshot``'s skip-orphans version allocation means a freed
+    number may be reused, which is safe for the same reason.
+
+    Scale: manifest work is O(versions) bytes; file deletion is the
+    object-store/filesystem bulk delete of unreferenced prefixes —
+    never a data scan.  ``dry_run=True`` reports without touching
+    manifest or files (the audit mode a 100 TB table wants first)."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    manifest = _load_manifest(table_dir)
+    published = sorted(map(int, manifest["versions"]))
+    current = int(manifest["current"])
+    keep = set(published[-keep_last:]) | ({current} if current else set())
+    now = time.time()
+    expired = [
+        v
+        for v in published
+        if v not in keep
+        and now - float(manifest["versions"][str(v)].get("created_unix", 0))
+        >= min_age_s
+    ]
+    on_disk = [
+        int(d[2:])
+        for d in os.listdir(table_dir)
+        if os.path.isdir(os.path.join(table_dir, d))
+        and d.startswith("v=")
+        and d[2:].isdigit()
+    ] if os.path.isdir(table_dir) else []
+    orphans = [v for v in on_disk if str(v) not in manifest["versions"]]
+    report = {
+        "expired": expired,
+        "orphans": sorted(orphans),
+        "kept": sorted(keep & set(published)),
+    }
+    if dry_run or not (expired or orphans):
+        return report
+
+    if expired:
+        for v in expired:
+            del manifest["versions"][str(v)]
+        fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _manifest_path(table_dir))  # unpublish point
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    for v in [*expired, *orphans]:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return report
 
 
 def snapshot_versions(table_dir: str) -> list[dict[str, Any]]:

@@ -332,3 +332,77 @@ def test_compact_snapshot_validates_target(spark, table_dir):
     write_snapshot(spark.range(3), table_dir)
     with pytest.raises(ValueError, match="target_files"):
         compact_snapshot(spark, table_dir, target_files=0)
+
+
+# ---------------------------------------------------------------------------
+# VACUUM: retention-based version expiry + orphan GC
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_expires_old_versions_and_keeps_retention_window(
+    spark, table_dir
+):
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    for i in range(4):
+        write_snapshot(
+            spark.range(10 + i).withColumn("tag", F.lit(f"v{i+1}")),
+            table_dir,
+        )
+    report = vacuum_snapshot(table_dir, keep_last=2)
+    assert report["expired"] == [1, 2]
+    assert report["kept"] == [3, 4]
+    # kept versions still read (current AND time travel) …
+    assert read_snapshot(spark, table_dir).count() == 13
+    assert read_snapshot(spark, table_dir, version=3).count() == 12
+    # … expired ones are unpublished AND their files are gone
+    with pytest.raises(ValueError, match="v=1 does not exist"):
+        read_snapshot(spark, table_dir, version=1)
+    assert not os.path.exists(os.path.join(table_dir, "v=1"))
+    assert not os.path.exists(os.path.join(table_dir, "v=2"))
+    assert [m["version"] for m in snapshot_versions(table_dir)] == [3, 4]
+
+
+def test_vacuum_collects_orphan_directories(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    write_snapshot(spark.range(5), table_dir)
+    # simulate a writer that died between data write and manifest swap
+    orphan = os.path.join(table_dir, "v=9")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("torn")
+    report = vacuum_snapshot(table_dir, keep_last=1)
+    assert report == {"expired": [], "orphans": [9], "kept": [1]}
+    assert not os.path.exists(orphan)
+    # the freed number is reusable: next write publishes normally
+    v = write_snapshot(spark.range(6), table_dir)
+    assert v == 2
+    assert read_snapshot(spark, table_dir).count() == 6
+
+
+def test_vacuum_min_age_and_dry_run_protect_versions(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    for i in range(3):
+        write_snapshot(spark.range(3 + i), table_dir)
+    # freshly-created versions are inside the retention window …
+    report = vacuum_snapshot(table_dir, keep_last=1, min_age_s=3600)
+    assert report["expired"] == []
+    assert read_snapshot(spark, table_dir, version=1).count() == 3
+    # … and dry_run reports without deleting anything
+    report = vacuum_snapshot(table_dir, keep_last=1, dry_run=True)
+    assert report["expired"] == [1, 2]
+    assert read_snapshot(spark, table_dir, version=1).count() == 3
+    assert os.path.exists(os.path.join(table_dir, "v=1"))
+
+
+def test_vacuum_never_removes_current_and_validates(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshot(table_dir, keep_last=0)
+    write_snapshot(spark.range(4), table_dir)
+    report = vacuum_snapshot(table_dir, keep_last=1)
+    assert report == {"expired": [], "orphans": [], "kept": [1]}
+    assert read_snapshot(spark, table_dir).count() == 4

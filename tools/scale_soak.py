@@ -110,6 +110,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     from pyspark.sql import functions as F
 
     from fortymhz_spark.operators import bpe, dedup, similarity as sim
+    from fortymhz_spark.operators import dsir as dsir_ops
     from fortymhz_spark.operators import text as text_ops
 
     queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
@@ -244,6 +245,21 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             # per bucket per batch — cost should track token volume.
             "streaming_misra_gries",
             lambda: streaming_mg_rows(spark, docs_path),
+        ),
+        (
+            # DSIR selection: two fixed-width fit aggregates (map-side
+            # combine, n_buckets rows to the driver) + map-only score
+            # + TakeOrdered — cost should track token volume.
+            # n_buckets is a model knob, not corpus-tied (fixed
+            # feature dimension is the paper's rule), so it stays
+            # constant across scales.
+            "dsir_select",
+            lambda: dsir_ops.dsir_select(
+                docs,
+                docs.filter(F.col("lang") == "en"),
+                100,
+                n_buckets=1024,
+            ).count(),
         ),
         (
             # collect() the 1-row aggregate (a count() over a global
