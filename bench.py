@@ -134,6 +134,8 @@ HEADLINE = [
     "q_snapshot_merge_orders",
     # DSIR selection: two fit aggregates + map-only scoring + top-k
     "q_docs_dsir_selection",
+    # cross-doc span removal: block-hash shuffle + text rebuild
+    "q_docs_strip_boilerplate",
 ]
 
 

@@ -549,3 +549,110 @@ def redact_pii(text: Column | str) -> Column:
         pattern, token = PII_PATTERNS[kind]
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def strip_crossdoc_blocks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+    max_df: int = 1,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed_blocks",
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans — the rewriting half of
+    the CCNet/RefinedWeb boilerplate story that ``q_text_crossdoc_blocks``
+    only counts: cut each document into non-overlapping
+    ``block_tokens``-token blocks (same convention as the counting
+    query: full blocks only, the trailing partial block is never a
+    block), md5-key them, and drop every block that occurs in more
+    than ``max_df`` DISTINCT documents, rebuilding the text from the
+    surviving blocks plus the tail.  Within-doc repetition alone never
+    bans a block (that is the repetition filter's job) — but once a
+    block is banned cross-doc, ALL its in-doc occurrences go.
+
+    Output: input columns + ``out_col`` (lowercased rebuilt text — the
+    repo-wide token convention) + ``removed_col``.
+
+    Scale shape: only ``(id, position, block_md5)`` ever shuffles —
+    never text; the banned-hash table is one map-side-combined
+    aggregate; the positions join back is hash-partitioned on the md5
+    and the per-doc banned-position lists are tiny (≤ blocks/doc
+    ints).  Rebuilding reads the ORIGINAL text column again rather
+    than shuffling block text — the same two-shuffle profile as exact
+    dedup, plus one small doc-keyed join.
+    """
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    bt = block_tokens
+    tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
+
+    def blocks_of(tk: Column) -> Column:
+        nb = F.floor(F.size(tk) / float(bt)).cast("int")
+        # sequence(1, 0) descends — build over max(nb, 1), slice to nb
+        return F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(tk, (i - 1) * bt + 1, bt))
+                ),
+            ),
+            1,
+            nb,
+        )
+
+    blocks_arr = F.element_at(
+        F.transform(F.array(tok), blocks_of), 1
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(blocks_arr).alias("__pos__", "__h__"),
+    )
+    banned = (
+        keyed.groupBy("__h__")
+        .agg(F.count_distinct("__id__").alias("__df__"))
+        .filter(F.col("__df__") > max_df)
+        .select("__h__")
+    )
+    banned_pos = (
+        keyed.join(banned, "__h__")
+        .groupBy("__id__")
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("__banned__"))
+    )
+
+    def rebuild(tk: Column, bp: Column) -> Column:
+        nb = F.floor(F.size(tk) / float(bt)).cast("int")
+        kept = F.flatten(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+                    lambda i: F.slice(tk, (i - 1) * bt + 1, bt),
+                ),
+                # filter's i is 0-based, matching posexplode positions
+                lambda _, i: (i < nb) & ~F.array_contains(bp, i),
+            )
+        )
+        tail = F.slice(tk, nb * bt + 1, F.size(tk) - nb * bt)
+        return F.array_join(F.concat(kept, tail), " ")
+
+    bp = F.coalesce(F.col("__banned__"), F.array().cast("array<int>"))
+    out = (
+        docs.join(
+            banned_pos,
+            docs[id_col] == banned_pos["__id__"],
+            "left",
+        )
+        .drop("__id__")
+        .withColumn(removed_col, F.size(bp).cast("long"))
+        .withColumn(
+            out_col,
+            F.element_at(
+                F.transform(F.array(tok), lambda tk: rebuild(tk, bp)), 1
+            ),
+        )
+        .drop("__banned__")
+    )
+    return out

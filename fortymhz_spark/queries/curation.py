@@ -1251,3 +1251,69 @@ def q_docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_docs_dsir_selection.__doc__ = q_docs_dsir_selection.__doc__.format(
     nb=_DSIR_NB
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicated-span REMOVAL (operators/text.py::
+# strip_crossdoc_blocks): the rewriting half of the CCNet/RefinedWeb
+# boilerplate story q_text_crossdoc_blocks only counts.  Graded on the
+# REBUILT TEXT itself for every document — a mis-banned block, an
+# off-by-one block boundary, a dropped tail, or wrong within-doc
+# ban propagation all change the graded string.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_strip_boilerplate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             {_SQL_TOKENS.format(t="lower(coalesce(text, ''))")} AS tk
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(
+               tk[((i-1)*8+1)::INT : ((i-1)*8+8)::INT], ' ')) AS h
+      FROM tok,
+           unnest(range(1, CAST(floor(len(tk) / 8.0) AS INT) + 1)) AS g(i)
+    ),
+    banned AS (
+      SELECT h FROM blocks GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    bpos AS (
+      SELECT b.doc_id, list_sort(list(b.pos)) AS bp
+      FROM blocks b JOIN banned USING (h)
+      GROUP BY b.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(coalesce(p.bp, [])) AS BIGINT) AS n_removed_blocks,
+           -- coalesce: flatten/list_concat over the zero-block case
+           -- yields NULL here where Spark's array_join yields ''
+           coalesce(array_to_string(
+             list_concat(
+               flatten(list_transform(
+                 range(1, CAST(floor(len(t.tk) / 8.0) AS INT) + 1),
+                 i -> CASE WHEN list_contains(coalesce(p.bp, []), i - 1)
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE t.tk[((i-1)*8+1)::INT : ((i-1)*8+8)::INT] END)),
+               t.tk[(CAST(floor(len(t.tk) / 8.0) AS INT) * 8 + 1)::INT
+                    : len(t.tk)]
+             ), ' '), '') AS clean_text
+    FROM tok t LEFT JOIN bpos p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite every document with its cross-document duplicated
+    8-token blocks removed (blocks in >1 distinct doc), grading the
+    rebuilt text and the removed-block count per doc.
+
+    Scale shape: strip_crossdoc_blocks — (id, pos, md5) is all that
+    shuffles, block frequency is one map-side-combined aggregate, and
+    the rebuild re-reads the original text instead of shuffling block
+    strings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.strip_crossdoc_blocks(docs)
+    return out.select(
+        "doc_id", "n_removed_blocks", "clean_text"
+    ).orderBy("doc_id")

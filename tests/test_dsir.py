@@ -176,3 +176,77 @@ def test_validation_errors():
         dsir.hashed_gram_buckets("text", 1)
     with pytest.raises(ValueError, match="temperature"):
         dsir.gumbel_topk_select(None, 1, temperature=0.0)
+
+
+# ---------------------------------------------------------------------------
+# strip_crossdoc_blocks (operators/text.py) — the rewriting half of
+# the cross-doc boilerplate story; colocated here with the other
+# round-5 curation operators.
+# ---------------------------------------------------------------------------
+
+
+def _strip_fixture(spark):
+    from fortymhz_spark.operators import text as tx
+
+    block = " ".join(f"b{i}" for i in range(8))
+    uniq = lambda p: " ".join(f"{p}{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{block} {uniq('x')} tail1 tail2"),
+            (1, f"{uniq('y')} {block}"),
+            (2, "short doc only"),
+            (3, None),
+            (4, f"{block} {block}"),
+        ],
+        "doc_id long, text string",
+    )
+    return tx, docs, block
+
+
+def test_strip_crossdoc_blocks_semantics(spark):
+    tx, docs, _ = _strip_fixture(spark)
+    out = {
+        r["doc_id"]: (r["n_removed_blocks"], r["clean_text"])
+        for r in tx.strip_crossdoc_blocks(docs).collect()
+    }
+    # shared block removed everywhere, unique blocks + tails kept
+    assert out[0] == (1, "x0 x1 x2 x3 x4 x5 x6 x7 tail1 tail2")
+    assert out[1] == (1, "y0 y1 y2 y3 y4 y5 y6 y7")
+    # sub-block docs and NULL text pass through untouched (lowercased)
+    assert out[2] == (0, "short doc only")
+    assert out[3] == (0, "")
+    # a cross-doc-banned block loses ALL its within-doc occurrences
+    assert out[4] == (2, "")
+
+
+def test_strip_crossdoc_blocks_within_doc_repetition_alone_survives(spark):
+    tx, _, block = _strip_fixture(spark)
+    docs = spark.createDataFrame(
+        [(0, f"{block} {block}"), (1, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_removed_blocks"]
+        for r in tx.strip_crossdoc_blocks(docs).collect()
+    }
+    # the block repeats only INSIDE doc 0 — distinct-doc df is 1,
+    # nothing is banned (within-doc repetition is the repetition
+    # filter's job, not this operator's)
+    assert out == {0: 0, 1: 0}
+
+
+def test_strip_crossdoc_blocks_partition_invariant_and_validates(spark):
+    import pytest as _pytest
+
+    tx, docs, _ = _strip_fixture(spark)
+    a = sorted(
+        map(tuple, tx.strip_crossdoc_blocks(docs).collect())
+    )
+    b = sorted(
+        map(tuple, tx.strip_crossdoc_blocks(docs.repartition(7)).collect())
+    )
+    assert a == b
+    with _pytest.raises(ValueError, match="block_tokens"):
+        tx.strip_crossdoc_blocks(docs, block_tokens=0)
+    with _pytest.raises(ValueError, match="max_df"):
+        tx.strip_crossdoc_blocks(docs, max_df=0)

@@ -79,6 +79,9 @@ SENSITIVE = [
     # bucket counts (and so the whole weight table and selection) must
     # be identical under hostile partitioning
     "q_docs_dsir_selection",
+    # span removal: distinct-doc block frequencies + the posexplode/
+    # rebuild positions must survive hostile partitioning byte-for-byte
+    "q_docs_strip_boilerplate",
 ]
 
 _QUERIES = all_queries()
