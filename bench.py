@@ -136,6 +136,8 @@ HEADLINE = [
     "q_docs_dsir_selection",
     # cross-doc span removal: block-hash shuffle + text rebuild
     "q_docs_strip_boilerplate",
+    # incremental view maintenance: CDC delta + groups-sized join only
+    "q_snapshot_incremental_agg",
 ]
 
 

@@ -170,3 +170,83 @@ def q_snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v1_intact", F.lit(v1_intact))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: the SAME graded cells as the merge
+# query, but produced by the INCREMENTAL path — materialize the v1
+# aggregate, take the v1→v2 CDC delta with pre-images, and apply it
+# (operators/incremental.py) without ever re-aggregating v2.  The
+# fixture's 'U' updates MOVE rows between status groups, so a missing
+# pre-image subtract, a wrong sign, or a lost group-birth/death all
+# change the graded cells vs the oracle's direct v2 aggregate.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_snapshot_incremental_agg",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    upserts AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 5 = 0
+           OR (o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0)
+      )
+      UNION ALL
+      SELECT * FROM upserts
+    )
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-status count/sum aggregate across the v1→v2
+    MERGE incrementally: aggregate v1 once, then apply ONLY the CDC
+    delta (snapshot_diff pre-image form) through
+    incremental_agg_refresh — zero passes over v2.  The oracle
+    aggregates the v2 content directly, so the incremental algebra is
+    graded against the ground truth it must reproduce.
+
+    Scale shape: the delta is CDC-sized and the refresh join is
+    groups-sized — at 100 TB this is the difference between touching
+    the change stream and re-scanning the table."""
+    from fortymhz_spark.operators.incremental import incremental_agg_refresh
+    from fortymhz_spark.sources.snapshots import snapshot_diff
+
+    table_dir, _ = _merge_table(spark, sf_dir)
+    agg_v1 = (
+        read_snapshot(spark, table_dir, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+    cdc = snapshot_diff(
+        spark, table_dir, ["o_orderkey"], v_from=1, v_to=2,
+        pre_images=True,
+    )
+    refreshed = incremental_agg_refresh(
+        agg_v1,
+        cdc,
+        ["o_orderstatus"],
+        count_col="n_orders",
+        sum_cols={"sum_key": "o_orderkey", "sum_cust": "o_custkey"},
+    )
+    return refreshed.orderBy("o_orderstatus")

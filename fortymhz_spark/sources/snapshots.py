@@ -44,7 +44,7 @@ import tempfile
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
@@ -252,6 +252,7 @@ def snapshot_diff(
     *,
     v_from: int,
     v_to: int | None = None,
+    pre_images: bool = False,
 ) -> DataFrame:
     """Change-data-capture between two published versions: every row
     of ``v_to`` (default: current) whose key is absent from ``v_from``
@@ -261,6 +262,13 @@ def snapshot_diff(
     delete.  The incremental-consumer half of the lakehouse story:
     a downstream pipeline that processed v_from needs exactly this
     frame, not a full re-read, to catch up to v_to.
+
+    ``pre_images=True`` switches updates to the Delta-CDF contract:
+    each updated key emits TWO rows, ``update_preimage`` (the OLD
+    values) and ``update_postimage`` (the NEW values), instead of one
+    ``update`` row.  This is what re-aggregating consumers need — an
+    update can MOVE a row between groups, so the subtract side must
+    carry the old values (see ``operators/incremental.py``).
 
     Implementation is a single full-outer join on the keys with an
     any-column-differs predicate (null-safe: ``<=>`` semantics via
@@ -304,21 +312,31 @@ def snapshot_diff(
     changed = F.lit(False)
     for c in data_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-    change = (
-        F.when(old_any & ~new_any, F.lit("delete"))
-        .when(~old_any & new_any, F.lit("insert"))
-        .when(changed, F.lit("update"))
+    # One struct per side, then ONE array-of-(row, tag) per joined row
+    # exploded in a single pass — the two-row update_preimage/postimage
+    # form must not re-execute the full-outer join twice (Spark does
+    # not CSE across two selects over the same join).
+    old_s = F.struct(*[F.col(f"o.{c}").alias(c) for c in new.columns])
+    new_s = F.struct(*[F.col(f"n.{c}").alias(c) for c in new.columns])
+
+    def tagged(row: Column, tag: str) -> Column:
+        return F.struct(row.alias("r"), F.lit(tag).alias("c"))
+
+    update_arm = (
+        F.array(
+            tagged(old_s, "update_preimage"),
+            tagged(new_s, "update_postimage"),
+        )
+        if pre_images
+        else F.array(tagged(new_s, "update"))
     )
-    out_cols = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
-        if c in key_cols
-        else F.when(new_any, F.col(f"n.{c}"))
-        .otherwise(F.col(f"o.{c}"))
-        .alias(c)
-        for c in new.columns
-    ]
-    return joined.select(*out_cols, change.alias("_change")).filter(
-        F.col("_change").isNotNull()
+    rows = (
+        F.when(old_any & ~new_any, F.array(tagged(old_s, "delete")))
+        .when(~old_any & new_any, F.array(tagged(new_s, "insert")))
+        .when(changed, update_arm)
+    )
+    return joined.select(F.explode(rows).alias("e")).select(
+        "e.r.*", F.col("e.c").alias("_change")
     )
 
 

@@ -82,6 +82,10 @@ SENSITIVE = [
     # span removal: distinct-doc block frequencies + the posexplode/
     # rebuild positions must survive hostile partitioning byte-for-byte
     "q_docs_strip_boilerplate",
+    # incremental maintenance: the signed delta aggregate + full-outer
+    # refresh join must reproduce the direct aggregate at any
+    # partition count
+    "q_snapshot_incremental_agg",
 ]
 
 _QUERIES = all_queries()

@@ -406,3 +406,109 @@ def test_vacuum_never_removes_current_and_validates(spark, table_dir):
     report = vacuum_snapshot(table_dir, keep_last=1)
     assert report == {"expired": [], "orphans": [], "kept": [1]}
     assert read_snapshot(spark, table_dir).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# CDC pre-images + incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _diff_fixture(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k long, grp string, val long",
+    )
+    # 1 unchanged; 2 updated in place; 3 MOVES group b→c; 4 deleted;
+    # 5 inserted into a brand-new group
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 25), (3, "c", 30), (5, "d", 50)],
+        "k long, grp string, val long",
+    )
+    write_snapshot(v1, table_dir)
+    write_snapshot(v2, table_dir)
+    return snapshot_diff
+
+
+def test_snapshot_diff_pre_images_emit_both_update_rows(spark, table_dir):
+    snapshot_diff = _diff_fixture(spark, table_dir)
+    rows = sorted(
+        map(
+            tuple,
+            snapshot_diff(
+                spark, table_dir, ["k"], v_from=1, v_to=2, pre_images=True
+            ).collect(),
+        )
+    )
+    assert rows == [
+        (2, "a", 20, "update_preimage"),
+        (2, "a", 25, "update_postimage"),
+        (3, "b", 30, "update_preimage"),
+        (3, "c", 30, "update_postimage"),
+        (4, "b", 40, "delete"),
+        (5, "d", 50, "insert"),
+    ]
+
+
+def test_incremental_agg_refresh_matches_direct_recompute(spark, table_dir):
+    from fortymhz_spark.operators.incremental import incremental_agg_refresh
+    from fortymhz_spark.sources.snapshots import snapshot_diff as sd
+
+    _diff_fixture(spark, table_dir)
+    agg_v1 = (
+        read_snapshot(spark, table_dir, version=1)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+    )
+    cdc = sd(spark, table_dir, ["k"], v_from=1, v_to=2, pre_images=True)
+    got = sorted(
+        map(
+            tuple,
+            incremental_agg_refresh(
+                agg_v1, cdc, ["grp"], sum_cols={"sum_val": "val"}
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            read_snapshot(spark, table_dir, version=2)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .collect(),
+        )
+    )
+    # group 'b' died (move + delete), 'c' and 'd' were born — the
+    # refreshed aggregate must equal a from-scratch v2 aggregate
+    assert got == want
+    assert {g for g, *_ in got} == {"a", "c", "d"}
+
+
+def test_incremental_agg_refresh_rejects_postimage_only_cdc(
+    spark, table_dir
+):
+    from fortymhz_spark.operators.incremental import incremental_agg_refresh
+    from fortymhz_spark.sources.snapshots import snapshot_diff as sd
+
+    _diff_fixture(spark, table_dir)
+    agg_v1 = (
+        read_snapshot(spark, table_dir, version=1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    plain = sd(spark, table_dir, ["k"], v_from=1, v_to=2)  # no pre-images
+    with pytest.raises(ValueError, match="update"):
+        incremental_agg_refresh(agg_v1, plain, ["grp"])
+    with pytest.raises(ValueError, match="group_cols"):
+        incremental_agg_refresh(agg_v1, plain, [])
+    with pytest.raises(ValueError, match="lacks columns"):
+        incremental_agg_refresh(
+            agg_v1, plain, ["grp"], sum_cols={"missing_out": "val"}
+        )
