@@ -138,6 +138,8 @@ HEADLINE = [
     "q_docs_strip_boilerplate",
     # incremental view maintenance: CDC delta + groups-sized join only
     "q_snapshot_incremental_agg",
+    # hybrid retrieval: BM25 scan + cosine scan + integer-RRF fusion
+    "q_docs_hybrid_search",
 ]
 
 

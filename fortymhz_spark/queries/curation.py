@@ -1317,3 +1317,103 @@ def q_docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_removed_blocks", "clean_text"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (operators/retrieval.py::rrf_fuse): fuse the
+# registered BM25 top-20 (lexical) with a cosine top-20 against a
+# fixed query vector (embeddings vec_id 0, treated as the query's
+# embedding; doc ids and vec ids share the id space by fixture
+# construction).  Integer reciprocal-rank fusion — floor(scale/(k+r))
+# in exact BIGINT — keeps the fused scores engine-portable; the
+# oracle replays BOTH retrievers (the bm25 oracle verbatim as a
+# subquery + the cosine chain) and the fusion arithmetic.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_SCALE = 720720
+
+
+def _hybrid_oracle() -> str:
+    from fortymhz_spark.queries.llm import ORACLE as _LLM_ORACLE
+
+    bm25 = _LLM_ORACLE["q_search_bm25"]
+    return f"""
+    WITH lrank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM ({bm25})
+    ),
+    vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vscore AS (
+      SELECT e.vec_id AS doc_id,
+             {_SQL_DOT.format(a='vq.qv', b='e.embedding')}
+               / ({_SQL_NORM.format(a='vq.qv')}
+                  * {_SQL_NORM.format(a='e.embedding')}) AS cos
+      FROM embeddings e CROSS JOIN vq
+      WHERE e.vec_id <> 0
+    ),
+    vrank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+      FROM vscore ORDER BY cos DESC, doc_id LIMIT 20
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(FLOOR({_RRF_SCALE} / ({_RRF_K} + rank)) AS BIGINT) AS c
+      FROM lrank
+      UNION ALL
+      SELECT doc_id,
+             CAST(FLOOR({_RRF_SCALE} / ({_RRF_K} + rank)) AS BIGINT) AS c
+      FROM vrank
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS rrf_q,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY rrf_q DESC, doc_id
+    LIMIT 20
+    """
+
+
+@reg.query("q_docs_hybrid_search", oracle=_hybrid_oracle())
+def q_docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search end to end: the registered BM25 query's top-20
+    (lexical list) fused with a cosine top-20 against the fixed query
+    vector via integer RRF (operators/retrieval.py); returns the
+    fused top-20 with per-doc fused score and list-membership count.
+
+    Scale shape: each retriever bounds its list FIRST
+    (TakeOrderedAndProject), ranks are assigned over those ≤20 rows,
+    and fusion unions lists × 20 rows — the corpus is scanned once
+    per retriever, never by the fusion."""
+    from fortymhz_spark.functions.vectors import cosine_similarity
+    from fortymhz_spark.operators.retrieval import rrf_fuse
+    from fortymhz_spark.queries.llm import q_search_bm25
+
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        q_search_bm25(spark, sf_dir)  # already top-20 (score, doc_id)
+        .withColumn("rank", F.row_number().over(w_lex))
+        .select("doc_id", "rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()
+    if qv is None:
+        raise ValueError("embeddings fixture lacks vec_id 0")
+    qlit = F.lit([float(x) for x in qv["embedding"]])
+    w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(qlit, F.col("embedding")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w_vec))
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex, vec], k=_RRF_K, scale=_RRF_SCALE)
+    return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(20)

@@ -250,3 +250,40 @@ def test_strip_crossdoc_blocks_partition_invariant_and_validates(spark):
         tx.strip_crossdoc_blocks(docs, block_tokens=0)
     with _pytest.raises(ValueError, match="max_df"):
         tx.strip_crossdoc_blocks(docs, max_df=0)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_pure_python_and_validates(spark):
+    from fortymhz_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_q"], r["n_lists"])
+        for r in rrf_fuse([lex, vec], k=60, scale=720720).collect()
+    }
+    c = lambda r: 720720 // (60 + r)
+    assert got == {
+        10: (c(1) + c(3), 2),
+        20: (c(2) + c(1), 2),
+        30: (c(3), 1),
+        40: (c(2), 1),
+    }
+    # docs in both lists outrank the single-list docs; among singles
+    # the better rank (40 at rank 2) beats the worse (30 at rank 3)
+    order = sorted(got, key=lambda d: (-got[d][0], d))
+    assert order == [20, 10, 40, 30]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([lex], k=0)
+    with pytest.raises(ValueError, match="scale"):
+        rrf_fuse([lex], scale=0)

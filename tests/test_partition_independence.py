@@ -86,6 +86,9 @@ SENSITIVE = [
     # refresh join must reproduce the direct aggregate at any
     # partition count
     "q_snapshot_incremental_agg",
+    # hybrid retrieval: both retrievers' float score chains + global
+    # top-20 ranks + the fusion aggregate must be partition-invariant
+    "q_docs_hybrid_search",
 ]
 
 _QUERIES = all_queries()
