@@ -268,3 +268,91 @@ def start_partition_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _last_stream_batch(table_dir: str) -> int:
+    """Highest micro-batch id already committed to a snapshot table
+    by :func:`start_snapshot_sink` (-1 when none) — read from the
+    version notes, O(versions) manifest work, no data files touched."""
+    import re as _re
+
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    last = -1
+    try:
+        versions = snapshot_versions(table_dir)
+    except FileNotFoundError:
+        return last
+    for meta in versions:
+        m = _re.match(r"stream batch=(\d+)\b", str(meta.get("note", "")))
+        if m:
+            last = max(last, int(m.group(1)))
+    return last
+
+
+def start_snapshot_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    mode: str = "append",
+    key_cols: list[str] | None = None,
+    delete_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream INTO the versioned snapshot table: every non-empty
+    micro-batch publishes a new version through the atomic manifest
+    swap — ``mode="append"`` writes the batch as-is
+    (``write_snapshot``), ``mode="merge"`` applies it as a keyed
+    upsert/delete batch (``merge_snapshot`` with ``key_cols`` /
+    ``delete_col``).  Downstream consumers get time travel, CDC
+    (``snapshot_diff``) and incremental view maintenance over a LIVE
+    ingest — the streaming half of the lakehouse story.
+
+    Exactly-once: Structured Streaming's checkpoint re-delivers the
+    in-flight batch after a crash (at-least-once), so each version's
+    note records its micro-batch id and the sink SKIPS any batch id
+    ≤ the highest already committed — replays become no-ops instead
+    of duplicate versions.  The id check is O(versions) manifest
+    work; the manifest swap itself is the publish point, so a crash
+    between data write and swap leaves only an invisible orphan
+    directory (GC'd by ``vacuum_snapshot``).
+
+    Scale shape: per-trigger cost is the batch write plus (for merge)
+    the anti-join against the current version — identical to the
+    batch-side operators; nothing accumulates in the driver.
+    """
+    if mode not in ("append", "merge"):
+        raise ValueError(f"mode must be 'append' or 'merge', got {mode!r}")
+    if mode == "merge" and not key_cols:
+        raise ValueError("mode='merge' requires key_cols")
+
+    from fortymhz_spark.sources.snapshots import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        if batch_id <= _last_stream_batch(table_dir):
+            return  # checkpoint replay of an already-published batch
+        note = f"stream batch={batch_id}"
+        if mode == "append":
+            write_snapshot(batch_df, table_dir, note=note)
+        else:
+            merge_snapshot(
+                batch_df.sparkSession,
+                table_dir,
+                batch_df,
+                list(key_cols),
+                delete_col=delete_col,
+                note=note,
+            )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -902,3 +902,98 @@ def test_partition_upsert_sink_null_keys_neither_lost_nor_duplicated(
         key=str,
     )
     assert got == want
+
+
+def test_snapshot_sink_appends_versions_and_skips_replays(spark, tmp_path):
+    """Stream → versioned snapshot table: each micro-batch publishes a
+    version through the manifest swap, and a restart with the same
+    checkpoint (plus the batch-id-in-note guard) publishes nothing new
+    — the union of versions equals the input exactly once."""
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_snapshot_sink
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts").limit(200)
+    a = ev.limit(100)
+    b = ev.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    time.sleep(0.05)
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    table = str(tmp_path / "snap_tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = file_stream(
+            spark, str(src / "*"), EVENTS, max_files_per_trigger=1
+        )
+        q = start_snapshot_sink(stream, table, ckpt, mode="append")
+        q.awaitTermination(120)
+
+    run_once()
+    versions = snapshot_versions(table)
+    assert len(versions) == 2
+    assert [m["note"] for m in versions] == [
+        "stream batch=0",
+        "stream batch=1",
+    ]
+    # union of all versions == the staged input, exactly once
+    v_all = read_snapshot(spark, table, version=1).unionByName(
+        read_snapshot(spark, table, version=2)
+    )
+    assert v_all.count() == 200
+    assert v_all.distinct().count() == ev.distinct().count()
+    # restart with the same checkpoint: no new data → no new versions
+    run_once()
+    assert len(snapshot_versions(table)) == 2
+
+
+def test_snapshot_sink_merge_mode_upserts_by_key(spark, tmp_path):
+    """mode='merge': later batches replace earlier rows by key, so the
+    current version is the LAST value per key and time travel still
+    shows the pre-merge state."""
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_snapshot_sink
+
+    src = tmp_path / "kv"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    table = str(tmp_path / "kv_tbl")
+    stream = file_stream(
+        spark, str(src / "*"), "k long, v string", max_files_per_trigger=1
+    )
+    q = start_snapshot_sink(
+        stream, table, str(tmp_path / "kv_ckpt"), mode="merge",
+        key_cols=["k"],
+    )
+    q.awaitTermination(120)
+
+    assert len(snapshot_versions(table)) == 2
+    cur = {
+        r["k"]: r["v"] for r in read_snapshot(spark, table).collect()
+    }
+    assert cur == {1: "a", 2: "B", 3: "c", 4: "d"}
+    v1 = {
+        r["k"]: r["v"]
+        for r in read_snapshot(spark, table, version=1).collect()
+    }
+    assert v1 == {1: "a", 2: "b", 3: "c"}
+
+    with pytest.raises(ValueError, match="key_cols"):
+        start_snapshot_sink(stream, table, "x", mode="merge")
+    with pytest.raises(ValueError, match="mode"):
+        start_snapshot_sink(stream, table, "x", mode="overwrite")
