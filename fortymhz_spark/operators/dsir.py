@@ -56,14 +56,14 @@ __all__ = [
 
 
 def _tokens(text_col: Column | str) -> Column:
-    """Lowercase single-space tokens, empties dropped — the repo-wide
-    convention (operators/text.py, operators/bpe.py::word_counts), so
-    DSIR features line up with every other text operator."""
+    """Lowercase single-space tokens, empties dropped — COMPOSED from
+    the repo-wide helper (operators/text.py::tokens) rather than
+    re-stated, so a change to the token convention can never make
+    DSIR features silently diverge from the other text operators."""
+    from fortymhz_spark.operators.text import tokens as _text_tokens
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(
-        F.split(F.lower(F.coalesce(c, F.lit(""))), " "),
-        lambda x: x != "",
-    )
+    return _text_tokens(F.lower(F.coalesce(c, F.lit(""))))
 
 
 def _portable_bucket(gram: Column, n_buckets: int) -> Column:
@@ -133,8 +133,42 @@ def _bucket_counts(
     return {int(r["b"]): int(r["n"]) for r in rows}
 
 
+def _bucket_counts_fused(
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    is_target: Column,
+    *,
+    bigrams: bool,
+) -> tuple[dict[int, int], dict[int, int]]:
+    """(target counts, raw counts) from ONE corpus pass — the form for
+    the common case where the target is a predicate slice of the raw
+    corpus: a conditional sum alongside the raw count means the
+    tokenize+hash+explode pipeline (the fit's whole cost at scale)
+    runs once instead of twice."""
+    rows = (
+        raw.select(
+            F.coalesce(is_target, F.lit(False)).alias("__t__"),
+            F.explode(
+                hashed_gram_buckets(text_col, n_buckets, bigrams=bigrams)
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("__t__"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+        )
+        .collect()
+    )
+    t_cnt = {int(r["b"]): int(r["n_t"]) for r in rows if r["n_t"]}
+    r_cnt = {int(r["b"]): int(r["n_raw"]) for r in rows}
+    return t_cnt, r_cnt
+
+
 def dsir_fit_weights(
-    target: DataFrame,
+    target: DataFrame | Column,
     raw: DataFrame,
     *,
     text_col: str = "text",
@@ -146,10 +180,19 @@ def dsir_fit_weights(
     formula) as a plain Python list — exact BIGINT arithmetic, ready
     to ride a single ``F.lit`` into :func:`dsir_score`.
 
-    Driver traffic is 2 × n_buckets ints in, n_buckets ints out —
-    independent of corpus size."""
-    t_cnt = _bucket_counts(target, text_col, n_buckets, bigrams=bigrams)
-    r_cnt = _bucket_counts(raw, text_col, n_buckets, bigrams=bigrams)
+    ``target`` is either a separate DataFrame (general case: two fit
+    passes) or a boolean Column PREDICATE over ``raw`` (the common
+    target-is-a-slice case: one fused pass with a conditional sum —
+    half the fit cost, identical counts).  Driver traffic is
+    ≤ 2 × n_buckets ints in, n_buckets ints out — independent of
+    corpus size."""
+    if isinstance(target, Column):
+        t_cnt, r_cnt = _bucket_counts_fused(
+            raw, text_col, n_buckets, target, bigrams=bigrams
+        )
+    else:
+        t_cnt = _bucket_counts(target, text_col, n_buckets, bigrams=bigrams)
+        r_cnt = _bucket_counts(raw, text_col, n_buckets, bigrams=bigrams)
     t_tot = sum(t_cnt.values()) + n_buckets
     r_tot = sum(r_cnt.values()) + n_buckets
     return [
@@ -186,7 +229,7 @@ def dsir_score(
 
 def dsir_select(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     n_keep: int,
     *,
     id_col: str = "doc_id",
@@ -197,7 +240,9 @@ def dsir_select(
 ) -> DataFrame:
     """Fit on (target, docs), score docs, keep the ``n_keep``
     highest-weighted (ties → lowest id; deterministic) — DSIR's
-    temperature→0 selection.  The plan is fit-aggregates →
+    temperature→0 selection.  ``target`` may be a boolean Column
+    predicate over ``docs`` for the one-pass fused fit (see
+    :func:`dsir_fit_weights`).  The plan is fit-aggregate(s) →
     map-only score → ``TakeOrderedAndProject`` (k rows to the
     driver-side sink, never a full sort).  For the paper's sampled
     variant use :func:`gumbel_topk_select` on the scored frame."""

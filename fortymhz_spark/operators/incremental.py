@@ -55,9 +55,10 @@ def incremental_agg_refresh(
     ``snapshot_diff(pre_images=True)`` vocabulary.  Groups whose
     refreshed count reaches zero are dropped (they no longer exist in
     the base table); groups born in the delta appear.  Plain
-    ``'update'`` rows are rejected — they carry only post-image
-    values, so applying them silently corrupts sums (see module
-    docstring)."""
+    ``'update'`` rows — and NULL/foreign ``_change`` values — are
+    rejected IN-PLAN (``raise_error`` at execution): they carry only
+    post-image values, so applying them silently corrupts sums (see
+    module docstring)."""
     if not group_cols:
         raise ValueError("incremental_agg_refresh needs group_cols")
     sum_cols = dict(sum_cols or {})
@@ -71,25 +72,30 @@ def incremental_agg_refresh(
             f"materialized aggregate lacks columns {missing} "
             f"(has {sorted(materialized.columns)})"
         )
-    # One bounded aggregate guards the CDC vocabulary: a plain
-    # 'update' row (no pre-image) cannot be applied correctly.
-    bad = (
-        cdc.filter(~F.col(change_col).isin(*_PLUS, *_MINUS))
-        .select(change_col)
-        .distinct()
-        .limit(5)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            "incremental_agg_refresh: unsupported _change values "
-            f"{sorted(r[change_col] for r in bad)} — produce the delta "
-            "with snapshot_diff(pre_images=True)"
-        )
+    # The vocabulary guard is IN-PLAN (raise_error on any row that is
+    # neither a plus nor a minus arm, including NULL): a plain
+    # 'update' row (no pre-image) cannot be applied correctly, and a
+    # driver-side pre-check would execute the whole CDC plan a second
+    # time — snapshot_diff's full-outer join is the refresh's dominant
+    # cost, and Spark does not CSE across actions.
     sign = (
-        F.when(F.col(change_col).isin(*_PLUS), F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
+        F.when(F.col(change_col).isin(*_PLUS), F.lit(1).cast("long"))
+        .when(F.col(change_col).isin(*_MINUS), F.lit(-1).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_agg_refresh: unsupported "
+                        f"{change_col} value '"
+                    ),
+                    F.coalesce(F.col(change_col), F.lit("NULL")),
+                    F.lit(
+                        "' — produce the delta with "
+                        "snapshot_diff(pre_images=True)"
+                    ),
+                )
+            ).cast("long")
+        )
     )
     delta = cdc.groupBy(*group_cols).agg(
         F.sum(sign).alias("__dn__"),

@@ -144,7 +144,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
 
 # Driver-green rows that sit OUTSIDE the round-5 gate: the 40
 # round-4-green rows whose code is unchanged since their grading and
-# the 24 round-3 greens (the 6 deferred round-2 rows are tracked
+# the 24 round-3 greens (the 10 deferred round-2 rows are tracked
 # above).  The registry asserts
 # graded-green ∪ gate ∪ deferred == all registered queries.
 PREVIOUSLY_GREEN: tuple[str, ...] = (

@@ -1241,9 +1241,9 @@ def q_docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    target = docs.filter(F.col("lang") == "en")
+    # predicate target → ONE fused fit pass (conditional sum), not two
     sel = dsir.dsir_select(
-        docs, target, 100, n_buckets=_DSIR_NB,
+        docs, F.col("lang") == "en", 100, n_buckets=_DSIR_NB,
     )
     return sel.select("doc_id", "lang", "dsir_q")
 

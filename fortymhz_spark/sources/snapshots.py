@@ -68,13 +68,21 @@ def write_snapshot(
     *,
     partition_by: list[str] | None = None,
     note: str = "",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Publish ``df`` as the next version of ``table_dir`` and return
     the new version number.  The data write happens entirely inside an
     unpublished ``v=N`` directory; publication is the atomic manifest
     swap at the end — a reader racing this call resolves either the
     previous version or the complete new one.
-    """
+
+    ``txn=(app_id, version)`` records an idempotence high-water mark
+    in the manifest's ``stream_txn`` map IN THE SAME atomic swap (the
+    Delta txnAppId/txnVersion idea): the mark and the data version
+    become visible together, so a writer that crashes between them
+    cannot exist, and the mark survives compaction and VACUUM (which
+    touch only the versions map).  Used by
+    ``streaming/sinks.py::start_snapshot_sink``."""
     os.makedirs(table_dir, exist_ok=True)
     manifest = _load_manifest(table_dir)
     # Version allocation skips ORPHAN directories (a writer that died
@@ -107,6 +115,8 @@ def write_snapshot(
         "note": note,
     }
     manifest["current"] = version
+    if txn is not None:
+        manifest.setdefault("stream_txn", {})[str(txn[0])] = int(txn[1])
 
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
     try:
@@ -147,6 +157,7 @@ def merge_snapshot(
     *,
     delete_col: str | None = None,
     note: str = "",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Row-level MERGE published as a NEW snapshot version — the
     missing half of the lakehouse story between :func:`write_snapshot`
@@ -242,6 +253,7 @@ def merge_snapshot(
         table_dir,
         partition_by=partition_by or None,
         note=note or f"merge on {key_cols}",
+        txn=txn,
     )
 
 
@@ -399,7 +411,10 @@ def vacuum_snapshot(
     rule — a reader that resolved the manifest just before the vacuum
     may still be scanning a version's files, so production retention
     must exceed the longest-running reader; 0 is for tests and
-    single-process pipelines).
+    single-process pipelines).  Orphan directories honor the SAME
+    window via directory mtime: an unpublished ``v=N`` younger than
+    ``min_age_s`` may be an in-flight writer between data write and
+    manifest swap, not a dead one, and is left alone.
 
     Protocol order is UNPUBLISH-THEN-DELETE: the manifest without the
     expired entries is swapped in atomically FIRST, so any reader
@@ -435,7 +450,26 @@ def vacuum_snapshot(
         and d.startswith("v=")
         and d[2:].isdigit()
     ] if os.path.isdir(table_dir) else []
-    orphans = [v for v in on_disk if str(v) not in manifest["versions"]]
+
+    def _old_enough(v: int) -> bool:
+        # an unpublished v=N directory may be an IN-FLIGHT writer
+        # (data written, manifest swap pending — minutes on a large
+        # batch), not a dead one; only directories older than the
+        # retention window are safely dead (same contract as version
+        # expiry: production retention must exceed the longest
+        # writer/reader).
+        try:
+            return (
+                now - os.path.getmtime(os.path.join(table_dir, f"v={v}"))
+                >= min_age_s
+            )
+        except OSError:
+            return False
+    orphans = [
+        v
+        for v in on_disk
+        if str(v) not in manifest["versions"] and _old_enough(v)
+    ]
     report = {
         "expired": expired,
         "orphans": sorted(orphans),

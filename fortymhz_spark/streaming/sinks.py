@@ -8,6 +8,7 @@ notebook's per-partition pandas materialization,
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -270,24 +271,20 @@ def start_partition_upsert_sink(
     return writer.start()
 
 
-def _last_stream_batch(table_dir: str) -> int:
-    """Highest micro-batch id already committed to a snapshot table
-    by :func:`start_snapshot_sink` (-1 when none) — read from the
-    version notes, O(versions) manifest work, no data files touched."""
-    import re as _re
+def _last_stream_batch(table_dir: str, txn_id: str) -> int:
+    """Highest micro-batch id this WRITER (``txn_id``) has committed
+    to the snapshot table (-1 when none) — read from the manifest's
+    ``stream_txn`` map, which ``write_snapshot(txn=...)`` updates in
+    the same atomic swap that publishes the data.  Keyed per writer so
+    a different query (different checkpoint → different txn id) never
+    has its batch 0..N silently dropped by another writer's history;
+    stored in the manifest itself — not in expirable version notes —
+    so compaction and VACUUM cannot erase the mark and reopen the
+    replay window."""
+    from fortymhz_spark.sources.snapshots import _load_manifest
 
-    from fortymhz_spark.sources.snapshots import snapshot_versions
-
-    last = -1
-    try:
-        versions = snapshot_versions(table_dir)
-    except FileNotFoundError:
-        return last
-    for meta in versions:
-        m = _re.match(r"stream batch=(\d+)\b", str(meta.get("note", "")))
-        if m:
-            last = max(last, int(m.group(1)))
-    return last
+    manifest = _load_manifest(table_dir)
+    return int(manifest.get("stream_txn", {}).get(str(txn_id), -1))
 
 
 def start_snapshot_sink(
@@ -299,6 +296,7 @@ def start_snapshot_sink(
     key_cols: list[str] | None = None,
     delete_col: str | None = None,
     available_now: bool = True,
+    txn_id: str | None = None,
 ) -> StreamingQuery:
     """Stream INTO the versioned snapshot table: every non-empty
     micro-batch publishes a new version through the atomic manifest
@@ -310,13 +308,19 @@ def start_snapshot_sink(
     ingest — the streaming half of the lakehouse story.
 
     Exactly-once: Structured Streaming's checkpoint re-delivers the
-    in-flight batch after a crash (at-least-once), so each version's
-    note records its micro-batch id and the sink SKIPS any batch id
-    ≤ the highest already committed — replays become no-ops instead
-    of duplicate versions.  The id check is O(versions) manifest
-    work; the manifest swap itself is the publish point, so a crash
-    between data write and swap leaves only an invisible orphan
-    directory (GC'd by ``vacuum_snapshot``).
+    in-flight batch after a crash (at-least-once), so the sink
+    records a ``(txn_id, batch_id)`` high-water mark IN the manifest
+    — same atomic swap as the data (the Delta txnAppId/txnVersion
+    idea) — and SKIPS any batch id ≤ the mark.  Replays become
+    no-ops; the mark is per-writer (``txn_id`` defaults to the
+    absolute checkpoint path), so a DIFFERENT query appending to the
+    same table restarts its own numbering without being dropped; and
+    it lives in the manifest proper, so compaction and VACUUM cannot
+    erase it.  Deleting a checkpoint to REPROCESS from scratch is the
+    one case the default cannot distinguish from a replay (neither
+    can Delta) — pass a fresh ``txn_id`` for that.  A crash between
+    data write and swap leaves only an invisible orphan directory
+    (GC'd by ``vacuum_snapshot`` after its retention window).
 
     Scale shape: per-trigger cost is the batch write plus (for merge)
     the anti-join against the current version — identical to the
@@ -326,6 +330,7 @@ def start_snapshot_sink(
         raise ValueError(f"mode must be 'append' or 'merge', got {mode!r}")
     if mode == "merge" and not key_cols:
         raise ValueError("mode='merge' requires key_cols")
+    app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
 
     from fortymhz_spark.sources.snapshots import (
         merge_snapshot,
@@ -335,11 +340,13 @@ def start_snapshot_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
             return
-        if batch_id <= _last_stream_batch(table_dir):
+        if batch_id <= _last_stream_batch(table_dir, app_id):
             return  # checkpoint replay of an already-published batch
         note = f"stream batch={batch_id}"
         if mode == "append":
-            write_snapshot(batch_df, table_dir, note=note)
+            write_snapshot(
+                batch_df, table_dir, note=note, txn=(app_id, batch_id)
+            )
         else:
             merge_snapshot(
                 batch_df.sparkSession,
@@ -348,6 +355,7 @@ def start_snapshot_sink(
                 list(key_cols),
                 delete_col=delete_col,
                 note=note,
+                txn=(app_id, batch_id),
             )
 
     writer = df.writeStream.foreachBatch(write_batch).option(

@@ -82,6 +82,12 @@ def test_fit_weights_match_pure_python(spark):
         NB,
     )
     assert got == want
+    # the fused one-pass form (predicate target) must produce the
+    # IDENTICAL weight table
+    fused = dsir.dsir_fit_weights(
+        F.col("lang") == "en", docs, text_col="text", n_buckets=NB
+    )
+    assert fused == want
 
 
 def test_scores_match_pure_python_and_empty_docs_score_zero(spark):

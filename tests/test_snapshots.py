@@ -504,11 +504,60 @@ def test_incremental_agg_refresh_rejects_postimage_only_cdc(
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     plain = sd(spark, table_dir, ["k"], v_from=1, v_to=2)  # no pre-images
-    with pytest.raises(ValueError, match="update"):
-        incremental_agg_refresh(agg_v1, plain, ["grp"])
+    # the vocabulary guard is IN-PLAN (no second execution of the CDC
+    # join), so the rejection surfaces when the refresh executes
+    with pytest.raises(Exception, match="unsupported _change"):
+        incremental_agg_refresh(agg_v1, plain, ["grp"]).collect()
+    # NULL _change must hit the same guard, not be applied as a delete
+    nulled = plain.withColumn(
+        "_change",
+        F.when(F.col("_change") == "insert", F.lit(None)).otherwise(
+            F.col("_change")
+        ),
+    )
+    with pytest.raises(Exception, match="unsupported _change"):
+        incremental_agg_refresh(agg_v1, nulled, ["grp"]).collect()
     with pytest.raises(ValueError, match="group_cols"):
         incremental_agg_refresh(agg_v1, plain, [])
     with pytest.raises(ValueError, match="lacks columns"):
         incremental_agg_refresh(
             agg_v1, plain, ["grp"], sum_cols={"missing_out": "val"}
         )
+
+
+def test_txn_mark_is_per_writer_and_survives_compact_and_vacuum(
+    spark, table_dir
+):
+    from fortymhz_spark.sources.snapshots import (
+        compact_snapshot,
+        vacuum_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import _last_stream_batch
+
+    write_snapshot(spark.range(5), table_dir, txn=("writerA", 5))
+    # per-writer isolation: writer B sees no mark from writer A
+    assert _last_stream_batch(table_dir, "writerA") == 5
+    assert _last_stream_batch(table_dir, "writerB") == -1
+    # the mark lives in the manifest proper, so maintenance that
+    # rewrites/expires versions (compact + vacuum) cannot erase it
+    compact_snapshot(spark, table_dir, target_files=1)
+    vacuum_snapshot(table_dir, keep_last=1)
+    assert _last_stream_batch(table_dir, "writerA") == 5
+
+
+def test_vacuum_spares_young_orphans(spark, table_dir):
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    write_snapshot(spark.range(3), table_dir)
+    # a just-created unpublished directory could be an IN-FLIGHT
+    # writer between data write and manifest swap — with a retention
+    # window it must be left alone, not GC'd as dead
+    orphan = os.path.join(table_dir, "v=9")
+    os.makedirs(orphan)
+    report = vacuum_snapshot(table_dir, keep_last=1, min_age_s=3600)
+    assert report["orphans"] == []
+    assert os.path.exists(orphan)
+    # outside the window it is dead and collected
+    report = vacuum_snapshot(table_dir, keep_last=1, min_age_s=0)
+    assert report["orphans"] == [9]
+    assert not os.path.exists(orphan)

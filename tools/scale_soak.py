@@ -256,7 +256,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             "dsir_select",
             lambda: dsir_ops.dsir_select(
                 docs,
-                docs.filter(F.col("lang") == "en"),
+                F.col("lang") == "en",  # predicate → one fused fit pass
                 100,
                 n_buckets=1024,
             ).count(),
