@@ -69,12 +69,25 @@ def write_snapshot(
     partition_by: list[str] | None = None,
     note: str = "",
     txn: tuple[str, int] | None = None,
+    checks: dict[str, Column] | None = None,
 ) -> int:
     """Publish ``df`` as the next version of ``table_dir`` and return
     the new version number.  The data write happens entirely inside an
     unpublished ``v=N`` directory; publication is the atomic manifest
     swap at the end — a reader racing this call resolves either the
     previous version or the complete new one.
+
+    ``checks={name: boolean Column}`` are CHECK constraints (the
+    Delta idea): every row of the version must satisfy every
+    expression or the publish is ABORTED — the data directory is
+    removed, the manifest untouched, and a ValueError names each
+    violated check with its row count.  Validation rides the SAME
+    read-back pass that counts the written files (one fused
+    aggregate, no extra scan), and because it runs before the swap a
+    failed batch is simply invisible — no reader can ever observe a
+    constraint-violating version.  NULL check results PASS (the SQL
+    CHECK convention); add ``isNotNull`` to a check to be
+    NULL-strict.
 
     ``txn=(app_id, version)`` records an idempotence high-water mark
     in the manifest's ``stream_txn`` map IN THE SAME atomic swap (the
@@ -105,8 +118,41 @@ def write_snapshot(
 
     # Row count from the files just written (one footer-level count
     # scan), not from re-executing ``df``'s plan — re-execution could
-    # be expensive and, for non-deterministic plans, wrong.
-    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    # be expensive and, for non-deterministic plans, wrong.  CHECK
+    # constraints fuse into this same pass.
+    back = df.sparkSession.read.parquet(data_dir)
+    if checks:
+        names = list(checks)
+        row = back.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[
+                F.sum(
+                    F.when(
+                        checks[name].eqNullSafe(F.lit(False)), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__bad_{i}__")
+                for i, name in enumerate(names)
+            ],
+        ).first()
+        n_rows = int(row["__n__"]) if row is not None else 0
+        violated = {
+            name: int(row[f"__bad_{i}__"] or 0)
+            for i, name in enumerate(names)
+            if row is not None and int(row[f"__bad_{i}__"] or 0) > 0
+        }
+        if violated:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            detail = ", ".join(
+                f"{name} ({n} rows)" for name, n in violated.items()
+            )
+            raise ValueError(
+                f"write_snapshot: CHECK constraint(s) violated — "
+                f"{detail}; version NOT published"
+            )
+    else:
+        n_rows = back.count()
     manifest["versions"][str(version)] = {
         "created_unix": time.time(),
         "rows": n_rows,
@@ -357,6 +403,8 @@ def compact_snapshot(
     table_dir: str,
     *,
     target_files: int | None = None,
+    zorder_by: list[tuple[str, float, float]] | None = None,
+    zorder_bits: int = 16,
     note: str = "",
 ) -> int:
     """OPTIMIZE: republish the current version's CONTENT in
@@ -366,7 +414,17 @@ def compact_snapshot(
     data is byte-identical row-wise (pinned by test); only the file
     layout changes, and time travel to the fragmented version keeps
     working.  Uses coalesce (no shuffle) when shrinking file count,
-    repartition otherwise."""
+    repartition otherwise.
+
+    ``zorder_by=[(col, lo, hi), ...]`` is OPTIMIZE ZORDER: the rewrite
+    range-partitions and sorts by the Morton key over the declared
+    bounds (``operators/partitioning.py::zorder_key``) so every listed
+    column's parquet min/max file ranges tighten simultaneously —
+    multi-dimensional data skipping on the compacted version (the
+    pruning win is asserted as a file-count ratio in
+    tests/test_partitioning.py for the key itself).  One extra range
+    exchange vs plain compaction; the key is pure column arithmetic,
+    no data scan to 'learn' the layout."""
     if target_files is not None and target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     manifest = _load_manifest(table_dir)
@@ -379,17 +437,39 @@ def compact_snapshot(
         target_files = max(
             1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
         )
-    n_now = len(df.inputFiles())
-    out = (
-        df.coalesce(target_files)
-        if target_files <= max(n_now, 1)
-        else df.repartition(target_files)
-    )
+    if zorder_by:
+        from fortymhz_spark.operators.partitioning import zorder_key
+
+        missing = [c for c, _, _ in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"zorder_by columns {missing} absent from the table "
+                f"(has {sorted(df.columns)})"
+            )
+        key = zorder_key(list(zorder_by), bits=zorder_bits)
+        out = (
+            df.withColumn("__zk__", key)
+            .repartitionByRange(target_files, "__zk__")
+            .sortWithinPartitions("__zk__")
+            .drop("__zk__")
+        )
+        zcols = [c for c, _, _ in zorder_by]
+        default_note = (
+            f"compact v{current} -> {target_files} files, zorder {zcols}"
+        )
+    else:
+        n_now = len(df.inputFiles())
+        out = (
+            df.coalesce(target_files)
+            if target_files <= max(n_now, 1)
+            else df.repartition(target_files)
+        )
+        default_note = f"compact v{current} -> {target_files} files"
     return write_snapshot(
         out,
         table_dir,
         partition_by=list(meta.get("partition_by", [])) or None,
-        note=note or f"compact v{current} -> {target_files} files",
+        note=note or default_note,
     )
 
 

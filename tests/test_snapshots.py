@@ -561,3 +561,84 @@ def test_vacuum_spares_young_orphans(spark, table_dir):
     report = vacuum_snapshot(table_dir, keep_last=1, min_age_s=0)
     assert report["orphans"] == [9]
     assert not os.path.exists(orphan)
+
+
+def test_write_snapshot_check_constraints(spark, table_dir):
+    """CHECK constraints gate the publish: a violating batch is
+    aborted (no version, no orphan data), a passing one publishes,
+    and NULL check results pass per the SQL convention."""
+    ok = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k int, v int"
+    )
+    v = write_snapshot(
+        ok,
+        table_dir,
+        checks={"v_positive": F.col("v") > 0, "k_not_null": F.col("k").isNotNull()},
+    )
+    assert v == 1  # NULL v passes v_positive (SQL CHECK convention)
+    bad = spark.createDataFrame([(4, -5), (5, 50), (None, 6)], "k int, v int")
+    with pytest.raises(ValueError, match=r"v_positive \(1 rows\)"):
+        write_snapshot(
+            bad,
+            table_dir,
+            checks={
+                "v_positive": F.col("v") > 0,
+                "k_not_null": F.col("k").isNotNull(),
+            },
+        )
+    # aborted: no new version, and the failed data dir is gone
+    assert [m["version"] for m in snapshot_versions(table_dir)] == [1]
+    assert not os.path.exists(os.path.join(table_dir, "v=2"))
+    # the failed attempt must not wedge allocation
+    assert write_snapshot(spark.range(2), table_dir) == 2
+
+
+def test_compact_snapshot_zorder_clusters_files(spark, table_dir):
+    """OPTIMIZE ZORDER: the compacted version holds identical rows and
+    its per-file ranges are tightened on BOTH z-columns — a box
+    predicate touches fewer files than on the unclustered layout."""
+    from fortymhz_spark.sources.snapshots import compact_snapshot
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("double") / n)
+        .withColumn("y", (F.col("id") * 40503 % n).cast("double") / n)
+    )
+    # fragmented, randomly-clustered initial layout
+    write_snapshot(df.repartition(16), table_dir)
+
+    v2 = compact_snapshot(
+        spark,
+        table_dir,
+        target_files=16,
+        zorder_by=[("x", 0.0, 1.0), ("y", 0.0, 1.0)],
+    )
+    assert v2 == 2
+    before = read_snapshot(spark, table_dir, version=1)
+    after = read_snapshot(spark, table_dir, version=2)
+    assert sorted(r["id"] for r in after.collect()) == sorted(
+        r["id"] for r in before.collect()
+    )
+
+    def files_touched(frame):
+        box = frame.filter(
+            (F.col("x") >= 0.4) & (F.col("x") < 0.6)
+            & (F.col("y") >= 0.4) & (F.col("y") < 0.6)
+        )
+        return len({
+            os.path.dirname(r["f"]) + r["f"]
+            for r in box.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        })
+
+    # the box is ~4% of the data; the z-clustered layout must prune
+    # meaningfully below the scan-everything 16 files
+    assert files_touched(before) == 16
+    assert files_touched(after) <= 8
+
+    with pytest.raises(ValueError, match="absent from the table"):
+        compact_snapshot(
+            spark, table_dir, zorder_by=[("nope", 0.0, 1.0)]
+        )
