@@ -1,0 +1,113 @@
+"""Streaming FROM the snapshot table (sources/snapshot_stream.py):
+version-number offsets, executor-parallel file reads, exactly-once
+resume, and the honest failure modes (vacuumed history, partitioned
+versions, schema drift)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortymhz_spark.sources import snapshot_stream
+from fortymhz_spark.sources.snapshots import (
+    vacuum_snapshot,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _run(spark, table_dir, out, ckpt, **options):
+    snapshot_stream.register(spark)
+    reader = spark.readStream.format("snapshot_table").option(
+        "path", table_dir
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_versions_then_resume_exactly_once(spark, table_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_snapshot(spark.range(5).withColumn("tag", F.lit("a")), table_dir)
+    write_snapshot(spark.range(3).withColumn("tag", F.lit("b")), table_dir)
+
+    _run(spark, table_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == 8
+
+    # a new version published between runs arrives EXACTLY once …
+    write_snapshot(spark.range(7).withColumn("tag", F.lit("c")), table_dir)
+    _run(spark, table_dir, out, ckpt)
+    got = {
+        r["tag"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 7}
+    # … and an idle re-run appends nothing
+    _run(spark, table_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == 15
+
+
+def test_stream_starting_version_skips_history(spark, table_dir, tmp_path):
+    write_snapshot(spark.range(5).withColumn("tag", F.lit("a")), table_dir)
+    write_snapshot(spark.range(3).withColumn("tag", F.lit("b")), table_dir)
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _run(spark, table_dir, out, ckpt, startingVersion=2)
+    rows = spark.read.parquet(out)
+    assert rows.count() == 3
+    assert {r["tag"] for r in rows.collect()} == {"b"}
+
+
+def test_stream_from_vacuumed_history_raises(spark, table_dir, tmp_path):
+    for i in range(3):
+        write_snapshot(spark.range(2 + i), table_dir)
+    vacuum_snapshot(table_dir, keep_last=1)  # v1, v2 expired
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    with pytest.raises(Exception, match="expired by vacuum_snapshot"):
+        _run(spark, table_dir, out, ckpt)  # wants to begin at v1
+
+
+def test_stream_rejects_partitioned_versions(spark, table_dir, tmp_path):
+    df = spark.range(10).withColumn("p", (F.col("id") % 2).cast("int"))
+    write_snapshot(df, table_dir, partition_by=["p"])
+    out, ckpt = str(tmp_path / "out4"), str(tmp_path / "ckpt4")
+    with pytest.raises(Exception, match="partitioned"):
+        _run(spark, table_dir, out, ckpt)
+
+
+def test_stream_schema_drift_raises_not_misaligns(spark, table_dir, tmp_path):
+    write_snapshot(spark.range(4).withColumn("tag", F.lit("a")), table_dir)
+    # v2 evolves the schema — the stream pinned v1's layout and must
+    # refuse rather than silently misalign columns
+    write_snapshot(
+        spark.range(4)
+        .withColumn("tag", F.lit("b"))
+        .withColumn("extra", F.lit(1)),
+        table_dir,
+    )
+    out, ckpt = str(tmp_path / "out5"), str(tmp_path / "ckpt5")
+    with pytest.raises(Exception, match="differs from the stream"):
+        _run(spark, table_dir, out, ckpt)
+
+
+def test_batch_format_reads_current_version(spark, table_dir):
+    snapshot_stream.register(spark)
+    write_snapshot(spark.range(5).withColumn("tag", F.lit("a")), table_dir)
+    write_snapshot(spark.range(3).withColumn("tag", F.lit("b")), table_dir)
+    cur = spark.read.format("snapshot_table").option("path", table_dir).load()
+    assert cur.count() == 3
+    assert {r["tag"] for r in cur.collect()} == {"b"}
