@@ -204,6 +204,7 @@ def merge_snapshot(
     delete_col: str | None = None,
     note: str = "",
     txn: tuple[str, int] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Row-level MERGE published as a NEW snapshot version — the
     missing half of the lakehouse story between :func:`write_snapshot`
@@ -227,6 +228,16 @@ def merge_snapshot(
     update keys are rejected (ambiguous merge — Delta raises here
     too) and NULL update keys are rejected (equi-joins drop them
     silently; a "replace the null-key row" intent needs a real key).
+
+    ``allow_schema_evolution=True`` is Delta's ``mergeSchema``: the
+    published version carries the UNION of target and update columns —
+    carried-over target rows get NULL in columns only the updates
+    know, and upserted rows get NULL in columns only the target knows
+    (key columns must exist on both sides regardless).  Off by
+    default: silent column drift is a corruption class, so it stays
+    an explicit opt-in, and note that a live ``snapshot_stream``
+    consumer pins the pre-evolution schema and will stop AT the
+    evolved version with a restart instruction rather than misalign.
 
     Scale shape: copy-on-write — one anti-join of the target against
     the update KEYS (projected + distinct; AQE broadcasts it when
@@ -283,10 +294,25 @@ def merge_snapshot(
     else:
         target = read_snapshot(spark, table_dir)
         if set(target.columns) != set(data_cols):
-            raise ValueError(
-                f"merge_snapshot: updates columns {sorted(data_cols)} != "
-                f"target columns {sorted(target.columns)}"
-            )
+            if not allow_schema_evolution:
+                raise ValueError(
+                    f"merge_snapshot: updates columns {sorted(data_cols)} "
+                    f"!= target columns {sorted(target.columns)} — pass "
+                    "allow_schema_evolution=True to publish the union "
+                    "(new columns NULL-backfilled)"
+                )
+            # mergeSchema: union of columns, NULL-backfilled per side.
+            # Order: target columns first (stable for existing
+            # readers), update-only columns appended in update order.
+            new_cols = [c for c in data_cols if c not in target.columns]
+            for c in new_cols:
+                target = target.withColumn(
+                    c, F.lit(None).cast(dict(upserts.dtypes)[c])
+                )
+            for c in [c for c in target.columns if c not in upserts.columns]:
+                upserts = upserts.withColumn(
+                    c, F.lit(None).cast(dict(target.dtypes)[c])
+                )
         upd_keys = updates.select(*key_cols).distinct()
         merged = target.join(upd_keys, key_cols, "left_anti").unionByName(
             upserts

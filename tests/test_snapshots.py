@@ -642,3 +642,38 @@ def test_compact_snapshot_zorder_clusters_files(spark, table_dir):
         compact_snapshot(
             spark, table_dir, zorder_by=[("nope", 0.0, 1.0)]
         )
+
+
+def test_merge_snapshot_schema_evolution(spark, table_dir):
+    """allow_schema_evolution: the merged version carries the UNION of
+    columns — carried-over rows NULL in new columns, upserts NULL in
+    target-only columns; without the flag drift still raises."""
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, val string, old int"
+        ),
+        table_dir,
+    )
+    evolved = spark.createDataFrame(
+        [(2, "B", 99), (3, "c", 42)], "k int, val string, score int"
+    )
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        merge_snapshot(spark, table_dir, evolved, ["k"])
+    merge_snapshot(
+        spark, table_dir, evolved, ["k"], allow_schema_evolution=True
+    )
+    got = {
+        r["k"]: (r["val"], r["old"], r["score"])
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert got == {
+        1: ("a", 10, None),   # carried over, NULL in the new column
+        2: ("B", None, 99),   # replaced, NULL in the target-only column
+        3: ("c", None, 42),   # inserted
+    }
+    # time travel still shows the pre-evolution schema and content
+    v1 = read_snapshot(spark, table_dir, version=1)
+    assert sorted(v1.columns) == ["k", "old", "val"]
+    assert v1.count() == 2
