@@ -364,3 +364,91 @@ def start_snapshot_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_materialized_agg(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    *,
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+    available_now: bool = True,
+    txn_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming MATERIALIZED VIEW: maintain a count/sum aggregate
+    over everything the stream has delivered, published as a
+    versioned snapshot table — every micro-batch applies its delta
+    through ``operators/incremental.py::incremental_agg_refresh``
+    (batch rows are pure inserts) and publishes the refreshed
+    aggregate as the next version.  Composes the whole lakehouse
+    loop: consumers time-travel the aggregate's history, diff
+    versions, or stream the view itself via ``snapshot_stream``.
+
+    Per-trigger cost is delta-sized + groups-sized (one aggregate
+    over the batch, one full-outer join against the current
+    aggregate) — NEVER a rescan of the stream's history; that is the
+    entire point of incremental maintenance.  Exactly-once via the
+    same per-writer ``(txn_id, batch_id)`` manifest mark as
+    ``start_snapshot_sink``; replays of a committed batch are
+    no-ops, so the aggregate never double-counts.
+
+    ``sum_cols`` maps OUTPUT column → source column, e.g.
+    ``{"revenue": "amount"}``."""
+    if not group_cols:
+        raise ValueError("start_materialized_agg needs group_cols")
+    sums = dict(sum_cols or {})
+    app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
+
+    from fortymhz_spark.operators.incremental import incremental_agg_refresh
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        if batch_id <= _last_stream_batch(table_dir, app_id):
+            return  # replay of an already-applied batch
+        spark = batch_df.sparkSession
+        try:
+            current = read_snapshot(spark, table_dir)
+        except ValueError:
+            current = None
+        cdc = batch_df.withColumn("_change", F.lit("insert"))
+        if current is None:
+            # bootstrap: empty materialized frame with the out schema
+            empty = (
+                batch_df.groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias(count_col),
+                    *[
+                        F.sum(F.col(src).cast("long")).alias(out)
+                        for out, src in sums.items()
+                    ],
+                )
+                .limit(0)
+            )
+            current = empty
+        refreshed = incremental_agg_refresh(
+            current,
+            cdc,
+            group_cols,
+            count_col=count_col,
+            sum_cols=sums,
+        )
+        write_snapshot(
+            refreshed,
+            table_dir,
+            note=f"stream batch={batch_id}",
+            txn=(app_id, batch_id),
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -997,3 +997,66 @@ def test_snapshot_sink_merge_mode_upserts_by_key(spark, tmp_path):
         start_snapshot_sink(stream, table, "x", mode="merge")
     with pytest.raises(ValueError, match="mode"):
         start_snapshot_sink(stream, table, "x", mode="overwrite")
+
+
+def test_materialized_agg_maintains_view_incrementally(spark, tmp_path):
+    """Streaming materialized view: per-batch incremental refresh
+    published as snapshot versions — the final view equals a direct
+    aggregate of everything delivered, each batch's version is
+    time-travelable, and a restart applies nothing twice."""
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_materialized_agg
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "grp string, v long"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [("a", 4), ("c", 5)], "grp string, v long"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    table = str(tmp_path / "mv_tbl")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def run_once():
+        stream = file_stream(
+            spark, str(src / "*"), "grp string, v long",
+            max_files_per_trigger=1,
+        )
+        q = start_materialized_agg(
+            stream, table, ckpt, ["grp"],
+            count_col="n", sum_cols={"sum_v": "v"},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert len(snapshot_versions(table)) == 2
+    final = {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_snapshot(spark, table).collect()
+    }
+    assert final == {"a": (3, 7), "b": (1, 3), "c": (1, 5)}
+    # time travel: the view AFTER batch 0 only
+    v1 = {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_snapshot(spark, table, version=1).collect()
+    }
+    assert v1 == {"a": (2, 3), "b": (1, 3)}
+    # restart: nothing re-applied, view unchanged
+    run_once()
+    assert len(snapshot_versions(table)) == 2
+    assert {
+        r["grp"]: (r["n"], r["sum_v"])
+        for r in read_snapshot(spark, table).collect()
+    } == final
+
+    with pytest.raises(ValueError, match="group_cols"):
+        start_materialized_agg(
+            file_stream(spark, str(src / "*"), "grp string, v long"),
+            table, ckpt, [],
+        )
