@@ -50,6 +50,12 @@ from pyspark.sql import functions as F
 _MANIFEST = "_manifest.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published to the table during this write — the
+    single-writer deployment contract was violated.  Raised INSTEAD of
+    silently erasing the other writer's manifest entry."""
+
+
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, _MANIFEST)
 
@@ -60,6 +66,16 @@ def _load_manifest(table_dir: str) -> dict[str, Any]:
         return {"current": 0, "versions": {}}
     with open(path) as f:
         return json.load(f)
+
+
+def _write_data(
+    df: DataFrame, data_dir: str, partition_by: list[str] | None
+) -> None:
+    """The unpublished data write (seam for the concurrency test)."""
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
 
 
 def write_snapshot(
@@ -111,10 +127,7 @@ def write_snapshot(
     ]
     version = max([int(manifest["current"]), *on_disk], default=0) + 1
     data_dir = os.path.join(table_dir, f"v={version}")
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(data_dir)
+    _write_data(df, data_dir, partition_by)
 
     # Row count from the files just written (one footer-level count
     # scan), not from re-executing ``df``'s plan — re-execution could
@@ -153,6 +166,28 @@ def write_snapshot(
             )
     else:
         n_rows = back.count()
+    # Concurrent-writer detection (best effort — true CAS needs the
+    # object store's conditional PUT, module docstring): the manifest
+    # is RELOADED at the publish point and the swap aborts if another
+    # writer published meanwhile.  Without this, writing our stale
+    # snapshot of the manifest would silently ERASE the other writer's
+    # version entry (lost update), which is strictly worse than an
+    # error.  The single-writer deployment contract stands; this turns
+    # a contract violation into a loud ConcurrentWriteError instead of
+    # silent data loss, with our own data dir cleaned up (it was never
+    # published).
+    fresh = _load_manifest(table_dir)
+    if int(fresh["current"]) != int(manifest["current"]) or str(
+        version
+    ) in fresh["versions"]:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"write_snapshot: another writer published to {table_dir} "
+            f"during this write (current {manifest['current']} → "
+            f"{fresh['current']}) — snapshot tables are single-writer; "
+            "retry against the new current version"
+        )
+    manifest = fresh
     manifest["versions"][str(version)] = {
         "created_unix": time.time(),
         "rows": n_rows,

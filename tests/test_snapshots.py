@@ -677,3 +677,49 @@ def test_merge_snapshot_schema_evolution(spark, table_dir):
     v1 = read_snapshot(spark, table_dir, version=1)
     assert sorted(v1.columns) == ["k", "old", "val"]
     assert v1.count() == 2
+
+
+def test_concurrent_publish_raises_instead_of_losing_versions(
+    spark, table_dir, monkeypatch
+):
+    """A writer that loses the publish race must RAISE, not silently
+    erase the winner's manifest entry (the lost-update failure of a
+    read-modify-write manifest).  Simulated by publishing a competing
+    version between this writer's data write and its manifest swap."""
+    from fortymhz_spark.sources import snapshots as snap
+
+    write_snapshot(spark.range(3).withColumn("tag", F.lit("base")), table_dir)
+
+    real_write_data = snap._write_data
+    state = {"raced": False}
+
+    def racing_write_data(df, data_dir, partition_by):
+        real_write_data(df, data_dir, partition_by)
+        if not state["raced"]:
+            state["raced"] = True  # competitor publishes exactly once
+            write_snapshot(
+                spark.range(9).withColumn("tag", F.lit("winner")),
+                table_dir,
+            )
+
+    monkeypatch.setattr(snap, "_write_data", racing_write_data)
+    with pytest.raises(snap.ConcurrentWriteError, match="another writer"):
+        write_snapshot(
+            spark.range(5).withColumn("tag", F.lit("loser")), table_dir
+        )
+    monkeypatch.setattr(snap, "_write_data", real_write_data)
+
+    # the winner's version survives as current; the loser's data dir
+    # was cleaned up and nothing references it.  The winner allocated
+    # v=3 (orphan-skip saw the loser's in-flight v=2 on disk — the
+    # allocation rule doing its job), so versions are [1, 3].
+    cur = read_snapshot(spark, table_dir)
+    assert cur.count() == 9
+    assert {r["tag"] for r in cur.collect()} == {"winner"}
+    assert [m["version"] for m in snapshot_versions(table_dir)] == [1, 3]
+    assert not os.path.exists(os.path.join(table_dir, "v=2"))
+    # allocation recovers: the next write publishes normally
+    assert (
+        write_snapshot(spark.range(4).withColumn("tag", F.lit("next")), table_dir)
+        == 4
+    )
