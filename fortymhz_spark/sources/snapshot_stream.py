@@ -10,28 +10,32 @@ built on the manifest:
   atomic with publication (the manifest swap), and exact under
   checkpoint replay because versions are immutable — re-reading
   v=K..v=M yields byte-identical rows at any time.
+- **Version-number GAPS are tolerated**: the allocator legitimately
+  leaves permanent holes (a crashed writer's orphan skipped at
+  allocation, a ConcurrentWriteError loser).  A number with no
+  manifest entry is SKIPPED unless the manifest's
+  ``expired_versions`` record says retention removed it — then the
+  stream fails loudly (the Delta behavior): set the sink's retention
+  to outlive the slowest consumer, exactly like readers.
 - **Reads are executor-parallel**: this is the FULL
   ``DataSourceStreamReader`` (not the driver-side simple variant) —
   ``partitions(start, end)`` emits one input partition per data FILE
-  of the new versions, and ``read`` runs on executors via pyarrow.
-  At 100 TB a version is thousands of files and the batch scan
-  spreads like any parquet read.
-- **Vacuum interacts honestly**: streaming from a version that
-  retention already expired raises a clear error (the Delta
-  behavior) — set the sink's retention to outlive the slowest
-  consumer, exactly like readers.
+  of the new versions, and ``read`` yields pyarrow RecordBatches on
+  executors (arrow-native, no per-row Python conversion).  At 100 TB
+  a version is thousands of files and the batch scan spreads like
+  any parquet read.
 
 Limitations (documented, enforced): versions written with
 ``partition_by`` are rejected (the partition columns live in
 directory names, not the files; the batch API ``read_snapshot``
-covers those), and the schema is pinned from the manifest of the
-STARTING version — schema evolution mid-stream raises rather than
-silently misaligning columns.
+covers those), and the schema is pinned from the CURRENT version at
+(re)start — a version whose stored schema differs raises with a
+restart instruction rather than silently misaligning columns, so a
+stream never crosses a schema-evolution boundary unnoticed.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator
 
@@ -43,15 +47,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-_MANIFEST = "_manifest.json"
-
-
-def _load_manifest(table_dir: str) -> dict:
-    path = os.path.join(table_dir, _MANIFEST)
-    if not os.path.exists(path):
-        return {"current": 0, "versions": {}}
-    with open(path) as f:
-        return json.load(f)
+from fortymhz_spark.sources.snapshots import _load_manifest
 
 
 def _version_files(table_dir: str, version: int) -> list[str]:
@@ -63,22 +59,25 @@ def _version_files(table_dir: str, version: int) -> list[str]:
     )
 
 
-def _require_version(manifest: dict, table_dir: str, v: int) -> dict:
-    meta = manifest["versions"].get(str(v))
+def _resolve_current(manifest: dict, table_dir: str) -> tuple[int, dict]:
+    current = int(manifest["current"])
+    meta = manifest["versions"].get(str(current))
     if meta is None:
         raise ValueError(
-            f"snapshot stream: version {v} of {table_dir} is not "
-            "published (expired by vacuum_snapshot, or never existed) "
-            "— retention must outlive the slowest streaming consumer"
+            f"snapshot source: {table_dir} has no published version"
         )
     if meta.get("partition_by"):
         raise ValueError(
-            f"snapshot stream: version {v} is partitioned by "
+            f"snapshot source: version {current} is partitioned by "
             f"{meta['partition_by']} — partition columns live in "
-            "directory names, not data files; stream sources must be "
-            "written unpartitioned (read_snapshot covers the rest)"
+            "directory names, not data files; use unpartitioned "
+            "versions for this source (read_snapshot covers the rest)"
         )
-    return meta
+    return current, meta
+
+
+def _fields_of(meta: dict) -> list[str]:
+    return [f.name for f in StructType.fromJson(meta["schema"]).fields]
 
 
 class _SnapFilePart(InputPartition):
@@ -87,33 +86,33 @@ class _SnapFilePart(InputPartition):
         self.fields = fields
 
 
-def _read_file(partition: _SnapFilePart) -> Iterator[tuple]:
+def _read_file(partition: _SnapFilePart):
+    # arrow-native: yield RecordBatches straight through — no
+    # to_pylist() second copy, no per-row Python tuples.
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.path, columns=partition.fields)
-    cols = [table.column(name) for name in partition.fields]
-    for batch_cols in zip(*[c.to_pylist() for c in cols]) if cols else []:
-        yield tuple(batch_cols)
+    yield from table.to_batches()
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.table_dir = options.get("path", "")
         if not self.table_dir:
-            raise ValueError("snapshot stream requires .option('path', table_dir)")
+            raise ValueError(
+                "snapshot stream requires .option('path', table_dir)"
+            )
         self.start_version = int(options.get("startingversion", 1))
         self._fields: list[str] | None = None
 
     def _schema_fields(self) -> list[str]:
+        # Pin to the CURRENT version at (re)start — the same schema
+        # DataSource.schema() declared to Spark.  Versions read later
+        # are checked against this pin in partitions().
         if self._fields is None:
             manifest = _load_manifest(self.table_dir)
-            meta = _require_version(
-                manifest, self.table_dir,
-                max(self.start_version, 1)
-                if manifest["versions"] else self.start_version,
-            )
-            st = StructType.fromJson(meta["schema"])
-            self._fields = [f.name for f in st.fields]
+            _, meta = _resolve_current(manifest, self.table_dir)
+            self._fields = _fields_of(meta)
         return self._fields
 
     def initialOffset(self) -> dict:
@@ -124,14 +123,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         manifest = _load_manifest(self.table_dir)
+        expired = set(manifest.get("expired_versions", []))
         fields = self._schema_fields()
         parts: list[_SnapFilePart] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            meta = _require_version(manifest, self.table_dir, v)
-            stored = [
-                f.name
-                for f in StructType.fromJson(meta["schema"]).fields
-            ]
+            meta = manifest["versions"].get(str(v))
+            if meta is None:
+                if v in expired:
+                    raise ValueError(
+                        f"snapshot stream: version {v} of "
+                        f"{self.table_dir} was expired by "
+                        "vacuum_snapshot before this consumer read it "
+                        "— retention must outlive the slowest consumer"
+                    )
+                continue  # allocation gap (orphan-skip / lost race)
+            if meta.get("partition_by"):
+                raise ValueError(
+                    f"snapshot stream: version {v} is partitioned by "
+                    f"{meta['partition_by']} — stream versions must be "
+                    "written unpartitioned"
+                )
+            stored = _fields_of(meta)
             if stored != fields:
                 raise ValueError(
                     f"snapshot stream: version {v} schema {stored} "
@@ -144,7 +156,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: _SnapFilePart) -> Iterator[tuple]:
+    def read(self, partition: _SnapFilePart):
         return _read_file(partition)
 
     def commit(self, end: dict) -> None:
@@ -159,28 +171,29 @@ class SnapshotBatchReader(DataSourceReader):
     def __init__(self, options):
         self.table_dir = options.get("path", "")
         if not self.table_dir:
-            raise ValueError("snapshot source requires .option('path', table_dir)")
+            raise ValueError(
+                "snapshot source requires .option('path', table_dir)"
+            )
 
     def partitions(self):
         manifest = _load_manifest(self.table_dir)
-        current = int(manifest["current"])
-        if current == 0:
-            return []
-        meta = _require_version(manifest, self.table_dir, current)
-        fields = [f.name for f in StructType.fromJson(meta["schema"]).fields]
+        current, meta = _resolve_current(manifest, self.table_dir)
+        fields = _fields_of(meta)
         return [
             _SnapFilePart(p, fields)
             for p in _version_files(self.table_dir, current)
         ]
 
-    def read(self, partition: _SnapFilePart) -> Iterator[tuple]:
+    def read(self, partition: _SnapFilePart):
         return _read_file(partition)
 
 
 class SnapshotTableDataSource(DataSource):
     """``spark.readStream.format("snapshot_table").option("path", d)``
     streams each newly-published version as a micro-batch;
-    ``spark.read.format("snapshot_table")`` reads the current one."""
+    ``spark.read.format("snapshot_table")`` reads the current one.
+    The declared schema is always the CURRENT version's (both paths),
+    so batch and stream can never disagree with their readers."""
 
     @classmethod
     def name(cls) -> str:
@@ -189,11 +202,7 @@ class SnapshotTableDataSource(DataSource):
     def schema(self):
         table_dir = self.options.get("path", "")
         manifest = _load_manifest(table_dir)
-        current = int(manifest["current"])
-        start = int(self.options.get("startingversion", max(current, 1)))
-        meta = _require_version(
-            manifest, table_dir, start if str(start) in manifest["versions"] else current
-        )
+        _, meta = _resolve_current(manifest, table_dir)
         return StructType.fromJson(meta["schema"])
 
     def reader(self, schema) -> SnapshotBatchReader:

@@ -180,7 +180,13 @@ def write_snapshot(
     if int(fresh["current"]) != int(manifest["current"]) or str(
         version
     ) in fresh["versions"]:
-        shutil.rmtree(data_dir, ignore_errors=True)
+        # Clean up our unpublished data — UNLESS the competing writer
+        # PUBLISHED under this very version number (possible when a
+        # zero-retention vacuum GC'd our in-flight dir mid-write and
+        # freed the number): deleting then would destroy their live
+        # published data, the exact loss this guard exists to prevent.
+        if str(version) not in fresh["versions"]:
+            shutil.rmtree(data_dir, ignore_errors=True)
         raise ConcurrentWriteError(
             f"write_snapshot: another writer published to {table_dir} "
             f"during this write (current {manifest['current']} → "
@@ -622,6 +628,12 @@ def vacuum_snapshot(
     if expired:
         for v in expired:
             del manifest["versions"][str(v)]
+        # Record WHICH versions retention removed (distinct from
+        # never-published allocation gaps): a streaming consumer that
+        # still needs one of these must fail loudly, while it can
+        # safely step over a gap.  O(versions ever expired) ints.
+        prior = set(manifest.get("expired_versions", []))
+        manifest["expired_versions"] = sorted(prior | set(expired))
         fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
         try:
             with os.fdopen(fd, "w") as f:

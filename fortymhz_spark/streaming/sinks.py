@@ -287,6 +287,40 @@ def _last_stream_batch(table_dir: str, txn_id: str) -> int:
     return int(manifest.get("stream_txn", {}).get(str(txn_id), -1))
 
 
+def _start_exactly_once_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    body,
+    *,
+    available_now: bool,
+    txn_id: str | None,
+) -> StreamingQuery:
+    """The ONE copy of the snapshot-sink exactly-once protocol shared
+    by :func:`start_snapshot_sink` and :func:`start_materialized_agg`:
+    per-writer app id (default: the absolute checkpoint path), the
+    empty-batch guard, and the replay skip against the manifest's
+    ``(app_id, batch_id)`` high-water mark.  ``body(batch_df,
+    batch_id, app_id)`` publishes the batch — and MUST pass
+    ``txn=(app_id, batch_id)`` to its write so the mark lands in the
+    same atomic swap as the data."""
+    app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        if batch_id <= _last_stream_batch(table_dir, app_id):
+            return  # checkpoint replay of an already-published batch
+        body(batch_df, batch_id, app_id)
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_snapshot_sink(
     df: DataFrame,
     table_dir: str,
@@ -330,22 +364,17 @@ def start_snapshot_sink(
         raise ValueError(f"mode must be 'append' or 'merge', got {mode!r}")
     if mode == "merge" and not key_cols:
         raise ValueError("mode='merge' requires key_cols")
-    app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
 
     from fortymhz_spark.sources.snapshots import (
         merge_snapshot,
         write_snapshot,
     )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns or batch_df.isEmpty():
-            return
-        if batch_id <= _last_stream_batch(table_dir, app_id):
-            return  # checkpoint replay of an already-published batch
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
         note = f"stream batch={batch_id}"
         if mode == "append":
             write_snapshot(
-                batch_df, table_dir, note=note, txn=(app_id, batch_id)
+                batch_df, table_dir, note=note, txn=(app, batch_id)
             )
         else:
             merge_snapshot(
@@ -355,15 +384,13 @@ def start_snapshot_sink(
                 list(key_cols),
                 delete_col=delete_col,
                 note=note,
-                txn=(app_id, batch_id),
+                txn=(app, batch_id),
             )
 
-    writer = df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_exactly_once_sink(
+        df, table_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_materialized_agg(
@@ -399,7 +426,6 @@ def start_materialized_agg(
     if not group_cols:
         raise ValueError("start_materialized_agg needs group_cols")
     sums = dict(sum_cols or {})
-    app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
 
     from fortymhz_spark.operators.incremental import incremental_agg_refresh
     from fortymhz_spark.sources.snapshots import (
@@ -407,11 +433,7 @@ def start_materialized_agg(
         write_snapshot,
     )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns or batch_df.isEmpty():
-            return
-        if batch_id <= _last_stream_batch(table_dir, app_id):
-            return  # replay of an already-applied batch
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
         spark = batch_df.sparkSession
         try:
             current = read_snapshot(spark, table_dir)
@@ -443,12 +465,10 @@ def start_materialized_agg(
             refreshed,
             table_dir,
             note=f"stream batch={batch_id}",
-            txn=(app_id, batch_id),
+            txn=(app, batch_id),
         )
 
-    writer = df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_exactly_once_sink(
+        df, table_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

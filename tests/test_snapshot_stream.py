@@ -91,8 +91,9 @@ def test_stream_rejects_partitioned_versions(spark, table_dir, tmp_path):
 
 def test_stream_schema_drift_raises_not_misaligns(spark, table_dir, tmp_path):
     write_snapshot(spark.range(4).withColumn("tag", F.lit("a")), table_dir)
-    # v2 evolves the schema — the stream pinned v1's layout and must
-    # refuse rather than silently misalign columns
+    # v2 evolves the schema — the stream pins the CURRENT (v2) layout
+    # and must refuse to read the older-schema v1 rather than
+    # silently misalign columns
     write_snapshot(
         spark.range(4)
         .withColumn("tag", F.lit("b"))
@@ -111,3 +112,41 @@ def test_batch_format_reads_current_version(spark, table_dir):
     cur = spark.read.format("snapshot_table").option("path", table_dir).load()
     assert cur.count() == 3
     assert {r["tag"] for r in cur.collect()} == {"b"}
+
+
+def test_stream_skips_allocation_gaps(spark, table_dir, tmp_path):
+    """A version number with no manifest entry that retention did NOT
+    expire is an allocation gap (crashed writer's orphan, lost race) —
+    the stream steps over it instead of wedging forever."""
+    import os
+
+    write_snapshot(spark.range(4).withColumn("tag", F.lit("a")), table_dir)
+    # orphan v=2: data written, never published (writer died pre-swap)
+    spark.range(99).withColumn("tag", F.lit("ghost")).write.parquet(
+        os.path.join(table_dir, "v=2")
+    )
+    # allocation skips the orphan → publishes v=3
+    assert (
+        write_snapshot(spark.range(6).withColumn("tag", F.lit("b")), table_dir)
+        == 3
+    )
+    out, ckpt = str(tmp_path / "out6"), str(tmp_path / "ckpt6")
+    _run(spark, table_dir, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert rows.count() == 10  # v1 + v3, the orphan contributes nothing
+    assert {r["tag"] for r in rows.collect()} == {"a", "b"}
+
+
+def test_stream_resumes_past_vacuumed_history(spark, table_dir, tmp_path):
+    """A consumer whose OFFSET is already past the versions retention
+    expired must restart cleanly — only streaming INTO expired history
+    fails (test above), not resuming beyond it."""
+    for i in range(3):
+        write_snapshot(spark.range(2 + i).withColumn("tag", F.lit(f"v{i+1}")), table_dir)
+    out, ckpt = str(tmp_path / "out7"), str(tmp_path / "ckpt7")
+    _run(spark, table_dir, out, ckpt)  # consumes v1..v3; offset = 3
+    assert spark.read.parquet(out).count() == 2 + 3 + 4
+    vacuum_snapshot(table_dir, keep_last=1)  # expires v1, v2
+    write_snapshot(spark.range(9).withColumn("tag", F.lit("v4")), table_dir)
+    _run(spark, table_dir, out, ckpt)  # resume: only v4
+    assert spark.read.parquet(out).count() == 2 + 3 + 4 + 9
