@@ -74,3 +74,58 @@ def read_hits_csv(spark: SparkSession, path: str = DEFAULT_HITS_CSV) -> DataFram
     (``simulate_stream.py:7``) with a schema-declared distributed scan.
     """
     return spark.read.csv(path, header=True, schema=DT_HIT)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    fmt: str = "csv",
+    quarantine_dir: str | None = None,
+    header: bool = False,
+    options: dict[str, str] | None = None,
+):
+    """Read dirty CSV/JSON with a QUARANTINE channel: rows that parse
+    return as ``(valid_df, corrupt_df)`` — the valid frame carries the
+    declared schema, the corrupt frame the raw offending text — and
+    ``quarantine_dir`` (optional) persists the rejects for triage.
+
+    At 100 TB real inputs ALWAYS contain malformed rows; the three
+    stock behaviors are all wrong for a pipeline (FAILFAST kills the
+    job on row one, DROPMALFORMED silently loses data, plain
+    PERMISSIVE NULL-poisons columns with no audit trail).  This uses
+    PERMISSIVE + ``columnNameOfCorruptRecord`` so the split is one
+    predicate on the corrupt column — same scan, no second parse —
+    and the reject write is a plain parquet append.
+
+    Caveat (Spark semantics): a query whose ONLY referenced column is
+    the corrupt record is disallowed on raw files
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    corrupt frame carries the raw text AND the partially-parsed data
+    columns — which is what triage wants anyway (a CSV row that
+    failed on column 7 still shows columns 1-6)."""
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"fmt must be 'csv' or 'json', got {fmt!r}")
+    corrupt_col = "_corrupt_record"
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    reader = (
+        spark.read.format(fmt)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", str(header).lower())
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(path)
+    valid = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    data_cols = [c for c in raw.columns if c != corrupt_col]
+    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record"), *data_cols
+    )
+    if quarantine_dir is not None:
+        corrupt.write.mode("append").parquet(quarantine_dir)
+        corrupt = spark.read.parquet(quarantine_dir)
+    return valid, corrupt

@@ -109,3 +109,60 @@ def test_occupancy_over_custom_source(spark):
         for r in occ.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# read_with_quarantine (sources/batch.py): dirty-input splitting
+# ---------------------------------------------------------------------------
+
+
+def test_read_with_quarantine_splits_and_persists(spark, tmp_path):
+    from fortymhz_spark.sources.batch import read_with_quarantine
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "1,alice,10.5\n"
+        "2,bob,notanumber\n"   # type failure on column 3
+        "3,carol,7.25\n"
+        "garbage line\n"       # arity failure
+        "4,dan,1.0\n"
+    )
+    qdir = str(tmp_path / "quarantine")
+    valid, corrupt = read_with_quarantine(
+        spark, str(src), "id INT, name STRING, score DOUBLE",
+        quarantine_dir=qdir,
+    )
+    assert sorted((r["id"], r["name"], r["score"]) for r in valid.collect()) == [
+        (1, "alice", 10.5),
+        (3, "carol", 7.25),
+        (4, "dan", 1.0),
+    ]
+    got = {r["raw_record"]: r for r in corrupt.collect()}
+    assert set(got) == {"2,bob,notanumber", "garbage line"}
+    # partially-parsed columns survive for triage
+    assert got["2,bob,notanumber"]["name"] == "bob"
+    # persisted rejects readable independently
+    assert spark.read.parquet(qdir).count() == 2
+
+
+def test_read_with_quarantine_json_and_validation(spark, tmp_path):
+    from fortymhz_spark.sources.batch import read_with_quarantine
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"k": 2, "v": "b"}\n'
+    )
+    valid, corrupt = read_with_quarantine(
+        spark, str(src), "k INT, v STRING", fmt="json"
+    )
+    assert sorted((r["k"], r["v"]) for r in valid.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert [r["raw_record"] for r in corrupt.collect()] == ["this is not json"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fmt"):
+        read_with_quarantine(spark, str(src), "k INT", fmt="xml")
