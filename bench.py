@@ -140,6 +140,8 @@ HEADLINE = [
     "q_snapshot_incremental_agg",
     # hybrid retrieval: BM25 scan + cosine scan + integer-RRF fusion
     "q_docs_hybrid_search",
+    # unigram tokenizer: corpus pass + driver EM + arrow Viterbi encode
+    "q_docs_unigram_encode_stats",
 ]
 
 

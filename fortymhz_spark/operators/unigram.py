@@ -1,0 +1,206 @@
+"""Unigram-LM tokenizer induction (SentencePiece-style, Kudo 2018,
+arXiv:1804.10959 — public method): the OTHER production tokenizer
+family beside BPE.  Where BPE grows a vocabulary bottom-up by merging
+frequent pairs, unigram starts from a LARGE seed vocabulary of
+frequent substrings and prunes it down under a unigram language
+model: EM re-estimates piece probabilities from the corpus
+segmentations, then low-contribution pieces are dropped until the
+target size, and encoding is Viterbi (the most probable segmentation
+of each word).
+
+Faithfulness notes (documented simplifications, semantics pinned by
+tests):
+
+- **Hard EM** (Viterbi counts) instead of full forward–backward
+  expected counts — the standard "lightweight unigram" variant; the
+  E-step segments every vocabulary word with the current model, the
+  M-step re-normalizes piece counts.
+- **Pruning by contribution** (a piece's expected count mass) instead
+  of the exact leave-one-out likelihood loss; single characters are
+  NEVER pruned, so every word stays encodable (full coverage — the
+  SentencePiece ``character_coverage=1.0`` behavior for a known
+  alphabet).
+
+Scale shape — the :func:`operators/bpe.py::learn_bpe_merges_local`
+recipe: ONE distributed corpus pass builds the bounded ``(word, n)``
+frequency table, a single ``TakeOrdered(top_v)`` brings it to the
+driver, and the whole EM/prune loop runs LOCALLY over that table —
+zero Spark jobs per round, driver cost ∝ vocabulary, not corpus.
+Encoding ships the final ``{piece: logprob}`` model in the task
+closure and segments via an Arrow-batched pandas UDF (one Python
+boundary, map-only, no shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators.bpe import word_counts
+
+__all__ = [
+    "learn_unigram_vocab",
+    "viterbi_segment",
+    "encode_unigram",
+]
+
+
+def _seed_vocab(
+    vocab: list[tuple[str, int]], *, max_piece_len: int, seed_size: int
+) -> dict[str, float]:
+    """Candidate pieces: every substring (length ≤ max_piece_len) of
+    every word, weighted by word frequency; keep the ``seed_size``
+    highest-mass multi-char pieces plus ALL single characters."""
+    counts: dict[str, int] = {}
+    for w, n in vocab:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                piece = w[i:j]
+                counts[piece] = counts.get(piece, 0) + n
+    chars = {p for p in counts if len(p) == 1}
+    multi = sorted(
+        (p for p in counts if len(p) > 1),
+        key=lambda p: (-counts[p], p),
+    )[: max(seed_size - len(chars), 0)]
+    kept = chars | set(multi)
+    total = sum(counts[p] for p in kept)
+    return {p: counts[p] / total for p in kept}
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], *, max_piece_len: int = 16
+) -> list[str]:
+    """Most-probable segmentation of ``word`` under piece log-probs —
+    textbook Viterbi over cut positions.  Ties break toward FEWER
+    pieces, then lexicographically-earliest piece at each step
+    (deterministic across runs and engines); unknown single chars get
+    a floor log-prob so any word segments (full coverage)."""
+    n = len(word)
+    floor = min(logp.values(), default=-1e9) - 10.0
+    # best[i] = (score, n_pieces, backpointer start, piece)
+    best: list[tuple[float, int, int, str] | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, 0, "")
+    for end in range(1, n + 1):
+        cand = None
+        for start in range(max(0, end - max_piece_len), end):
+            prev = best[start]
+            if prev is None:
+                continue
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if len(piece) > 1:
+                    continue
+                lp = floor
+            score = prev[0] + lp
+            n_pieces = prev[1] + 1
+            better = cand is None or (score, -n_pieces) > (
+                cand[0],
+                -cand[1],
+            )
+            tie_earlier = (
+                cand is not None
+                and (score, -n_pieces) == (cand[0], -cand[1])
+                and piece < cand[3]
+            )
+            if better or tie_earlier:
+                cand = (score, n_pieces, start, piece)
+        best[end] = cand
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        entry = best[pos]
+        assert entry is not None  # floor guarantees reachability
+        pieces.append(entry[3])
+        pos = entry[2]
+    return list(reversed(pieces))
+
+
+def learn_unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int = 512,
+    em_rounds: int = 2,
+    max_piece_len: int = 8,
+    seed_multiplier: int = 4,
+    top_v: int | None = 65536,
+) -> dict[str, float]:
+    """Train the unigram model and return ``{piece: logprob}`` (driver
+    memory ∝ vocab, NOT corpus).  One distributed word-count pass +
+    bounded TakeOrdered, then seed → (EM → prune) rounds locally:
+    each EM step Viterbi-segments every vocabulary word, re-estimates
+    probabilities from the weighted piece counts, and each prune step
+    drops the lowest-mass multi-char pieces until ``vocab_size``.
+    Single characters are never pruned (coverage)."""
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    wc = word_counts(docs, text_col)
+    if top_v is not None:
+        wc = wc.orderBy(F.desc("n"), F.asc("w")).limit(top_v)
+    vocab = [(r["w"], int(r["n"])) for r in wc.collect()]
+    if not vocab:
+        raise ValueError("learn_unigram_vocab: empty corpus")
+
+    probs = _seed_vocab(
+        vocab,
+        max_piece_len=max_piece_len,
+        seed_size=vocab_size * seed_multiplier,
+    )
+    for _ in range(em_rounds):
+        logp = {p: math.log(q) for p, q in probs.items()}
+        # E-step (hard): Viterbi counts weighted by word frequency
+        counts: dict[str, float] = {}
+        for w, n in vocab:
+            for piece in viterbi_segment(
+                w, logp, max_piece_len=max_piece_len
+            ):
+                counts[piece] = counts.get(piece, 0.0) + n
+        # never lose alphabet coverage, even for pieces EM zeroed
+        for p in probs:
+            if len(p) == 1 and p not in counts:
+                counts[p] = 1e-6
+        # prune: lowest-mass multi-char pieces out, down to vocab_size
+        multi = sorted(
+            (p for p in counts if len(p) > 1),
+            key=lambda p: (counts[p], p),
+        )
+        n_chars = sum(1 for p in counts if len(p) == 1)
+        excess = len(counts) - max(vocab_size, n_chars)
+        for p in multi[: max(excess, 0)]:
+            del counts[p]
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items()}
+    return {p: math.log(q) for p, q in probs.items()}
+
+
+def encode_unigram(
+    df: DataFrame,
+    word_col: str = "w",
+    *,
+    model: dict[str, float],
+    max_piece_len: int = 8,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Viterbi-encode a word column under a trained unigram model —
+    map-only, the model rides the task closure (a 32k-piece model is
+    ~1 MB), one Arrow batch boundary (``ArrowEvalPython``, never
+    ``BatchEvalPython``)."""
+    logp = dict(model)
+
+    @F.pandas_udf("array<string>")
+    def _encode(words):  # pandas Series[str] -> Series[list[str]]
+        return words.map(
+            lambda w: viterbi_segment(
+                w, logp, max_piece_len=max_piece_len
+            )
+        )
+
+    return df.withColumn(out_col, _encode(F.col(word_col)))

@@ -23,35 +23,39 @@ Round 5 keeps the gate honest two ways:
    refactor), the three media rows (vectorized decode kernel), the
    four ANN rows + q_emb_near_dup_lsh_subset (recall-check dedup,
    lsh dim-inference and PQ codebook guards).
-2. FRESHNESS ROTATION.  Eight NEW queries enter immediately
+2. FRESHNESS ROTATION.  Nine NEW queries enter immediately
    (q_docs_classifier_trained, q_docs_vocab_classifier,
    q_docs_bpe_encode_stats, q_snapshot_merge_orders,
    q_docs_dsir_selection, q_docs_strip_boilerplate,
-   q_snapshot_incremental_agg, q_docs_hybrid_search — the trained
-   classifier slots, production-size BPE encode, the snapshot MERGE
-   protocol, DSIR importance-resampling selection, cross-doc
-   duplicated-span removal, CDC-driven incremental view maintenance,
-   and RRF hybrid retrieval, all graded differentially).  The
-   remaining 32 slots re-grade the rows whose last driver check is
-   OLDEST (round 2): regressions in long-stable code should not be
-   able to hide behind a years-old green row.  The 10 round-2 rows
-   that didn't fit (q_cube_flag_status, q_docs_top_terms,
-   q_emb_knn_bruteforce, q_events_hourly_by_type,
-   q_events_user_enrichment, q_events_value_stats,
-   q_events_view_to_purchase, q_full_outer_daily_activity,
-   q_pandas_udf_revenue, q_range_join_price_bands) defer to round 6
-   with families covered: grouping-analytics shapes by
+   q_snapshot_incremental_agg, q_docs_hybrid_search,
+   q_docs_unigram_encode_stats — the trained classifier slots,
+   production-size BPE encode, the snapshot MERGE protocol, DSIR
+   importance-resampling selection, cross-doc duplicated-span
+   removal, CDC-driven incremental view maintenance, RRF hybrid
+   retrieval, and unigram-LM tokenizer induction, all graded
+   differentially).  The remaining 31 slots re-grade the rows whose
+   last driver check is OLDEST (round 2): regressions in long-stable
+   code should not be able to hide behind a years-old green row.
+   The 11 round-2 rows that didn't fit (q_cube_flag_status,
+   q_docs_top_terms, q_dt_event_time_span, q_emb_knn_bruteforce,
+   q_events_hourly_by_type, q_events_user_enrichment,
+   q_events_value_stats, q_events_view_to_purchase,
+   q_full_outer_daily_activity, q_pandas_udf_revenue,
+   q_range_join_price_bands) defer to round 6 with families covered:
+   grouping-analytics shapes by
    q_rollup_returnflag_status/q_grouping_sets_flag_year (r3/r4
    greens), the token-frequency family by q_docs_token_stats in the
    gate plus q_docs_tfidf_top_terms's round-4 green, exact-kNN by
    the in-plan exact ground-truth branches of the four in-gate ANN
-   rows plus q_vec_knn_arrow's r3 green, events/window shapes by the
-   five events rows still in the gate (hourly windowed aggregation
-   specifically by q_events_sliding_1h_30m and the streaming
-   occupancy rows), the pandas-UDF boundary by
-   q_events_grouped_pandas_stats, outer-join shapes by
-   q_customer_order_counts_outer/q_customers_without_orders; all
-   ten hold green rows, so deferral costs zero union coverage.
+   rows plus q_vec_knn_arrow's r3 green, derived-event-time DT
+   physics by the five dt rows still in the gate (orbit assembly,
+   hits-per-orbit and both occupancy twins all compute from the same
+   derived-time columns), events/window shapes by the five events
+   rows still in the gate (hourly windowed aggregation specifically
+   by q_events_sliding_1h_30m and the streaming occupancy rows), the
+   pandas-UDF boundary by q_events_grouped_pandas_stats, outer-join
+   shapes by q_customer_order_counts_outer/q_customers_without_orders;
+   all eleven hold green rows, so deferral costs zero union coverage.
 
 The 40 round-4-green rows whose code is unchanged rotate to
 PREVIOUSLY_GREEN (their r4 rows were produced by current code).
@@ -67,8 +71,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 gate (slots 1-50): 8 new + 10 changed-code re-grades + the
-# 32 rows with the oldest (round-2) driver checks.
+# Round-5 gate (slots 1-50): 9 new + 10 changed-code re-grades + the
+# 31 rows with the oldest (round-2) driver checks.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_docs_classifier_trained",
@@ -79,6 +83,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_strip_boilerplate",
     "q_snapshot_incremental_agg",
     "q_docs_hybrid_search",
+    "q_docs_unigram_encode_stats",
     # —— held over: code changed this round ——
     "q_docs_bpe_merges",
     "q_docs_quality_classifier",
@@ -111,7 +116,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_token_stats",
     "q_dt_channel_occupancy",
     "q_dt_custom_source_occupancy",
-    "q_dt_event_time_span",
     "q_dt_hits_per_orbit",
     "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy",
@@ -125,13 +129,14 @@ ROUND_GATE: tuple[str, ...] = (
     "q_events_sliding_1h_30m",
 )
 
-# The ten round-2-green rows that lost their round-5 refresh slot
+# The eleven round-2-green rows that lost their round-5 refresh slot
 # to the new queries (module docstring): still green (round-2 driver
 # rows, code unchanged), but they carry the OLDEST checks in the
 # registry, so round-6 gate assembly picks them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_cube_flag_status",
     "q_docs_top_terms",
+    "q_dt_event_time_span",
     "q_emb_knn_bruteforce",
     "q_events_hourly_by_type",
     "q_events_user_enrichment",

@@ -1417,3 +1417,73 @@ def q_docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = rrf_fuse([lex, vec], k=_RRF_K, scale=_RRF_SCALE)
     return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py): the q_docs_bpe_encode_
+# stats pattern for the SECOND tokenizer family — train (one corpus
+# pass + driver-local EM/prune), Viterbi-encode every distinct word,
+# grade exact word/char totals plus the lossless-concatenation and
+# piece-count-bound invariants, plus the non-degeneracy boolean (the
+# model actually uses multi-char pieces — a char-only collapse would
+# pass reconstruction trivially).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_unigram_encode_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({_SQL_TOKENS.format(t='lower(text)')}) AS w
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+      TRUE AS all_reconstruct,
+      TRUE AS pieces_bounded,
+      TRUE AS uses_multichar_pieces
+    FROM words
+    """,
+)
+def q_docs_unigram_encode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train a 256-piece unigram model (2 hard-EM rounds) on the
+    corpus and Viterbi-encode its distinct words
+    (operators/unigram.py), grading exact totals + per-word
+    invariants: every word reconstructs by concatenation, piece
+    counts stay within [1, len(w)], and the encode uses at least one
+    multi-char piece somewhere (non-degenerate model).
+
+    Scale shape: one distributed word-count pass feeds the
+    driver-local EM (cost ∝ vocabulary); the model rides the task
+    closure; encode is one Arrow-batched map over the distinct-word
+    table; the final aggregate is a single row."""
+    from fortymhz_spark.operators import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = ug.learn_unigram_vocab(
+        docs, vocab_size=256, em_rounds=2, max_piece_len=8
+    )
+    words = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    ).distinct()
+    enc = ug.encode_unigram(words, "w", model=model, max_piece_len=8)
+    return enc.select(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+        F.every(
+            F.concat_ws("", F.col("pieces")) == F.col("w")
+        ).alias("all_reconstruct"),
+        F.every(
+            (F.size("pieces") >= 1)
+            & (F.size("pieces") <= F.length("w"))
+        ).alias("pieces_bounded"),
+        (
+            F.sum(
+                F.when(
+                    F.exists("pieces", lambda p: F.length(p) > 1), 1
+                ).otherwise(0)
+            )
+            > 0
+        ).alias("uses_multichar_pieces"),
+    )

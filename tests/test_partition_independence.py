@@ -89,6 +89,9 @@ SENSITIVE = [
     # hybrid retrieval: both retrievers' float score chains + global
     # top-20 ranks + the fusion aggregate must be partition-invariant
     "q_docs_hybrid_search",
+    # unigram tokenizer: the word-count collect feeding driver EM and
+    # the Viterbi encode must be identical under hostile partitioning
+    "q_docs_unigram_encode_stats",
 ]
 
 _QUERIES = all_queries()

@@ -1,0 +1,144 @@
+"""Unigram-LM tokenizer (operators/unigram.py): Viterbi optimality
+against brute-force enumeration, training invariants, coverage, and
+the encode path's plan shape."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortymhz_spark.operators import unigram as ug
+
+
+def _brute_force_best(word, logp, max_len):
+    """All segmentations by cut masks; best (score, -n_pieces) with
+    every piece either in-vocab or a single char."""
+    n = len(word)
+    floor = min(logp.values()) - 10.0
+    best = None
+    for mask in itertools.product([0, 1], repeat=max(n - 1, 0)):
+        cuts = [0] + [i + 1 for i, b in enumerate(mask) if b] + [n]
+        pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+        if any(len(p) > max_len for p in pieces):
+            continue
+        score = 0.0
+        ok = True
+        for p in pieces:
+            if p in logp:
+                score += logp[p]
+            elif len(p) == 1:
+                score += floor
+            else:
+                ok = False
+                break
+        if not ok:
+            continue
+        key = (score, -len(pieces))
+        if best is None or key > best[0]:
+            best = (key, pieces)
+    return best
+
+
+def test_viterbi_matches_brute_force_enumeration():
+    logp = {
+        "a": math.log(0.3),
+        "b": math.log(0.2),
+        "ab": math.log(0.25),
+        "ba": math.log(0.15),
+        "aba": math.log(0.1),
+    }
+    for word in ["ababa", "aabb", "baba", "abab", "aaaa", "b"]:
+        got = ug.viterbi_segment(word, logp, max_piece_len=3)
+        want_key, _ = _brute_force_best(word, logp, 3)
+        got_score = sum(
+            logp.get(p, min(logp.values()) - 10.0) for p in got
+        )
+        assert "".join(got) == word
+        assert (round(got_score, 9), -len(got)) == (
+            round(want_key[0], 9),
+            want_key[1],
+        ), word
+
+
+def test_oov_characters_fall_to_floor_not_crash():
+    logp = {"a": math.log(0.5), "b": math.log(0.5)}
+    assert ug.viterbi_segment("axb", logp) == ["a", "x", "b"]
+    assert ug.viterbi_segment("zzz", logp) == ["z", "z", "z"]
+
+
+def _corpus(spark):
+    rows = [
+        (i, "the sparkle sparks sparkling spark plug " * 3)
+        for i in range(4)
+    ]
+    rows.append((9, "unrelated words here entirely different tokens"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_training_learns_multichar_pieces_and_keeps_coverage(spark):
+    docs = _corpus(spark)
+    model = ug.learn_unigram_vocab(docs, vocab_size=64, em_rounds=2)
+    # every corpus character survives as a single-char piece …
+    corpus_chars = {
+        ch
+        for r in docs.collect()
+        for ch in (r["text"] or "")
+        if ch != " "
+    }
+    assert corpus_chars <= {p for p in model if len(p) == 1}
+    # … frequent words become whole pieces …
+    assert "spark" in model
+    # … probabilities are a (log-)distribution
+    total = sum(math.exp(lp) for lp in model.values())
+    assert abs(total - 1.0) < 1e-9
+    # hard cap honored (chars can exceed it, multi-char pieces cannot)
+    n_multi = sum(1 for p in model if len(p) > 1)
+    assert n_multi + len(corpus_chars) <= 64 + len(corpus_chars)
+
+
+def test_training_is_deterministic_and_partition_invariant(spark):
+    docs = _corpus(spark)
+    a = ug.learn_unigram_vocab(docs, vocab_size=48, em_rounds=2)
+    b = ug.learn_unigram_vocab(
+        docs.repartition(7), vocab_size=48, em_rounds=2
+    )
+    assert a == b
+
+
+def test_encode_reconstructs_and_is_arrow_batched(spark):
+    docs = _corpus(spark)
+    model = ug.learn_unigram_vocab(docs, vocab_size=64, em_rounds=2)
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    enc = ug.encode_unigram(words, model=model)
+    rows = enc.collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["pieces"]) == r["w"]
+        assert 1 <= len(r["pieces"]) <= len(r["w"])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_validation_errors(spark):
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="vocab_size"):
+        ug.learn_unigram_vocab(docs, vocab_size=1)
+    with pytest.raises(ValueError, match="em_rounds"):
+        ug.learn_unigram_vocab(docs, em_rounds=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ug.learn_unigram_vocab(empty)
