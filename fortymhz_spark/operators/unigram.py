@@ -44,6 +44,8 @@ __all__ = [
     "learn_unigram_vocab",
     "viterbi_segment",
     "encode_unigram",
+    "vocab_from_model",
+    "encode_token_ids_unigram",
 ]
 
 
@@ -204,3 +206,65 @@ def encode_unigram(
         )
 
     return df.withColumn(out_col, _encode(F.col(word_col)))
+
+
+def vocab_from_model(model: dict[str, float]) -> dict[str, int]:
+    """piece → id table from a trained model: ``<unk>`` first, then
+    pieces by DESCENDING probability (frequent pieces get small ids —
+    the convention token-id distributions and embedding tables
+    assume), ties lexicographic.  Deterministic for a given model."""
+    vocab = {"<unk>": 0}
+    for p in sorted(model, key=lambda p: (-model[p], p)):
+        vocab[p] = len(vocab)
+    return vocab
+
+
+def encode_token_ids_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    model: dict[str, float],
+    vocab: dict[str, int] | None = None,
+    max_piece_len: int = 8,
+    out_col: str = "token_ids",
+    count_col: str | None = "n_tok",
+) -> DataFrame:
+    """Document text → ``array<int>`` token ids under the unigram
+    model — the column a training-data EXPORT writes, mirroring
+    ``operators/bpe.py::encode_token_ids`` so either tokenizer family
+    plugs into the same downstream (``packing.py::pack_sequences``
+    budgets on ``count_col``).  Words split on the repo-wide
+    single-space convention; Viterbi segments each word; pieces the
+    vocab lacks (possible when a caller passes a TRIMMED vocab) map
+    to ``<unk>``.
+
+    Map-only: model + vocab ride the task closure; one Arrow batch
+    boundary, no shuffle."""
+    if vocab is None:
+        vocab = vocab_from_model(model)
+    unk = vocab.get("<unk>")
+    if unk is None:
+        raise ValueError("vocab must contain '<unk>' for OOV pieces")
+    logp = dict(model)
+
+    def encode_one(text: str | None) -> list[int]:
+        ids: list[int] = []
+        for word in (text or "").lower().split(" "):
+            if not word:
+                continue
+            ids.extend(
+                vocab.get(p, unk)
+                for p in viterbi_segment(
+                    word, logp, max_piece_len=max_piece_len
+                )
+            )
+        return ids
+
+    @F.pandas_udf("array<int>")
+    def _encode(texts):
+        return texts.map(encode_one)
+
+    out = df.withColumn(out_col, _encode(F.col(text_col)))
+    if count_col is not None:
+        out = out.withColumn(count_col, F.size(out_col))
+    return out

@@ -142,3 +142,44 @@ def test_validation_errors(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         ug.learn_unigram_vocab(empty)
+
+
+def test_id_level_encode_round_trips_through_vocab(spark):
+    docs = _corpus(spark)
+    model = ug.learn_unigram_vocab(docs, vocab_size=64, em_rounds=2)
+    vocab = ug.vocab_from_model(model)
+    # id 0 is <unk>; frequent pieces get small ids
+    assert vocab["<unk>"] == 0
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    inv = {i: p for p, i in vocab.items()}
+
+    enc = ug.encode_token_ids_unigram(docs, model=model)
+    for r in enc.select("text", "token_ids", "n_tok").collect():
+        assert r["n_tok"] == len(r["token_ids"])
+        # decode: ids → pieces → concatenation == the lowercased,
+        # space-stripped text (no <unk> on in-corpus text: the model
+        # covers every char, vocab is untrimmed)
+        decoded = "".join(inv[i] for i in r["token_ids"])
+        want = "".join(
+            w for w in (r["text"] or "").lower().split(" ") if w
+        )
+        assert decoded == want
+        assert 0 not in r["token_ids"] or want == ""
+
+
+def test_id_level_encode_trimmed_vocab_maps_to_unk(spark):
+    docs = _corpus(spark)
+    model = ug.learn_unigram_vocab(docs, vocab_size=64, em_rounds=2)
+    # trim every multi-char piece out of the vocab (but not the model):
+    # segmentation still picks multi-char pieces, which must map to unk
+    trimmed = {"<unk>": 0}
+    for p in sorted(model):
+        if len(p) == 1:
+            trimmed[p] = len(trimmed)
+    enc = ug.encode_token_ids_unigram(
+        docs.limit(2), model=model, vocab=trimmed
+    )
+    rows = enc.collect()
+    assert any(0 in r["token_ids"] for r in rows)
+    with pytest.raises(ValueError, match="<unk>"):
+        ug.encode_token_ids_unigram(docs, model=model, vocab={"a": 1})
