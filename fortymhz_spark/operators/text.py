@@ -656,3 +656,34 @@ def strip_crossdoc_blocks(
         .drop("__banned__")
     )
     return out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Ingest-time text normalization — the cleanup pass a crawl
+    pipeline runs BEFORE any tokenization or hashing, as one chain of
+    JVM-side regexp/translate expressions (whole-stage codegen, no
+    Python):
+
+    1. strip control characters (C0/C1 except \\t and \\n),
+       zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphens;
+    2. map the common Unicode lookalikes to ASCII — curly quotes,
+       en/em dashes, ellipsis, and NBSP/thin/ideographic spaces to a
+       plain space (the high-frequency subset of NFKC that changes
+       dedup/tokenizer behavior on web text);
+    3. collapse whitespace runs to single spaces and trim.
+
+    Deterministic and idempotent (normalize(normalize(x)) ==
+    normalize(x), pinned by test).  NULL stays NULL — totality
+    decisions belong to the caller.  At 100 TB this is a map-only
+    projection fused into whatever scan follows."""
+    t = _colified(text)
+    # 1. control + invisible characters out
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\uFEFF\\u00AD]", ""
+    )
+    # 2. lookalikes: quotes/dashes/ellipsis to ASCII, exotic spaces to ' '
+    t = F.translate(t, "‘’“”–—", "''\"\"--")
+    t = F.regexp_replace(t, "…", "...")
+    t = F.regexp_replace(t, "[\\u00A0\\u2000-\\u200A\\u202F\\u3000]", " ")
+    # 3. whitespace runs (incl. \t \n) to one space, trimmed
+    return F.trim(F.regexp_replace(t, "\\s+", " "))

@@ -183,3 +183,41 @@ def test_id_level_encode_trimmed_vocab_maps_to_unk(spark):
     assert any(0 in r["token_ids"] for r in rows)
     with pytest.raises(ValueError, match="<unk>"):
         ug.encode_token_ids_unigram(docs, model=model, vocab={"a": 1})
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (operators/text.py) — colocated with the round-5
+# text operators.
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_cleans_and_is_idempotent(spark):
+    from fortymhz_spark.operators import text as tx
+
+    rows = [
+        (0, "plain text stays"),
+        (1, "curly ‘quotes’ and “double” ones"),
+        (2, "dash–types—here and ellipsis… done"),
+        (3, "zero​width‌chars﻿gone and ctrl\x07bell"),
+        (4, "nbsp and　ideographic   runs\t\ncollapse"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    once = df.select(
+        "i", tx.normalize_text("text").alias("t")
+    )
+    got = {r["i"]: r["t"] for r in once.collect()}
+    assert got[0] == "plain text stays"
+    assert got[1] == "curly 'quotes' and \"double\" ones"
+    assert got[2] == "dash-types-here and ellipsis... done"
+    assert got[3] == "zerowidthcharsgone and ctrlbell"
+    assert got[4] == "nbsp and ideographic runs collapse"
+    assert got[5] is None
+    # idempotent: a second pass changes nothing
+    twice = once.select(
+        "i", tx.normalize_text("t").alias("t2"), "t"
+    )
+    assert all(r["t2"] == r["t"] for r in twice.collect())
+    # JVM-side only: no Python boundary in the plan
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
