@@ -112,6 +112,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     from fortymhz_spark.operators import bpe, dedup, similarity as sim
     from fortymhz_spark.operators import dsir as dsir_ops
     from fortymhz_spark.operators import text as text_ops
+    from fortymhz_spark.operators import unigram as ug_ops
 
     queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
     return [
@@ -260,6 +261,27 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
                 100,
                 n_buckets=1024,
             ).count(),
+        ),
+        (
+            # cross-doc span removal: (id, pos, md5)-only shuffles +
+            # text rebuild — should track token volume like exact dedup
+            "strip_crossdoc",
+            lambda: int(
+                text_ops.strip_crossdoc_blocks(docs)
+                .select(F.sum("n_removed_blocks").cast("long"))
+                .first()[0]
+                or 0
+            ),
+        ),
+        (
+            # unigram training: one word-count pass + driver EM over
+            # the bounded vocab — corpus cost is the count pass only
+            "unigram_train_256",
+            lambda: len(
+                ug_ops.learn_unigram_vocab(
+                    docs, vocab_size=256, em_rounds=2, top_v=65536
+                )
+            ),
         ),
         (
             # collect() the 1-row aggregate (a count() over a global
