@@ -199,9 +199,11 @@ def encode_unigram(
 
     @F.pandas_udf("array<string>")
     def _encode(words):  # pandas Series[str] -> Series[list[str]]
+        # NULL word -> empty segmentation (the encode_token_ids_unigram
+        # totality contract), not a TypeError inside the batch
         return words.map(
             lambda w: viterbi_segment(
-                w, logp, max_piece_len=max_piece_len
+                w or "", logp, max_piece_len=max_piece_len
             )
         )
 

@@ -11,6 +11,7 @@ the reference materializes full rows as Python dicts
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,6 +100,14 @@ def read_with_quarantine(
     predicate on the corrupt column — same scan, no second parse —
     and the reject write is a plain parquet append.
 
+    Each call writes its rejects under a fresh ``run_id=<uuid>``
+    subdirectory of ``quarantine_dir`` and the returned ``corrupt_df``
+    reads ONLY that subdirectory — so repeated triage runs against the
+    same quarantine root never fold prior runs' rows (or a re-run's
+    duplicate append) back into this run's audit counts.  The root
+    stays cumulative by design: read ``quarantine_dir`` directly for
+    the all-runs history.
+
     Caveat (Spark semantics): a query whose ONLY referenced column is
     the corrupt record is disallowed on raw files
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
@@ -126,6 +135,7 @@ def read_with_quarantine(
         F.col(corrupt_col).alias("raw_record"), *data_cols
     )
     if quarantine_dir is not None:
-        corrupt.write.mode("append").parquet(quarantine_dir)
-        corrupt = spark.read.parquet(quarantine_dir)
+        run_dir = os.path.join(quarantine_dir, f"run_id={uuid.uuid4().hex}")
+        corrupt.write.mode("error").parquet(run_dir)
+        corrupt = spark.read.parquet(run_dir)
     return valid, corrupt

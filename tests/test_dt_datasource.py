@@ -145,6 +145,23 @@ def test_read_with_quarantine_splits_and_persists(spark, tmp_path):
     assert spark.read.parquet(qdir).count() == 2
 
 
+def test_read_with_quarantine_rerun_is_run_scoped(spark, tmp_path):
+    """Re-running the same triage against the same quarantine root must
+    return ONLY this run's rejects (no double-count from the prior
+    run's append), while the root keeps the cumulative history."""
+    from fortymhz_spark.sources.batch import read_with_quarantine
+
+    src = tmp_path / "in.csv"
+    src.write_text("1,alice\nbad,row,extra\n2,bob\n")
+    qdir = str(tmp_path / "quarantine")
+    schema = "id INT, name STRING"
+    _, corrupt1 = read_with_quarantine(spark, str(src), schema, quarantine_dir=qdir)
+    _, corrupt2 = read_with_quarantine(spark, str(src), schema, quarantine_dir=qdir)
+    assert corrupt1.count() == 1
+    assert corrupt2.count() == 1          # NOT 2: prior run excluded
+    assert spark.read.parquet(qdir).count() == 2  # root is cumulative
+
+
 def test_read_with_quarantine_json_and_validation(spark, tmp_path):
     from fortymhz_spark.sources.batch import read_with_quarantine
 

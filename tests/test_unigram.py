@@ -133,6 +133,18 @@ def test_encode_reconstructs_and_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_encode_unigram_null_word_yields_empty(spark):
+    """NULL words must encode to [] (the encode_token_ids_unigram
+    totality contract), not TypeError inside the Arrow batch."""
+    docs = _corpus(spark)
+    model = ug.learn_unigram_vocab(docs, vocab_size=64, em_rounds=1)
+    words = spark.createDataFrame([("ab",), (None,), ("",)], "w string")
+    got = {r["w"]: r["pieces"] for r in ug.encode_unigram(words, model=model).collect()}
+    assert got[None] == []
+    assert got[""] == []
+    assert "".join(got["ab"]) == "ab"
+
+
 def test_validation_errors(spark):
     docs = _corpus(spark)
     with pytest.raises(ValueError, match="vocab_size"):
