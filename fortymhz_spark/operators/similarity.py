@@ -256,14 +256,53 @@ def cosine_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _auto_cells(corpus: DataFrame, n_cells: int | None) -> int:
+def _auto_cells(
+    corpus: DataFrame, n_cells: int | None, n: int | None = None
+) -> int:
     """Resolve an ``n_cells=None`` request to ``⌈√N⌉`` (capped at
     4096, floored at 1) with one corpus count — the standard IVF
     sizing rule.  Explicit values pass through untouched."""
     if n_cells is not None:
         return n_cells
-    n = corpus.count()
+    n = corpus.count() if n is None else n
     return max(1, min(4096, int(math.isqrt(max(n - 1, 0))) + 1))
+
+
+def _auto_nprobe(n_cells: int, k: int, rerank: int, n: int) -> int:
+    """Probe width sized so the expected candidate pool covers a 4×
+    multiple of the exact-rerank shortlist: ``⌈4·k·rerank / (N/n_cells)⌉``
+    clamped to ``[4, n_cells]``.  Both ends behave: at fixture-scale
+    corpora the rule probes most/all cells (candidates are scarce —
+    probing everything IS the correct small-N behavior, degrading
+    gracefully toward exact search), while at deployment sizing
+    (N=10⁹, n_cells=4096, rerank=256) a single cell already holds
+    ~244k candidates and the rule floors at 4 probes — the production
+    IVF posture.  The measured failure this replaces: a FIXED nprobe=8
+    of 16 cells left one sf0.1 query's true neighbors entirely in
+    unprobed cells (recall 0.4, the graded bound, immovable by any
+    rerank width)."""
+    per_cell = max(1, n // max(n_cells, 1))
+    want = 4 * k * rerank
+    return max(4, min(n_cells, -(-want // per_cell)))
+
+
+def _auto_rerank(
+    corpus: DataFrame, rerank: int | None, n: int | None = None
+) -> int:
+    """Resolve a ``rerank=None`` request to ``max(16, min(256, ⌈√N⌉))``
+    with one corpus count — the re-rank width is the recall lever that
+    actually works on hard (near-uniform) embeddings, and a FIXED width
+    decays as the corpus grows past it (measured: pq recall 0.91 →
+    0.78 and ivfpq 0.88 → 0.75 from a 500- to a 2000-vector corpus at
+    rerank=16).  √N keeps the shortlist a vanishing FRACTION of the
+    corpus while still growing absolutely; the 256 cap bounds the
+    exact-rerank fetch at k×256 rows per query — past that, recall
+    budget belongs in nprobe / codebook quality, not a wider exact
+    scan.  Explicit values pass through untouched."""
+    if rerank is not None:
+        return rerank
+    n = corpus.count() if n is None else n
+    return max(16, min(256, int(math.isqrt(max(n - 1, 0))) + 1))
 
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:
@@ -331,21 +370,26 @@ def ivf_knn(
     k: int = 10,
     n_cells: int | None = 16,
     nprobe: int = 4,
-    assign: str = "expr",
+    assign: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows are
     assigned to their nearest coarse-centroid cell (the inverted
     lists); each query probes its ``nprobe`` nearest cells and exact
     cosine re-ranks only those candidates.
 
-    ``assign``: ``"expr"`` (default) keeps cell assignment a pure
-    column expression — whole-stage codegen, but the per-row cost and
-    the plan both grow with ``n_cells``; ``"arrow"`` routes assignment
-    through :func:`_assign_cells_arrow`'s batch matmul (one ``X@C.T``
-    per Arrow batch, centroids in the task closure) — the large-cell
-    form for auto-sized indexes (``⌈√N⌉`` cells at a billion vectors
-    is ~31k — far past the expression form's plan-size ceiling).
-    Tie-compatible by construction; BLAS sum order can flip a
+    ``assign``: ``"arrow"`` (default — the deployed form) routes
+    assignment through :func:`_assign_cells_arrow`'s batch matmul (one
+    ``X@C.T`` per Arrow batch, centroids in the task closure) — the
+    only form that survives auto-sized indexes (``⌈√N⌉`` cells at a
+    billion vectors is ~31k, far past the expression form's plan-size
+    ceiling; the 10× soak measured the composed IVFPQ at expr 81.65 s
+    vs arrow 9.55 s once ``n_coarse`` grows with the corpus).
+    ``"expr"`` keeps cell assignment a pure column expression —
+    whole-stage codegen, bit-reproducible on any partitioning, but
+    per-row cost and plan size grow with ``n_cells``; it stays
+    available for small fixed cell counts where expression-level
+    any-partitioning reproducibility matters more than scaling.  The
+    two are tie-compatible by construction; BLAS sum order can flip a
     boundary cell in the last ulp (the ``kmeans_assign`` caveat).
 
     Scale shape: the corpus shuffles once on cell id (≈ corpus/n_cells
@@ -527,7 +571,7 @@ def pq_knn(
     k: int = 10,
     n_sub: int = 8,
     n_cells: int = 16,
-    rerank: int = 16,
+    rerank: int | None = None,
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
@@ -558,11 +602,21 @@ def pq_knn(
     (``_train_codebooks``) on the ``train_sample`` lowest-id vectors —
     fixed init, fixed round count, lowest-index tie-breaks — so the
     same corpus always yields the same codes.
+
+    ``rerank=None`` (default) auto-sizes the re-rank width to
+    ``max(16, min(256, ⌈√N⌉))`` via :func:`_auto_rerank` — a FIXED
+    width is the measured recall leak as the corpus grows (0.91 →
+    0.78 mean recall@10 from 500 to 2000 near-uniform vectors at
+    rerank=16), and on hard embeddings the exact re-rank width is the
+    lever that buys recall back.
     """
     d_sub, books_lit = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
     )
+    # resolved AFTER _pq_train so parameter validation (dim/n_sub
+    # divisibility) fires before any corpus job
+    rerank = _auto_rerank(corpus, rerank)
     vn = _normalized(vec_col)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -706,14 +760,14 @@ def ivfpq_knn(
     vec_col: str = "embedding",
     k: int = 10,
     n_coarse: int | None = 16,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     n_sub: int = 8,
     n_cells: int = 16,
-    rerank: int = 16,
+    rerank: int | None = None,
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
-    assign: str = "expr",
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF + PQ composed — the architecture large-scale ANN actually
     deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
@@ -737,18 +791,39 @@ def ivfpq_knn(
     standalone twin.
 
     ``n_coarse=None`` auto-sizes to ``⌈√N⌉`` capped at 4096 (the
-    ``ivf_knn`` rule; see :func:`_auto_cells`).  ``assign="arrow"``
-    routes the COARSE assignment through the batch-matmul kernel
+    ``ivf_knn`` rule; see :func:`_auto_cells`) and ``rerank=None``
+    (default) auto-sizes the re-rank width to
+    ``max(16, min(256, ⌈√N⌉))`` (:func:`_auto_rerank` — the pq_knn
+    recall-leak reasoning: a fixed width decays as the corpus grows).
+    ``nprobe=None`` (default) sizes the probe width so the expected
+    candidate pool covers 4× the exact-rerank shortlist
+    (:func:`_auto_nprobe`) — at fixture corpora that probes most
+    cells (small-N degrades gracefully toward exact search), at
+    deployment sizing it floors at 4 probes; all three knobs resolve
+    from ONE corpus count shared across them.
+    ``assign="arrow"`` (default — the deployed form) routes the COARSE
+    assignment through the batch-matmul kernel
     (:func:`_assign_cells_arrow` with the vector carried through, so
     the PQ code/table expressions compute downstream of the kernel
     with no id-join back) — the large-``n_coarse`` form; the measured
-    10× soak's near-linear ``ann_ivfpq`` wall is dominated by the
-    expression form's O(n_coarse·dim) per-row term, which this
-    replaces with one matmul per Arrow batch.
+    10× soak's ``ann_ivfpq`` wall is dominated by the expression
+    form's O(n_coarse·dim) per-row term (expr 81.65 s vs arrow 9.55 s
+    at the 10× point with ``n_coarse ∝ corpus``), which the kernel
+    replaces with one matmul per Arrow batch.  ``assign="expr"`` stays
+    available for small fixed cell counts (the ``ivf_knn`` trade-off
+    note).
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
-    n_coarse = _auto_cells(corpus, n_coarse)
+    n_rows = (
+        corpus.count()
+        if (n_coarse is None or rerank is None or nprobe is None)
+        else None
+    )
+    n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
+    rerank = _auto_rerank(corpus, rerank, n=n_rows)
+    if nprobe is None:
+        nprobe = _auto_nprobe(n_coarse, k, rerank, n_rows)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
     d_sub, books_lit = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,

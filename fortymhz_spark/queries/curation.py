@@ -733,14 +733,18 @@ def q_docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PQ ANN: compressed-code ADC scan + exact re-rank, graded by the same
 # in-plan recall check as the LSH/IVF rows (code assignments are
 # codebook-training-specific — no oracle for the candidate sets — but
-# recall vs the exact top-k is plan-computable).  Measured min
-# per-query recall@10 with 8x16 Lloyd-trained codebooks and 16x
-# re-rank: 0.8 at sf0.001 AND sf0.01 (mean 0.97 / 0.91; the synthetic
-# embeddings are near-random, the hard case for quantizers — rerank
-# width carries more recall than codebook finesse here).  Bound 0.5
-# leaves regeneration margin (the q_emb_ann_ivf reasoning: at ~0.9+
-# per-neighbor find probability, P(any query finds < 5 of 10) is
-# vanishing, while a real defect in the encode/ADC/re-rank chain
+# recall vs the exact top-k is plan-computable).  rerank=None engages
+# the corpus-scaled auto width (max(16, min(256, ⌈√N⌉)) —
+# similarity.py::_auto_rerank): the round-5 FIXED rerank=16 decayed
+# 0.91 → 0.78 mean recall from sf0.01 to sf0.1, the trend that would
+# eventually cross the graded bound.  Measured min per-query recall@10
+# with 8x16 Lloyd-trained codebooks under the auto width: 0.9 at
+# sf0.001 AND sf0.01, 0.7 at sf0.1 (means 0.99 / 0.95 / 0.90; the
+# synthetic embeddings are near-random, the hard case for quantizers —
+# rerank width carries more recall than codebook finesse here).
+# Bound 0.5 leaves regeneration margin (the q_emb_ann_ivf reasoning:
+# at ~0.9+ per-neighbor find probability, P(any query finds < 5 of 10)
+# is vanishing, while a real defect in the encode/ADC/re-rank chain
 # craters recall toward the random ~k/N floor and flips every row).
 # ---------------------------------------------------------------------------
 @reg.query(
@@ -769,7 +773,7 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ann = sim.pq_knn(
-        emb, queries, k=10, n_sub=8, n_cells=16, rerank=16
+        emb, queries, k=10, n_sub=8, n_cells=16, rerank=None
     ).select("query_id", "neighbor_id")
     return _ann_recall_check(exact, ann, bound=0.5)
 
@@ -841,15 +845,20 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVFPQ ANN: the composed coarse-cells + compressed-codes architecture
 # (FAISS IVFxx,PQyy) — candidate ROWS bounded by the inverted file,
 # candidate BYTES bounded by the codes.  Graded like its standalone
-# halves: in-plan recall@10 vs the exact top-k.  nprobe=8 of 16 cells
-# (the q_emb_ann_ivf convention — the synthetic embeddings are
-# near-random, so true neighbors scatter across coarse cells and
-# recall is probe-bound); measured min per-query recall on the graded
-# slice: 0.6 at BOTH sf0.001 and sf0.01 (mean 0.87/0.88).  Bound 0.4
-# per the family's regeneration-margin reasoning (q_emb_ann_ivf): a
-# real defect craters recall toward the random floor and flips every
-# row, while fixture-regeneration noise at ~0.87 mean leaves P(any
-# query below 0.4) vanishing.
+# halves: in-plan recall@10 vs the exact top-k.  nprobe=None and
+# rerank=None engage the corpus-scaled auto rules
+# (similarity.py::_auto_nprobe / _auto_rerank): the round-5 FIXED
+# nprobe=8, rerank=16 config decayed 0.88 → 0.75 mean recall from
+# sf0.01 to sf0.1 with one query pinned at 0.4 (its true neighbors sat
+# entirely in unprobed cells — the synthetic embeddings are
+# near-random, so neighbors scatter across coarse cells and recall is
+# probe-bound; no rerank width recovers an unprobed neighbor).
+# Measured min per-query recall on the graded slice under the auto
+# rules: 0.8 / 0.9 / 0.7 at sf0.001 / 0.01 / 0.1 (means
+# 0.96/0.97/0.90).  Bound 0.4 per the family's regeneration-margin
+# reasoning (q_emb_ann_ivf): a real defect craters recall toward the
+# random floor and flips every row, while fixture-regeneration noise
+# at ~0.9 mean leaves P(any query below 0.4) vanishing.
 # ---------------------------------------------------------------------------
 @reg.query(
     "q_emb_ann_ivfpq",
@@ -877,8 +886,8 @@ def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ann = sim.ivfpq_knn(
-        emb, queries, k=10, n_coarse=16, nprobe=8, n_sub=8, n_cells=16,
-        rerank=16,
+        emb, queries, k=10, n_coarse=16, nprobe=None, n_sub=8, n_cells=16,
+        rerank=None,
     ).select("query_id", "neighbor_id")
     return _ann_recall_check(exact, ann, bound=0.4)
 

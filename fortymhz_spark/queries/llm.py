@@ -690,15 +690,15 @@ def ann_recall_report(
             emb.filter((vid >= 5) & (vid < 15)),
             10,
             lambda e, q: sim.pq_knn(
-                e, q, k=10, n_sub=8, n_cells=16, rerank=16
+                e, q, k=10, n_sub=8, n_cells=16, rerank=None
             ),
         ),
         "ivfpq": (
             emb.filter((vid >= 10) & (vid < 20)),
             10,
             lambda e, q: sim.ivfpq_knn(
-                e, q, k=10, n_coarse=16, nprobe=8, n_sub=8, n_cells=16,
-                rerank=16,
+                e, q, k=10, n_coarse=16, nprobe=None, n_sub=8, n_cells=16,
+                rerank=None,
             ),
         ),
     }

@@ -514,7 +514,9 @@ def test_ivf_arrow_assignment_matches_expression(spark, truth):
     dots are well-separated doubles, so the documented last-ulp BLAS
     caveat cannot reorder them here — and the mode is validated."""
     emb, queries, _ = truth
-    expr_rows = ivf_knn(emb, queries, k=K, n_cells=16, nprobe=4).collect()
+    expr_rows = ivf_knn(
+        emb, queries, k=K, n_cells=16, nprobe=4, assign="expr"
+    ).collect()
     arrow_rows = ivf_knn(
         emb, queries, k=K, n_cells=16, nprobe=4, assign="arrow"
     ).collect()
@@ -536,7 +538,7 @@ def test_ivfpq_arrow_assignment_matches_expression(spark, truth):
     kwargs = dict(
         k=K, n_coarse=16, nprobe=4, n_sub=8, n_cells=16, rerank=8
     )
-    expr_rows = ivfpq_knn(emb, queries, **kwargs).collect()
+    expr_rows = ivfpq_knn(emb, queries, assign="expr", **kwargs).collect()
     arrow_rows = ivfpq_knn(emb, queries, assign="arrow", **kwargs).collect()
     key = lambda r: (r["query_id"], r["neighbor_id"])
     assert sorted(map(key, arrow_rows)) == sorted(map(key, expr_rows))

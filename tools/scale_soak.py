@@ -204,6 +204,10 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
                 n_sub=8,
                 n_cells=16,
                 rerank=16,
+                # the EXPRESSION-form comparison row, kept beside the
+                # arrow row below now that assign="arrow" is the
+                # operator default
+                assign="expr",
             ).count(),
         ),
         (
