@@ -62,8 +62,18 @@ def brute_force_knn(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    """Deterministic pseudo-Gaussian hyperplanes (Box–Muller over a
-    64-bit LCG keyed by seed/plane/dim — no RNG library dependency)."""
+    """Deterministic Rademacher (±1) hyperplanes over a splitmix64-ish
+    scramble keyed by seed/plane/dim — no RNG library dependency.
+
+    ±1 entries instead of pseudo-Gaussian doubles is the
+    Achlioptas-style database-friendly random projection: sign-LSH
+    collision probabilities carry the same angle-preservation guarantee
+    (each plane is still a uniformly random orientation over the
+    hypercube directions), and the plane matrix prints as ``1.0``/
+    ``-1.0`` literals instead of 17-digit doubles — measured 26 KB →
+    ~4 KB per side in the Catalyst plan string, which was the
+    single largest contributor to the ANN family's plan-size ceiling
+    (compile time is a fixed per-query tax at any data scale)."""
     planes = []
     for p in range(n_planes):
         row = []
@@ -75,12 +85,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
             x ^= x >> 27
             x = (x * 0x94D049BB133111EB) & (2**64 - 1)
             x ^= x >> 31
-            u1 = ((x >> 11) + 1) / (2**53 + 1)
-            x2 = (x * 0xD1342543DE82EF95 + 0x2545F4914F6CDD1D) & (2**64 - 1)
-            u2 = ((x2 >> 11) + 1) / (2**53 + 1)
-            row.append(
-                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
-            )
+            row.append(1.0 if (x >> 63) else -1.0)
         planes.append(row)
     return planes
 
@@ -472,18 +477,21 @@ def _normalized(vec_col: str):
     )
 
 
-def _pq_code_col(vn, books_lit, s: int, d_sub: int, n_cells: int):
+def _pq_code_col(vn, books, s: int, d_sub: int, n_cells: int):
     """PQ code for subquantizer ``s``: argmin codebook cell for the
     normalized subvector, built as ONE transform-over-sequence lambda
     whose body is independent of ``n_cells`` — the per-cell
     literal-array form costs O(n_sub x n_cells x d_sub) expression
     nodes, which measured 11-16 s of PURE py4j expression construction
-    plus ~8 s of data-independent codegen per query at 8x16x8.  The
-    codebooks ride in as one nested literal; ``element_at`` with the
-    loop variable keeps the lambda body constant-size.  Ties break to
-    the lowest cell (struct compare on (dist, cell)), matching the
-    numpy trainer's argmin."""
-    cells = F.element_at(books_lit, s + 1)
+    plus ~8 s of data-independent codegen per query at 8x16x8.  Each
+    column carries ONLY its own subquantizer's codebook as a nested
+    literal (``books[s]``, n_cells × d_sub floats) — embedding the
+    full books literal per column printed the whole 3-D table into
+    every code/dtab column's plan line; ``element_at`` with the loop
+    variable keeps the lambda body constant-size.  Ties break to the
+    lowest cell (struct compare on (dist, cell)), matching the numpy
+    trainer's argmin."""
+    cells = F.lit(books[s])
 
     def over(sub):
         scored = F.transform(
@@ -510,11 +518,11 @@ def _pq_code_col(vn, books_lit, s: int, d_sub: int, n_cells: int):
     )
 
 
-def _pq_dtab_col(vn, books_lit, s: int, d_sub: int, n_cells: int):
+def _pq_dtab_col(vn, books, s: int, d_sub: int, n_cells: int):
     """ADC distance table for subquantizer ``s``: squared L2 from the
     query subvector to every codebook cell, same constant-size lambda
-    construction as ``_pq_code_col``."""
-    cells = F.element_at(books_lit, s + 1)
+    and per-subquantizer literal construction as ``_pq_code_col``."""
+    cells = F.lit(books[s])
 
     def over(sub):
         return F.transform(
@@ -558,7 +566,12 @@ def _train_codebooks(
                 members = assign == c
                 if members.any():
                     C[c] = X[members].mean(0)
-        books.append([[float(x) for x in row] for row in C])
+        # 6-decimal quantization: codebook entries are approximate by
+        # construction (Lloyd means of a bounded sample) — carrying 17
+        # printed digits into the plan literal buys zero recall while
+        # roughly doubling the plan's largest lines; rounding is
+        # deterministic, so codes stay run-reproducible.
+        books.append([[round(float(x), 6) for x in row] for row in C])
     return books
 
 
@@ -610,25 +623,36 @@ def pq_knn(
     rerank=16), and on hard embeddings the exact re-rank width is the
     lever that buys recall back.
     """
-    d_sub, books_lit = _pq_train(
+    d_sub, books = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
     )
     # resolved AFTER _pq_train so parameter validation (dim/n_sub
     # divisibility) fires before any corpus job
     rerank = _auto_rerank(corpus, rerank)
-    vn = _normalized(vec_col)
+    # Bind the normalized vector ONCE per side in its own projection —
+    # the n_sub code/dtab columns then reference the bound column, so
+    # the O(dim) norm fold appears once in the plan instead of n_sub
+    # times (CollapseProject declines to inline a multiply-referenced
+    # non-cheap alias; the kmeans_assign discipline).
+    vn = F.col("_vn")
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
+        _normalized(vec_col).alias("_vn"),
+    ).select(
+        "neighbor_id",
         *[
-            _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(f"code_{s}")
+            _pq_code_col(vn, books, s, d_sub, n_cells).alias(f"code_{s}")
             for s in range(n_sub)
         ],
     )
     qtabs = queries.select(
         F.col(id_col).alias("query_id"),
+        _normalized(vec_col).alias("_vn"),
+    ).select(
+        "query_id",
         *[
-            _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(f"dtab_{s}")
+            _pq_dtab_col(vn, books, s, d_sub, n_cells).alias(f"dtab_{s}")
             for s in range(n_sub)
         ],
     )
@@ -654,8 +678,10 @@ def _pq_train(
     the dimension, validate divisibility, collect + L2-normalize the
     ``train_sample`` lowest-id vectors (one bounded collect, sample x
     dim floats), Lloyd-train the codebooks driver-side, and wrap them
-    in the single nested literal the lambda forms index.  Returns
-    ``(d_sub, books_lit)``."""
+    in per-subquantizer nested literals the lambda forms index.
+    Returns ``(d_sub, books)`` — the plain nested list; column
+    builders lift ``books[s]`` into its own literal so each code/dtab
+    column's plan line carries only its slice."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
@@ -686,7 +712,7 @@ def _pq_train(
             "codebooks need at least n_cells training vectors"
         )
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-    return dim // n_sub, F.lit(books)
+    return dim // n_sub, books
 
 
 def _adc_sum(n_sub: int):
@@ -825,19 +851,25 @@ def ivfpq_knn(
     if nprobe is None:
         nprobe = _auto_nprobe(n_coarse, k, rerank, n_rows)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-    d_sub, books_lit = _pq_train(
+    d_sub, books = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
     )
     if assign == "arrow":
-        vna = _normalized("v")
+        # bound-normalized-vector discipline (see pq_knn): the norm
+        # fold appears once per side, the n_sub columns read the alias
+        vna = F.col("_vn")
         codes = _assign_cells_arrow(
             corpus, id_col, vec_col, coarse, 1, keep_vec=True
         ).select(
             F.col("id").alias("neighbor_id"),
             "cell",
+            _normalized("v").alias("_vn"),
+        ).select(
+            "neighbor_id",
+            "cell",
             *[
-                _pq_code_col(vna, books_lit, s, d_sub, n_cells).alias(
+                _pq_code_col(vna, books, s, d_sub, n_cells).alias(
                     f"code_{s}"
                 )
                 for s in range(n_sub)
@@ -855,8 +887,13 @@ def ivfpq_knn(
             .select(
                 F.col("id").alias("query_id"),
                 "cells",
+                _normalized("v").alias("_vn"),
+            )
+            .select(
+                "query_id",
+                "cells",
                 *[
-                    _pq_dtab_col(vna, books_lit, s, d_sub, n_cells).alias(
+                    _pq_dtab_col(vna, books, s, d_sub, n_cells).alias(
                         f"dtab_{s}"
                     )
                     for s in range(n_sub)
@@ -869,12 +906,16 @@ def ivfpq_knn(
             )
         )
     else:
-        vn = _normalized(vec_col)
+        vn = F.col("_vn")
         codes = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
+            _normalized(vec_col).alias("_vn"),
+        ).select(
+            "neighbor_id",
+            "cell",
             *[
-                _pq_code_col(vn, books_lit, s, d_sub, n_cells).alias(
+                _pq_code_col(vn, books, s, d_sub, n_cells).alias(
                     f"code_{s}"
                 )
                 for s in range(n_sub)
@@ -886,8 +927,13 @@ def ivfpq_knn(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 _nearest_cells(vec_col, coarse, nprobe).alias("cells"),
+                _normalized(vec_col).alias("_vn"),
+            )
+            .select(
+                "query_id",
+                "cells",
                 *[
-                    _pq_dtab_col(vn, books_lit, s, d_sub, n_cells).alias(
+                    _pq_dtab_col(vn, books, s, d_sub, n_cells).alias(
                         f"dtab_{s}"
                     )
                     for s in range(n_sub)
