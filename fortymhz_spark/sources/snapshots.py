@@ -14,12 +14,17 @@ Layout::
       _manifest.json          # {"current": 2, "versions": {...}}
 
 Write protocol: data lands in a NEW ``v=N`` directory (never touching
-published files), then the manifest is replaced via write-to-temp +
-``os.replace`` — atomic on POSIX, so a concurrent reader sees either
-the old manifest or the new one, never a torn file.  On object stores
-without atomic rename the same role is played by a conditional PUT of
-the manifest key; the data-files-are-immutable property is what makes
-the single-small-file swap sufficient either way (the Delta/Iceberg
+published files), then the manifest is committed through a pluggable
+CAS publisher (:func:`flock_publisher` by default): an exclusive lock
+serializes load → mutate → write-to-temp + ``os.replace``, so the
+precondition a writer checks and the swap it performs are ONE atomic
+step — a concurrent reader sees either the old manifest or the new
+one, never a torn file, and a concurrent WRITER can neither erase an
+entry nor double-allocate a version.  On object stores the same
+contract is a ``GET (etag) → mutate → conditional PUT (If-Match)``
+retry loop — implement it against :data:`manifest_publisher`'s
+signature; the data-files-are-immutable property is what makes the
+single-small-manifest commit sufficient either way (the Delta/Iceberg
 core idea, reduced to its minimum).
 
 Readers resolve the version through the manifest (or pin an explicit
@@ -27,22 +32,31 @@ Readers resolve the version through the manifest (or pin an explicit
 invisible until its manifest entry lands.  Snapshots are immutable:
 retrain-on-v3 months later reads byte-identical input.
 
-This is deliberately NOT a transaction log: there is one writer
-(the pipeline driver), no concurrent-commit arbitration, and no
-row-level merge — `streaming/sinks.py::start_partition_upsert_sink`
-covers the incremental-merge shape.  Scale: the manifest is O(versions)
-bytes and the listing never globs data files, so resolution cost is
-independent of table size.
+Concurrency contract: INDEPENDENT snapshot publishes (plain
+:func:`write_snapshot`) are safe from any number of writers — the
+publisher reallocates a taken version number under the lock, so every
+racer's version survives.  DERIVED writes (:func:`merge_snapshot`,
+:func:`compact_snapshot`) are optimistic: they pin the base version
+they read via ``expected_current`` and raise
+:class:`ConcurrentWriteError` if the table moved — the caller retries
+against the new current (both writers' changes then land; nothing is
+ever silently lost).  There is still no row-level commit arbitration —
+`streaming/sinks.py::start_partition_upsert_sink` covers the
+incremental-merge shape.  Scale: the manifest is O(versions) bytes and
+the listing never globs data files, so resolution cost is independent
+of table size.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import tempfile
 import time
-from typing import Any
+import uuid
+from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +72,49 @@ class ConcurrentWriteError(RuntimeError):
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, _MANIFEST)
+
+
+# A manifest publisher atomically applies ``mutate`` to the CURRENT
+# manifest and persists the result: load → mutate → durable swap must
+# be one step no competing commit can interleave.  ``mutate`` may raise
+# ConcurrentWriteError to veto the commit (precondition failure), may
+# be invoked more than once by retrying publishers (object-store
+# If-Match loops), and therefore must keep its side effects idempotent.
+ManifestMutator = Callable[[dict], dict]
+ManifestPublisher = Callable[[str, ManifestMutator], dict]
+
+
+def flock_publisher(table_dir: str, mutate: ManifestMutator) -> dict:
+    """Default CAS publisher for POSIX filesystems: an exclusive
+    ``fcntl.flock`` on ``table_dir/._manifest.lock`` serializes the
+    whole read-modify-write, and the manifest itself still lands via
+    fsync'd-temp + ``os.replace`` so lock-less READERS keep their
+    torn-file-free guarantee.  An object-store deployment swaps this
+    for a ``GET (etag/generation) → mutate → conditional PUT
+    (If-Match)`` loop with the same signature — the lock file is the
+    filesystem spelling of the store's conditional write."""
+    os.makedirs(table_dir, exist_ok=True)
+    with open(os.path.join(table_dir, "._manifest.lock"), "a+") as lk:
+        fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+        manifest = mutate(_load_manifest(table_dir))
+        fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _manifest_path(table_dir))
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        return manifest
+        # flock released when ``lk`` closes
+
+
+#: Module default; swap for an object-store conditional-PUT
+#: implementation in deployments without POSIX rename/flock semantics.
+manifest_publisher: ManifestPublisher = flock_publisher
 
 
 def _load_manifest(table_dir: str) -> dict[str, Any]:
@@ -86,12 +143,23 @@ def write_snapshot(
     note: str = "",
     txn: tuple[str, int] | None = None,
     checks: dict[str, Column] | None = None,
+    expected_current: int | None = None,
+    publisher: ManifestPublisher | None = None,
 ) -> int:
     """Publish ``df`` as the next version of ``table_dir`` and return
     the new version number.  The data write happens entirely inside an
     unpublished ``v=N`` directory; publication is the atomic manifest
-    swap at the end — a reader racing this call resolves either the
-    previous version or the complete new one.
+    commit at the end (:data:`manifest_publisher`, or ``publisher=``) —
+    a reader racing this call resolves either the previous version or
+    the complete new one, and a concurrent writer costs at most a
+    version-number reallocation (both snapshots survive).
+
+    ``expected_current`` pins the base version this write DERIVES from
+    (merge/compact): the commit is vetoed with
+    :class:`ConcurrentWriteError` if the table's current version moved,
+    because publishing content computed from a stale base would drop
+    the competing writer's rows; retry from the new current.  Leave
+    ``None`` for independent snapshots.
 
     ``checks={name: boolean Column}`` are CHECK constraints (the
     Delta idea): every row of the version must satisfy every
@@ -113,20 +181,15 @@ def write_snapshot(
     touch only the versions map).  Used by
     ``streaming/sinks.py::start_snapshot_sink``."""
     os.makedirs(table_dir, exist_ok=True)
-    manifest = _load_manifest(table_dir)
-    # Version allocation skips ORPHAN directories (a writer that died
-    # between data write and manifest swap leaves v=N data with no
-    # manifest entry): next = 1 + max(published, any v=* on disk).
-    # Without this, mode("error") on the stale directory would wedge
-    # the table forever; with it, the orphan stays invisible (readers
-    # resolve through the manifest only) and is GC-able at leisure.
-    on_disk = [
-        int(d[2:])
-        for d in os.listdir(table_dir)
-        if d.startswith("v=") and d[2:].isdigit()
-    ]
-    version = max([int(manifest["current"]), *on_disk], default=0) + 1
-    data_dir = os.path.join(table_dir, f"v={version}")
+    # Data lands in a WRITER-UNIQUE staging directory; the version
+    # number is allocated inside the locked commit below and the
+    # staging dir renamed to ``v=N`` there — so concurrent writers can
+    # never collide on a data path (each stages privately) or on a
+    # number (allocation and commit are one atomic step).  A writer
+    # that dies mid-write leaves an orphan ``.staging-*`` dir with no
+    # manifest entry: invisible to readers (resolution goes through
+    # the manifest only) and GC-able by :func:`vacuum_snapshot`.
+    data_dir = os.path.join(table_dir, f".staging-{uuid.uuid4().hex}")
     _write_data(df, data_dir, partition_by)
 
     # Row count from the files just written (one footer-level count
@@ -166,57 +229,76 @@ def write_snapshot(
             )
     else:
         n_rows = back.count()
-    # Concurrent-writer detection (best effort — true CAS needs the
-    # object store's conditional PUT, module docstring): the manifest
-    # is RELOADED at the publish point and the swap aborts if another
-    # writer published meanwhile.  Without this, writing our stale
-    # snapshot of the manifest would silently ERASE the other writer's
-    # version entry (lost update), which is strictly worse than an
-    # error.  The single-writer deployment contract stands; this turns
-    # a contract violation into a loud ConcurrentWriteError instead of
-    # silent data loss, with our own data dir cleaned up (it was never
-    # published).
-    fresh = _load_manifest(table_dir)
-    if int(fresh["current"]) != int(manifest["current"]) or str(
-        version
-    ) in fresh["versions"]:
-        # Clean up our unpublished data — UNLESS the competing writer
-        # PUBLISHED under this very version number (possible when a
-        # zero-retention vacuum GC'd our in-flight dir mid-write and
-        # freed the number): deleting then would destroy their live
-        # published data, the exact loss this guard exists to prevent.
-        if str(version) not in fresh["versions"]:
-            shutil.rmtree(data_dir, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"write_snapshot: another writer published to {table_dir} "
-            f"during this write (current {manifest['current']} → "
-            f"{fresh['current']}) — snapshot tables are single-writer; "
-            "retry against the new current version"
-        )
-    manifest = fresh
-    manifest["versions"][str(version)] = {
+    entry = {
         "created_unix": time.time(),
         "rows": n_rows,
         "schema": df.schema.jsonValue(),
         "partition_by": list(partition_by or []),
         "note": note,
     }
-    manifest["current"] = version
-    if txn is not None:
-        manifest.setdefault("stream_txn", {})[str(txn[0])] = int(txn[1])
+    # The publish point: an atomic read-modify-write through the CAS
+    # publisher.  Decided against the manifest AS OF the commit
+    # instant (no check-then-swap window):
+    #
+    # - independent publish (expected_current=None): the version
+    #   number is allocated HERE — 1 + max(current, any v=* on disk,
+    #   the latter skipping dead writers' orphans so mode("error")
+    #   can never wedge the table — and the staging dir renamed to
+    #   ``v=N`` under the same lock, so every racer's version
+    #   survives with a distinct number.
+    # - derived publish (merge/compact pass the base version they
+    #   read): the commit is vetoed with ConcurrentWriteError if the
+    #   table moved — publishing content computed from a stale base
+    #   would silently drop the competing writer's rows; the caller
+    #   retries against the new current.
+    alloc: dict[str, Any] = {"version": None, "data_dir": data_dir}
 
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
+    def _mutate(fresh: dict[str, Any]) -> dict[str, Any]:
+        if expected_current is not None and int(fresh["current"]) != int(
+            expected_current
+        ):
+            raise ConcurrentWriteError(
+                f"write_snapshot: {table_dir} moved from base "
+                f"v={expected_current} to v={fresh['current']} during "
+                "this derived write — retry against the new current "
+                "version"
+            )
+        if (
+            alloc["version"] is None
+            or str(alloc["version"]) in fresh["versions"]
+            or int(fresh["current"]) >= alloc["version"]
+        ):
+            # (re)allocate — the re-branch covers retrying publishers
+            # (If-Match loops) whose earlier attempt lost the race
+            # after this side effect ran; the rename is idempotent via
+            # the alloc bookkeeping.
+            on_disk_now = [
+                int(d[2:])
+                for d in os.listdir(table_dir)
+                if d.startswith("v=") and d[2:].isdigit()
+                and os.path.join(table_dir, d) != alloc["data_dir"]
+            ]
+            new_version = (
+                max([int(fresh["current"]), *on_disk_now], default=0) + 1
+            )
+            new_dir = os.path.join(table_dir, f"v={new_version}")
+            os.rename(alloc["data_dir"], new_dir)
+            alloc["version"], alloc["data_dir"] = new_version, new_dir
+        fresh["versions"][str(alloc["version"])] = entry
+        fresh["current"] = alloc["version"]
+        if txn is not None:
+            fresh.setdefault("stream_txn", {})[str(txn[0])] = int(txn[1])
+        return fresh
+
+    publish = publisher or manifest_publisher
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _manifest_path(table_dir))  # the publish point
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        publish(table_dir, _mutate)
+    except ConcurrentWriteError:
+        # the staging dir (or a renamed-but-never-committed v=N) is
+        # writer-unique and was never published — safe to remove
+        shutil.rmtree(alloc["data_dir"], ignore_errors=True)
         raise
-    return version
+    return alloc["version"]
 
 
 def read_snapshot(
@@ -367,6 +449,9 @@ def merge_snapshot(
         partition_by=partition_by or None,
         note=note or f"merge on {key_cols}",
         txn=txn,
+        # the merge was computed FROM this base version: veto the
+        # publish if the table moved meanwhile (optimistic concurrency)
+        expected_current=current,
     )
 
 
@@ -537,6 +622,9 @@ def compact_snapshot(
         table_dir,
         partition_by=list(meta.get("partition_by", [])) or None,
         note=note or default_note,
+        # compaction rewrites THIS base version's content: a competing
+        # publish mid-rewrite must veto it, not be silently shadowed
+        expected_current=current,
     )
 
 
@@ -617,36 +705,59 @@ def vacuum_snapshot(
         for v in on_disk
         if str(v) not in manifest["versions"] and _old_enough(v)
     ]
+    # dead writers' staging dirs (write_snapshot stages data under
+    # .staging-<uuid> until the locked commit renames it to v=N) —
+    # same mtime retention window: a young staging dir may be an
+    # in-flight writer
+    staging = [
+        d
+        for d in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+        if d.startswith(".staging-")
+        and os.path.isdir(os.path.join(table_dir, d))
+        and now - os.path.getmtime(os.path.join(table_dir, d)) >= min_age_s
+    ]
     report = {
         "expired": expired,
         "orphans": sorted(orphans),
+        "staging": sorted(staging),
         "kept": sorted(keep & set(published)),
     }
-    if dry_run or not (expired or orphans):
+    if dry_run or not (expired or orphans or staging):
         return report
 
     if expired:
-        for v in expired:
-            del manifest["versions"][str(v)]
-        # Record WHICH versions retention removed (distinct from
-        # never-published allocation gaps): a streaming consumer that
-        # still needs one of these must fail loudly, while it can
-        # safely step over a gap.  O(versions ever expired) ints.
-        prior = set(manifest.get("expired_versions", []))
-        manifest["expired_versions"] = sorted(prior | set(expired))
-        fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._manifest-")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, _manifest_path(table_dir))  # unpublish point
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+
+        def _unpublish(fresh: dict[str, Any]) -> dict[str, Any]:
+            # re-applied against the manifest AS OF the commit: a
+            # writer may have published (moved current) since the
+            # expiry set was computed — never expire the fresh current,
+            # and skip entries already gone.
+            live = [
+                v
+                for v in expired
+                if str(v) in fresh["versions"]
+                and v != int(fresh["current"])
+            ]
+            for v in live:
+                del fresh["versions"][str(v)]
+            # Record WHICH versions retention removed (distinct from
+            # never-published allocation gaps): a streaming consumer
+            # that still needs one of these must fail loudly, while it
+            # can safely step over a gap.  O(versions ever expired).
+            prior = set(fresh.get("expired_versions", []))
+            fresh["expired_versions"] = sorted(prior | set(live))
+            return fresh
+
+        manifest_publisher(table_dir, _unpublish)  # the unpublish point
+        manifest = _load_manifest(table_dir)
+        expired = [
+            v for v in expired if str(v) not in manifest["versions"]
+        ]
+        report["expired"] = expired
     for v in [*expired, *orphans]:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    for d in staging:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return report
 
 

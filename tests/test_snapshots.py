@@ -373,7 +373,7 @@ def test_vacuum_collects_orphan_directories(spark, table_dir):
     with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
         f.write("torn")
     report = vacuum_snapshot(table_dir, keep_last=1)
-    assert report == {"expired": [], "orphans": [9], "kept": [1]}
+    assert report == {"expired": [], "orphans": [9], "staging": [], "kept": [1]}
     assert not os.path.exists(orphan)
     # the freed number is reusable: next write publishes normally
     v = write_snapshot(spark.range(6), table_dir)
@@ -404,7 +404,7 @@ def test_vacuum_never_removes_current_and_validates(spark, table_dir):
         vacuum_snapshot(table_dir, keep_last=0)
     write_snapshot(spark.range(4), table_dir)
     report = vacuum_snapshot(table_dir, keep_last=1)
-    assert report == {"expired": [], "orphans": [], "kept": [1]}
+    assert report == {"expired": [], "orphans": [], "staging": [], "kept": [1]}
     assert read_snapshot(spark, table_dir).count() == 4
 
 
@@ -679,13 +679,14 @@ def test_merge_snapshot_schema_evolution(spark, table_dir):
     assert v1.count() == 2
 
 
-def test_concurrent_publish_raises_instead_of_losing_versions(
+def test_concurrent_independent_publishes_both_survive(
     spark, table_dir, monkeypatch
 ):
-    """A writer that loses the publish race must RAISE, not silently
-    erase the winner's manifest entry (the lost-update failure of a
-    read-modify-write manifest).  Simulated by publishing a competing
-    version between this writer's data write and its manifest swap."""
+    """Independent snapshot publishes are CAS-safe from any number of
+    writers: a racer that loses its pre-allocated version number is
+    reallocated under the publisher lock and BOTH versions survive —
+    no error, no lost update.  Simulated by publishing a competing
+    version between this writer's data write and its manifest commit."""
     from fortymhz_spark.sources import snapshots as snap
 
     write_snapshot(spark.range(3).withColumn("tag", F.lit("base")), table_dir)
@@ -698,28 +699,114 @@ def test_concurrent_publish_raises_instead_of_losing_versions(
         if not state["raced"]:
             state["raced"] = True  # competitor publishes exactly once
             write_snapshot(
-                spark.range(9).withColumn("tag", F.lit("winner")),
+                spark.range(9).withColumn("tag", F.lit("racer")),
                 table_dir,
             )
 
     monkeypatch.setattr(snap, "_write_data", racing_write_data)
-    with pytest.raises(snap.ConcurrentWriteError, match="another writer"):
-        write_snapshot(
-            spark.range(5).withColumn("tag", F.lit("loser")), table_dir
-        )
+    v = write_snapshot(
+        spark.range(5).withColumn("tag", F.lit("slow")), table_dir
+    )
     monkeypatch.setattr(snap, "_write_data", real_write_data)
 
-    # the winner's version survives as current; the loser's data dir
-    # was cleaned up and nothing references it.  The winner allocated
-    # v=3 (orphan-skip saw the loser's in-flight v=2 on disk — the
-    # allocation rule doing its job), so versions are [1, 3].
-    cur = read_snapshot(spark, table_dir)
-    assert cur.count() == 9
-    assert {r["tag"] for r in cur.collect()} == {"winner"}
-    assert [m["version"] for m in snapshot_versions(table_dir)] == [1, 3]
-    assert not os.path.exists(os.path.join(table_dir, "v=2"))
+    # the racer published v=2 while the slow writer's data sat in a
+    # private staging dir; the slow writer's locked commit allocated
+    # v=3 — every version survives, current = the LAST publish.
+    assert v == 3
+    assert [m["version"] for m in snapshot_versions(table_dir)] == [1, 2, 3]
+    assert {r["tag"] for r in read_snapshot(spark, table_dir).collect()} == {
+        "slow"
+    }
+    assert {
+        r["tag"]
+        for r in read_snapshot(spark, table_dir, version=2).collect()
+    } == {"racer"}
+    # no staging leftovers
+    assert not [d for d in os.listdir(table_dir) if d.startswith(".staging-")]
     # allocation recovers: the next write publishes normally
     assert (
         write_snapshot(spark.range(4).withColumn("tag", F.lit("next")), table_dir)
         == 4
     )
+
+
+def test_threaded_writers_all_publish(spark, table_dir):
+    """Four genuinely concurrent threads publishing independent
+    snapshots must ALL succeed with distinct versions (the flock
+    publisher serializes the commit point)."""
+    import threading
+
+    write_snapshot(spark.range(1).withColumn("w", F.lit(-1)), table_dir)
+    results: dict[int, int | Exception] = {}
+
+    def publish(i: int) -> None:
+        try:
+            results[i] = write_snapshot(
+                spark.range(2).withColumn("w", F.lit(i)), table_dir
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            results[i] = ex
+
+    threads = [
+        threading.Thread(target=publish, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(isinstance(v, int) for v in results.values()), results
+    versions = sorted(results[i] for i in range(4))
+    assert len(set(versions)) == 4
+    published = [m["version"] for m in snapshot_versions(table_dir)]
+    assert set(versions) <= set(published)
+    # every thread's snapshot is readable and intact
+    for i, v in results.items():
+        got = {r["w"] for r in read_snapshot(spark, table_dir, version=v).collect()}
+        assert got == {i}
+
+
+def test_derived_write_race_vetoed_then_retries_cleanly(
+    spark, table_dir, monkeypatch
+):
+    """merge_snapshot pins the base version it read: a competing
+    publish mid-merge vetoes the commit with ConcurrentWriteError, and
+    a plain retry lands BOTH writers' changes (optimistic
+    concurrency — nothing lost on either side)."""
+    from fortymhz_spark.sources import snapshots as snap
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        table_dir,
+    )
+
+    real_write_data = snap._write_data
+    state = {"raced": False}
+
+    def racing_write_data(df, data_dir, partition_by):
+        real_write_data(df, data_dir, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            # competitor replaces the table while our merge is in flight
+            write_snapshot(
+                spark.createDataFrame(
+                    [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+                ),
+                table_dir,
+            )
+
+    updates = spark.createDataFrame([(2, "B!")], "id long, val string")
+    monkeypatch.setattr(snap, "_write_data", racing_write_data)
+    with pytest.raises(snap.ConcurrentWriteError, match="moved from base"):
+        merge_snapshot(spark, table_dir, updates, ["id"])
+    monkeypatch.setattr(snap, "_write_data", real_write_data)
+
+    # the competitor's publish is intact; the failed merge left no
+    # published version and the retry sees the NEW base (id=3 row
+    # included) — both writers' changes land.
+    merge_snapshot(spark, table_dir, updates, ["id"])
+    got = {
+        (r["id"], r["val"])
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert got == {(1, "a"), (2, "B!"), (3, "c")}
