@@ -11,10 +11,14 @@ of each word).
 Faithfulness notes (documented simplifications, semantics pinned by
 tests):
 
-- **Hard EM** (Viterbi counts) instead of full forward–backward
-  expected counts — the standard "lightweight unigram" variant; the
-  E-step segments every vocabulary word with the current model, the
-  M-step re-normalizes piece counts.
+- **Hard EM** (Viterbi counts) is the default E-step — the standard
+  "lightweight unigram" variant; ``em="soft"`` switches to the full
+  forward–backward EXPECTED piece counts over every segmentation of
+  each word (SentencePiece's actual E-step), which differs exactly
+  where segmentations are ambiguous: hard EM gives the single best
+  segmentation all the mass, soft EM splits it across the lattice in
+  proportion to posterior probability (divergence pinned by
+  tests/test_unigram.py).
 - **Pruning by contribution** (a piece's expected count mass) instead
   of the exact leave-one-out likelihood loss; single characters are
   NEVER pruned, so every word stays encodable (full coverage — the
@@ -121,6 +125,80 @@ def viterbi_segment(
     return list(reversed(pieces))
 
 
+def _accumulate_expected_counts(
+    word: str,
+    logp: dict[str, float],
+    weight: float,
+    counts: dict[str, float],
+    *,
+    max_piece_len: int,
+) -> None:
+    """Soft-EM E-step for one word: forward–backward over the
+    segmentation lattice (nodes = cut positions, edges = vocabulary
+    pieces), accumulating ``weight × P(edge | word)`` into ``counts``
+    for every piece occurrence — the posterior expected counts
+    SentencePiece's EM uses (Kudo 2018 §3.2).  Log-domain with
+    log-sum-exp, so short-word lattices are numerically exact;
+    unknown single characters ride the same floor log-prob as
+    :func:`viterbi_segment` (full coverage, consistent semantics
+    between training and encoding)."""
+    n = len(word)
+    if n == 0:
+        return
+    floor = min(logp.values(), default=-1e9) - 10.0
+    neg_inf = float("-inf")
+
+    def _lse(vals: list[float]) -> float:
+        if not vals:
+            return neg_inf
+        m = max(vals)
+        if m == neg_inf:
+            return neg_inf
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    def _piece_lp(piece: str) -> float | None:
+        lp = logp.get(piece)
+        if lp is None:
+            return floor if len(piece) == 1 else None
+        return lp
+
+    alpha = [neg_inf] * (n + 1)
+    alpha[0] = 0.0
+    for end in range(1, n + 1):
+        acc = []
+        for start in range(max(0, end - max_piece_len), end):
+            lp = _piece_lp(word[start:end])
+            if lp is None or alpha[start] == neg_inf:
+                continue
+            acc.append(alpha[start] + lp)
+        alpha[end] = _lse(acc)
+    beta = [neg_inf] * (n + 1)
+    beta[n] = 0.0
+    for start in range(n - 1, -1, -1):
+        acc = []
+        for end in range(start + 1, min(start + max_piece_len, n) + 1):
+            lp = _piece_lp(word[start:end])
+            if lp is None or beta[end] == neg_inf:
+                continue
+            acc.append(lp + beta[end])
+        beta[start] = _lse(acc)
+    z = alpha[n]
+    if z == neg_inf:  # unreachable given the single-char floor
+        return
+    for start in range(n):
+        for end in range(start + 1, min(start + max_piece_len, n) + 1):
+            piece = word[start:end]
+            lp = _piece_lp(piece)
+            if lp is None:
+                continue
+            gamma = alpha[start] + lp + beta[end] - z
+            if gamma == neg_inf:
+                continue
+            counts[piece] = counts.get(piece, 0.0) + weight * math.exp(
+                gamma
+            )
+
+
 def learn_unigram_vocab(
     docs: DataFrame,
     text_col: str = "text",
@@ -130,20 +208,33 @@ def learn_unigram_vocab(
     max_piece_len: int = 8,
     seed_multiplier: int = 4,
     top_v: int | None = 65536,
+    em: str = "hard",
 ) -> dict[str, float]:
     """Train the unigram model and return ``{piece: logprob}`` (driver
     memory ∝ vocab, NOT corpus).  One distributed word-count pass +
     bounded TakeOrdered, then seed → (EM → prune) rounds locally:
-    each EM step Viterbi-segments every vocabulary word, re-estimates
-    probabilities from the weighted piece counts, and each prune step
-    drops the lowest-mass multi-char pieces until ``vocab_size``.
-    Single characters are never pruned (coverage)."""
+    each EM step re-estimates probabilities from weighted piece counts
+    over every vocabulary word, and each prune step drops the
+    lowest-mass multi-char pieces until ``vocab_size``.  Single
+    characters are never pruned (coverage).
+
+    ``em="hard"`` (default) counts each word's single Viterbi
+    segmentation; ``em="soft"`` counts the forward–backward posterior
+    expectation over ALL segmentations
+    (:func:`_accumulate_expected_counts` — SentencePiece's E-step).
+    The two agree wherever segmentation is unambiguous and diverge on
+    ambiguous words, where soft EM keeps mass on competitive
+    alternative pieces that hard EM starves (pinned differentially in
+    tests/test_unigram.py).  Same cost shape: driver time ∝ vocabulary
+    × word length × max_piece_len either way."""
     if vocab_size < 2:
         raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if em not in ("hard", "soft"):
+        raise ValueError(f"em must be 'hard' or 'soft', got {em!r}")
     wc = word_counts(docs, text_col)
     if top_v is not None:
         wc = wc.orderBy(F.desc("n"), F.asc("w")).limit(top_v)
@@ -158,13 +249,22 @@ def learn_unigram_vocab(
     )
     for _ in range(em_rounds):
         logp = {p: math.log(q) for p, q in probs.items()}
-        # E-step (hard): Viterbi counts weighted by word frequency
+        # E-step: piece counts weighted by word frequency — hard takes
+        # each word's single Viterbi path, soft the forward-backward
+        # posterior expectation over the whole segmentation lattice
         counts: dict[str, float] = {}
-        for w, n in vocab:
-            for piece in viterbi_segment(
-                w, logp, max_piece_len=max_piece_len
-            ):
-                counts[piece] = counts.get(piece, 0.0) + n
+        if em == "soft":
+            for w, n in vocab:
+                _accumulate_expected_counts(
+                    w, logp, float(n), counts,
+                    max_piece_len=max_piece_len,
+                )
+        else:
+            for w, n in vocab:
+                for piece in viterbi_segment(
+                    w, logp, max_piece_len=max_piece_len
+                ):
+                    counts[piece] = counts.get(piece, 0.0) + n
         # never lose alphabet coverage, even for pieces EM zeroed
         for p in probs:
             if len(p) == 1 and p not in counts:

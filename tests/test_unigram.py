@@ -133,6 +133,77 @@ def test_encode_reconstructs_and_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_soft_em_expected_counts_sum_to_path_posterior():
+    """The forward–backward E-step's per-word invariant: summing the
+    expected counts of the pieces on any single full path, weighted by
+    posterior, reproduces the lattice total — concretely, for a word
+    with exactly two segmentations of equal probability, each path's
+    distinctive piece gets expected count 0.5 while shared structure
+    gets 1.0-ish mass."""
+    import math as m
+
+    from fortymhz_spark.operators.unigram import _accumulate_expected_counts
+
+    # 'ab' under {a, b, ab} all equal prob p: paths a+b (p^2) and ab (p)
+    p = 1.0 / 3.0
+    logp = {x: m.log(p) for x in ("a", "b", "ab")}
+    counts: dict[str, float] = {}
+    _accumulate_expected_counts("ab", logp, 1.0, counts, max_piece_len=8)
+    z = p + p * p
+    assert counts["ab"] == pytest.approx(p / z)
+    assert counts["a"] == pytest.approx(p * p / z)
+    assert counts["b"] == pytest.approx(p * p / z)
+
+
+def test_soft_em_matches_hard_em_when_unambiguous(spark):
+    """On a corpus of single-character words every lattice has exactly
+    one path, so soft EM's posterior expectation IS the Viterbi count
+    and the two modes produce identical models.  (Any multi-char word
+    is ambiguous BY CONSTRUCTION here — single characters are never
+    pruned, so the char-by-char path always competes — which is
+    exactly why the divergence test below uses one.)"""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a c c")],
+        "doc_id long, text string",
+    )
+    hard = ug.learn_unigram_vocab(docs, vocab_size=4, em_rounds=2, em="hard")
+    soft = ug.learn_unigram_vocab(docs, vocab_size=4, em_rounds=2, em="soft")
+    assert set(hard) == set(soft) == {"a", "b", "c"}
+    for piece in hard:
+        assert hard[piece] == pytest.approx(soft[piece], abs=1e-12), piece
+
+
+def test_soft_em_diverges_from_hard_on_ambiguous_corpus(spark):
+    """The documented fidelity gap, pinned: on an ambiguous corpus
+    (words segmentable several competitive ways), hard EM starves the
+    runner-up pieces (Viterbi winner-take-all) while soft EM keeps
+    posterior mass on them — the models' probabilities differ."""
+    # 'abab' splits as ab+ab / a+b+ab / ab+a+b / a+b+a+b ...; 'aba'
+    # as ab+a / a+ba ...; rich ambiguity for pieces a, b, ab, ba
+    docs = spark.createDataFrame(
+        [(1, "abab aba bab"), (2, "abab bab"), (3, "aba abab")],
+        "doc_id long, text string",
+    )
+    hard = ug.learn_unigram_vocab(docs, vocab_size=6, em_rounds=3, em="hard")
+    soft = ug.learn_unigram_vocab(docs, vocab_size=6, em_rounds=3, em="soft")
+    diverged = [
+        p
+        for p in set(hard) & set(soft)
+        if abs(hard[p] - soft[p]) > 1e-6
+    ]
+    assert diverged, (hard, soft)
+    # both remain valid normalized models over full-coverage vocabs
+    for model in (hard, soft):
+        assert sum(map(math.exp, model.values())) == pytest.approx(1.0)
+        assert {"a", "b"} <= set(model)
+
+
+def test_soft_em_validates_mode(spark):
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="em must be"):
+        ug.learn_unigram_vocab(docs, em="viterbi-ish")
+
+
 def test_encode_unigram_null_word_yields_empty(spark):
     """NULL words must encode to [] (the encode_token_ids_unigram
     totality contract), not TypeError inside the Arrow batch."""
