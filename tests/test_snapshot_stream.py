@@ -150,3 +150,53 @@ def test_stream_resumes_past_vacuumed_history(spark, table_dir, tmp_path):
     write_snapshot(spark.range(9).withColumn("tag", F.lit("v4")), table_dir)
     _run(spark, table_dir, out, ckpt)  # resume: only v4
     assert spark.read.parquet(out).count() == 2 + 3 + 4 + 9
+
+
+def test_vacuum_between_offset_resolution_and_read_raises(spark, table_dir):
+    """The vacuum-DURING-read race, pinned at the reader API level: a
+    micro-batch whose end offset was resolved BEFORE a vacuum expired
+    one of its unread versions must fail loudly at partition planning
+    (the retention contract), never silently skip the expired data."""
+    from fortymhz_spark.sources.snapshot_stream import SnapshotStreamReader
+
+    for i in range(4):
+        write_snapshot(
+            spark.range(2 + i).withColumn("tag", F.lit(f"v{i+1}")), table_dir
+        )
+    reader = SnapshotStreamReader({"path": table_dir})
+    start = reader.initialOffset()
+    end = reader.latestOffset()  # pins v1..v4 for this batch
+    assert end == {"version": 4}
+    vacuum_snapshot(table_dir, keep_last=1)  # expires v1..v3 mid-batch
+    with pytest.raises(ValueError, match="expired by vacuum_snapshot"):
+        reader.partitions(start, end)
+    # a batch spanning only surviving versions still plans fine
+    assert reader.partitions({"version": 3}, end)
+
+
+def test_reader_catches_up_while_writer_publishes(spark, table_dir):
+    """Writer-concurrent-with-reader, deterministic interleave: a
+    publish landing AFTER a batch's end offset was resolved does not
+    perturb that batch, and the NEXT offset resolution picks it up —
+    version offsets are monotonic and atomic with publication."""
+    from fortymhz_spark.sources.snapshot_stream import SnapshotStreamReader
+
+    write_snapshot(spark.range(5), table_dir)
+    write_snapshot(spark.range(3), table_dir)
+    reader = SnapshotStreamReader({"path": table_dir})
+    start = reader.initialOffset()
+    end1 = reader.latestOffset()
+    assert end1 == {"version": 2}
+    # writer publishes while the reader is mid-batch
+    write_snapshot(spark.range(7), table_dir)
+    parts1 = reader.partitions(start, end1)
+
+    def rows_in(parts):
+        return sum(
+            sum(b.num_rows for b in reader.read(p)) for p in parts
+        )
+
+    assert rows_in(parts1) == 8  # the pinned batch: v1+v2 only
+    end2 = reader.latestOffset()
+    assert end2 == {"version": 3}
+    assert rows_in(reader.partitions(end1, end2)) == 7  # exactly the new one

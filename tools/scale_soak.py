@@ -288,6 +288,28 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             ),
         ),
         (
+            # media decode at REALISTIC payload sizes (~1 MiB/asset,
+            # vs the KB-scale graded fixtures): the vectorized lane
+            # fold is O(bytes), so the ratio should track total
+            # payload volume; stderr additionally reports bytes/s and
+            # the observed PEAK ARROW BATCH bytes (the memory unit an
+            # executor must hold — rows-per-batch × payload size; cap
+            # spark.sql.execution.arrow.maxRecordsPerBatch for heavy
+            # payload columns, which this row does explicitly).
+            "media_decode_1mb",
+            lambda: media_decode_1mb_rows(spark, scale_mult),
+        ),
+        (
+            # snapshot-table stream catch-up: version-history depth
+            # scales (4 -> 40 versions), a writer publishes mid-read.
+            # Offset resolution is O(manifest) and partition planning
+            # O(files in the window), so the ratio should track the
+            # version count; the first rep pays the table build
+            # (cached), min-of-reps measures the catch-up read.
+            "snapshot_stream_catchup",
+            lambda: snapshot_stream_catchup_rows(spark, scale_mult),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
@@ -302,6 +324,139 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             ),
         ),
     ]
+
+
+def media_decode_1mb_rows(spark, scale_mult: int) -> int:
+    """Decode 64 × scale_mult assets of ~1 MiB each through the
+    vectorized fake-decode kernel, with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` capped at 16 so
+    one Arrow batch holds ≤ ~16 MiB of payload (the bytes-aware knob
+    for heavy binary columns — the default 10000 rows/batch would be a
+    ~10 GiB batch at this payload size).  Prints bytes/s and the
+    observed peak per-batch payload bytes to stderr; returns the row
+    count.  Payload generation is JVM-side (repeat + encode) and
+    cached to parquet across reps, so min-of-reps isolates the
+    scan + Arrow transfer + numpy fold."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.multimodal import decode_features
+
+    path = f"/tmp/fmhz_media1mb_{scale_mult}x"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.range(64 * scale_mult)
+            .select(
+                F.col("id").alias("asset_id"),
+                F.lit("image").alias("media_type"),
+                # ~1 MiB deterministic payload: 32-char md5 hex × 32768
+                F.encode(
+                    F.repeat(F.md5(F.col("id").cast("string")), 32768),
+                    "utf-8",
+                ).alias("payload"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        assets = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        stats = (
+            decode_features(assets, fake=True)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+            .first()
+        )
+        wall = time.perf_counter() - t0
+        # peak batch bytes: one probe pass emitting each Arrow batch's
+        # total payload size (same batching config as the decode)
+        def batch_bytes(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "b": [
+                            int(
+                                pdf["payload"]
+                                .map(lambda x: 0 if x is None else len(x))
+                                .sum()
+                            )
+                        ]
+                    }
+                )
+
+        peak = (
+            assets.select("payload")
+            .mapInPandas(batch_bytes, "b long")
+            .agg(F.max("b"))
+            .first()[0]
+        )
+        print(
+            f"# media_decode_1mb[{scale_mult}x]: "
+            f"{stats['bytes'] / wall / 1e6:.0f} MB/s over "
+            f"{stats['bytes'] / 1e6:.0f} MB, peak batch "
+            f"{peak / 1e6:.1f} MB",
+            file=sys.stderr,
+        )
+        return int(stats["n"])
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+
+def snapshot_stream_catchup_rows(spark, scale_mult: int) -> int:
+    """Catch-up read of a snapshot table whose VERSION HISTORY scales
+    with the soak (4 × scale_mult versions of 5000 rows each), with a
+    writer publishing one more version while the reader is mid-stream
+    (the concurrency shape the CAS publisher + version-offset source
+    must absorb).  Table build is cached across reps, so min-of-reps
+    isolates the read path: offset resolution + per-file partition
+    planning + executor parquet reads + the mid-read publish."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.sources import snapshot_stream
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    n_versions = 4 * scale_mult
+    tbl = f"/tmp/fmhz_snapcatchup_{scale_mult}x/tbl"
+    if not os.path.exists(os.path.join(tbl, "_manifest.json")):
+        for i in range(n_versions):
+            write_snapshot(
+                spark.range(i * 5000, (i + 1) * 5000), tbl,
+                note=f"soak v{i+1}",
+            )
+    snapshot_stream.register(spark)
+    out = tempfile.mkdtemp(prefix="fmhz_snapout_")
+    ckpt = tempfile.mkdtemp(prefix="fmhz_snapckpt_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # writer lands an OUT-OF-BAND version (ids >= 10^9) while the
+    # reader catches up — it exercises the concurrent-writer path; the
+    # returned count filters it (and prior reps' copies) out so every
+    # rep reports the same deterministic history size
+    write_snapshot(spark.range(10**9, 10**9 + 7), tbl)
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("id") < n_versions * 5000)
+        .count()
+    )
 
 
 def streaming_mg_rows(spark, docs_path: str) -> int:
