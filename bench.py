@@ -145,6 +145,12 @@ HEADLINE = [
     "q_docs_hybrid_search",
     # unigram tokenizer: corpus pass + driver EM + arrow Viterbi encode
     "q_docs_unigram_encode_stats",
+    # round-6 additions: the all-auto IVFPQ deployment configuration
+    # (corpus-sized cells/probe/rerank, arrow coarse assignment) and
+    # the soft-EM (forward-backward) unigram variant with its extra
+    # driver-side hard-EM train for the divergence grade
+    "q_emb_ann_ivfpq_auto",
+    "q_docs_unigram_soft_encode",
 ]
 
 

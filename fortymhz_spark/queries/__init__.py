@@ -15,52 +15,33 @@ long tail (50/50), round 4 completed the rotation (50/50 — after it,
 every registered query held a driver-green row produced by
 then-current code; see CORRECTNESS_r0{2,3,4}.json).
 
-Round 5 keeps the gate honest two ways:
+Round 6 rotation (the steady-state policy, round-5 pattern):
 
-1. CHANGED CODE RE-GRADES.  Ten round-4 rows stay in because their
-   code changed this round: q_docs_bpe_merges (now the driver-local
-   64-merge learner), q_docs_quality_classifier (weight-slot
-   refactor), the three media rows (vectorized decode kernel), the
-   four ANN rows + q_emb_near_dup_lsh_subset (recall-check dedup,
-   lsh dim-inference and PQ codebook guards).
-2. FRESHNESS ROTATION.  Nine NEW queries enter immediately
-   (q_docs_classifier_trained, q_docs_vocab_classifier,
-   q_docs_bpe_encode_stats, q_snapshot_merge_orders,
-   q_docs_dsir_selection, q_docs_strip_boilerplate,
-   q_snapshot_incremental_agg, q_docs_hybrid_search,
-   q_docs_unigram_encode_stats — the trained classifier slots,
-   production-size BPE encode, the snapshot MERGE protocol, DSIR
-   importance-resampling selection, cross-doc duplicated-span
-   removal, CDC-driven incremental view maintenance, RRF hybrid
-   retrieval, and unigram-LM tokenizer induction, all graded
-   differentially).  The remaining 31 slots re-grade the rows whose
-   last driver check is OLDEST (round 2): regressions in long-stable
-   code should not be able to hide behind a years-old green row.
-   The 11 round-2 rows that didn't fit (q_cube_flag_status,
-   q_docs_top_terms, q_dt_event_time_span, q_emb_knn_bruteforce,
-   q_events_hourly_by_type, q_events_user_enrichment,
-   q_events_value_stats, q_events_view_to_purchase,
-   q_full_outer_daily_activity, q_pandas_udf_revenue,
-   q_range_join_price_bands) defer to round 6 with families covered:
-   grouping-analytics shapes by
-   q_rollup_returnflag_status/q_grouping_sets_flag_year (r3/r4
-   greens), the token-frequency family by q_docs_token_stats in the
-   gate plus q_docs_tfidf_top_terms's round-4 green, exact-kNN by
-   the in-plan exact ground-truth branches of the four in-gate ANN
-   rows plus q_vec_knn_arrow's r3 green, derived-event-time DT
-   physics by the five dt rows still in the gate (orbit assembly,
-   hits-per-orbit and both occupancy twins all compute from the same
-   derived-time columns), events/window shapes by the five events
-   rows still in the gate (hourly windowed aggregation specifically
-   by q_events_sliding_1h_30m and the streaming occupancy rows), the
-   pandas-UDF boundary by q_events_grouped_pandas_stats, outer-join
-   shapes by q_customer_order_counts_outer/q_customers_without_orders;
-   all eleven hold green rows, so deferral costs zero union coverage.
+1. NEW QUERIES enter immediately: q_emb_ann_ivfpq_auto (the all-auto
+   IVFPQ deployment configuration — corpus-sized cells, probe width,
+   re-rank width) and q_docs_unigram_soft_encode (the forward-backward
+   soft-EM tokenizer variant with a soft-vs-hard divergence grade).
+2. CHANGED CODE RE-GRADES.  Eight round-5 rows stay in because their
+   code changed this round: the four ANN rows + q_emb_near_dup_lsh_subset
+   (arrow coarse-assignment default, corpus-scaled rerank/nprobe,
+   Rademacher LSH planes, per-subquantizer codebook literals), the two
+   snapshot rows (CAS publish protocol: staged data dirs + locked
+   manifest commit), and q_docs_unigram_encode_stats (encode totality
+   guard; hard-EM default unchanged).
+3. FRESHNESS.  The remaining 40 slots re-grade the rows with the
+   OLDEST driver checks: the 11 rows deferred from round 5 (round-2
+   greens — first, as promised), all 24 round-3 greens, and 5 round-4
+   greens picked for changed-file adjacency (q_vec_kmeans,
+   q_vec_knn_arrow, q_emb_semantic_dedup, q_emb_semantic_keep_list
+   live in operators/similarity.py, which this round edited heavily;
+   q13_order_count_distribution is the oldest TPC-H deep cut by name).
 
-The 40 round-4-green rows whose code is unchanged rotate to
-PREVIOUSLY_GREEN (their r4 rows were produced by current code).
-Everything outside the gate stays covered by the local sf0.001
-differential (tests/test_oracle_parity.py) either way.
+The 35 remaining round-4 greens carry the registry's oldest checks
+after this round and sit in DEFERRED_TO_NEXT_ROUND so round-7 gate
+assembly picks them up FIRST; the 42 round-5 greens whose code is
+unchanged rotate to PREVIOUSLY_GREEN.  Everything outside the gate
+stays covered by the local sf0.001 differential
+(tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -71,49 +52,141 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 gate (slots 1-50): 9 new + 10 changed-code re-grades + the
-# 31 rows with the oldest (round-2) driver checks.
+# Round-6 gate (slots 1-50): 2 new + 8 changed-code re-grades + the
+# 40 rows with the oldest driver checks (11 deferred r2 + 24 r3 + 5 r4).
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
-    "q_docs_classifier_trained",
-    "q_docs_vocab_classifier",
-    "q_docs_bpe_encode_stats",
-    "q_snapshot_merge_orders",
-    "q_docs_dsir_selection",
-    "q_docs_strip_boilerplate",
-    "q_snapshot_incremental_agg",
-    "q_docs_hybrid_search",
-    "q_docs_unigram_encode_stats",
+    "q_emb_ann_ivfpq_auto",
+    "q_docs_unigram_soft_encode",
     # —— held over: code changed this round ——
-    "q_docs_bpe_merges",
-    "q_docs_quality_classifier",
-    "q_media_decode_stats",
-    "q_media_frame_sample",
-    "q_media_features",
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
     "q_emb_ann_pq",
     "q_emb_ann_ivfpq",
     "q_emb_near_dup_lsh_subset",
-    # —— freshness re-grades (last driver check: round 2) ——
+    "q_snapshot_merge_orders",
+    "q_snapshot_incremental_agg",
+    "q_docs_unigram_encode_stats",
+    # —— deferred from round 5 (last driver check: round 2) ——
+    "q_cube_flag_status",
+    "q_docs_top_terms",
+    "q_dt_event_time_span",
+    "q_emb_knn_bruteforce",
+    "q_events_hourly_by_type",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
+    "q_events_view_to_purchase",
+    "q_full_outer_daily_activity",
+    "q_pandas_udf_revenue",
+    "q_range_join_price_bands",
+    # —— freshness re-grades (last driver check: round 3) ——
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_chunk_token_windows",
+    "q_date_functions",
+    "q_grouping_sets_flag_year",
+    "q_mixture_upsample",
+    "q_pack_sequences",
+    "q_quantity_percentiles",
+    "q_set_ops_nations",
+    "q_shuffle_epochs",
+    "q_text_repetition_stats",
+    "q_unpivot_part_sizes",
+    "q_window_lag_order_gap",
+    "q_window_running_revenue",
+    # —— freshness re-grades (last driver check: round 4; changed-file
+    #    adjacency picks, see module docstring) ——
+    "q_vec_kmeans",
+    "q_vec_knn_arrow",
+    "q_emb_semantic_dedup",
+    "q_emb_semantic_keep_list",
+    "q13_order_count_distribution",
+)
+
+# The 35 round-4-green rows not re-graded this round: still green
+# (round-4 driver rows, code unchanged), but they now carry the
+# OLDEST checks in the registry, so round-7 gate assembly picks
+# them up FIRST.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+    "q5_local_supplier_volume",
+    "q_brand_volume",
+    "q_cogroup_user_orders",
+    "q_distinct_parts_per_flag",
+    "q_docs_bigram_familiarity",
+    "q_docs_decontaminate_bloom",
+    "q_docs_decontaminate_fuzzy",
+    "q_docs_jaccard_blocked",
+    "q_docs_minhash_estimate",
+    "q_docs_simhash_near_dups",
+    "q_docs_tfidf_top_terms",
+    "q_events_asof_last_order",
+    "q_histogram_quantity",
+    "q_mixture_temperature",
+    "q_pack_export",
+    "q_pipeline_curation",
+    "q_pivot_flag_by_status",
+    "q_profile_orders",
+    "q_right_outer_order_counts",
+    "q_rollup_returnflag_status",
+    "q_salted_agg_volume",
+    "q_scalar_functions",
+    "q_search_bm25",
+    "q_sketch_cardinality",
+    "q_sketch_heavy_hitters",
+    "q_sql_revenue_by_nation",
+    "q_text_crossdoc_blocks",
+    "q_text_rarity_score",
+    "q_top_customers",
+    "q_vec_int8_quant_error",
+    "q_window_top_orders_per_customer",
+)
+
+# Driver-green rows that sit OUTSIDE the round-6 gate: the 42
+# round-5 greens whose code is unchanged since their grading (the
+# 35 round-4 rows awaiting their refresh are tracked above).  The
+# registry asserts gate ∪ deferred ∪ previously-green == all
+# registered queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q_customer_order_counts_outer",
     "q_customers_without_orders",
+    "q_docs_bpe_encode_stats",
+    "q_docs_bpe_merges",
     "q_docs_bpe_token_stats",
+    "q_docs_classifier_trained",
     "q_docs_decontaminate",
     "q_docs_dedup_groups",
+    "q_docs_dsir_selection",
     "q_docs_exact_dedup",
     "q_docs_fingerprints",
+    "q_docs_hybrid_search",
     "q_docs_lang_id_confusion",
     "q_docs_minhash_near_dups",
     "q_docs_ngram_jaccard_pairs",
     "q_docs_pii_stats",
     "q_docs_quality",
+    "q_docs_quality_classifier",
     "q_docs_stratified_sample",
+    "q_docs_strip_boilerplate",
     "q_docs_token_stats",
+    "q_docs_vocab_classifier",
     "q_dt_channel_occupancy",
     "q_dt_custom_source_occupancy",
     "q_dt_hits_per_orbit",
@@ -127,96 +200,9 @@ ROUND_GATE: tuple[str, ...] = (
     "q_events_latest_per_user",
     "q_events_sessionize",
     "q_events_sliding_1h_30m",
-)
-
-# The eleven round-2-green rows that lost their round-5 refresh slot
-# to the new queries (module docstring): still green (round-2 driver
-# rows, code unchanged), but they carry the OLDEST checks in the
-# registry, so round-6 gate assembly picks them up FIRST.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    "q_cube_flag_status",
-    "q_docs_top_terms",
-    "q_dt_event_time_span",
-    "q_emb_knn_bruteforce",
-    "q_events_hourly_by_type",
-    "q_events_user_enrichment",
-    "q_events_value_stats",
-    "q_events_view_to_purchase",
-    "q_full_outer_daily_activity",
-    "q_pandas_udf_revenue",
-    "q_range_join_price_bands",
-)
-
-# Driver-green rows that sit OUTSIDE the round-5 gate: the 40
-# round-4-green rows whose code is unchanged since their grading and
-# the 24 round-3 greens (the 10 deferred round-2 rows are tracked
-# above).  The registry asserts
-# graded-green ∪ gate ∪ deferred == all registered queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_shipping_delay",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_wealthy_inactive_customers",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_brand_volume",
-    "q_chunk_token_windows",
-    "q_cogroup_user_orders",
-    "q_date_functions",
-    "q_distinct_parts_per_flag",
-    "q_docs_bigram_familiarity",
-    "q_docs_decontaminate_bloom",
-    "q_docs_decontaminate_fuzzy",
-    "q_docs_jaccard_blocked",
-    "q_docs_minhash_estimate",
-    "q_docs_simhash_near_dups",
-    "q_docs_tfidf_top_terms",
-    "q_emb_semantic_dedup",
-    "q_emb_semantic_keep_list",
-    "q_events_asof_last_order",
-    "q_grouping_sets_flag_year",
-    "q_histogram_quantity",
-    "q_mixture_temperature",
-    "q_mixture_upsample",
-    "q_pack_export",
-    "q_pack_sequences",
-    "q_pipeline_curation",
-    "q_pivot_flag_by_status",
-    "q_profile_orders",
-    "q_quantity_percentiles",
-    "q_right_outer_order_counts",
-    "q_rollup_returnflag_status",
-    "q_salted_agg_volume",
-    "q_scalar_functions",
-    "q_search_bm25",
-    "q_set_ops_nations",
-    "q_shuffle_epochs",
-    "q_sketch_cardinality",
-    "q_sketch_heavy_hitters",
-    "q_sql_revenue_by_nation",
-    "q_text_crossdoc_blocks",
-    "q_text_rarity_score",
-    "q_text_repetition_stats",
-    "q_top_customers",
-    "q_unpivot_part_sizes",
-    "q_vec_int8_quant_error",
-    "q_vec_kmeans",
-    "q_vec_knn_arrow",
-    "q_window_lag_order_gap",
-    "q_window_running_revenue",
-    "q_window_top_orders_per_customer",
+    "q_media_decode_stats",
+    "q_media_features",
+    "q_media_frame_sample",
 )
 
 

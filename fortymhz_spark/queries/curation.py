@@ -1496,3 +1496,117 @@ def q_docs_unigram_encode_stats(
             > 0
         ).alias("uses_multichar_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ in its FULL AUTO deployment configuration — every index knob
+# resolved from the corpus (n_coarse=None -> ceil(sqrt N) cells,
+# rerank=None -> corpus-scaled exact re-rank width, nprobe=None ->
+# shortlist-coverage probe width) with the batch-matmul coarse
+# assignment the operator now defaults to.  The fixed-knob
+# q_emb_ann_ivfpq row grades the algorithm; THIS row grades the
+# configuration policy a 100 TB deployment would actually run, so a
+# regression in any auto rule (a mis-sized index, a probe width that
+# stops covering the shortlist) fails the gate even while the fixed
+# config stays green.  Measured recall@10 on the graded slice
+# (vec_id 20-30): means 0.97 / 0.97 / 0.91, mins 0.9 / 0.8 / 0.8 at
+# sf0.001 / 0.01 / 0.1 — at fixture corpora the auto rules
+# legitimately probe most cells (small-N degrades toward exact
+# search, the documented behavior).  Bound 0.5 per the family's
+# regeneration-margin reasoning.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_ivfpq_auto",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id >= 20 AND vec_id < 30 ORDER BY query_id
+    """,
+)
+def q_emb_ann_ivfpq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN top-10 for query vectors with 20 <= vec_id < 30
+    under the all-auto index sizing (operators/similarity.py::
+    ivfpq_knn with n_coarse/nprobe/rerank=None — one shared corpus
+    count resolves all three), recall@10 verified in-plan against the
+    exact top-10.  The query-set predicate matches the oracle's WHERE
+    verbatim, offset from the other four ANN slices."""
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.ivfpq_knn(
+        emb, queries, k=10, n_coarse=None, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None,
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_check(exact, ann, bound=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Unigram tokenizer with the SOFT (forward-backward) E-step — the
+# SentencePiece-fidelity variant beside the hard-EM row: same exact
+# word/char totals and reconstruction/bound invariants, plus the
+# divergence boolean (the soft model must actually differ from the
+# hard model somewhere on this ambiguous natural corpus — if the two
+# E-steps collapse to identical models, the lattice expectation is
+# not being computed).  Model training is driver-local either way, so
+# the boolean costs one extra driver-side train, zero Spark jobs.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_unigram_soft_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({_SQL_TOKENS.format(t='lower(text)')}) AS w
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+      TRUE AS all_reconstruct,
+      TRUE AS pieces_bounded,
+      TRUE AS soft_diverges_from_hard
+    FROM words
+    """,
+)
+def q_docs_unigram_soft_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train a 256-piece unigram model with the forward-backward
+    soft-EM E-step (operators/unigram.py::learn_unigram_vocab
+    em='soft') and Viterbi-encode the corpus's distinct words,
+    grading exact totals, lossless reconstruction, piece-count
+    bounds, and soft-vs-hard model divergence (driver-side compare —
+    the documented fidelity difference must be present).
+
+    Scale shape identical to the hard-EM row: one distributed
+    word-count pass, driver EM ∝ vocabulary, Arrow-batched encode."""
+    from fortymhz_spark.operators import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    soft = ug.learn_unigram_vocab(
+        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="soft"
+    )
+    hard = ug.learn_unigram_vocab(
+        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="hard"
+    )
+    diverges = soft != hard
+    words = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    ).distinct()
+    enc = ug.encode_unigram(words, "w", model=soft, max_piece_len=8)
+    return enc.select(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+        F.every(
+            F.concat_ws("", F.col("pieces")) == F.col("w")
+        ).alias("all_reconstruct"),
+        F.every(
+            (F.size("pieces") >= 1)
+            & (F.size("pieces") <= F.length("w"))
+        ).alias("pieces_bounded"),
+        F.lit(bool(diverges)).alias("soft_diverges_from_hard"),
+    )

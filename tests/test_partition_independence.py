@@ -38,6 +38,10 @@ SENSITIVE = [
     # iteration + invariant booleans (kmeans), subset/recall joins
     "q_docs_simhash_near_dups",
     "q_sketch_heavy_hitters",
+    # soft-EM unigram: driver-local forward-backward over a
+    # distributed word count — the count (and so the model and every
+    # invariant) must not depend on partitioning
+    "q_docs_unigram_soft_encode",
     "q_vec_kmeans",
     "q_emb_near_dup_lsh_subset",
     "q_docs_jaccard_blocked",
@@ -123,6 +127,9 @@ ENGINE_HASH_GATE = [
     # the same way
     "q_emb_ann_pq",
     "q_emb_ann_ivfpq",
+    # all-auto index sizing resolves knobs from a corpus count —
+    # counts are partition-invariant, so the output must be too
+    "q_emb_ann_ivfpq_auto",
 ]
 
 
