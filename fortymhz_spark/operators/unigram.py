@@ -45,12 +45,28 @@ from pyspark.sql import functions as F
 from fortymhz_spark.operators.bpe import word_counts
 
 __all__ = [
+    "collect_word_vocab",
     "learn_unigram_vocab",
     "viterbi_segment",
     "encode_unigram",
     "vocab_from_model",
     "encode_token_ids_unigram",
 ]
+
+
+def collect_word_vocab(
+    docs: DataFrame, text_col: str = "text", top_v: int | None = 65536
+) -> list[tuple[str, int]]:
+    """The trainer's one distributed pass, exposed: ``(word, count)``
+    for the ``top_v`` most frequent words (ties lexicographic),
+    collected to the driver.  Callers training SEVERAL models over the
+    same corpus (e.g. the soft-vs-hard divergence grade) collect once
+    and pass the table to each :func:`learn_unigram_vocab` via
+    ``vocab_table=`` instead of paying the corpus pass per model."""
+    wc = word_counts(docs, text_col)
+    if top_v is not None:
+        wc = wc.orderBy(F.desc("n"), F.asc("w")).limit(top_v)
+    return [(r["w"], int(r["n"])) for r in wc.collect()]
 
 
 def _seed_vocab(
@@ -209,6 +225,7 @@ def learn_unigram_vocab(
     seed_multiplier: int = 4,
     top_v: int | None = 65536,
     em: str = "hard",
+    vocab_table: list[tuple[str, int]] | None = None,
 ) -> dict[str, float]:
     """Train the unigram model and return ``{piece: logprob}`` (driver
     memory ∝ vocab, NOT corpus).  One distributed word-count pass +
@@ -226,7 +243,11 @@ def learn_unigram_vocab(
     ambiguous words, where soft EM keeps mass on competitive
     alternative pieces that hard EM starves (pinned differentially in
     tests/test_unigram.py).  Same cost shape: driver time ∝ vocabulary
-    × word length × max_piece_len either way."""
+    × word length × max_piece_len either way.
+
+    ``vocab_table`` supplies a pre-collected ``(word, count)`` table
+    (:func:`collect_word_vocab`) and skips the distributed pass —
+    train several models over one corpus for one scan."""
     if vocab_size < 2:
         raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
     if em_rounds < 1:
@@ -235,10 +256,11 @@ def learn_unigram_vocab(
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     if em not in ("hard", "soft"):
         raise ValueError(f"em must be 'hard' or 'soft', got {em!r}")
-    wc = word_counts(docs, text_col)
-    if top_v is not None:
-        wc = wc.orderBy(F.desc("n"), F.asc("w")).limit(top_v)
-    vocab = [(r["w"], int(r["n"])) for r in wc.collect()]
+    vocab = (
+        list(vocab_table)
+        if vocab_table is not None
+        else collect_word_vocab(docs, text_col, top_v)
+    )
     if not vocab:
         raise ValueError("learn_unigram_vocab: empty corpus")
 

@@ -1553,8 +1553,10 @@ def q_emb_ann_ivfpq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # divergence boolean (the soft model must actually differ from the
 # hard model somewhere on this ambiguous natural corpus — if the two
 # E-steps collapse to identical models, the lattice expectation is
-# not being computed).  Model training is driver-local either way, so
-# the boolean costs one extra driver-side train, zero Spark jobs.
+# not being computed).  The word-count table is collected ONCE
+# (collect_word_vocab) and shared by both trains, so the divergence
+# boolean costs one extra driver-side EM loop — zero additional
+# Spark jobs beyond the hard-EM row's shape.
 # ---------------------------------------------------------------------------
 @reg.query(
     "q_docs_unigram_soft_encode",
@@ -1587,11 +1589,14 @@ def q_docs_unigram_soft_encode(
     from fortymhz_spark.operators import unigram as ug
 
     docs = load_table(spark, sf_dir, "documents")
+    table = ug.collect_word_vocab(docs)  # ONE corpus pass, two trains
     soft = ug.learn_unigram_vocab(
-        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="soft"
+        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="soft",
+        vocab_table=table,
     )
     hard = ug.learn_unigram_vocab(
-        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="hard"
+        docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="hard",
+        vocab_table=table,
     )
     diverges = soft != hard
     words = docs.select(

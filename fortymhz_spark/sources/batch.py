@@ -105,8 +105,13 @@ def read_with_quarantine(
     reads ONLY that subdirectory — so repeated triage runs against the
     same quarantine root never fold prior runs' rows (or a re-run's
     duplicate append) back into this run's audit counts.  The root
-    stays cumulative by design: read ``quarantine_dir`` directly for
-    the all-runs history.
+    stays cumulative by design: read the all-runs history with
+    ``spark.read.option("recursiveFileLookup", "true")
+    .parquet(quarantine_dir)`` — the plain root read works on a pure
+    ``run_id=`` layout but SILENTLY DROPS any flat files a pre-run_id
+    deployment left at the root (Spark's partition discovery keeps
+    only the partition-directory side of a mixed layout); the
+    recursive form reads both layouts.
 
     Caveat (Spark semantics): a query whose ONLY referenced column is
     the corrupt record is disallowed on raw files

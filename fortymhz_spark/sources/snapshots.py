@@ -282,7 +282,18 @@ def write_snapshot(
                 max([int(fresh["current"]), *on_disk_now], default=0) + 1
             )
             new_dir = os.path.join(table_dir, f"v={new_version}")
-            os.rename(alloc["data_dir"], new_dir)
+            try:
+                os.rename(alloc["data_dir"], new_dir)
+            except FileNotFoundError:
+                # a zero/short-retention vacuum collected our staging
+                # dir mid-write — categorize it (retention contract)
+                # instead of leaking a bare FileNotFoundError
+                raise ConcurrentWriteError(
+                    f"write_snapshot: staging dir {alloc['data_dir']} "
+                    "vanished before commit — a vacuum_snapshot ran "
+                    "with a retention window shorter than this write; "
+                    "raise min_age_s above the longest writer and retry"
+                ) from None
             alloc["version"], alloc["data_dir"] = new_version, new_dir
         fresh["versions"][str(alloc["version"])] = entry
         fresh["current"] = alloc["version"]
@@ -295,8 +306,14 @@ def write_snapshot(
         publish(table_dir, _mutate)
     except ConcurrentWriteError:
         # the staging dir (or a renamed-but-never-committed v=N) is
-        # writer-unique and was never published — safe to remove
-        shutil.rmtree(alloc["data_dir"], ignore_errors=True)
+        # writer-unique and was never published — safe to remove,
+        # UNLESS a competitor published under our very number after a
+        # zero-retention vacuum collected our renamed dir and freed it
+        # (retrying-publisher window): deleting then would destroy
+        # their live data.
+        fresh = _load_manifest(table_dir)
+        if str(alloc["version"]) not in fresh["versions"]:
+            shutil.rmtree(alloc["data_dir"], ignore_errors=True)
         raise
     return alloc["version"]
 
@@ -686,25 +703,28 @@ def vacuum_snapshot(
         and d[2:].isdigit()
     ] if os.path.isdir(table_dir) else []
 
-    def _old_enough(v: int) -> bool:
-        # an unpublished v=N directory may be an IN-FLIGHT writer
-        # (data written, manifest swap pending — minutes on a large
-        # batch), not a dead one; only directories older than the
-        # retention window are safely dead (same contract as version
-        # expiry: production retention must exceed the longest
-        # writer/reader).
+    def _old_enough(path: str) -> bool:
+        # an unmanifested directory may belong to an IN-FLIGHT writer
+        # (staging data written, locked commit pending — minutes on a
+        # large batch), not a dead one; only directories older than
+        # the retention window are safely dead (same contract as
+        # version expiry: production retention must exceed the
+        # longest writer/reader), and a dir a concurrent vacuum/writer
+        # removed between listing and stat is not-collectable.
         try:
-            return (
-                now - os.path.getmtime(os.path.join(table_dir, f"v={v}"))
-                >= min_age_s
-            )
+            return now - os.path.getmtime(path) >= min_age_s
         except OSError:
             return False
-    orphans = [
-        v
-        for v in on_disk
-        if str(v) not in manifest["versions"] and _old_enough(v)
-    ]
+
+    def _orphans_of(m: dict[str, Any]) -> list[int]:
+        return [
+            v
+            for v in on_disk
+            if str(v) not in m["versions"]
+            and _old_enough(os.path.join(table_dir, f"v={v}"))
+        ]
+
+    orphans = _orphans_of(manifest)
     # dead writers' staging dirs (write_snapshot stages data under
     # .staging-<uuid> until the locked commit renames it to v=N) —
     # same mtime retention window: a young staging dir may be an
@@ -713,8 +733,7 @@ def vacuum_snapshot(
         d
         for d in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
         if d.startswith(".staging-")
-        and os.path.isdir(os.path.join(table_dir, d))
-        and now - os.path.getmtime(os.path.join(table_dir, d)) >= min_age_s
+        and _old_enough(os.path.join(table_dir, d))
     ]
     report = {
         "expired": expired,
@@ -725,36 +744,39 @@ def vacuum_snapshot(
     if dry_run or not (expired or orphans or staging):
         return report
 
-    if expired:
+    final: dict[str, list[int]] = {"expired": [], "orphans": []}
 
-        def _unpublish(fresh: dict[str, Any]) -> dict[str, Any]:
-            # re-applied against the manifest AS OF the commit: a
-            # writer may have published (moved current) since the
-            # expiry set was computed — never expire the fresh current,
-            # and skip entries already gone.
-            live = [
-                v
-                for v in expired
-                if str(v) in fresh["versions"]
-                and v != int(fresh["current"])
-            ]
-            for v in live:
-                del fresh["versions"][str(v)]
-            # Record WHICH versions retention removed (distinct from
-            # never-published allocation gaps): a streaming consumer
-            # that still needs one of these must fail loudly, while it
-            # can safely step over a gap.  O(versions ever expired).
-            prior = set(fresh.get("expired_versions", []))
-            fresh["expired_versions"] = sorted(prior | set(live))
-            return fresh
-
-        manifest_publisher(table_dir, _unpublish)  # the unpublish point
-        manifest = _load_manifest(table_dir)
-        expired = [
-            v for v in expired if str(v) not in manifest["versions"]
+    def _unpublish(fresh: dict[str, Any]) -> dict[str, Any]:
+        # re-applied against the manifest AS OF the commit: a writer
+        # may have published (moved current, renamed a staging dir to
+        # v=N) since the stale sets above were computed — never expire
+        # the fresh current, skip entries already gone, and REVALIDATE
+        # the orphan set so a version published between our manifest
+        # load and this commit is never classified dead.  Under the
+        # flock publisher no writer can be inside its rename-and-commit
+        # while this runs, so a v=N dir absent from the fresh manifest
+        # here is genuinely dead.
+        live = [
+            v
+            for v in expired
+            if str(v) in fresh["versions"] and v != int(fresh["current"])
         ]
-        report["expired"] = expired
-    for v in [*expired, *orphans]:
+        for v in live:
+            del fresh["versions"][str(v)]
+        # Record WHICH versions retention removed (distinct from
+        # never-published allocation gaps): a streaming consumer that
+        # still needs one of these must fail loudly, while it can
+        # safely step over a gap.  O(versions ever expired).
+        prior = set(fresh.get("expired_versions", []))
+        fresh["expired_versions"] = sorted(prior | set(live))
+        final["expired"] = live
+        final["orphans"] = _orphans_of(fresh)
+        return fresh
+
+    manifest_publisher(table_dir, _unpublish)  # the unpublish point
+    report["expired"] = final["expired"]
+    report["orphans"] = sorted(final["orphans"])
+    for v in [*final["expired"], *final["orphans"]]:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
     for d in staging:
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)

@@ -435,8 +435,15 @@ def start_materialized_agg(
 
     def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
         spark = batch_df.sparkSession
+        from fortymhz_spark.sources.snapshots import _load_manifest
+
+        # pin the base version this refresh derives from — the publish
+        # below passes it as expected_current so a competing writer's
+        # version can never be silently shadowed by an aggregate
+        # computed from the stale base (the CAS derived-write contract)
+        base_version = int(_load_manifest(table_dir)["current"])
         try:
-            current = read_snapshot(spark, table_dir)
+            current = read_snapshot(spark, table_dir, version=base_version)
         except ValueError:
             current = None
         cdc = batch_df.withColumn("_change", F.lit("insert"))
@@ -466,6 +473,7 @@ def start_materialized_agg(
             table_dir,
             note=f"stream batch={batch_id}",
             txn=(app, batch_id),
+            expected_current=base_version,
         )
 
     return _start_exactly_once_sink(

@@ -130,6 +130,15 @@ ENGINE_HASH_GATE = [
     # all-auto index sizing resolves knobs from a corpus count —
     # counts are partition-invariant, so the output must be too
     "q_emb_ann_ivfpq_auto",
+    # NB on the ivfpq rows: their coarse assignment rides the arrow
+    # batch-matmul default, whose raw cell ids are NOT contractually
+    # bit-stable across partitionings (BLAS sum-order ulp flips,
+    # similarity.py docstring) — but the GRADED output here is
+    # (query_id, n_exact, recall_ok) booleans with measured recall
+    # margins of 0.3-0.5 above the bounds, so a single boundary-cell
+    # flip cannot change a row.  If this test ever flakes on these
+    # rows after a fixture regeneration, re-measure the margins before
+    # suspecting the operator.
 ]
 
 
