@@ -1598,7 +1598,13 @@ def q_docs_unigram_soft_encode(
         docs, vocab_size=256, em_rounds=2, max_piece_len=8, em="hard",
         vocab_table=table,
     )
-    diverges = soft != hard
+    # thresholded, mirroring tests/test_unigram.py: exact dict
+    # inequality would stay green on a 1-ulp perturbation that left
+    # the soft branch semantically identical to hard EM — the grade
+    # must require a MATERIAL probability gap (or a vocab difference)
+    diverges = set(soft) != set(hard) or any(
+        abs(soft[p] - hard[p]) > 1e-6 for p in set(soft) & set(hard)
+    )
     words = docs.select(
         F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
     ).distinct()

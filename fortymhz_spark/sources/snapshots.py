@@ -49,6 +49,7 @@ of table size.
 
 from __future__ import annotations
 
+import errno
 import fcntl
 import json
 import os
@@ -281,19 +282,34 @@ def write_snapshot(
             new_version = (
                 max([int(fresh["current"]), *on_disk_now], default=0) + 1
             )
-            new_dir = os.path.join(table_dir, f"v={new_version}")
-            try:
-                os.rename(alloc["data_dir"], new_dir)
-            except FileNotFoundError:
-                # a zero/short-retention vacuum collected our staging
-                # dir mid-write — categorize it (retention contract)
-                # instead of leaking a bare FileNotFoundError
-                raise ConcurrentWriteError(
-                    f"write_snapshot: staging dir {alloc['data_dir']} "
-                    "vanished before commit — a vacuum_snapshot ran "
-                    "with a retention window shorter than this write; "
-                    "raise min_age_s above the longest writer and retry"
-                ) from None
+            while True:
+                new_dir = os.path.join(table_dir, f"v={new_version}")
+                try:
+                    os.rename(alloc["data_dir"], new_dir)
+                    break
+                except FileNotFoundError:
+                    # a zero/short-retention vacuum collected our
+                    # staging dir mid-write — categorize it (retention
+                    # contract) instead of leaking a bare
+                    # FileNotFoundError
+                    raise ConcurrentWriteError(
+                        f"write_snapshot: staging dir {alloc['data_dir']} "
+                        "vanished before commit — a vacuum_snapshot ran "
+                        "with a retention window shorter than this write; "
+                        "raise min_age_s above the longest writer and retry"
+                    ) from None
+                except OSError as e:
+                    # Lock-free publishers (object-store If-Match
+                    # loops) have no mutual exclusion around this
+                    # rename: a competitor may land v=N between our
+                    # listing and our rename, making it fail with
+                    # EEXIST/ENOTEMPTY.  Their rename won atomically;
+                    # take the next number and try again (the
+                    # conditional PUT below still arbitrates the
+                    # manifest itself).
+                    if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                        raise
+                    new_version += 1
             alloc["version"], alloc["data_dir"] = new_version, new_dir
         fresh["versions"][str(alloc["version"])] = entry
         fresh["current"] = alloc["version"]
@@ -432,7 +448,11 @@ def merge_snapshot(
         merged = upserts
         partition_by: list[str] = []
     else:
-        target = read_snapshot(spark, table_dir)
+        # pin the read to the SAME version the publish will veto
+        # against — an unpinned read could see a competitor's v=N+1
+        # while expected_current stays N, guaranteeing a veto AFTER
+        # the full copy-on-write rewrite already ran
+        target = read_snapshot(spark, table_dir, version=current)
         if set(target.columns) != set(data_cols):
             if not allow_schema_evolution:
                 raise ValueError(
@@ -600,7 +620,9 @@ def compact_snapshot(
     current = int(manifest["current"])
     if current == 0:
         raise ValueError(f"compact_snapshot: no published version in {table_dir}")
-    df = read_snapshot(spark, table_dir)
+    # pinned to the base version the publish vetoes against (same
+    # contract as merge_snapshot)
+    df = read_snapshot(spark, table_dir, version=current)
     meta = manifest["versions"][str(current)]
     if target_files is None:
         target_files = max(
@@ -651,11 +673,14 @@ def vacuum_snapshot(
     keep_last: int = 2,
     min_age_s: float = 0.0,
     dry_run: bool = False,
-) -> dict[str, list[int]]:
+) -> dict[str, list[int] | list[str]]:
     """VACUUM: expire old published versions and garbage-collect
     orphan ``v=N`` directories (writers that died between data write
-    and manifest swap), returning ``{"expired": [...], "orphans":
-    [...], "kept": [...]}``.
+    and manifest swap), returning ``{"expired": [versions...],
+    "orphans": [versions...], "kept": [versions...], "staging":
+    [".staging-<hex>" dir names...]}`` — the first three hold version
+    ints, ``staging`` holds the collected dead-writer staging
+    directory NAMES (strings).
 
     Retention contract: the newest ``keep_last`` published versions
     plus ``current`` are always kept; other versions are eligible only
@@ -770,14 +795,25 @@ def vacuum_snapshot(
         prior = set(fresh.get("expired_versions", []))
         fresh["expired_versions"] = sorted(prior | set(live))
         final["expired"] = live
-        final["orphans"] = _orphans_of(fresh)
+        # the entries just deleted above are retention-EXPIRED, not
+        # dead-writer orphans — exclude them or the report
+        # double-classifies every expired version
+        final["orphans"] = [
+            v for v in _orphans_of(fresh) if v not in set(live)
+        ]
         return fresh
 
-    manifest_publisher(table_dir, _unpublish)  # the unpublish point
-    report["expired"] = final["expired"]
-    report["orphans"] = sorted(final["orphans"])
-    for v in [*final["expired"], *final["orphans"]]:
-        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    if expired or orphans:
+        manifest_publisher(table_dir, _unpublish)  # the unpublish point
+        report["expired"] = final["expired"]
+        report["orphans"] = sorted(final["orphans"])
+        for v in [*final["expired"], *final["orphans"]]:
+            shutil.rmtree(
+                os.path.join(table_dir, f"v={v}"), ignore_errors=True
+            )
+    # staging dirs were never manifest-visible: deleting them needs no
+    # manifest commit (a staging-only vacuum must not rewrite an
+    # unchanged manifest)
     for d in staging:
         shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return report

@@ -810,3 +810,70 @@ def test_derived_write_race_vetoed_then_retries_cleanly(
         for r in read_snapshot(spark, table_dir).collect()
     }
     assert got == {(1, "a"), (2, "B!"), (3, "c")}
+
+
+def test_lockfree_rename_collision_reallocates(spark, table_dir, monkeypatch):
+    """Lock-free publishers (object-store If-Match loops) have no
+    mutual exclusion around the staging→v=N rename: a competitor may
+    land v=N between our allocation listing and our rename.  The
+    rename then fails EEXIST/ENOTEMPTY and write_snapshot must take
+    the next number — not crash with an uncategorized OSError or
+    touch the competitor's live data."""
+    import os as _os
+
+    from fortymhz_spark.sources import snapshots as snap
+
+    write_snapshot(spark.range(5), table_dir)
+    write_snapshot(spark.range(7), table_dir)
+    # the competitor's just-renamed (not yet committed) v=3
+    comp = os.path.join(table_dir, "v=3")
+    os.makedirs(comp)
+    with open(os.path.join(comp, "part-0.parquet"), "w") as f:
+        f.write("competitor data")
+
+    real_listdir = _os.listdir
+
+    def stale_listdir(path):
+        # the racer's rename lands AFTER our listing: hide it
+        entries = real_listdir(path)
+        if os.path.abspath(str(path)) == os.path.abspath(table_dir):
+            entries = [e for e in entries if e != "v=3"]
+        return entries
+
+    monkeypatch.setattr(snap.os, "listdir", stale_listdir)
+    v = write_snapshot(spark.range(9), table_dir)
+    monkeypatch.undo()
+
+    assert v == 4  # re-allocated past the collision
+    # competitor's data untouched; our version is published and reads
+    with open(os.path.join(comp, "part-0.parquet")) as f:
+        assert f.read() == "competitor data"
+    assert read_snapshot(spark, table_dir).count() == 9
+
+
+def test_vacuum_report_separates_expired_from_orphans(spark, table_dir):
+    """Retention-expired versions must appear ONLY in 'expired' (not
+    double-classified as dead-writer 'orphans'), and a staging-only
+    vacuum must not rewrite an unchanged manifest."""
+    from fortymhz_spark.sources.snapshots import vacuum_snapshot
+
+    for i in range(4):
+        write_snapshot(spark.range(10 * (i + 1)), table_dir)
+    report = vacuum_snapshot(table_dir, keep_last=2)
+    assert report["expired"] == [1, 2]
+    assert report["orphans"] == []
+
+    manifest_path = os.path.join(table_dir, "_manifest.json")
+    before = os.path.getmtime(manifest_path)
+    dead = os.path.join(table_dir, ".staging-deadbeef")
+    os.makedirs(dead)
+    os.utime(dead, (0, 0))
+    report2 = vacuum_snapshot(table_dir, keep_last=2)
+    assert report2 == {
+        "expired": [],
+        "orphans": [],
+        "staging": [".staging-deadbeef"],
+        "kept": [3, 4],
+    }
+    assert not os.path.exists(dead)
+    assert os.path.getmtime(manifest_path) == before

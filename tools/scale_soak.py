@@ -452,11 +452,29 @@ def snapshot_stream_catchup_rows(spark, scale_mult: int) -> int:
     # rep reports the same deterministic history size
     write_snapshot(spark.range(10**9, 10**9 + 7), tbl)
     q.awaitTermination(600)
-    return (
+    n = (
         spark.read.parquet(out)
         .filter(F.col("id") < n_versions * 5000)
         .count()
     )
+    # restore the cached table to the nominal n_versions history:
+    # without this, each rep's out-of-band publish accretes, so later
+    # reps would resolve/plan a LONGER history than the ratio
+    # reasoning assumes (min-of-reps must compare identical workloads)
+    import shutil
+
+    from fortymhz_spark.sources.snapshots import manifest_publisher
+
+    def _reset(fresh):
+        for v in [int(x) for x in list(fresh["versions"]) if int(x) > n_versions]:
+            del fresh["versions"][str(v)]
+            shutil.rmtree(os.path.join(tbl, f"v={v}"), ignore_errors=True)
+        fresh["current"] = n_versions
+        fresh.pop("expired_versions", None)
+        return fresh
+
+    manifest_publisher(tbl, _reset)
+    return n
 
 
 def streaming_mg_rows(spark, docs_path: str) -> int:
