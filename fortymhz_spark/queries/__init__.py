@@ -19,8 +19,14 @@ Round 6 rotation (the steady-state policy, round-5 pattern):
 
 1. NEW QUERIES enter immediately: q_emb_ann_ivfpq_auto (the all-auto
    IVFPQ deployment configuration — corpus-sized cells, probe width,
-   re-rank width) and q_docs_unigram_soft_encode (the forward-backward
-   soft-EM tokenizer variant with a soft-vs-hard divergence grade).
+   re-rank width), q_docs_unigram_soft_encode (the forward-backward
+   soft-EM tokenizer variant with a soft-vs-hard divergence grade),
+   q_docs_gopher_rules (the public Gopher rule-based quality filter,
+   fully oracle-graded via integer cross-multiplication), and
+   q_emb_prototype_prune (SemDeDup/D4 cluster-then-rank data pruning,
+   derived-invariant grade).  The late two displace
+   q13_order_count_distribution and q_emb_semantic_keep_list (both
+   r4-green; see DEFERRED_TO_NEXT_ROUND).
 2. CHANGED CODE RE-GRADES.  Eight round-5 rows stay in because their
    code changed this round: the four ANN rows + q_emb_near_dup_lsh_subset
    (arrow coarse-assignment default, corpus-scaled rerank/nprobe,
@@ -28,15 +34,14 @@ Round 6 rotation (the steady-state policy, round-5 pattern):
    snapshot rows (CAS publish protocol: staged data dirs + locked
    manifest commit), and q_docs_unigram_encode_stats (encode totality
    guard; hard-EM default unchanged).
-3. FRESHNESS.  The remaining 40 slots re-grade the rows with the
+3. FRESHNESS.  The remaining 38 slots re-grade the rows with the
    OLDEST driver checks: the 11 rows deferred from round 5 (round-2
-   greens — first, as promised), all 24 round-3 greens, and 5 round-4
+   greens — first, as promised), all 24 round-3 greens, and 3 round-4
    greens picked for changed-file adjacency (q_vec_kmeans,
-   q_vec_knn_arrow, q_emb_semantic_dedup, q_emb_semantic_keep_list
-   live in operators/similarity.py, which this round edited heavily;
-   q13_order_count_distribution is the oldest TPC-H deep cut by name).
+   q_vec_knn_arrow, q_emb_semantic_dedup live in
+   operators/similarity.py, which this round edited heavily).
 
-The 35 remaining round-4 greens carry the registry's oldest checks
+The 37 remaining round-4 greens (incl. the two gate-displaced) carry the registry's oldest checks
 after this round and sit in DEFERRED_TO_NEXT_ROUND so round-7 gate
 assembly picks them up FIRST; the 42 round-5 greens whose code is
 unchanged rotate to PREVIOUSLY_GREEN.  Everything outside the gate
@@ -52,12 +57,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 gate (slots 1-50): 2 new + 8 changed-code re-grades + the
-# 40 rows with the oldest driver checks (11 deferred r2 + 24 r3 + 5 r4).
+# Round-6 gate (slots 1-50): 4 new + 8 changed-code re-grades + the
+# 38 rows with the oldest driver checks (11 deferred r2 + 24 r3 + 3 r4).
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_emb_ann_ivfpq_auto",
     "q_docs_unigram_soft_encode",
+    "q_docs_gopher_rules",
+    "q_emb_prototype_prune",
     # —— held over: code changed this round ——
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
@@ -109,15 +116,20 @@ ROUND_GATE: tuple[str, ...] = (
     "q_vec_kmeans",
     "q_vec_knn_arrow",
     "q_emb_semantic_dedup",
-    "q_emb_semantic_keep_list",
-    "q13_order_count_distribution",
 )
 
-# The 35 round-4-green rows not re-graded this round: still green
+# The 37 round-4-green rows not re-graded this round: still green
 # (round-4 driver rows, code unchanged), but they now carry the
 # OLDEST checks in the registry, so round-7 gate assembly picks
 # them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # displaced from the round-6 gate by the two late-round additions
+    # (q_docs_gopher_rules / q_emb_prototype_prune): both hold green
+    # r4 driver rows and the freshest checks of the five adjacency
+    # picks (q_emb_semantic_keep_list duplicates q_emb_semantic_dedup's
+    # operator; q13 was a name-only pick)
+    "q13_order_count_distribution",
+    "q_emb_semantic_keep_list",
     "q16_supplier_diversity",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
@@ -157,7 +169,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
 
 # Driver-green rows that sit OUTSIDE the round-6 gate: the 42
 # round-5 greens whose code is unchanged since their grading (the
-# 35 round-4 rows awaiting their refresh are tracked above).  The
+# 37 round-4 rows awaiting their refresh are tracked above).  The
 # registry asserts gate ∪ deferred ∪ previously-green == all
 # registered queries.
 PREVIOUSLY_GREEN: tuple[str, ...] = (

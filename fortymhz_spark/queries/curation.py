@@ -1621,3 +1621,186 @@ def q_docs_unigram_soft_encode(
         ).alias("pieces_bounded"),
         F.lit(bool(diverges)).alias("soft_diverges_from_hard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filtering — the public Rae et al. 2021
+# rule set as a first-class curation operator
+# (operators/text.py::gopher_flags).  FULLY oracle-graded: every rule
+# is an integer cross-multiplication (no float crosses the grading
+# boundary), so the per-rule violation counts hash exactly.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '') AS text,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS toks,
+             string_split(coalesce(text, ''), chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+             AS BIGINT) AS total_chars,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(
+               list_distinct(list_transform(toks, x -> lower(x))),
+               x -> x IN ('the','be','to','of','and','that','have','with')))
+             AS BIGINT) AS n_stop,
+        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST((len(text) - len(replace(text, '...', ''))) // 3
+             AS BIGINT) AS n_ell,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, x ->
+               starts_with(x, '-') OR starts_with(x, '•')
+               OR starts_with(x, '*'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+             AS BIGINT) AS n_ell_lines
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+        (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+        (3 * n_words <= total_chars
+         AND total_chars <= 10 * n_words) AS mwl_ok,
+        (10 * (n_hash + n_ell) <= n_words) AS sym_ok,
+        (10 * n_bullet < 9 * n_lines) AS bullet_ok,
+        (10 * n_ell_lines < 3 * n_lines) AS ell_ok,
+        (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+        (n_stop >= 2) AS stop_ok
+      FROM m
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN wc_ok AND mwl_ok AND sym_ok AND bullet_ok
+                     AND ell_ok AND alpha_ok AND stop_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN wc_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_word_count,
+      CAST(SUM(CASE WHEN mwl_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_mean_word_len,
+      CAST(SUM(CASE WHEN sym_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_symbol_ratio,
+      CAST(SUM(CASE WHEN bullet_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_bullets,
+      CAST(SUM(CASE WHEN ell_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_ellipsis,
+      CAST(SUM(CASE WHEN alpha_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_alpha,
+      CAST(SUM(CASE WHEN stop_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_stopwords
+    FROM f
+    """,
+)
+def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter over the documents table:
+    per-rule violation counts plus the all-rules pass count
+    (operators/text.py::gopher_flags — word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, stopword presence).
+
+    Scale: map-only column arithmetic fused into the scan, one
+    single-row aggregate — the same 100 TB shape as the other text
+    metrics (no shuffle before the final partial-agg combine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = tx.gopher_flags(docs, "text")
+
+    def _fails(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
+
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        _fails("wc_ok").alias("n_fail_word_count"),
+        _fails("mwl_ok").alias("n_fail_mean_word_len"),
+        _fails("sym_ok").alias("n_fail_symbol_ratio"),
+        _fails("bullet_ok").alias("n_fail_bullets"),
+        _fails("ell_ok").alias("n_fail_ellipsis"),
+        _fails("alpha_ok").alias("n_fail_alpha"),
+        _fails("stop_ok").alias("n_fail_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (SemDeDup/D4 family) — cluster-then-rank
+# data pruning (operators/similarity.py::prototype_prune).  The
+# cluster assignment is engine-internal (trained centroids), so the
+# grade is the established derived-invariant form: exact corpus
+# count + in-plan booleans that a broken quota, ranking, or
+# partition would trip (the q_vec_kmeans pattern).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_prototype_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS quota_ok,
+           TRUE AS boundary_ok,
+           TRUE AS partition_ok,
+           TRUE AS dropped_bounded
+    FROM embeddings
+    """,
+)
+def q_emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning at drop_frac=1/4 over k=8 clusters:
+    drop each cluster's quarter of points closest to its centroid
+    (the most redundant examples, per the SemDeDup/D4 recipe) and
+    grade the invariants that define the operator:
+
+    - quota_ok: every cluster drops exactly floor(size/4) points;
+    - boundary_ok: within every cluster, every dropped distance <=
+      every kept distance (the rank actually ordered by distance);
+    - partition_ok: kept + dropped == all points, no overlap;
+    - dropped_bounded: total dropped within [floor(n/4) - k,
+      floor(n/4)] (the floor-sum identity — a global sanity bound
+      the oracle can state without knowing cluster sizes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pruned = sim.prototype_prune(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=3,
+        drop_frac=0.25,
+    )
+    # ONE pass over the assignment: Spark does not CSE across separate
+    # aggregations, so a second `pruned.agg(...)` would re-execute the
+    # whole kmeans subtree — fold everything through the per-cluster
+    # aggregate (k rows) and finish on the driver-sized result.
+    per_cluster = pruned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_drop"),
+        F.max(F.when(~F.col("keep"), F.col("dist_e9"))).alias("max_drop_d"),
+        F.min(F.when(F.col("keep"), F.col("dist_e9"))).alias("min_keep_d"),
+    )
+    checks = per_cluster.agg(
+        F.sum("sz").alias("n_points_raw"),
+        F.every(
+            F.col("n_drop") == F.floor(F.col("sz") / 4).cast("long")
+        ).alias("quota_ok"),
+        F.every(
+            F.coalesce(
+                F.col("max_drop_d") <= F.col("min_keep_d"), F.lit(True)
+            )
+        ).alias("boundary_ok"),
+        # a NULL keep flag would make a row count in sz but neither
+        # conditional sum — this is the non-vacuous integrity check
+        F.every(
+            F.col("n_keep") + F.col("n_drop") == F.col("sz")
+        ).alias("partition_ok"),
+        F.sum("n_drop").alias("n_drop_total"),
+    )
+    return checks.select(
+        F.col("n_points_raw").cast("long").alias("n_points"),
+        "quota_ok",
+        "boundary_ok",
+        "partition_ok",
+        (
+            (
+                F.col("n_drop_total")
+                >= F.floor(F.col("n_points_raw") / 4) - 8
+            )
+            & (F.col("n_drop_total") <= F.floor(F.col("n_points_raw") / 4))
+        ).alias("dropped_bounded"),
+    )

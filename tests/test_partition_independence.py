@@ -96,6 +96,10 @@ SENSITIVE = [
     # unigram tokenizer: the word-count collect feeding driver EM and
     # the Viterbi encode must be identical under hostile partitioning
     "q_docs_unigram_encode_stats",
+    # prototype pruning: kmeans driver loop (decimal-exact means) +
+    # per-cluster row_number window — the keep/drop partition must be
+    # bit-stable at any partition count (expr assignment contract)
+    "q_emb_prototype_prune",
 ]
 
 _QUERIES = all_queries()

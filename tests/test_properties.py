@@ -1700,3 +1700,115 @@ def test_vocab_linear_score_rejects_duplicate_tokens(spark):
     )
     with _pytest.raises(ValueError, match="duplicate tokens"):
         vocab_linear_score(docs, dup)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filtering (operators/text.py::gopher_flags)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_flags_rules_fire_individually(spark):
+    """Each rule trips on its designed pathology and only there."""
+    from fortymhz_spark.operators.text import gopher_flags
+
+    good = (
+        "the cat sat with a hat and that dog may have to be here "
+        + "word " * 45
+    )
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "short text"),                            # wc + stopwords fail
+        (3, "\n".join(["- b"] * 9 + ["plain"])),      # 90% bullet lines
+        (4, "#" * 30 + " the be to of and " + "x " * 60),  # symbols + mwl
+        (5, good.replace("word ", "... ")),           # symbol ratio via '...'
+        (6, None),                                    # NULL → empty → wc fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_flags(df, "text").collect()
+    }
+    assert got[1]["gopher_pass"]
+    assert not got[2]["wc_ok"] and not got[2]["stop_ok"]
+    assert got[2]["mwl_ok"] and got[2]["sym_ok"]
+    assert not got[3]["bullet_ok"]
+    assert not got[4]["sym_ok"] and not got[4]["mwl_ok"]
+    assert not got[5]["sym_ok"]
+    assert not got[6]["wc_ok"] and not got[6]["gopher_pass"]
+
+
+def test_gopher_flags_cross_multiplication_matches_float_form(spark):
+    """The integer cross-multiplied ratio tests agree with the naive
+    float forms on a randomized corpus (the portability discipline
+    must not change semantics)."""
+    import random
+
+    from fortymhz_spark.operators.text import GOPHER_STOPWORDS, gopher_flags
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "x1", "##", "...", "the", "of", "with", "km"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in gopher_flags(df, "text").collect():
+        toks = [t for t in r["text"].split(" ") if t]
+        n = len(toks)
+        total = sum(len(t) for t in toks)
+        assert r["wc_ok"] == (50 <= n <= 100_000)
+        assert r["mwl_ok"] == (3 * n <= total <= 10 * n)
+        n_alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+        assert r["alpha_ok"] == (5 * n_alpha >= 4 * n)
+        n_stop = len(
+            {t.lower() for t in toks} & set(GOPHER_STOPWORDS)
+        )
+        assert r["stop_ok"] == (n_stop >= 2)
+        n_sym = r["text"].count("#") + r["text"].count("...")
+        assert r["sym_ok"] == (10 * n_sym <= n)
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (operators/similarity.py::prototype_prune)
+# ---------------------------------------------------------------------------
+
+
+def test_prototype_prune_quota_boundary_and_partition(spark):
+    from fortymhz_spark.operators.similarity import prototype_prune
+
+    # two tight blobs far apart: kmeans(k=2) must separate them
+    rows = [(i, [float(i % 7) / 100.0, 0.0]) for i in range(20)] + [
+        (100 + i, [10.0 + float(i % 5) / 100.0, 0.0]) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_prune(
+        df, id_col="vec_id", vec_col="embedding", k=2, iters=3,
+        drop_frac=0.25,
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sorted(len(v) for v in by_cluster.values()) == [11, 20]
+    for members in by_cluster.values():
+        dropped = [r for r in members if not r["keep"]]
+        kept = [r for r in members if r["keep"]]
+        assert len(dropped) == len(members) // 4
+        if dropped and kept:
+            # dropped = the closest-to-centroid prefix
+            assert max(r["dist_e9"] for r in dropped) <= min(
+                r["dist_e9"] for r in kept
+            )
+    assert len(out) == 31  # nothing lost or duplicated
+
+
+def test_prototype_prune_zero_frac_keeps_everything(spark):
+    from fortymhz_spark.operators.similarity import prototype_prune
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    out = prototype_prune(df, k=3, iters=1, drop_frac=0.0).collect()
+    assert all(r["keep"] for r in out) and len(out) == 9
+    with pytest.raises(ValueError, match="drop_frac"):
+        prototype_prune(df, drop_frac=1.0)

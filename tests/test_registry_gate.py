@@ -5,8 +5,8 @@ queries per round, so ordering IS evidence policy (see
 queries/__init__.py).  Round 6 runs the steady-state policy: new
 queries and changed-code rows enter the gate immediately, and the
 remaining slots re-grade the rows with the OLDEST driver checks (the
-11 round-2 rows deferred from round 5, all 24 round-3 greens, and 5
-round-4 greens with changed-file adjacency); the 35 round-4 rows that
+11 round-2 rows deferred from round 5, all 24 round-3 greens, and 3
+round-4 greens with changed-file adjacency); the 37 round-4 rows that
 didn't fit defer to round 7 (queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
