@@ -157,6 +157,10 @@ HEADLINE = [
     # slim (id, cluster, dist) window)
     "q_docs_gopher_rules",
     "q_emb_prototype_prune",
+    # the full Gopher Table-A1 repetition table (dup line/para +
+    # top/dup n-gram char fractions) — the heaviest text map in the
+    # repo (nine sorted-run folds per row), scan _spread first
+    "q_docs_gopher_repetition",
 ]
 
 

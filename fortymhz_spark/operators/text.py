@@ -9,6 +9,8 @@ aggregates.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -809,4 +811,189 @@ def gopher_flags(
         "__toks__", "__lines__", "__n_hash__", "__n_ell__", "__n_words__",
         "__total_chars__", "__n_alpha__", "__n_stop__", "__n_lines__",
         "__n_bullet__", "__n_ell_lines__",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Table A1) — the full
+# within-document repetition table: duplicate line / paragraph
+# fractions (count and character), top n-gram character fraction for
+# n=2..4, duplicated n-gram character fraction for n=5..10.  This
+# extends repetition_stats (bigram-only) to the published rule set.
+# Reference parity note: the reference engine has no text surface
+# (/root/reference/code/dask_kafka/core.py is a Kafka reader).
+# ---------------------------------------------------------------------------
+
+# (rule suffix, n, fail-threshold numerator T) — rule fails when the
+# measured fraction EXCEEDS T/100, i.e. passes iff 100*x <= T*total.
+_GOPHER_TOP_NGRAM: tuple[tuple[str, int, int], ...] = (
+    ("top2", 2, 20), ("top3", 3, 18), ("top4", 4, 16),
+)
+_GOPHER_DUP_NGRAM: tuple[tuple[str, int, int], ...] = (
+    ("dup5", 5, 15), ("dup6", 6, 14), ("dup7", 7, 13),
+    ("dup8", 8, 12), ("dup9", 9, 11), ("dup10", 10, 10),
+)
+
+
+def _ngram_rep_fold(tk: Column, n: int) -> Column:
+    """Per-document n-gram repetition signals as one struct
+    ``(top_count, top_len, dup_chars)`` over the word n-grams of
+    ``tk`` (joined with single spaces):
+
+    - ``top_count`` — occurrences of the most frequent n-gram;
+    - ``top_len``   — among n-grams at that count, the longest (the
+      deterministic tie-break; Counter.most_common's insertion-order
+      pick is not engine-portable);
+    - ``dup_chars`` — sum over every occurrence BEYOND THE FIRST of
+      ``len(gram)``, i.e. sum of (count-1)*len per distinct gram (the
+      count-based form; DataTrove's positional-coverage variant skips
+      overlapping windows, a sequential dependence that neither
+      Catalyst nor an SQL oracle can state as a pure fold).
+
+    Shape: build-once n-gram array, ``array_sort``, one linear
+    run-length fold — O(L log L) per row, zero shuffle, fuses into
+    the scan at 100 TB exactly like repetition_stats."""
+    m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+        1,
+        m,
+    )
+    zero = F.lit(0).cast("long")
+
+    def step(acc: Column, x: Column) -> Column:
+        eq = x == acc["prev"]
+        new_run = F.when(eq, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            F.when(new_run > acc["best"], F.length(x).cast("long"))
+            .when(
+                new_run == acc["best"],
+                F.greatest(acc["best_len"], F.length(x).cast("long")),
+            )
+            .otherwise(acc["best_len"])
+            .alias("best_len"),
+            (
+                acc["dup"] + F.when(eq, F.length(x).cast("long")).otherwise(zero)
+            ).alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+            zero.alias("best_len"),
+            zero.alias("dup"),
+        ),
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("top_count"),
+            acc["best_len"].alias("top_len"),
+            acc["dup"].alias("dup_chars"),
+        ),
+    )
+
+
+def gopher_repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the thirteen Gopher repetition-rule booleans to ``df``:
+
+    - ``rep_dline_ok`` / ``rep_dpara_ok`` — duplicate line / paragraph
+      fraction <= 0.30 (duplicates = occurrences beyond the first,
+      over non-empty lines / blank-line-separated paragraphs);
+    - ``rep_dline_char_ok`` / ``rep_dpara_char_ok`` — characters in
+      those duplicate occurrences <= 0.20 of the document's chars;
+    - ``rep_top{2,3,4}_ok`` — most-frequent n-gram's chars (count ×
+      joined length) <= 0.20 / 0.18 / 0.16 of the document's chars;
+    - ``rep_dup{5..10}_ok`` — chars in duplicated n-gram occurrences
+      <= 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10 of the document's
+      chars;
+    - ``gopher_rep_pass`` — the conjunction.
+
+    Every ratio test is an integer CROSS-MULTIPLICATION against the
+    document's total character count (``length(text)`` — the Gopher
+    denominator), so the booleans hash identically on any engine.
+    Empty documents pass every rule (0 <= 0).  Map-only: token /
+    line / paragraph arrays bind once in their own projection, each
+    n-gram signal is one sorted-run fold (:func:`_ngram_rep_fold`),
+    and nothing shuffles before the caller's aggregate."""
+    t = F.coalesce(_colified(text_col), F.lit(""))
+    bound = df.withColumns(
+        {
+            "__toks__": tokens(t),
+            "__rlines__": F.filter(
+                F.split(t, "\n"), lambda x: x != ""
+            ),
+            "__rparas__": F.filter(
+                F.split(t, "\n{2,}"), lambda x: x != ""
+            ),
+            "__rtotal__": F.length(t).cast("long"),
+        }
+    )
+
+    def dup_stats(arr: Column) -> tuple[Column, Column]:
+        """(duplicate occurrences, duplicate chars) beyond-first."""
+        n_dup = (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
+        chars = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dchars = F.aggregate(
+            F.array_distinct(arr),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x),
+        )
+        return n_dup, chars - dchars
+
+    toks = F.col("__toks__")
+    lines, paras = F.col("__rlines__"), F.col("__rparas__")
+    nl_dup, nl_dup_chars = dup_stats(lines)
+    np_dup, np_dup_chars = dup_stats(paras)
+    sig = bound.withColumns(
+        {
+            "__dline__": nl_dup,
+            "__dline_ch__": nl_dup_chars,
+            "__dpara__": np_dup,
+            "__dpara_ch__": np_dup_chars,
+            **{
+                f"__ng{n}__": _ngram_rep_fold(toks, n)
+                for _, n, _t in _GOPHER_TOP_NGRAM + _GOPHER_DUP_NGRAM
+            },
+        }
+    )
+    total = F.col("__rtotal__")
+    flag_cols: dict[str, Column] = {
+        "rep_dline_ok": F.lit(10) * F.col("__dline__")
+        <= F.lit(3) * F.size(lines).cast("long"),
+        "rep_dpara_ok": F.lit(10) * F.col("__dpara__")
+        <= F.lit(3) * F.size(paras).cast("long"),
+        "rep_dline_char_ok": F.lit(5) * F.col("__dline_ch__") <= total,
+        "rep_dpara_char_ok": F.lit(5) * F.col("__dpara_ch__") <= total,
+    }
+    for suffix, n, thresh in _GOPHER_TOP_NGRAM:
+        g = F.col(f"__ng{n}__")
+        flag_cols[f"rep_{suffix}_ok"] = (
+            F.lit(100) * g["top_count"] * g["top_len"] <= F.lit(thresh) * total
+        )
+    for suffix, n, thresh in _GOPHER_DUP_NGRAM:
+        g = F.col(f"__ng{n}__")
+        flag_cols[f"rep_{suffix}_ok"] = (
+            F.lit(100) * g["dup_chars"] <= F.lit(thresh) * total
+        )
+    flagged = sig.withColumns(flag_cols)
+    out = flagged.withColumn(
+        "gopher_rep_pass",
+        functools.reduce(
+            lambda a, b: a & b, (F.col(c) for c in flag_cols)
+        ),
+    )
+    return out.drop(
+        "__toks__", "__rlines__", "__rparas__", "__rtotal__",
+        "__dline__", "__dline_ch__", "__dpara__", "__dpara_ch__",
+        *(f"__ng{n}__" for _, n, _t in _GOPHER_TOP_NGRAM + _GOPHER_DUP_NGRAM),
     )

@@ -1804,3 +1804,189 @@ def q_emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_drop_total") <= F.floor(F.col("n_points_raw") / 4))
         ).alias("dropped_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules — the full Rae et al. 2021 Table-A1
+# within-document repetition table
+# (operators/text.py::gopher_repetition_flags).  FULLY oracle-graded:
+# every rule is an integer cross-multiplication against length(text),
+# so the thirteen per-rule violation counts hash exactly; the oracle
+# recomputes the n-gram statistics via unnest + GROUP BY (the SQL
+# form of the operator's sorted-run fold).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_gopher_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks,
+             CAST(len(text) AS BIGINT) AS total,
+             list_filter(string_split(text, chr(10)), x -> x <> '')
+               AS lines,
+             list_filter(regexp_split_to_array(text, '\n{2,}'),
+                         x -> x <> '') AS paras
+      FROM t
+    ), grams AS (
+      SELECT doc_id, nn.n AS n,
+             array_to_string(
+               toks[ii.i::INT : (ii.i + nn.n - 1)::INT], ' ') AS g
+      FROM base,
+           unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nn(n),
+           unnest(range(1, len(toks) - nn.n + 2)) AS ii(i)
+    ), cnt AS (
+      SELECT doc_id, n, g, COUNT(*) AS c, len(g) AS L
+      FROM grams GROUP BY doc_id, n, g
+    ), pern AS (
+      SELECT doc_id, n,
+             MAX(c) AS topc,
+             MAX(CASE WHEN c = mx THEN L END) AS topl,
+             COALESCE(SUM((c - 1) * L), 0) AS dupch
+      FROM (SELECT *, MAX(c) OVER (PARTITION BY doc_id, n) AS mx
+            FROM cnt)
+      GROUP BY doc_id, n
+    ), ng AS (
+      SELECT doc_id,
+        CAST(COALESCE(MAX(CASE WHEN n = 2 THEN topc * topl END), 0)
+             AS BIGINT) AS top2,
+        CAST(COALESCE(MAX(CASE WHEN n = 3 THEN topc * topl END), 0)
+             AS BIGINT) AS top3,
+        CAST(COALESCE(MAX(CASE WHEN n = 4 THEN topc * topl END), 0)
+             AS BIGINT) AS top4,
+        CAST(COALESCE(MAX(CASE WHEN n = 5 THEN dupch END), 0)
+             AS BIGINT) AS d5,
+        CAST(COALESCE(MAX(CASE WHEN n = 6 THEN dupch END), 0)
+             AS BIGINT) AS d6,
+        CAST(COALESCE(MAX(CASE WHEN n = 7 THEN dupch END), 0)
+             AS BIGINT) AS d7,
+        CAST(COALESCE(MAX(CASE WHEN n = 8 THEN dupch END), 0)
+             AS BIGINT) AS d8,
+        CAST(COALESCE(MAX(CASE WHEN n = 9 THEN dupch END), 0)
+             AS BIGINT) AS d9,
+        CAST(COALESCE(MAX(CASE WHEN n = 10 THEN dupch END), 0)
+             AS BIGINT) AS d10
+      FROM pern GROUP BY doc_id
+    ), perdoc AS (
+      SELECT b.doc_id, b.total,
+        CAST(len(b.lines) AS BIGINT) AS n_lines,
+        CAST(len(b.paras) AS BIGINT) AS n_paras,
+        CAST(len(b.lines) - len(list_distinct(b.lines)) AS BIGINT)
+          AS dline,
+        CAST(COALESCE(list_sum(list_transform(b.lines, x -> len(x))), 0)
+             - COALESCE(list_sum(list_transform(list_distinct(b.lines),
+                                                x -> len(x))), 0)
+             AS BIGINT) AS dline_ch,
+        CAST(len(b.paras) - len(list_distinct(b.paras)) AS BIGINT)
+          AS dpara,
+        CAST(COALESCE(list_sum(list_transform(b.paras, x -> len(x))), 0)
+             - COALESCE(list_sum(list_transform(list_distinct(b.paras),
+                                                x -> len(x))), 0)
+             AS BIGINT) AS dpara_ch,
+        COALESCE(g.top2, 0) AS top2, COALESCE(g.top3, 0) AS top3,
+        COALESCE(g.top4, 0) AS top4, COALESCE(g.d5, 0) AS d5,
+        COALESCE(g.d6, 0) AS d6, COALESCE(g.d7, 0) AS d7,
+        COALESCE(g.d8, 0) AS d8, COALESCE(g.d9, 0) AS d9,
+        COALESCE(g.d10, 0) AS d10
+      FROM base b LEFT JOIN ng g USING (doc_id)
+    ), f AS (
+      SELECT doc_id,
+        (10 * dline <= 3 * n_lines) AS dline_ok,
+        (10 * dpara <= 3 * n_paras) AS dpara_ok,
+        (5 * dline_ch <= total) AS dline_ch_ok,
+        (5 * dpara_ch <= total) AS dpara_ch_ok,
+        (100 * top2 <= 20 * total) AS top2_ok,
+        (100 * top3 <= 18 * total) AS top3_ok,
+        (100 * top4 <= 16 * total) AS top4_ok,
+        (100 * d5 <= 15 * total) AS dup5_ok,
+        (100 * d6 <= 14 * total) AS dup6_ok,
+        (100 * d7 <= 13 * total) AS dup7_ok,
+        (100 * d8 <= 12 * total) AS dup8_ok,
+        (100 * d9 <= 11 * total) AS dup9_ok,
+        (100 * d10 <= 10 * total) AS dup10_ok
+      FROM perdoc
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN dline_ok AND dpara_ok AND dline_ch_ok
+                     AND dpara_ch_ok AND top2_ok AND top3_ok
+                     AND top4_ok AND dup5_ok AND dup6_ok AND dup7_ok
+                     AND dup8_ok AND dup9_ok AND dup10_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN dline_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dline,
+      CAST(SUM(CASE WHEN dpara_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dpara,
+      CAST(SUM(CASE WHEN dline_ch_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dline_chars,
+      CAST(SUM(CASE WHEN dpara_ch_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dpara_chars,
+      CAST(SUM(CASE WHEN top2_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_top2,
+      CAST(SUM(CASE WHEN top3_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_top3,
+      CAST(SUM(CASE WHEN top4_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_top4,
+      CAST(SUM(CASE WHEN dup5_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup5,
+      CAST(SUM(CASE WHEN dup6_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup6,
+      CAST(SUM(CASE WHEN dup7_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup7,
+      CAST(SUM(CASE WHEN dup8_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup8,
+      CAST(SUM(CASE WHEN dup9_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup9,
+      CAST(SUM(CASE WHEN dup10_ok THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_dup10
+    FROM f
+    """,
+)
+def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition-rule table over the documents corpus:
+    per-rule violation counts plus the all-rules pass count
+    (operators/text.py::gopher_repetition_flags — duplicate line /
+    paragraph count and character fractions, top 2/3/4-gram character
+    fraction, duplicated 5..10-gram character fraction, the Rae et
+    al. 2021 Table-A1 thresholds).
+
+    Scale: map-only — tokens / lines / paragraphs bind once, each
+    n-gram signal is one in-row sorted-run fold (no explode, no
+    shuffle of n-gram text, unlike the oracle's unnest+GROUP BY
+    form), then one single-row partial-agg combine.  At 100 TB the
+    whole query is scan + final combine, the same shape as
+    q_docs_gopher_rules.  The per-row work (nine sorted-run folds) is
+    the heaviest text map in the repo, so the scan is _spread first —
+    a no-op at deployment file counts, and at fixture sizes it keeps
+    the fold off a single core (the MinHash signature lesson,
+    operators/dedup.py::_spread)."""
+    from fortymhz_spark.operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    flagged = tx.gopher_repetition_flags(docs, "text")
+
+    def _fails(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
+
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("gopher_rep_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        _fails("rep_dline_ok").alias("n_fail_dline"),
+        _fails("rep_dpara_ok").alias("n_fail_dpara"),
+        _fails("rep_dline_char_ok").alias("n_fail_dline_chars"),
+        _fails("rep_dpara_char_ok").alias("n_fail_dpara_chars"),
+        _fails("rep_top2_ok").alias("n_fail_top2"),
+        _fails("rep_top3_ok").alias("n_fail_top3"),
+        _fails("rep_top4_ok").alias("n_fail_top4"),
+        _fails("rep_dup5_ok").alias("n_fail_dup5"),
+        _fails("rep_dup6_ok").alias("n_fail_dup6"),
+        _fails("rep_dup7_ok").alias("n_fail_dup7"),
+        _fails("rep_dup8_ok").alias("n_fail_dup8"),
+        _fails("rep_dup9_ok").alias("n_fail_dup9"),
+        _fails("rep_dup10_ok").alias("n_fail_dup10"),
+    )

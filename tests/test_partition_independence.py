@@ -100,6 +100,10 @@ SENSITIVE = [
     # per-cluster row_number window — the keep/drop partition must be
     # bit-stable at any partition count (expr assignment contract)
     "q_emb_prototype_prune",
+    # gopher repetition: the scan is _spread (repartitioned) before
+    # the per-row folds — integer cross-multiplied flags must not
+    # notice the partitioning
+    "q_docs_gopher_repetition",
 ]
 
 _QUERIES = all_queries()

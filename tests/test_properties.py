@@ -1812,3 +1812,104 @@ def test_prototype_prune_zero_frac_keeps_everything(spark):
     assert all(r["keep"] for r in out) and len(out) == 9
     with pytest.raises(ValueError, match="drop_frac"):
         prototype_prune(df, drop_frac=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (operators/text.py::gopher_repetition_flags)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_rules_fire_individually(spark):
+    from fortymhz_spark.operators.text import gopher_repetition_flags
+
+    clean = " ".join(f"w{i}" for i in range(80))
+    rows = [
+        (1, clean),                                     # passes everything
+        (2, "dup line\n" * 8 + "unique tail"),          # dup lines + chars
+        (3, ("para one here\n\n" * 5) + "different"),   # dup paragraphs
+        (4, "x y " * 50),                               # top-2gram dominated
+        (5, " ".join(f"w{i%9}" for i in range(90))),    # dup 5..10-grams
+        (6, ""),                                        # empty passes
+        (7, None),                                      # NULL passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_flags(df).collect()
+    }
+    assert got[1]["gopher_rep_pass"]
+    assert not got[2]["rep_dline_ok"] and not got[2]["rep_dline_char_ok"]
+    assert not got[3]["rep_dpara_ok"] and not got[3]["rep_dpara_char_ok"]
+    assert not got[4]["rep_top2_ok"]
+    assert not got[5]["rep_dup5_ok"] and not got[5]["rep_dup10_ok"]
+    assert got[6]["gopher_rep_pass"] and got[7]["gopher_rep_pass"]
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    """Randomized cross-check of every rule against an independent
+    Counter-based implementation of the documented semantics."""
+    import random
+    import re
+    from collections import Counter
+
+    from fortymhz_spark.operators.text import gopher_repetition_flags
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "longword", "x"]
+    rows = []
+    for i in range(30):
+        n_lines = rng.randint(0, 6)
+        text = "\n".join(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+            for _ in range(n_lines)
+        )
+        if rng.random() < 0.3:
+            text += "\n\n" + text  # force paragraph duplication
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_flags(df).collect()
+    }
+
+    def dup(arr):
+        c = Counter(arr)
+        return (
+            sum(v - 1 for v in c.values() if v > 1),
+            sum((v - 1) * len(k) for k, v in c.items() if v > 1),
+        )
+
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        lines = [x for x in text.split("\n") if x]
+        paras = [p for p in re.split(r"\n{2,}", text) if p]
+        total = len(text)
+        dl, dlc = dup(lines)
+        dp, dpc = dup(paras)
+        assert got[i]["rep_dline_ok"] == (10 * dl <= 3 * len(lines))
+        assert got[i]["rep_dpara_ok"] == (10 * dp <= 3 * len(paras))
+        assert got[i]["rep_dline_char_ok"] == (5 * dlc <= total)
+        assert got[i]["rep_dpara_char_ok"] == (5 * dpc <= total)
+        for name, n, t in (("top2", 2, 20), ("top3", 3, 18), ("top4", 4, 16)):
+            c = Counter(
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            )
+            if c:
+                topc = max(c.values())
+                topl = max(len(g) for g, v in c.items() if v == topc)
+            else:
+                topc = topl = 0
+            assert got[i][f"rep_{name}_ok"] == (
+                100 * topc * topl <= t * total
+            ), (i, name)
+        for name, n, t in (
+            ("dup5", 5, 15), ("dup6", 6, 14), ("dup7", 7, 13),
+            ("dup8", 8, 12), ("dup9", 9, 11), ("dup10", 10, 10),
+        ):
+            c = Counter(
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            )
+            d = sum((v - 1) * len(k) for k, v in c.items() if v > 1)
+            assert got[i][f"rep_{name}_ok"] == (100 * d <= t * total), (
+                i, name,
+            )
