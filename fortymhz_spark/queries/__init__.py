@@ -24,13 +24,14 @@ Round 6 rotation (the steady-state policy, round-5 pattern):
    q_docs_gopher_rules (the public Gopher rule-based quality filter,
    fully oracle-graded via integer cross-multiplication), and
    q_emb_prototype_prune (SemDeDup/D4 cluster-then-rank data pruning,
-   derived-invariant grade), and q_docs_gopher_repetition (the full
-   Gopher Table-A1 repetition table, fully oracle-graded).  The late
-   three displace q13_order_count_distribution,
-   q_emb_semantic_keep_list (both r4-green), and
-   q_text_repetition_stats (r3-green; its bigram-only signals are
-   strictly subsumed by q_docs_gopher_repetition) — see
-   DEFERRED_TO_NEXT_ROUND.
+   derived-invariant grade), q_docs_gopher_repetition (the full
+   Gopher Table-A1 repetition table, fully oracle-graded), and
+   q_docs_c4_rules (the Raffel et al. 2020 C4 cleaning rules, fully
+   oracle-graded).  The late four displace
+   q13_order_count_distribution, q_emb_semantic_keep_list (both
+   r4-green), q_text_repetition_stats (r3-green; its bigram-only
+   signals are strictly subsumed by q_docs_gopher_repetition), and
+   q_chunk_token_windows (r3-green) — see DEFERRED_TO_NEXT_ROUND.
 2. CHANGED CODE RE-GRADES.  Eight round-5 rows stay in because their
    code changed this round: the four ANN rows + q_emb_near_dup_lsh_subset
    (arrow coarse-assignment default, corpus-scaled rerank/nprobe,
@@ -38,15 +39,15 @@ Round 6 rotation (the steady-state policy, round-5 pattern):
    snapshot rows (CAS publish protocol: staged data dirs + locked
    manifest commit), and q_docs_unigram_encode_stats (encode totality
    guard; hard-EM default unchanged).
-3. FRESHNESS.  The remaining 37 slots re-grade the rows with the
+3. FRESHNESS.  The remaining 36 slots re-grade the rows with the
    OLDEST driver checks: the 11 rows deferred from round 5 (round-2
-   greens — first, as promised), 23 of the 24 round-3 greens, and 3
+   greens — first, as promised), 22 of the 24 round-3 greens, and 3
    round-4 greens picked for changed-file adjacency (q_vec_kmeans,
    q_vec_knn_arrow, q_emb_semantic_dedup live in
    operators/similarity.py, which this round edited heavily).
 
-The 38 deferred rows (35 round-4 greens + the two gate-displaced r4
-rows + the displaced r3 row) carry the registry's oldest checks
+The 39 deferred rows (35 round-4 greens + the two gate-displaced r4
+rows + the two displaced r3 rows) carry the registry's oldest checks
 after this round and sit in DEFERRED_TO_NEXT_ROUND so round-7 gate
 assembly picks them up FIRST; the 42 round-5 greens whose code is
 unchanged rotate to PREVIOUSLY_GREEN.  Everything outside the gate
@@ -62,8 +63,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 gate (slots 1-50): 5 new + 8 changed-code re-grades + the
-# 37 rows with the oldest driver checks (11 deferred r2 + 23 r3 + 3 r4).
+# Round-6 gate (slots 1-50): 6 new + 8 changed-code re-grades + the
+# 36 rows with the oldest driver checks (11 deferred r2 + 22 r3 + 3 r4).
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_emb_ann_ivfpq_auto",
@@ -71,6 +72,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_gopher_rules",
     "q_emb_prototype_prune",
     "q_docs_gopher_repetition",
+    "q_docs_c4_rules",
     # —— held over: code changed this round ——
     "q_emb_ann_lsh",
     "q_emb_ann_ivf",
@@ -105,7 +107,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q_chunk_token_windows",
     "q_date_functions",
     "q_grouping_sets_flag_year",
     "q_mixture_upsample",
@@ -123,8 +124,8 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_semantic_dedup",
 )
 
-# The 38 rows not re-graded this round (37 round-4 greens + one
-# displaced round-3 green): still green (driver rows, code
+# The 39 rows not re-graded this round (37 round-4 greens + two
+# displaced round-3 greens): still green (driver rows, code
 # unchanged), but they now carry the OLDEST checks in the registry,
 # so round-7 gate assembly picks them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
@@ -139,6 +140,9 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # subsumes this row's bigram-only signals (same code area,
     # operators/text.py; r3-green, code unchanged)
     "q_text_repetition_stats",
+    # displaced by q_docs_c4_rules (r3-green, code unchanged; the
+    # youngest of the remaining r3 freshness picks)
+    "q_chunk_token_windows",
     "q16_supplier_diversity",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",

@@ -1990,3 +1990,126 @@ def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fails("rep_dup9_ok").alias("n_fail_dup9"),
         _fails("rep_dup10_ok").alias("n_fail_dup10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules — Raffel et al. 2020 §2.2
+# (operators/text.py::c4_flags).  FULLY oracle-graded: line-rule
+# marginals, kept-line and sentence counts, the page-drop triggers,
+# and the total characters of the reconstructed clean text all hash
+# exactly (pure integer/boolean arithmetic; the oracle mirrors the
+# operator's documented tokenization and sentence-split contracts).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_c4_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         x -> x <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines,
+              l -> right(l, 1) IN ('.', '!', '?', '"')))
+             AS BIGINT) AS n_end_punct,
+        CAST(len(list_filter(lines,
+              l -> len(list_filter(string_split(l, ' '), w -> w <> ''))
+                   >= 5)) AS BIGINT) AS n_ge_min_words,
+        CAST(len(list_filter(lines,
+              l -> len(list_filter(string_split(l, ' '),
+                        w -> lower(w) = 'javascript')) > 0))
+             AS BIGINT) AS n_js_lines,
+        list_filter(lines,
+          l -> right(l, 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+           AND len(list_filter(string_split(l, ' '),
+                    w -> lower(w) = 'javascript')) = 0) AS kept
+      FROM t
+    ), s AS (
+      SELECT doc_id, text, n_lines, n_end_punct, n_ge_min_words,
+             n_js_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(COALESCE(list_sum(list_transform(kept,
+              l -> len(list_filter(regexp_split_to_array(l, '[.!?]'),
+                    seg -> len(list_filter(string_split(seg, ' '),
+                                           w -> w <> '')) > 0)))), 0)
+             AS BIGINT) AS n_sentences,
+        CAST(COALESCE(len(array_to_string(kept, chr(10))), 0) AS BIGINT)
+          AS clean_chars,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             w -> w IN ('unsavoryword', 'nsfwplaceholder'))) > 0
+          AS has_badword
+      FROM m
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n_sentences >= 3 AND NOT has_lorem
+                     AND NOT has_brace AND NOT has_badword
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+      CAST(SUM(n_end_punct) AS BIGINT) AS n_end_punct,
+      CAST(SUM(n_ge_min_words) AS BIGINT) AS n_ge_min_words,
+      CAST(SUM(n_js_lines) AS BIGINT) AS n_js_lines,
+      CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
+      CAST(SUM(n_sentences) AS BIGINT) AS n_sentences_total,
+      CAST(SUM(clean_chars) AS BIGINT) AS clean_chars_total,
+      CAST(SUM(CASE WHEN n_sentences < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_sentences,
+      CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_lorem,
+      CAST(SUM(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_brace,
+      CAST(SUM(CASE WHEN has_badword THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_badword
+    FROM s
+    """,
+)
+def q_docs_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule audit over the documents corpus
+    (operators/text.py::c4_flags — Raffel et al. 2020 §2.2): per-rule
+    line marginals (terminal punctuation, >=5 words, javascript),
+    kept-line and sentence counts, total characters of the
+    reconstructed clean text, the three page-drop triggers, and the
+    surviving-page count.
+
+    The fixture corpus has no newlines or terminal punctuation, so
+    the line-conjunction counts ground at zero while the marginals
+    (n_ge_min_words), page totals, and clean-text arithmetic still
+    vary — rule-firing behavior itself is pinned by the unit tests
+    (tests/test_properties.py::test_c4_*).
+
+    Scale: map-only line/word array folds fused into the scan + one
+    single-row combine — the q_docs_gopher_rules shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = tx.c4_flags(docs, "text")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("c4_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum("c4_n_lines").cast("long").alias("n_lines"),
+        F.sum("c4_n_end_punct").cast("long").alias("n_end_punct"),
+        F.sum("c4_n_ge_min_words").cast("long").alias("n_ge_min_words"),
+        F.sum("c4_n_js_lines").cast("long").alias("n_js_lines"),
+        F.sum("c4_n_kept").cast("long").alias("n_lines_kept"),
+        F.sum("c4_n_sentences").cast("long").alias("n_sentences_total"),
+        F.sum(F.length("c4_clean_text")).cast("long").alias(
+            "clean_chars_total"
+        ),
+        F.sum(F.when(F.col("c4_n_sentences") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail_sentences"),
+        F.sum(F.when(F.col("c4_has_lorem"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail_lorem"),
+        F.sum(F.when(F.col("c4_has_brace"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail_brace"),
+        F.sum(F.when(F.col("c4_has_badword"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail_badword"),
+    )

@@ -1913,3 +1913,67 @@ def test_gopher_repetition_matches_python_reference(spark):
             assert got[i][f"rep_{name}_ok"] == (100 * d <= t * total), (
                 i, name,
             )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (operators/text.py::c4_flags)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_rules_fire_individually(spark):
+    from fortymhz_spark.operators.text import c4_flags
+
+    good = (
+        "This is a good long sentence here. Another fine sentence "
+        "follows it now. And a third one to be safe."
+    )
+    rows = [
+        (1, good),
+        (2, "short line\nno punct here at all\nthis one has five words."),
+        (3, good + " Also lorem ipsum appears."),
+        (4, good + " A curly { bracket."),
+        (5, "Uses javascript heavily in this line. " + good),
+        (6, good + " nsfwplaceholder appears here."),
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_flags(df).collect()}
+    assert got[1]["c4_pass"] and got[1]["c4_n_kept"] == 1
+    assert got[1]["c4_n_sentences"] == 3
+    # doc 2: only the last line survives (1 sentence) -> too few
+    assert got[2]["c4_n_kept"] == 1 and not got[2]["c4_pass"]
+    assert got[2]["c4_n_end_punct"] == 1
+    assert got[2]["c4_n_ge_min_words"] == 2  # lines 2 and 3
+    assert got[3]["c4_has_lorem"] and not got[3]["c4_pass"]
+    assert got[4]["c4_has_brace"] and not got[4]["c4_pass"]
+    # doc 5: one line; the javascript token kills the whole line
+    assert got[5]["c4_n_js_lines"] == 1 and got[5]["c4_n_kept"] == 0
+    assert got[6]["c4_has_badword"] and not got[6]["c4_pass"]
+    for i in (7, 8):
+        assert got[i]["c4_n_lines"] == 0 and not got[i]["c4_pass"]
+        assert got[i]["c4_clean_text"] == ""
+
+
+def test_c4_clean_text_reconstruction(spark):
+    from fortymhz_spark.operators.text import c4_flags
+
+    keep_a = "Keep this perfectly fine sentence now."
+    keep_b = "Another keeper with enough words here!"
+    text = "\n".join([keep_a, "drop me", keep_b, "no terminal punct here x"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_flags(df).collect()[0]
+    assert r["c4_clean_text"] == keep_a + "\n" + keep_b
+    assert r["c4_n_kept"] == 2 and r["c4_n_sentences"] == 2
+    assert not r["c4_pass"]  # 2 < 3 sentences
+
+
+def test_c4_thresholds_are_parameters(spark):
+    from fortymhz_spark.operators.text import c4_flags
+
+    text = "Tiny ok line here now.\nSecond tiny ok line too."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    strict = c4_flags(df).collect()[0]
+    loose = c4_flags(df, min_words_per_line=3, min_sentences=2).collect()[0]
+    assert strict["c4_n_kept"] == 2 and not strict["c4_pass"]
+    assert loose["c4_n_kept"] == 2 and loose["c4_pass"]
