@@ -1109,6 +1109,7 @@ def kmeans_assign(
     iters: int = 3,
     init: str = "lowest_id",
     assign: str = "expr",
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, returning each row's
     final ``cluster`` (int) and squared distance integerized as
@@ -1146,11 +1147,27 @@ def kmeans_assign(
     deterministic for a fixed partitioning, but the expr path's
     any-partitioning bit-reproducibility is NOT promised (same
     contract as ``brute_force_knn_arrow`` vs the JVM fold).
+
+    ``fit_sample_rows``: bound the FIT cost.  Lloyd's loop costs
+    ``iters`` full passes (argmin + posexplode-to-decimal centroid
+    recompute) over whatever it fits on; with the deployment sizing
+    ``k ∝ corpus`` that is O(iters·N·k) — measured 29× wall at the
+    10× soak point before this knob existed.  Set it (the
+    faiss-style rule: a fixed training budget, e.g. a few hundred
+    rows per centroid) and the centroids train on a DETERMINISTIC
+    hash sample of expected that many rows (``xxhash64(id) mod N <
+    s`` — engine-stable, partitioning-independent), leaving exactly
+    ONE full-corpus pass: the final assignment.  ``None`` (default)
+    fits on the full corpus — the graded q_vec_kmeans contract
+    (Lloyd monotonicity over ALL points) needs that, and small-k
+    one-shot audits don't pay enough fit to matter.
     """
     if init not in ("lowest_id", "kmeanspar"):
         raise ValueError(f"init must be lowest_id|kmeanspar, got {init!r}")
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be expr|arrow, got {assign!r}")
+    if fit_sample_rows is not None and fit_sample_rows < 1:
+        raise ValueError(f"fit_sample_rows must be >= 1, got {fit_sample_rows}")
     # Persist the 2-column projection for the duration of the driver
     # loop: Lloyd's re-reads the corpus every round (and the init may
     # scan it too), and at 100 TB that is `iters` full scans unless the
@@ -1158,12 +1175,23 @@ def kmeans_assign(
     # returning — the final assignment plan reads the source directly,
     # so the returned DataFrame carries no dependency on the cache.
     proj = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    proj.persist()
+    fit = proj
+    if fit_sample_rows is not None:
+        n = proj.count()
+        if n > fit_sample_rows:
+            # expected-size Bernoulli sample keyed on the id hash —
+            # deterministic across runs and partitionings; the k >
+            # |sample| degenerate case is handled by the clamp below
+            fit = proj.filter(
+                F.pmod(F.xxhash64("id"), F.lit(int(n)))
+                < F.lit(int(fit_sample_rows))
+            )
+    fit.persist()
     try:
         if init == "kmeanspar":
-            cents = _kmeanspar_centroids(proj, k)
+            cents = _kmeanspar_centroids(fit, k)
         else:
-            cents = _centroids(proj, "id", "v", k)
+            cents = _centroids(fit, "id", "v", k)
         # Degenerate corpus (fewer rows than k): every row is its own
         # centroid; clamp so the update loop never indexes past init.
         k = min(k, len(cents))
@@ -1177,10 +1205,10 @@ def kmeans_assign(
             # field names (FIELD_NOT_FOUND col1/col2).
             if assign == "arrow":
                 assigned = _assign_nearest_arrow(
-                    proj, "id", "v", cents, slim=True
+                    fit, "id", "v", cents, slim=True
                 )
             else:
-                assigned = proj.select(
+                assigned = fit.select(
                     _nearest_centroid("v", cents)["cluster"].alias("cluster"),
                     "v",
                 )
@@ -1202,7 +1230,7 @@ def kmeans_assign(
                 for i in range(k)
             ]
     finally:
-        proj.unpersist()
+        fit.unpersist()
     if assign == "arrow":
         return _assign_nearest_arrow(corpus, id_col, vec_col, cents).select(
             F.col("id").alias(id_col),
@@ -1594,6 +1622,7 @@ def prototype_prune(
     drop_frac: float = 0.25,
     init: str = "lowest_id",
     assign: str = "expr",
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """Per-cluster prototypicality pruning: k-means the corpus
     (:func:`kmeans_assign` — all its determinism/scale contracts
@@ -1616,12 +1645,19 @@ def prototype_prune(
     ~100k clusters), sized k ∝ corpus / target-cluster-rows exactly
     like the IVF cell rule, so the per-cluster rank stays bounded and
     well-spread.  ``drop_frac`` quota uses floor(size * frac) — exact
-    in double for any realistic cluster size (< 2^52 rows)."""
+    in double for any realistic cluster size (< 2^52 rows).
+
+    At deployment sizing (k ∝ corpus) pass ``fit_sample_rows`` and
+    ``assign="arrow"``: the centroid fit then trains on a bounded
+    hash sample and only ONE full-corpus assignment pass remains —
+    without it the Lloyd loop is O(iters·N·k) and the 10× soak
+    measured 29× wall (SCALE.md); with it the soak row is the
+    assignment pass + the (cluster, dist) window only."""
     if not (0.0 <= drop_frac < 1.0):
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     a = kmeans_assign(
         corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
-        init=init, assign=assign,
+        init=init, assign=assign, fit_sample_rows=fit_sample_rows,
     )
     w = Window.partitionBy("cluster").orderBy(
         F.asc("dist_e9"), F.asc(id_col)

@@ -1977,3 +1977,50 @@ def test_c4_thresholds_are_parameters(spark):
     loose = c4_flags(df, min_words_per_line=3, min_sentences=2).collect()[0]
     assert strict["c4_n_kept"] == 2 and not strict["c4_pass"]
     assert loose["c4_n_kept"] == 2 and loose["c4_pass"]
+
+
+def test_prototype_prune_with_bounded_fit_sample(spark):
+    """The deployment form (bounded fit sample + one full assignment
+    pass) must still produce a total, quota-correct partition — the
+    centroids differ from the full fit, the contracts must not."""
+    from fortymhz_spark.operators.similarity import prototype_prune
+
+    rows = [(i, [float(i % 13), float((i * 7) % 11)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_prune(
+        df, k=4, iters=2, drop_frac=0.25, init="kmeanspar",
+        fit_sample_rows=32,
+    ).collect()
+    assert len(out) == 200  # every row assigned exactly once
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        dropped = [r for r in members if not r["keep"]]
+        kept = [r for r in members if r["keep"]]
+        assert len(dropped) == len(members) // 4
+        if dropped and kept:
+            assert max(r["dist_e9"] for r in dropped) <= min(
+                r["dist_e9"] for r in kept
+            )
+
+
+def test_kmeans_fit_sample_rows_validation(spark):
+    from fortymhz_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="fit_sample_rows"):
+        kmeans_assign(df, k=2, fit_sample_rows=0)
+    # sample >= corpus degrades to the full fit
+    full = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(df, k=2, fit_sample_rows=1000).collect()
+    }
+    base = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(df, k=2).collect()
+    }
+    assert full == base

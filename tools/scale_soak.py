@@ -310,6 +310,62 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             lambda: snapshot_stream_catchup_rows(spark, scale_mult),
         ),
         (
+            # Gopher rule set: map-only integer cross-multiplication
+            # over the scan — cost should track text volume exactly
+            "gopher_rules",
+            lambda: len(
+                text_ops.gopher_flags(docs)
+                .agg(F.sum(F.col("gopher_pass").cast("long")))
+                .collect()
+            ),
+        ),
+        (
+            # full Gopher repetition table: nine sorted-run n-gram
+            # folds per row (the heaviest text map) — O(L log L) per
+            # doc, zero shuffle; ratio should track token volume
+            "gopher_repetition",
+            lambda: len(
+                text_ops.gopher_repetition_flags(dedup._spread(docs))
+                .agg(F.sum(F.col("gopher_rep_pass").cast("long")))
+                .collect()
+            ),
+        ),
+        (
+            # C4 cleaning rules: map-only line/word folds + clean-text
+            # rebuild — ratio should track text volume
+            "c4_rules",
+            lambda: len(
+                text_ops.c4_flags(docs)
+                .agg(
+                    F.sum(F.col("c4_pass").cast("long")),
+                    F.sum(F.length("c4_clean_text")),
+                )
+                .collect()
+            ),
+        ),
+        (
+            # prototypicality pruning: k grows with the corpus
+            # (constant expected cluster size — the SemDeDup sizing
+            # rule, same as semantic_dedup's n_cells); the window
+            # shuffles only (id, cluster, dist), never vectors.
+            # Deployment form at both scales: arrow assignment +
+            # BOUNDED fit sample (fixed training budget, the faiss
+            # rule) — without fit_sample_rows the Lloyd loop is
+            # O(iters·N·k) and measured 29× at this 10× point.
+            "prototype_prune",
+            lambda: sim.prototype_prune(
+                emb,
+                k=8 * scale_mult,
+                iters=3,
+                drop_frac=0.25,
+                init="kmeanspar",
+                assign="arrow",
+                fit_sample_rows=2048,
+            )
+            .filter(~F.col("keep"))
+            .count(),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
@@ -517,7 +573,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="/tmp/fmhz_scale10x")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated workload names to run (default: all)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from fortymhz_spark.session import get_session
     from fortymhz_spark.sources.batch import load_table
@@ -545,6 +607,8 @@ def main() -> int:
         for name, thunk in workloads(
             spark, docs, emb, scale_mult=mult, docs_path=dpath
         ):
+            if only is not None and name not in only:
+                continue
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
