@@ -1759,9 +1759,12 @@ def q_emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       floor(n/4)] (the floor-sum identity — a global sanity bound
       the oracle can state without knowing cluster sizes)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Explicit expr/None pins the bit-reproducible full-fit form the
+    # boundary_ok invariant is stated against; the "auto" defaults may
+    # sample the fit at deployment N·k (kmeans_assign docstring).
     pruned = sim.prototype_prune(
         emb, id_col="vec_id", vec_col="embedding", k=8, iters=3,
-        drop_frac=0.25,
+        drop_frac=0.25, assign="expr", fit_sample_rows=None,
     )
     # ONE pass over the assignment: Spark does not CSE across separate
     # aggregations, so a second `pruned.agg(...)` would re-execute the

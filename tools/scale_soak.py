@@ -348,10 +348,13 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             # (constant expected cluster size — the SemDeDup sizing
             # rule, same as semantic_dedup's n_cells); the window
             # shuffles only (id, cluster, dist), never vectors.
-            # Deployment form at both scales: arrow assignment +
-            # BOUNDED fit sample (fixed training budget, the faiss
-            # rule) — without fit_sample_rows the Lloyd loop is
-            # O(iters·N·k) and measured 29× at this 10× point.
+            # NO knobs passed: the r7 "auto" defaults must engage the
+            # scale-safe form on their own at this sizing (N·k = 1.6M
+            # > KMEANS_AUTO_FIT_THRESHOLD → 32·k-row sampled fit;
+            # k = 80 ≥ KMEANS_AUTO_ARROW_MIN_K → arrow assignment).
+            # The explicit-knob form (fit_sample_rows=2048,
+            # assign="arrow") measured 5.7× here; the full fit the old
+            # default silently ran measured 29×.
             "prototype_prune",
             lambda: sim.prototype_prune(
                 emb,
@@ -359,8 +362,6 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
                 iters=3,
                 drop_frac=0.25,
                 init="kmeanspar",
-                assign="arrow",
-                fit_sample_rows=2048,
             )
             .filter(~F.col("keep"))
             .count(),
