@@ -31,13 +31,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_value, max_value) for
     each requested column (default: all), computed in one scan.
 
-    ``n_distinct`` is exact (null excluded, the SQL convention) — see
-    the module docstring for the Expand cost this implies and the
-    ``approx_count_distinct`` swap that removes it at scale.
+    ``approx=False`` (default): ``n_distinct`` is exact (null
+    excluded, the SQL convention) — see the module docstring for the
+    Expand cost this implies.  ``approx=True`` swaps in
+    ``approx_count_distinct`` (HLL++ at relative standard deviation
+    ``rsd``): every column's sketch folds in the SAME partial-agg pass
+    with NO Expand and constant memory per column — the 100 TB form.
+    The sketch hash is fixed and its merge is commutative, so the
+    estimate is deterministic on any partitioning; graded via
+    error-band booleans against the exact twin
+    (queries: q_profile_orders_approx), plan asserted Expand-free
+    (tests/test_operators.py).
     """
     cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]
@@ -45,11 +59,16 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         raise ValueError(f"unknown columns: {missing}")
     if not cols:
         raise ValueError("profile_table needs at least one column")
+    ndv = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else F.countDistinct
+    )
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}__"),
-            F.countDistinct(F.col(c)).alias(f"__ndv_{i}__"),
+            ndv(F.col(c)).alias(f"__ndv_{i}__"),
             F.min(F.col(c)).cast("string").alias(f"__min_{i}__"),
             F.max(F.col(c)).cast("string").alias(f"__max_{i}__"),
         ]

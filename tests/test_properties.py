@@ -754,6 +754,44 @@ def test_profile_table_single_scan_stats(spark):
     assert plan.count("Scan ExistingRDD") <= 1
 
 
+def test_profile_table_approx_expand_free(spark):
+    """profile_table(approx=True): the HLL++ NDV swap must remove the
+    RewriteDistinctAggregates Expand (the (columns+1)x row replication
+    the exact form pays), keep everything else identical, and land
+    within the sketch's error band on a known-cardinality column."""
+    from fortymhz_spark.operators.profile import profile_table
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("s"),
+    )
+    exact_plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_table(df, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the documented exact-NDV cost
+    assert "Expand" not in approx_plan
+    out = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    # non-NDV stats stay exact under approx=True
+    assert out["k"]["n_rows"] == 5000 and out["k"]["n_nulls"] == 0
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("0", "6")
+    # rsd=0.05 default: 3-sigma band on NDV 5000; tiny NDVs sit in the
+    # sketch's near-exact sparse regime
+    assert abs(out["k"]["n_distinct"] - 5000) <= 0.15 * 5000
+    assert abs(out["s"]["n_distinct"] - 7) <= 2
+    # determinism on a different partitioning (hash + merge are fixed)
+    rep = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(df.repartition(13), approx=True).collect()
+    }
+    assert rep == {c: out[c]["n_distinct"] for c in out}
+
+
 def test_keep_list_all_singletons_when_no_pairs(spark):
     """The semantic keep-list's singleton handling must hold in the
     degenerate no-pairs case: components over an empty pair set is
