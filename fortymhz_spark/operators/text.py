@@ -13,6 +13,7 @@ import functools
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 POLY_MOD = 1_000_000_007
 POLY_BASE = 31
@@ -658,6 +659,146 @@ def strip_crossdoc_blocks(
         .drop("__banned__")
     )
     return out
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated spans at ARBITRARY token
+    alignment — the Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") suffix-array recipe re-expressed
+    relationally.  :func:`strip_crossdoc_blocks` cuts at fixed
+    ``block_tokens`` boundaries, so a duplicated span offset by one
+    token escapes it entirely; here every token position starts an
+    OVERLAPPING ``shingle_tokens``-token shingle, a shingle is banned
+    when it occurs in more than ``max_df`` DISTINCT documents, and
+    runs of consecutive banned start positions merge into maximal
+    spans (gaps-and-islands: ``pos - row_number()`` groups a run).  A
+    verbatim cross-doc span of L ≥ w tokens produces exactly its
+    L−w+1 consecutive shingle starts, so ``(span_start, span_len)``
+    recovers the span EXACTLY regardless of alignment.
+
+    Returns ``(id_col, span_start, span_len)`` — ``span_start``
+    0-based token position, one row per maximal span.  Spans from
+    different runs may overlap in token coverage (a run is maximal in
+    START positions); :func:`strip_duplicated_spans` unions coverage.
+
+    Scale shape: only ``(id, pos, shingle_md5)`` ever shuffles — never
+    text.  Overlapping shingles emit one row per token position
+    (≈``shingle_tokens``× the aligned block form's rows): that is the
+    honest price of alignment-free detection, and it is a LINEAR
+    price, map-side combined into the frequency aggregate.  The run
+    merge windows only the BANNED positions (rare by construction)
+    partitioned by document.  Suffix arrays find variable-length
+    matches ≥ a threshold; the fixed-w shingle form finds exactly the
+    spans ≥ w tokens — the same guarantee the published pipelines use
+    (w = their minimum match length).
+    """
+    if shingle_tokens < 1:
+        raise ValueError(f"shingle_tokens must be >= 1, got {shingle_tokens}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    w = shingle_tokens
+    tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
+
+    def shingles_of(tk: Column) -> Column:
+        nsh = F.greatest(F.size(tk) - w + 1, F.lit(0))
+        # sequence(1, 0) descends — build over max(nsh, 1), slice to nsh
+        return F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nsh, F.lit(1))),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
+            ),
+            1,
+            nsh,
+        )
+
+    sh_arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
+    keyed = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(sh_arr).alias("__pos__", "__h__"),
+    )
+    banned = (
+        keyed.groupBy("__h__")
+        .agg(F.count_distinct("__id__").alias("__df__"))
+        .filter(F.col("__df__") > max_df)
+        .select("__h__")
+    )
+    bp = keyed.join(banned, "__h__").select("__id__", "__pos__")
+    run_w = Window.partitionBy("__id__").orderBy("__pos__")
+    runs = bp.withColumn(
+        "__grp__", F.col("__pos__") - F.row_number().over(run_w)
+    )
+    return (
+        runs.groupBy("__id__", "__grp__")
+        .agg(
+            F.min("__pos__").cast("long").alias("span_start"),
+            (F.max("__pos__") - F.min("__pos__") + F.lit(w))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .select(F.col("__id__").alias(id_col), "span_start", "span_len")
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 8,
+    max_df: int = 1,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed_tokens",
+) -> DataFrame:
+    """Remove every token covered by a :func:`duplicated_spans` span,
+    rebuilding the text from the survivors (lowercased, the repo-wide
+    token convention).  Coverage is the UNION over spans — overlapping
+    runs never double-remove — so ``removed_col`` is the exact
+    duplicated-token count per document.
+
+    Scale shape: inherits :func:`duplicated_spans`; the only addition
+    is one doc-keyed join of tiny per-doc span lists back to the
+    original text and a map-side token filter."""
+    spans = duplicated_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_tokens=shingle_tokens,
+        max_df=max_df,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans__")
+    ).withColumnRenamed(id_col, "__sid__")
+    tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<span_start:long,span_len:long>>"),
+    )
+
+    def covered(i: Column) -> Column:
+        return F.exists(
+            sp,
+            lambda s: (i >= s["span_start"])
+            & (i < s["span_start"] + s["span_len"]),
+        )
+
+    kept = F.filter(tok, lambda t, i: ~covered(i.cast("long")))
+    return (
+        docs.join(per_doc, docs[id_col] == per_doc["__sid__"], "left")
+        .drop("__sid__")
+        .withColumn(
+            removed_col,
+            (F.size(tok) - F.size(kept)).cast("long"),
+        )
+        .withColumn(out_col, F.array_join(kept, " "))
+        .drop("__spans__")
+    )
 
 
 def normalize_text(text: Column | str) -> Column:

@@ -132,6 +132,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # —— parked here during round-7 development; promoted to the
     #    round-7 ROUND_GATE by the end-of-round rotation ——
     "q_profile_orders_approx",
+    "q_docs_span_dedup",
     # displaced from the round-6 gate by the two late-round additions
     # (q_docs_gopher_rules / q_emb_prototype_prune): both hold green
     # r4 driver rows and the freshest checks of the five adjacency

@@ -1894,6 +1894,213 @@ def q_text_crossdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# alignment-free duplicated-span removal (Lee et al. 2022 suffix-style
+# dedup, operators/text.py::duplicated_spans).  The graded corpus
+# PLANTS a misaligned duplicate in-plan — donor docs (id % 10 == 7,
+# ≥ 18 tokens) lend tokens 4..18 (a 15-token span starting at 0-based
+# offset 3, NOT a block boundary) to recipient id+1, appended after
+# the recipient's own length-dependent prefix — so the span sits at
+# arbitrary alignment on both sides and the 8-token-aligned block form
+# provably misses it (n_shared_aligned_blocks stays at the corpus's
+# natural level while dup_tokens ≥ 15 on every planted pair).  The
+# oracle replicates derivation + overlapping shingles + gaps-and-
+# islands run merge + coverage union + the aligned-block twin, raw
+# value for raw value.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_span_dedup",
+    oracle="""
+    WITH tok0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    donor AS (
+      SELECT doc_id + 1 AS rid,
+             array_to_string(tk[4:18], ' ') AS span_txt
+      FROM tok0
+      WHERE doc_id % 10 = 7 AND len(tk) >= 18
+    ),
+    derived AS (
+      SELECT t.doc_id,
+             CASE WHEN d.rid IS NOT NULL
+                  THEN t.tk || string_split(d.span_txt, ' ')
+                  ELSE t.tk END AS tk
+      FROM tok0 t LEFT JOIN donor d ON t.doc_id = d.rid
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM derived,
+           unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+    ),
+    banned AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    bp AS (SELECT s.doc_id, s.pos FROM sh s JOIN banned b USING (h)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM bp
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + 8 AS span_len
+      FROM runs GROUP BY doc_id, grp
+    ),
+    sagg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_spans,
+             CAST(MIN(span_start) AS BIGINT) AS first_span_start,
+             CAST(MAX(span_len) AS BIGINT) AS longest_span
+      FROM spans GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, t
+      FROM bp, unnest(range(pos, pos + 8)) AS u(t)
+    ),
+    covagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               tk[((i - 1) * 8 + 1)::INT : ((i - 1) * 8 + 8)::INT], ' '))
+               AS bmd5
+      FROM derived,
+           unnest(range(1, CAST(floor(len(tk) / 8.0) AS INT) + 1)) AS g(i)
+    ),
+    bfreq AS (SELECT bmd5, COUNT(DISTINCT doc_id) AS nd
+              FROM blocks GROUP BY bmd5),
+    bsh AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_aligned_blocks
+      FROM blocks b JOIN bfreq f USING (bmd5) GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, s.n_spans, s.first_span_start, s.longest_span,
+           c.dup_tokens,
+           COALESCE(b.n_shared_aligned_blocks, 0) AS n_shared_aligned_blocks
+    FROM sagg s
+    JOIN covagg c USING (doc_id)
+    LEFT JOIN bsh b USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans at arbitrary token alignment over a
+    corpus with a PLANTED misaligned duplicate (see section comment):
+    per affected document, the span count, first span start, longest
+    span, exact union coverage in tokens, and — the comparison column
+    — the shared-block count the 8-token-ALIGNED form
+    (q_text_crossdoc_blocks) sees on the same derived corpus.  Every
+    planted (donor, recipient) pair shows dup_tokens ≥ 15 while its
+    aligned-block count stays at the corpus's natural background,
+    pinning the gap the r6 verdict called out (8-token-aligned blocks
+    miss misaligned spans).
+
+    Scale shape: the derivation is a broadcast of tiny donor spans;
+    detection shuffles only (doc_id, pos, md5) per token position
+    (operators/text.py::duplicated_spans); coverage is computed from
+    the per-doc span list IN ONE aggregation pass (collect_list of
+    span structs + array expression) so the shingle subtree executes
+    once, not once per output column."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_col = tx.tokens(F.lower(F.col("text")))
+    with_tk = docs.select("doc_id", F.lower(F.col("text")).alias("text"),
+                          tok_col.alias("tk"))
+    donors = (
+        with_tk.filter((F.col("doc_id") % 10 == 7) & (F.size("tk") >= 18))
+        .select(
+            (F.col("doc_id") + 1).alias("__rid__"),
+            F.array_join(F.slice("tk", 4, 15), " ").alias("__span__"),
+        )
+    )
+    derived = (
+        with_tk.join(
+            F.broadcast(donors), F.col("doc_id") == F.col("__rid__"), "left"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__span__").isNotNull(),
+                F.concat_ws(" ", "text", "__span__"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    spans = tx.duplicated_spans(derived, shingle_tokens=8, max_df=1)
+    cover_positions = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("__sp__"),
+                lambda s: F.sequence(
+                    s["span_start"],
+                    s["span_start"] + s["span_len"] - 1,
+                ),
+            )
+        )
+    )
+    sagg = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("span_start").alias("first_span_start"),
+            F.max("span_len").alias("longest_span"),
+            F.collect_list(F.struct("span_start", "span_len")).alias("__sp__"),
+        )
+        .withColumn("dup_tokens", F.size(cover_positions).cast("long"))
+        .drop("__sp__")
+    )
+    # the aligned-block twin on the SAME derived corpus
+    dtk = tx.tokens(F.col("text"))  # derived text is already lowercase
+
+    def build(tk):
+        n_blocks = F.floor(F.size(tk) / 8.0).cast("int")
+        all_blocks = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_blocks, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, (i - 1) * 8 + 1, 8))),
+        )
+        return F.slice(all_blocks, 1, n_blocks)
+
+    blocks = derived.select(
+        "doc_id",
+        F.explode(F.element_at(F.transform(F.array(dtk), build), 1)).alias(
+            "bmd5"
+        ),
+    )
+    bfreq = blocks.groupBy("bmd5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    bsh = (
+        blocks.join(bfreq, "bmd5")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_aligned_blocks")
+        )
+    )
+    return (
+        sagg.join(bsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "first_span_start",
+            "longest_span",
+            "dup_tokens",
+            F.coalesce(
+                F.col("n_shared_aligned_blocks"), F.lit(0).cast("long")
+            ).alias("n_shared_aligned_blocks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # heavy hitters via per-partition Misra-Gries, graded by the sketch's
 # CONTAINMENT GUARANTEE: the lower-bound estimates depend on partition
 # layout (never oracle-comparable), but Misra-Gries guarantees every

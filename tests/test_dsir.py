@@ -259,6 +259,106 @@ def test_strip_crossdoc_blocks_partition_invariant_and_validates(spark):
 
 
 # ---------------------------------------------------------------------------
+# duplicated_spans / strip_duplicated_spans (operators/text.py) — the
+# alignment-free form of the cross-doc story; the r6 verdict's gap was
+# exactly that the 8-token-ALIGNED blocks above miss offset spans.
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_finds_misaligned_span_blocks_miss(spark):
+    from fortymhz_spark.operators import text as tx
+
+    # a 10-token span at 0-based offset 3 in doc 1 and offset 5 in
+    # doc 2 — no 8-aligned block boundary coincides in the two docs
+    t1 = "a b c d e f g h i j k l m n o p q r"
+    t2 = "z y x w v d e f g h i j k l m q2 r2 s2 t2 u2"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "unrelated words only here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_len"])
+        for r in tx.duplicated_spans(docs, shingle_tokens=8).collect()
+    }
+    assert spans == {1: (3, 10), 2: (5, 10)}
+    # the aligned block form sees nothing — the documented gap
+    blk = {
+        r["doc_id"]: r["n_removed_blocks"]
+        for r in tx.strip_crossdoc_blocks(docs, block_tokens=8).collect()
+    }
+    assert blk == {1: 0, 2: 0, 3: 0}
+    # removal strips exactly the span, keeps everything else
+    out = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in tx.strip_duplicated_spans(docs, shingle_tokens=8).collect()
+    }
+    assert out[1] == (10, "a b c n o p q r")
+    assert out[2] == (10, "z y x w v q2 r2 s2 t2 u2")
+    assert out[3] == (0, "unrelated words only here nothing shared at all")
+
+
+def test_duplicated_spans_within_doc_repetition_and_union_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import text as tx
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            # within-doc repetition only: distinct-doc df is 1, no ban
+            (0, f"{rep} {rep} filler here now"),
+            (1, "completely different text with enough tokens to shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    assert tx.duplicated_spans(docs, shingle_tokens=8).count() == 0
+
+    # overlapping coverage: doc 0 shares tokens 0..9 with doc 1 and
+    # tokens 6..15 with doc 2 — two maximal runs whose covered ranges
+    # overlap; union coverage must count 16 tokens, not 20
+    common = [f"c{i}" for i in range(16)]
+    d0 = " ".join(common)
+    d1 = " ".join(common[:10]) + " u1 u2 u3 u4 u5 u6 u7 u8"
+    d2 = "v1 v2 v3 v4 v5 v6 v7 v8 " + " ".join(common[6:16])
+    docs2 = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = (
+        tx.strip_duplicated_spans(docs2, shingle_tokens=8)
+        .filter(F.col("doc_id") == 0)
+        .first()
+    )
+    assert out["n_removed_tokens"] == 16 and out["clean_text"] == ""
+
+
+def test_duplicated_spans_partition_invariant_nulls_and_validation(spark):
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import text as tx
+
+    t1 = "a b c d e f g h i j k l m n o p q r"
+    t2 = "z y x w v d e f g h i j k l m"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, None), (4, "short")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, tx.strip_duplicated_spans(docs).collect()))
+    b = sorted(
+        map(tuple, tx.strip_duplicated_spans(docs.repartition(7)).collect())
+    )
+    assert a == b
+    out = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in tx.strip_duplicated_spans(docs).collect()
+    }
+    assert out[3] == (0, "") and out[4] == (0, "short")
+    with _pytest.raises(ValueError, match="shingle_tokens"):
+        tx.duplicated_spans(docs, shingle_tokens=0)
+    with _pytest.raises(ValueError, match="max_df"):
+        tx.duplicated_spans(docs, max_df=0)
+
+
+# ---------------------------------------------------------------------------
 # rrf_fuse (operators/retrieval.py)
 # ---------------------------------------------------------------------------
 
