@@ -813,6 +813,7 @@ def ivfpq_knn(
     train_sample: int = 512,
     dim: int | None = None,
     assign: str = "arrow",
+    index=None,
 ) -> DataFrame:
     """IVF + PQ composed — the architecture large-scale ANN actually
     deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
@@ -857,23 +858,46 @@ def ivfpq_knn(
     replaces with one matmul per Arrow batch.  ``assign="expr"`` stays
     available for small fixed cell counts (the ``ivf_knn`` trade-off
     note).
+
+    ``index=`` (an :class:`fortymhz_spark.operators.ann_index.AnnIndex`)
+    serves from a PERSISTED fit instead of training in-process: the
+    coarse centroids / codebooks / n_sub / n_cells come from the
+    artifact (built by ``build_ann_index`` — the same deterministic
+    fit path, so results are byte-identical to an in-process fit of
+    the same corpus) and both bounded training collects are skipped —
+    the train-once/serve-many lifecycle a deployment runs.  The
+    query-time knobs (``k``/``nprobe``/``rerank``) still resolve here,
+    against the SERVING corpus; the index-sizing arguments
+    (``n_coarse``/``n_sub``/``n_cells``/``train_*``/``dim``) are
+    ignored when ``index`` is given.
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if index is not None and index.kind != "ivfpq":
+        raise ValueError(
+            f"ivfpq_knn needs an 'ivfpq' index, got {index.kind!r}"
+        )
     n_rows = (
         corpus.count()
-        if (n_coarse is None or rerank is None or nprobe is None)
+        if ((n_coarse is None and index is None) or rerank is None
+            or nprobe is None)
         else None
     )
-    n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
+    if index is not None:
+        coarse, books = index.coarse, index.books
+        n_coarse, n_sub, n_cells, d_sub = (
+            index.n_coarse, index.n_sub, index.n_cells, index.d_sub,
+        )
+    else:
+        n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
+        coarse = _centroids(corpus, id_col, vec_col, n_coarse)
+        d_sub, books = _pq_train(
+            corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
+            train_sample, dim,
+        )
     rerank = _auto_rerank(corpus, rerank, n=n_rows)
     if nprobe is None:
         nprobe = _auto_nprobe(n_coarse, k, rerank, n_rows)
-    coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-    d_sub, books = _pq_train(
-        corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
-        train_sample, dim,
-    )
     if assign == "arrow":
         # bound-normalized-vector discipline (see pq_knn): the norm
         # fold appears once per side, the n_sub columns read the alias

@@ -133,6 +133,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     #    round-7 ROUND_GATE by the end-of-round rotation ——
     "q_profile_orders_approx",
     "q_docs_span_dedup",
+    "q_emb_ann_ivfpq_persisted",
     # displaced from the round-6 gate by the two late-round additions
     # (q_docs_gopher_rules / q_emb_prototype_prune): both hold green
     # r4 driver rows and the freshest checks of the five adjacency

@@ -1604,6 +1604,109 @@ def q_emb_ann_ivfpq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVFPQ served from a PERSISTED index — the train-once/serve-many
+# lifecycle a 100 TB deployment runs (operators/ann_index.py): the
+# trained state (coarse centroids + PQ codebooks + params) lives as a
+# versioned snapshot-table artifact with atomic publish and time
+# travel; serving loads it with one bounded collect and skips both
+# training collects.  Because build_ann_index uses EXACTLY
+# ivfpq_knn's deterministic fit path, the served result must be
+# byte-identical to q_emb_ann_ivfpq_auto's in-process-fit result on
+# the same corpus/slice — graded IN-PLAN by the identical_to_refit
+# boolean (anti-joins in both directions), alongside the family's
+# recall band for the served rows themselves.
+# ---------------------------------------------------------------------------
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir) — the q_snapshot_merge
+    pattern: the first caller trains and publishes v=1, everyone else
+    (bench reps, parity reruns in the same process) only loads."""
+    if sf_dir in _ANN_INDEX_CACHE:
+        return _ANN_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import build_ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = tempfile.mkdtemp(prefix="fmhz_annidx_")
+    build_ann_index(emb, table_dir, n_coarse=None, n_sub=8, n_cells=16)
+    _ANN_INDEX_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_ivfpq_persisted",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_refit
+    FROM embeddings WHERE vec_id >= 20 AND vec_id < 30 ORDER BY query_id
+    """,
+)
+def q_emb_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for the q_emb_ann_ivfpq_auto query slice, served
+    from a PERSISTED index (build_ann_index → snapshot table →
+    load_ann_index → ivfpq_knn(index=...)), graded on (a) the family
+    recall band for the served rows and (b) ``identical_to_refit`` —
+    per query, ZERO symmetric difference between the served result
+    and the in-process-fit twin with the same auto knobs, i.e. the
+    persisted artifact reproduces q_emb_ann_ivfpq_auto byte for byte.
+    Query-time knobs (nprobe/rerank) still auto-resolve against the
+    serving corpus; only the fit is amortized away."""
+    from fortymhz_spark.operators.ann_index import load_ann_index
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    refit = sim.ivfpq_knn(
+        emb, queries, k=10, n_coarse=None, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None,
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    # symmetric difference per query, one aggregate over the 2-way
+    # full outer join of two tiny (queries × k) results
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            refit.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__")
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_refit"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram tokenizer with the SOFT (forward-backward) E-step — the
 # SentencePiece-fidelity variant beside the hard-EM row: same exact
 # word/char totals and reconstruction/bound invariants, plus the

@@ -545,3 +545,68 @@ def test_ivfpq_arrow_assignment_matches_expression(spark, truth):
 
     with pytest.raises(ValueError, match="assign"):
         ivfpq_knn(emb, queries, assign="bogus", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# persisted index lifecycle (operators/ann_index.py): train once,
+# serve many — the snapshot-table artifact must reproduce the
+# in-process fit byte for byte, survive rebuilds via time travel, and
+# fail loudly on corrupt/foreign artifacts.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_roundtrip_serves_byte_identical(spark, truth, tmp_path):
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    td = str(tmp_path / "idx")
+    v = build_ann_index(emb, td, n_coarse=None, n_sub=8, n_cells=16)
+    assert v == 1
+    idx = load_ann_index(spark, td)
+    assert idx.kind == "ivfpq" and idx.version == 1
+    assert idx.dim == idx.d_sub * idx.n_sub
+    served = ivfpq_knn(
+        emb, queries, k=K, nprobe=None, rerank=None, index=idx
+    ).collect()
+    refit = ivfpq_knn(
+        emb, queries, k=K, n_coarse=None, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None,
+    ).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, served)) == sorted(map(key, refit))
+
+
+def test_ann_index_time_travel_and_validation(spark, truth, tmp_path):
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    emb, _, _ = truth
+    td = str(tmp_path / "idx")
+    build_ann_index(emb, td, n_coarse=4, n_sub=8, n_cells=16)
+    build_ann_index(emb, td, n_coarse=8, n_sub=8, n_cells=16)
+    # current resolves to the rebuild; v=1 stays pinned (time travel)
+    assert load_ann_index(spark, td).n_coarse == 8
+    old = load_ann_index(spark, td, version=1)
+    assert old.n_coarse == 4 and old.version == 1
+    # a non-index snapshot in the same lineage is rejected by note
+    other = str(tmp_path / "notidx")
+    write_snapshot(
+        emb.limit(1).select("vec_id"), other, note="plain table"
+    )
+    with _pytest.raises(ValueError, match="not an ann_index"):
+        load_ann_index(spark, other)
+    # serving kind is validated
+    idx = load_ann_index(spark, td)
+    object.__setattr__(idx, "kind", "pq")
+    with _pytest.raises(ValueError, match="'ivfpq' index"):
+        ivfpq_knn(emb, emb.limit(1), index=idx)

@@ -99,6 +99,27 @@ def build_10x(spark, out_dir: str) -> None:
     emb10.write.mode("overwrite").parquet(emb_path)
 
 
+_IDX_CACHE: dict[int, object] = {}
+
+
+def _served_index(spark, emb, n_coarse: int):
+    """Build (first call per sizing) and cache the persisted-index
+    artifact the ann_ivfpq_served row loads — the min-of-reps timing
+    then measures pure query-time cost, the amortized-fit claim."""
+    if n_coarse not in _IDX_CACHE:
+        import tempfile
+
+        from fortymhz_spark.operators.ann_index import (
+            build_ann_index,
+            load_ann_index,
+        )
+
+        td = tempfile.mkdtemp(prefix="fmhz_soak_annidx_")
+        build_ann_index(emb, td, n_coarse=n_coarse, n_sub=8, n_cells=16)
+        _IDX_CACHE[n_coarse] = load_ann_index(spark, td)
+    return _IDX_CACHE[n_coarse]
+
+
 def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     """(name, thunk) pairs: the heavy family.  Each thunk runs the
     operator to completion with a count() so timing covers scan →
@@ -227,6 +248,24 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
                 n_cells=16,
                 rerank=16,
                 assign="arrow",
+            ).count(),
+        ),
+        (
+            # train-once/serve-many: the same IVFPQ composition served
+            # from a PERSISTED index (operators/ann_index.py) — the
+            # first rep pays build_ann_index (cached via _idx_cache),
+            # min-of-reps measures the QUERY-TIME cost with the fit
+            # amortized away.  Compare against ann_ivfpq_arrow, whose
+            # every rep re-collects the sample and re-trains.
+            "ann_ivfpq_served",
+            lambda: sim.ivfpq_knn(
+                emb,
+                queries,
+                k=10,
+                nprobe=8,
+                rerank=16,
+                assign="arrow",
+                index=_served_index(spark, emb, 16 * scale_mult),
             ).count(),
         ),
         (
