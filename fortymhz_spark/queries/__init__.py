@@ -134,6 +134,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_profile_orders_approx",
     "q_docs_span_dedup",
     "q_emb_ann_ivfpq_persisted",
+    "q_docs_c4_rules_derived",
     # displaced from the round-6 gate by the two late-round additions
     # (q_docs_gopher_rules / q_emb_prototype_prune): both hold green
     # r4 driver rows and the freshest checks of the five adjacency
