@@ -15,43 +15,39 @@ long tail (50/50), round 4 completed the rotation (50/50 — after it,
 every registered query held a driver-green row produced by
 then-current code; see CORRECTNESS_r0{2,3,4}.json).
 
-Round 6 rotation (the steady-state policy, round-5 pattern):
+Round 7 rotation (steady-state policy; the r6 verdict's item #1 —
+"rotate the gate onto the 39 DEFERRED rows first" — is satisfied in
+full):
 
-1. NEW QUERIES enter immediately: q_emb_ann_ivfpq_auto (the all-auto
-   IVFPQ deployment configuration — corpus-sized cells, probe width,
-   re-rank width), q_docs_unigram_soft_encode (the forward-backward
-   soft-EM tokenizer variant with a soft-vs-hard divergence grade),
-   q_docs_gopher_rules (the public Gopher rule-based quality filter,
-   fully oracle-graded via integer cross-multiplication), and
-   q_emb_prototype_prune (SemDeDup/D4 cluster-then-rank data pruning,
-   derived-invariant grade), q_docs_gopher_repetition (the full
-   Gopher Table-A1 repetition table, fully oracle-graded), and
-   q_docs_c4_rules (the Raffel et al. 2020 C4 cleaning rules, fully
-   oracle-graded).  The late four displace
-   q13_order_count_distribution, q_emb_semantic_keep_list (both
-   r4-green), q_text_repetition_stats (r3-green; its bigram-only
-   signals are strictly subsumed by q_docs_gopher_repetition), and
-   q_chunk_token_windows (r3-green) — see DEFERRED_TO_NEXT_ROUND.
-2. CHANGED CODE RE-GRADES.  Eight round-5 rows stay in because their
-   code changed this round: the four ANN rows + q_emb_near_dup_lsh_subset
-   (arrow coarse-assignment default, corpus-scaled rerank/nprobe,
-   Rademacher LSH planes, per-subquantizer codebook literals), the two
-   snapshot rows (CAS publish protocol: staged data dirs + locked
-   manifest commit), and q_docs_unigram_encode_stats (encode totality
-   guard; hard-EM default unchanged).
-3. FRESHNESS.  The remaining 36 slots re-grade the rows with the
-   OLDEST driver checks: the 11 rows deferred from round 5 (round-2
-   greens — first, as promised), 22 of the 24 round-3 greens, and 3
-   round-4 greens picked for changed-file adjacency (q_vec_kmeans,
-   q_vec_knn_arrow, q_emb_semantic_dedup live in
-   operators/similarity.py, which this round edited heavily).
+1. NEW QUERIES enter immediately: q_docs_span_dedup (alignment-free
+   duplicated-span dedup on a planted-misaligned-duplicate corpus,
+   full DuckDB replication oracle), q_emb_ann_ivfpq_persisted (IVFPQ
+   served from a persisted snapshot-table index, graded
+   byte-identical to the refit twin in-plan), q_docs_c4_rules_derived
+   (the C4 line rules on a derived corpus where every rule fires —
+   the r6 vacuity fix), and q_profile_orders_approx (Expand-free
+   HLL++ table profiling, NDV error-band grade).
+2. CHANGED CODE RE-GRADES: q_vec_kmeans and q_emb_prototype_prune
+   (kmeans_assign/prototype_prune defaults became "auto" — sampled
+   fit + arrow assignment at deployment sizing; the graded rows pin
+   the explicit full-fit form), q_emb_ann_ivfpq and
+   q_emb_ann_ivfpq_auto (ivfpq_knn grew the index= serving branch and
+   its fit/knob resolution was restructured around it).
+3. THE 39 DEFERRED ROWS — all of them, as promised: the rows carrying
+   r3/r4-era driver checks (q5/q13/q16-q18/q21, the pivot/rollup/
+   profile/histogram/sketch family, bigram/tfidf/jaccard/simhash
+   rows, asof/cogroup/salted-agg, pack/pipeline/mixture rows).
+4. FRESHNESS (3 remaining slots): round-5 greens picked for
+   changed-file adjacency — q_emb_label_centroids and
+   q_emb_near_dup_pairs live in operators/similarity.py (edited
+   heavily again this round) and q_docs_strip_boilerplate in
+   operators/text.py (grew the duplicated-span operators beside it).
 
-The 39 deferred rows (35 round-4 greens + the two gate-displaced r4
-rows + the two displaced r3 rows) carry the registry's oldest checks
-after this round and sit in DEFERRED_TO_NEXT_ROUND so round-7 gate
-assembly picks them up FIRST; the 42 round-5 greens whose code is
-unchanged rotate to PREVIOUSLY_GREEN.  Everything outside the gate
-stays covered by the local sf0.001 differential
+After this round the 39 round-5 greens whose code is unchanged carry
+the registry's oldest checks and sit in DEFERRED_TO_NEXT_ROUND so
+round-8 gate assembly picks them up FIRST; the 46 round-6 greens not
+re-graded above rotate to PREVIOUSLY_GREEN.  Everything outside the
+gate stays covered by the local sf0.001 differential
 (tests/test_oracle_parity.py) either way.
 """
 
@@ -63,91 +59,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 gate (slots 1-50): 6 new + 8 changed-code re-grades + the
-# 36 rows with the oldest driver checks (11 deferred r2 + 22 r3 + 3 r4).
+# Round-7 gate (slots 1-50): 4 new + 4 changed-code re-grades + ALL
+# 39 deferred rows + 3 changed-file-adjacency freshness picks.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
-    "q_emb_ann_ivfpq_auto",
-    "q_docs_unigram_soft_encode",
-    "q_docs_gopher_rules",
-    "q_emb_prototype_prune",
-    "q_docs_gopher_repetition",
-    "q_docs_c4_rules",
-    # —— held over: code changed this round ——
-    "q_emb_ann_lsh",
-    "q_emb_ann_ivf",
-    "q_emb_ann_pq",
-    "q_emb_ann_ivfpq",
-    "q_emb_near_dup_lsh_subset",
-    "q_snapshot_merge_orders",
-    "q_snapshot_incremental_agg",
-    "q_docs_unigram_encode_stats",
-    # —— deferred from round 5 (last driver check: round 2) ——
-    "q_cube_flag_status",
-    "q_docs_top_terms",
-    "q_dt_event_time_span",
-    "q_emb_knn_bruteforce",
-    "q_events_hourly_by_type",
-    "q_events_user_enrichment",
-    "q_events_value_stats",
-    "q_events_view_to_purchase",
-    "q_full_outer_daily_activity",
-    "q_pandas_udf_revenue",
-    "q_range_join_price_bands",
-    # —— freshness re-grades (last driver check: round 3) ——
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_shipping_delay",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q22_wealthy_inactive_customers",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_date_functions",
-    "q_grouping_sets_flag_year",
-    "q_mixture_upsample",
-    "q_pack_sequences",
-    "q_quantity_percentiles",
-    "q_set_ops_nations",
-    "q_shuffle_epochs",
-    "q_unpivot_part_sizes",
-    "q_window_lag_order_gap",
-    "q_window_running_revenue",
-    # —— freshness re-grades (last driver check: round 4; changed-file
-    #    adjacency picks, see module docstring) ——
-    "q_vec_kmeans",
-    "q_vec_knn_arrow",
-    "q_emb_semantic_dedup",
-)
-
-# The 39 rows not re-graded this round (37 round-4 greens + two
-# displaced round-3 greens): still green (driver rows, code
-# unchanged), but they now carry the OLDEST checks in the registry,
-# so round-7 gate assembly picks them up FIRST.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— parked here during round-7 development; promoted to the
-    #    round-7 ROUND_GATE by the end-of-round rotation ——
-    "q_profile_orders_approx",
     "q_docs_span_dedup",
     "q_emb_ann_ivfpq_persisted",
     "q_docs_c4_rules_derived",
-    # displaced from the round-6 gate by the two late-round additions
-    # (q_docs_gopher_rules / q_emb_prototype_prune): both hold green
-    # r4 driver rows and the freshest checks of the five adjacency
-    # picks (q_emb_semantic_keep_list duplicates q_emb_semantic_dedup's
-    # operator; q13 was a name-only pick)
+    "q_profile_orders_approx",
+    # —— held over: code changed this round ——
+    "q_vec_kmeans",
+    "q_emb_prototype_prune",
+    "q_emb_ann_ivfpq",
+    "q_emb_ann_ivfpq_auto",
+    # —— the 39 rows deferred from round 6 (oldest driver checks:
+    #    r3/r4 era) — the whole bucket, per the r6 verdict ——
     "q13_order_count_distribution",
     "q_emb_semantic_keep_list",
-    # displaced by q_docs_gopher_repetition, whose rule set strictly
-    # subsumes this row's bigram-only signals (same code area,
-    # operators/text.py; r3-green, code unchanged)
     "q_text_repetition_stats",
-    # displaced by q_docs_c4_rules (r3-green, code unchanged; the
-    # youngest of the remaining r3 freshness picks)
     "q_chunk_token_windows",
     "q16_supplier_diversity",
     "q17_small_quantity_revenue",
@@ -184,14 +113,16 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
+    # —— freshness re-grades (r5-green; changed-file adjacency) ——
+    "q_emb_label_centroids",
+    "q_emb_near_dup_pairs",
+    "q_docs_strip_boilerplate",
 )
 
-# Driver-green rows that sit OUTSIDE the round-6 gate: the 42
-# round-5 greens whose code is unchanged since their grading (the
-# 37 round-4 rows awaiting their refresh are tracked above).  The
-# registry asserts gate ∪ deferred ∪ previously-green == all
-# registered queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+# The 39 round-5 greens whose code is unchanged: still green (driver
+# rows r5), but they now carry the OLDEST checks in the registry, so
+# round-8 gate assembly picks them up FIRST.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -215,7 +146,6 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_docs_quality",
     "q_docs_quality_classifier",
     "q_docs_stratified_sample",
-    "q_docs_strip_boilerplate",
     "q_docs_token_stats",
     "q_docs_vocab_classifier",
     "q_dt_channel_occupancy",
@@ -223,8 +153,6 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_dt_hits_per_orbit",
     "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy",
-    "q_emb_label_centroids",
-    "q_emb_near_dup_pairs",
     "q_events_dedup_ingest",
     "q_events_grouped_pandas_stats",
     "q_events_json_props",
@@ -234,6 +162,59 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_features",
     "q_media_frame_sample",
+)
+
+# Driver-green rows outside the round-7 gate with FRESH checks: the
+# 46 round-6 gate greens not re-graded this round.  The registry
+# asserts gate ∪ deferred ∪ previously-green == all registered
+# queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_cube_flag_status",
+    "q_date_functions",
+    "q_docs_c4_rules",
+    "q_docs_gopher_repetition",
+    "q_docs_gopher_rules",
+    "q_docs_top_terms",
+    "q_docs_unigram_encode_stats",
+    "q_docs_unigram_soft_encode",
+    "q_dt_event_time_span",
+    "q_emb_ann_ivf",
+    "q_emb_ann_lsh",
+    "q_emb_ann_pq",
+    "q_emb_knn_bruteforce",
+    "q_emb_near_dup_lsh_subset",
+    "q_emb_semantic_dedup",
+    "q_events_hourly_by_type",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
+    "q_events_view_to_purchase",
+    "q_full_outer_daily_activity",
+    "q_grouping_sets_flag_year",
+    "q_mixture_upsample",
+    "q_pack_sequences",
+    "q_pandas_udf_revenue",
+    "q_quantity_percentiles",
+    "q_range_join_price_bands",
+    "q_set_ops_nations",
+    "q_shuffle_epochs",
+    "q_snapshot_incremental_agg",
+    "q_snapshot_merge_orders",
+    "q_unpivot_part_sizes",
+    "q_vec_knn_arrow",
+    "q_window_lag_order_gap",
+    "q_window_running_revenue",
 )
 
 

@@ -2,15 +2,12 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 6 runs the steady-state policy: new
-queries and changed-code rows enter the gate immediately, and the
-remaining slots re-grade the rows with the OLDEST driver checks (the
-11 round-2 rows deferred from round 5, 22 of the 24 round-3 greens,
-and 3 round-4 greens with changed-file adjacency); the 37 round-4
-rows that didn't fit — plus q_text_repetition_stats (r3), displaced
-by q_docs_gopher_repetition, which subsumes its rule set, and
-q_chunk_token_windows (r3), displaced by q_docs_c4_rules — defer to
-round 7 (queries/__init__.py's docstring).
+queries/__init__.py).  Round 7 runs the steady-state policy: the 4
+new queries and 4 changed-code rows enter the gate immediately, ALL
+39 rows deferred from round 6 re-grade (the r6 verdict's item #1),
+and the 3 remaining slots take round-5 greens with changed-file
+adjacency; the 39 untouched round-5 greens defer to round 8
+(queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.
