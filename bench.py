@@ -164,6 +164,17 @@ HEADLINE = [
     # the C4 cleaning rules (line filters + page-drop triggers +
     # clean-text reconstruction) — map-only line/word folds
     "q_docs_c4_rules",
+    # round-7 additions: alignment-free duplicated-span dedup (one
+    # overlapping-shingle row per token position + banned-run merge +
+    # the aligned-block comparison twin), IVFPQ served from a
+    # persisted snapshot-table index (cold rep pays build_ann_index
+    # via the per-process cache; medians grade load + serve + the
+    # refit-identity branch), the derived-corpus C4 line-rule grade,
+    # and the Expand-free approx profile beside its exact twin
+    "q_docs_span_dedup",
+    "q_emb_ann_ivfpq_persisted",
+    "q_docs_c4_rules_derived",
+    "q_profile_orders_approx",
 ]
 
 

@@ -406,6 +406,27 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             .count(),
         ),
         (
+            # snapshot-lifecycle IVM, refresh arm: apply a FIXED-size
+            # CDC delta (2k rows from a real v1→v2 merge_snapshot) to
+            # a materialized 64-group aggregate while the BASE table
+            # scales 10× underneath — incremental_agg_refresh's
+            # "cost ∝ delta + groups, never ∝ table" claim predicts a
+            # ~flat ratio here while the rescan row below tracks the
+            # table.  The merge and the snapshot_diff CDC extraction
+            # run once in setup (cached): at 100 TB the delta comes
+            # from the merge's change feed, not from re-diffing full
+            # versions, so the serving-time cost IS the refresh join.
+            "snapshot_ivm_refresh",
+            lambda: _snapshot_ivm_refresh_rows(spark, scale_mult),
+        ),
+        (
+            # snapshot-lifecycle IVM, from-scratch arm: re-aggregate
+            # the merged v2 directly — the cost the refresh arm
+            # avoids; its ratio should track the base-table volume.
+            "snapshot_ivm_rescan",
+            lambda: _snapshot_ivm_rescan_rows(spark, scale_mult),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
@@ -504,6 +525,90 @@ def media_decode_1mb_rows(spark, scale_mult: int) -> int:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def _snapshot_ivm_setup(spark, scale_mult: int) -> tuple[str, str, str]:
+    """Build (once per scale, cached on disk) the IVM soak fixtures:
+    a 100k×scale-row snapshot table (key, 64 groups, value), a REAL
+    v1→v2 merge of a fixed 2k-row delta (1k updates + 1k inserts),
+    the materialized v1 aggregate, and the materialized pre-image CDC
+    delta.  Returns (table_dir, agg_parquet, cdc_parquet)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    root = f"/tmp/fmhz_snapivm_{scale_mult}x"
+    tbl = os.path.join(root, "tbl")
+    aggp = os.path.join(root, "agg_v1.parquet")
+    cdcp = os.path.join(root, "cdc.parquet")
+    if os.path.exists(os.path.join(tbl, "_manifest.json")):
+        return tbl, aggp, cdcp
+    shutil.rmtree(root, ignore_errors=True)
+    # v is a 24-bit hash (sum fits a long at 200M rows under ANSI)
+    # so parquet cannot dictionary/RLE it away —
+    # the rescan arm must pay real column IO, not decode a constant
+    n = 20_000_000 * scale_mult
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(1 << 24)).alias("v"),
+    )
+    write_snapshot(base, tbl, note="ivm soak base")
+    delta = spark.range(2_000).select(
+        # first 1k hit existing keys (updates), second 1k insert past
+        # the key space — a fixed-size delta at every scale
+        F.when(F.col("id") < 1_000, F.col("id") * 7 % n)
+        .otherwise(n + F.col("id"))
+        .alias("k"),
+    ).select(
+        "k",
+        (F.col("k") % 64).alias("g"),
+        F.pmod(F.xxhash64("k", F.lit(1)), F.lit(1 << 24)).alias("v"),
+    ).dropDuplicates(["k"])
+    merge_snapshot(spark, tbl, delta, ["k"])
+    read_snapshot(spark, tbl, version=1).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+    ).write.mode("overwrite").parquet(aggp)
+    snapshot_diff(
+        spark, tbl, ["k"], v_from=1, v_to=2, pre_images=True
+    ).write.mode("overwrite").parquet(cdcp)
+    return tbl, aggp, cdcp
+
+
+def _snapshot_ivm_refresh_rows(spark, scale_mult: int) -> int:
+    from fortymhz_spark.operators.incremental import incremental_agg_refresh
+
+    _, aggp, cdcp = _snapshot_ivm_setup(spark, scale_mult)
+    refreshed = incremental_agg_refresh(
+        spark.read.parquet(aggp),
+        spark.read.parquet(cdcp),
+        ["g"],
+        count_col="n_rows",
+        sum_cols={"sum_v": "v"},
+    )
+    return refreshed.count()
+
+
+def _snapshot_ivm_rescan_rows(spark, scale_mult: int) -> int:
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.sources.snapshots import read_snapshot
+
+    tbl, _, _ = _snapshot_ivm_setup(spark, scale_mult)
+    return (
+        read_snapshot(spark, tbl, version=2)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .count()
+    )
 
 
 def snapshot_stream_catchup_rows(spark, scale_mult: int) -> int:
