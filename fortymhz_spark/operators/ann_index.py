@@ -22,6 +22,12 @@ into the corpus scan by the serving query (persisting them would be a
 materialized-view decision orthogonal to the index artifact — at
 100 TB you'd write them as a column via the snapshot table's MERGE).
 
+One artifact, three access paths: the composed ivfpq index serves
+``ivf_knn(index=...)`` (coarse half), ``pq_knn(index=...)``
+(codebook half), and ``ivfpq_knn(index=...)`` (both) — each
+byte-identical to the in-process fit of the same sizing
+(tests/test_ann_recall.py).
+
 Layout: one row per centroid/codeword —
 ``(component: 'coarse'|'book', s: subquantizer or -1, idx, vec)`` —
 with the sizing params JSON in the snapshot ``note`` so a reader can

@@ -395,6 +395,7 @@ def ivf_knn(
     n_cells: int | None = 16,
     nprobe: int = 4,
     assign: str = "arrow",
+    index=None,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows are
     assigned to their nearest coarse-centroid cell (the inverted
@@ -428,11 +429,19 @@ def ivf_knn(
     expression-argmin assignment hits the Catalyst plan-size ceiling
     and the arrow-assign k-means twin (``kmeans_assign``) is the right
     tool for cell assignment instead.
+
+    ``index=`` (a persisted ``AnnIndex``, operators/ann_index.py)
+    serves from its COARSE half, skipping the centroid collect — one
+    composed ivfpq artifact serves ivf/pq/ivfpq; ``n_cells`` is
+    ignored when given.
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
-    n_cells = _auto_cells(corpus, n_cells)
-    cents = _centroids(corpus, id_col, vec_col, n_cells)
+    if index is not None:
+        cents, n_cells = index.coarse, index.n_coarse
+    else:
+        n_cells = _auto_cells(corpus, n_cells)
+        cents = _centroids(corpus, id_col, vec_col, n_cells)
     if assign == "arrow":
         c_assign = _assign_cells_arrow(
             corpus, id_col, vec_col, cents, 1, keep_vec=True
@@ -607,6 +616,7 @@ def pq_knn(
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
+    index=None,
 ) -> DataFrame:
     """Approximate top-k via product quantization (Jégou et al., PAMI
     2011): vectors are L2-normalized (so squared-L2 order == cosine
@@ -641,11 +651,21 @@ def pq_knn(
     0.78 mean recall@10 from 500 to 2000 near-uniform vectors at
     rerank=16), and on hard embeddings the exact re-rank width is the
     lever that buys recall back.
+
+    ``index=`` (a persisted ``AnnIndex``, operators/ann_index.py)
+    serves from its CODEBOOK half, skipping the training collect —
+    one composed ivfpq artifact serves ivf_knn (coarse half), pq_knn
+    (codebook half), and ivfpq_knn (both); the sizing args are
+    ignored when given.
     """
-    d_sub, books = _pq_train(
-        corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
-        train_sample, dim,
-    )
+    if index is not None:
+        d_sub, books = index.d_sub, index.books
+        n_sub, n_cells = index.n_sub, index.n_cells
+    else:
+        d_sub, books = _pq_train(
+            corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
+            train_sample, dim,
+        )
     # resolved AFTER _pq_train so parameter validation (dim/n_sub
     # divisibility) fires before any corpus job
     rerank = _auto_rerank(corpus, rerank)

@@ -610,3 +610,42 @@ def test_ann_index_time_travel_and_validation(spark, truth, tmp_path):
     object.__setattr__(idx, "kind", "pq")
     with _pytest.raises(ValueError, match="'ivfpq' index"):
         ivfpq_knn(emb, emb.limit(1), index=idx)
+
+
+def test_one_persisted_index_serves_ivf_pq_and_ivfpq(spark, truth, tmp_path):
+    """The composed ivfpq artifact serves all three access paths —
+    ivf_knn reads its coarse half, pq_knn its codebook half, ivfpq_knn
+    both — each byte-identical to the corresponding in-process fit
+    with the same sizing."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivf_knn, ivfpq_knn, pq_knn
+
+    emb, queries, _ = truth
+    td = str(tmp_path / "idx")
+    build_ann_index(emb, td, n_coarse=16, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, td)
+    key = lambda r: tuple(r)
+    pairs = [
+        (
+            ivf_knn(emb, queries, k=K, nprobe=4, index=idx),
+            ivf_knn(emb, queries, k=K, n_cells=16, nprobe=4),
+        ),
+        (
+            pq_knn(emb, queries, k=K, rerank=8, index=idx),
+            pq_knn(emb, queries, k=K, n_sub=8, n_cells=16, rerank=8),
+        ),
+        (
+            ivfpq_knn(emb, queries, k=K, nprobe=4, rerank=8, index=idx),
+            ivfpq_knn(
+                emb, queries, k=K, n_coarse=16, nprobe=4, n_sub=8,
+                n_cells=16, rerank=8,
+            ),
+        ),
+    ]
+    for served, refit in pairs:
+        assert sorted(map(key, served.collect())) == sorted(
+            map(key, refit.collect())
+        )
