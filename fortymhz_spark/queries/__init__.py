@@ -19,7 +19,9 @@ Round 7 rotation (steady-state policy; the r6 verdict's item #1 —
 "rotate the gate onto the 39 DEFERRED rows first" — is satisfied in
 full):
 
-1. NEW QUERIES enter immediately: q_docs_span_dedup (alignment-free
+1. NEW QUERIES enter immediately: q_docs_incremental_dedup
+   (near-dup pairs for an arriving batch served against a PERSISTED
+   MinHash signature index — the ingest lifecycle), q_docs_span_dedup (alignment-free
    duplicated-span dedup on a planted-misaligned-duplicate corpus,
    full DuckDB replication oracle), q_emb_ann_ivfpq_persisted (IVFPQ
    served from a persisted snapshot-table index, graded
@@ -37,11 +39,13 @@ full):
    r3/r4-era driver checks (q5/q13/q16-q18/q21, the pivot/rollup/
    profile/histogram/sketch family, bigram/tfidf/jaccard/simhash
    rows, asof/cogroup/salted-agg, pack/pipeline/mixture rows).
-4. FRESHNESS (3 remaining slots): round-5 greens picked for
-   changed-file adjacency — q_emb_label_centroids and
-   q_emb_near_dup_pairs live in operators/similarity.py (edited
-   heavily again this round) and q_docs_strip_boilerplate in
-   operators/text.py (grew the duplicated-span operators beside it).
+4. FRESHNESS (2 remaining slots after the late fifth new query,
+   q_docs_incremental_dedup — persisted-signature ingest dedup):
+   round-5 greens picked for changed-file adjacency —
+   q_emb_label_centroids and q_emb_near_dup_pairs live in
+   operators/similarity.py (edited heavily again this round).
+   q_docs_strip_boilerplate, the third pick before the displacement,
+   rotates to DEFERRED_TO_NEXT_ROUND.
 
 After this round the 39 round-5 greens whose code is unchanged carry
 the registry's oldest checks and sit in DEFERRED_TO_NEXT_ROUND so
@@ -67,6 +71,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_ann_ivfpq_persisted",
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
+    "q_docs_incremental_dedup",
     # —— held over: code changed this round ——
     "q_vec_kmeans",
     "q_emb_prototype_prune",
@@ -116,13 +121,15 @@ ROUND_GATE: tuple[str, ...] = (
     # —— freshness re-grades (r5-green; changed-file adjacency) ——
     "q_emb_label_centroids",
     "q_emb_near_dup_pairs",
-    "q_docs_strip_boilerplate",
 )
 
 # The 39 round-5 greens whose code is unchanged: still green (driver
 # rows r5), but they now carry the OLDEST checks in the registry, so
 # round-8 gate assembly picks them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # displaced from the round-7 freshness picks by the late new query
+    # q_docs_incremental_dedup (r5-green, code unchanged)
+    "q_docs_strip_boilerplate",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -340,6 +340,74 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a PERSISTED signature index — the ingest
+# lifecycle (operators/dedup.py::build_minhash_index /
+# incremental_near_dups): the standing corpus (doc_id % 20 != 0)
+# contributes only its persisted (id, lanes) snapshot rows; the
+# arriving batch (doc_id % 20 == 0) computes its own lanes, bands
+# against the index, and verifies exact Jaccard on candidate ids
+# only.  The oracle is the ground truth the incremental path must
+# reproduce: ALL pairs at jaccard >= 0.7 over old ∪ new that involve
+# a batch doc — so a missed new↔old pair (a broken index read, a
+# band-parameter drift between build and serve) fails the hash, not
+# just a recall statistic.  Index build is cached per (process,
+# sf_dir), mirroring the ann-index and merge-table patterns.
+# ---------------------------------------------------------------------------
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _MINHASH_INDEX_CACHE:
+        return _MINHASH_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 20 != 0)
+    table_dir = tempfile.mkdtemp(prefix="fmhz_mhidx_")
+    dd.build_minhash_index(old, table_dir, num_hashes=32, bands=16)
+    _MINHASH_INDEX_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_docs_incremental_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(toks='tk')} AS w FROM toks
+    )
+    SELECT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % 20 = 0 OR b.doc_id % 20 = 0)
+      AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs involving the arriving batch, served against the
+    persisted MinHash signature index (section comment above) — the
+    batch's one signature pass + slim banded join against the index
+    rows + candidate-only exact-Jaccard verify, never a bulk re-shingle
+    of the standing corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 20 != 0)
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    table_dir = _minhash_index_table(spark, sf_dir)
+    return dd.incremental_near_dups(
+        new, old, table_dir, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dups — FULL-ALGORITHM differential check.  The gate
 # query runs the engine-portable variant (32-bit fingerprints whose
 # per-token hash is the first 8 hex digits of md5 — identical in Spark

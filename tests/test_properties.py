@@ -2062,3 +2062,81 @@ def test_kmeans_fit_sample_rows_validation(spark):
         for r in kmeans_assign(df, k=2).collect()
     }
     assert full == base
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against the persisted MinHash signature index
+# (operators/dedup.py::build_minhash_index / extend_minhash_index /
+# incremental_near_dups)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_near_dups_matches_from_scratch(spark, tmp_path):
+    """The incremental path must emit EXACTLY the from-scratch pairs
+    that involve the batch: new↔old pairs (index lanes vs fresh
+    lanes) and new↔new pairs (fresh vs fresh), verified jaccard and
+    all; old↔old pairs must NOT surface."""
+    from fortymhz_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # old
+            (2, base + " iota"),             # old, near-dup of 1
+            (3, "totally different text about unrelated things here"),
+            (20, base + " kappa"),           # new, near-dup of 1/2
+            (40, base + " kappa lambda"),    # new, near-dup of 20
+        ],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 20 != 0")
+    new = docs.filter("doc_id % 20 = 0")
+    td = str(tmp_path / "idx")
+    assert dd.build_minhash_index(old, td, num_hashes=32, bands=16) == 1
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.incremental_near_dups(new, old, td, threshold=0.5).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dups(docs, threshold=0.5, bands=16).collect()
+        if r.id_a % 20 == 0 or r.id_b % 20 == 0
+    )
+    assert got == want and got  # non-vacuous: batch pairs exist
+    assert all(a % 20 == 0 or b % 20 == 0 for a, b in got)
+
+    # extend absorbs the batch: the index now covers everything, and a
+    # later batch dedups against old AND previously-new docs
+    assert dd.extend_minhash_index(new, td) == 2
+    from fortymhz_spark.sources.snapshots import read_snapshot
+
+    assert read_snapshot(spark, td).count() == 5
+    batch2 = spark.createDataFrame(
+        [(60, base + " kappa lambda mu")], "doc_id long, text string"
+    )
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in dd.incremental_near_dups(
+            batch2, docs, td, threshold=0.5
+        ).collect()
+    }
+    assert (40, 60) in got2  # matches a doc that arrived in batch 1
+
+
+def test_minhash_index_rejects_foreign_artifacts_and_bad_params(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import dedup as dd
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="must divide"):
+        dd.build_minhash_index(docs, str(tmp_path / "x"), num_hashes=32, bands=7)
+    other = str(tmp_path / "plain")
+    write_snapshot(docs.select("doc_id"), other, note="plain table")
+    with _pytest.raises(ValueError, match="not a minhash_index"):
+        dd.incremental_near_dups(docs, docs, other)
