@@ -227,6 +227,78 @@ def learn_bpe_merges_local(
     return _local_merge_loop(vocab, n_merges, min_count)
 
 
+_BPE_NOTE = "bpe_merges "
+
+
+def save_bpe_merges(
+    spark,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    table_dir: str,
+) -> int:
+    """Publish a learned merge table as a versioned snapshot artifact
+    — the train-once/serve-many lifecycle for the tokenizer itself
+    (the GPT-2 ``merges.txt`` role, with the snapshot table's atomic
+    publish and time travel instead of a bare file): a retrained
+    tokenizer lands as v=N+1 while running encode jobs keep the
+    version they loaded, and an experiment can pin ``version=`` for
+    exact reproducibility.  One row per merge, LEARNED ORDER pinned by
+    an explicit rank column (never file order)."""
+    import json as _json
+
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    rows = [
+        (i, m[0], m[1], int(m[2]) if len(m) > 2 else None)
+        for i, m in enumerate(merges)
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )
+    return write_snapshot(
+        df, table_dir,
+        note=_BPE_NOTE + _json.dumps({"n_merges": len(rows)}),
+    )
+
+
+def load_bpe_merges(
+    spark, table_dir: str, *, version: int | None = None
+) -> list[tuple[str, str, int]]:
+    """Load a persisted merge table (current or pinned version) back
+    into the driver-side list every encode path consumes — a bounded
+    collect of n_merges rows, validated against the note's count so a
+    truncated artifact fails here, not as silently-worse tokenization
+    downstream."""
+    import json as _json
+
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    entries = {e["version"]: e for e in snapshot_versions(table_dir)}
+    if version is None:
+        version = max(entries)
+    note = entries[version].get("note", "")
+    if not note.startswith(_BPE_NOTE):
+        raise ValueError(
+            f"snapshot v={version} at {table_dir} is not a bpe_merges "
+            f"artifact (note: {note[:60]!r})"
+        )
+    want = int(_json.loads(note[len(_BPE_NOTE):])["n_merges"])
+    rows = sorted(
+        read_snapshot(spark, table_dir, version=version).collect(),
+        key=lambda r: r["rank"],
+    )
+    if len(rows) != want or [r["rank"] for r in rows] != list(range(want)):
+        raise ValueError(
+            f"bpe_merges v={version} at {table_dir} is incomplete: "
+            f"{len(rows)}/{want} rows"
+        )
+    return [
+        (r["left"], r["right"], int(r["pair_count"] or 0)) for r in rows
+    ]
+
+
 def encode_words(
     df: DataFrame,
     word_col: str = "w",

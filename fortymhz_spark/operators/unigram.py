@@ -305,6 +305,62 @@ def learn_unigram_vocab(
     return {p: math.log(q) for p, q in probs.items()}
 
 
+_UNIGRAM_NOTE = "unigram_model "
+
+
+def save_unigram_model(
+    spark, model: dict[str, float], table_dir: str
+) -> int:
+    """Publish a trained ``{piece: logprob}`` model as a versioned
+    snapshot artifact (the SentencePiece ``.model`` role with atomic
+    publish + time travel) — one row per piece; the note pins the
+    piece count so a truncated artifact fails the load, and logprobs
+    round-trip EXACTLY (double column, no stringification)."""
+    import json as _json
+
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    rows = sorted((p, float(lp)) for p, lp in model.items())
+    df = spark.createDataFrame(rows, "piece string, logp double")
+    return write_snapshot(
+        df, table_dir,
+        note=_UNIGRAM_NOTE + _json.dumps({"n_pieces": len(rows)}),
+    )
+
+
+def load_unigram_model(
+    spark, table_dir: str, *, version: int | None = None
+) -> dict[str, float]:
+    """Load a persisted unigram model (current or pinned version) —
+    bounded collect ∝ vocabulary, inventory validated against the
+    note."""
+    import json as _json
+
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    entries = {e["version"]: e for e in snapshot_versions(table_dir)}
+    if version is None:
+        version = max(entries)
+    note = entries[version].get("note", "")
+    if not note.startswith(_UNIGRAM_NOTE):
+        raise ValueError(
+            f"snapshot v={version} at {table_dir} is not a unigram_model "
+            f"artifact (note: {note[:60]!r})"
+        )
+    want = int(_json.loads(note[len(_UNIGRAM_NOTE):])["n_pieces"])
+    rows = read_snapshot(spark, table_dir, version=version).collect()
+    model = {r["piece"]: float(r["logp"]) for r in rows}
+    if len(model) != want:
+        raise ValueError(
+            f"unigram_model v={version} at {table_dir} is incomplete: "
+            f"{len(model)}/{want} pieces"
+        )
+    return model
+
+
 def encode_unigram(
     df: DataFrame,
     word_col: str = "w",

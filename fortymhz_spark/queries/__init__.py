@@ -39,13 +39,13 @@ full):
    r3/r4-era driver checks (q5/q13/q16-q18/q21, the pivot/rollup/
    profile/histogram/sketch family, bigram/tfidf/jaccard/simhash
    rows, asof/cogroup/salted-agg, pack/pipeline/mixture rows).
-4. FRESHNESS (2 remaining slots after the late fifth new query,
-   q_docs_incremental_dedup — persisted-signature ingest dedup):
-   round-5 greens picked for changed-file adjacency —
-   q_emb_label_centroids and q_emb_near_dup_pairs live in
-   operators/similarity.py (edited heavily again this round).
-   q_docs_strip_boilerplate, the third pick before the displacement,
-   rotates to DEFERRED_TO_NEXT_ROUND.
+4. FRESHNESS (1 remaining slot after the late new queries
+   q_docs_incremental_dedup — persisted-signature ingest dedup —
+   and q_docs_bpe_persisted — the tokenizer artifact round-trip):
+   q_emb_label_centroids (r5-green; operators/similarity.py, edited
+   heavily again this round).  The displaced picks
+   (q_docs_strip_boilerplate, q_emb_near_dup_pairs) rotate to
+   DEFERRED_TO_NEXT_ROUND.
 
 After this round the 39 round-5 greens whose code is unchanged carry
 the registry's oldest checks and sit in DEFERRED_TO_NEXT_ROUND so
@@ -72,6 +72,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
     "q_docs_incremental_dedup",
+    "q_docs_bpe_persisted",
     # —— held over: code changed this round ——
     "q_vec_kmeans",
     "q_emb_prototype_prune",
@@ -118,18 +119,19 @@ ROUND_GATE: tuple[str, ...] = (
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
-    # —— freshness re-grades (r5-green; changed-file adjacency) ——
+    # —— freshness re-grade (r5-green; changed-file adjacency) ——
     "q_emb_label_centroids",
-    "q_emb_near_dup_pairs",
 )
 
 # The 39 round-5 greens whose code is unchanged: still green (driver
 # rows r5), but they now carry the OLDEST checks in the registry, so
 # round-8 gate assembly picks them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # displaced from the round-7 freshness picks by the late new query
-    # q_docs_incremental_dedup (r5-green, code unchanged)
+    # displaced from the round-7 freshness picks by the late new
+    # queries q_docs_incremental_dedup and q_docs_bpe_persisted (both
+    # displaced rows r5-green, code unchanged)
     "q_docs_strip_boilerplate",
+    "q_emb_near_dup_pairs",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

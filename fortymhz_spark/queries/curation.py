@@ -1230,6 +1230,90 @@ def q_docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge table as a PERSISTED artifact (operators/bpe.py::
+# save_bpe_merges / load_bpe_merges) — the tokenizer's
+# train-once/serve-many lifecycle: the merge table a training run
+# ships must survive the snapshot round-trip byte-for-byte (rank
+# order, pair strings, counts) and the encode through the LOADED
+# table must satisfy every invariant the in-process table does.
+# Build/train cached per (process, sf_dir); the load runs fresh
+# every execution, so the artifact read path is what the grade
+# exercises.
+# ---------------------------------------------------------------------------
+_BPE_ARTIFACT_CACHE: dict[str, tuple[str, list]] = {}
+
+
+def _bpe_artifact(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    if sf_dir in _BPE_ARTIFACT_CACHE:
+        return _BPE_ARTIFACT_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges_local(
+        docs, n_merges=64, min_count=2, top_v=None
+    )
+    table_dir = tempfile.mkdtemp(prefix="fmhz_bpeart_")
+    bpe.save_bpe_merges(spark, merges, table_dir)
+    _BPE_ARTIFACT_CACHE[sf_dir] = (table_dir, merges)
+    return table_dir, merges
+
+
+@reg.query(
+    "q_docs_bpe_persisted",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({_SQL_TOKENS.format(t='lower(text)')}) AS w
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+      TRUE AS all_reconstruct,
+      TRUE AS symbols_bounded,
+      TRUE AS merges_roundtrip
+    FROM words
+    """,
+)
+def q_docs_bpe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus's distinct words through the PERSISTED merge
+    table — train 64 merges, publish them as a snapshot artifact
+    (cached), load them back, and grade: the q_docs_bpe_encode_stats
+    invariants computed over the LOADED table's encode, plus
+    ``merges_roundtrip`` — the loaded list equals the trained list
+    element-for-element including rank order and pair counts (the
+    property that makes the artifact a tokenizer, not a lossy copy).
+    Scale shape identical to the encode-stats row; the artifact
+    read is one bounded collect of 64 rows."""
+    from fortymhz_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    table_dir, trained = _bpe_artifact(spark, sf_dir)
+    loaded = bpe.load_bpe_merges(spark, table_dir)
+    roundtrip = loaded == [
+        (left, right, int(n)) for left, right, n in trained
+    ]
+    words = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    ).distinct()
+    enc = bpe.encode_words_arrow(words, "w", merges=loaded)
+    return enc.select(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+        F.every(
+            F.concat_ws("", F.col("symbols"))
+            == F.concat(F.col("w"), F.lit(bpe.END_OF_WORD))
+        ).alias("all_reconstruct"),
+        F.every(
+            (F.size("symbols") >= 1)
+            & (F.size("symbols") <= F.length("w") + 1)
+        ).alias("symbols_bounded"),
+        F.lit(bool(roundtrip)).alias("merges_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance-resampling selection (operators/dsir.py): hashed
 # unigram+bigram bucket features, target = the English slice, raw =
 # the whole corpus; per-bucket importance weights quantized to

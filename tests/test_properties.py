@@ -2140,3 +2140,43 @@ def test_minhash_index_rejects_foreign_artifacts_and_bad_params(
     write_snapshot(docs.select("doc_id"), other, note="plain table")
     with _pytest.raises(ValueError, match="not a minhash_index"):
         dd.incremental_near_dups(docs, docs, other)
+
+
+def test_bpe_and_unigram_artifacts_roundtrip(spark, tmp_path):
+    """Tokenizer artifacts (operators/bpe.py::save/load_bpe_merges,
+    operators/unigram.py::save/load_unigram_model): exact round-trip
+    including order/counts/logprobs, version pinning, and loud
+    failure on foreign artifacts."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import bpe, unigram as ug
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest new newer newest wide wider widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_bpe_merges_local(docs, n_merges=12, min_count=1, top_v=None)
+    td = str(tmp_path / "bpe")
+    assert bpe.save_bpe_merges(spark, merges, td) == 1
+    assert bpe.load_bpe_merges(spark, td) == [
+        (l, r, int(n)) for l, r, n in merges
+    ]
+    # a retrain publishes v2; v1 stays pinned
+    merges2 = bpe.learn_bpe_merges_local(docs, n_merges=4, min_count=1, top_v=None)
+    assert bpe.save_bpe_merges(spark, merges2, td) == 2
+    assert len(bpe.load_bpe_merges(spark, td)) == 4
+    assert len(bpe.load_bpe_merges(spark, td, version=1)) == 12
+
+    model = ug.learn_unigram_vocab(docs, vocab_size=32, em_rounds=1)
+    tu = str(tmp_path / "ug")
+    assert ug.save_unigram_model(spark, model, tu) == 1
+    loaded = ug.load_unigram_model(spark, tu)
+    assert loaded == model  # exact doubles, no stringification loss
+
+    other = str(tmp_path / "plain")
+    write_snapshot(docs.select("doc_id"), other, note="plain")
+    with _pytest.raises(ValueError, match="not a bpe_merges"):
+        bpe.load_bpe_merges(spark, other)
+    with _pytest.raises(ValueError, match="not a unigram_model"):
+        ug.load_unigram_model(spark, other)
