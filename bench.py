@@ -175,6 +175,13 @@ HEADLINE = [
     "q_emb_ann_ivfpq_persisted",
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
+    # late round-7 additions: incremental ingest dedup against the
+    # persisted MinHash signature index (cold rep pays the index
+    # build via the per-process cache; medians grade the batch
+    # signature pass + banded join + candidate-only verify), and the
+    # tokenizer-artifact round-trip encode
+    "q_docs_incremental_dedup",
+    "q_docs_bpe_persisted",
 ]
 
 
