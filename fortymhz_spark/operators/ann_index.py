@@ -54,7 +54,7 @@ from fortymhz_spark.operators.similarity import (
 )
 from fortymhz_spark.sources.snapshots import (
     read_snapshot,
-    snapshot_versions,
+    resolve_artifact,
     write_snapshot,
 )
 
@@ -152,16 +152,9 @@ def load_ann_index(
     note, and the row inventory is validated against them so a
     corrupted or truncated artifact fails loudly here, not as a wrong
     ADC deep in a serving query."""
-    entries = {e["version"]: e for e in snapshot_versions(table_dir)}
-    if version is None:
-        version = max(entries)
-    note = entries[version].get("note", "")
-    if not note.startswith("ann_index "):
-        raise ValueError(
-            f"snapshot v={version} at {table_dir} is not an ann_index "
-            f"artifact (note: {note[:60]!r})"
-        )
-    params = json.loads(note[len("ann_index "):])
+    version, params = resolve_artifact(
+        table_dir, "ann_index ", version=version
+    )
     rows = read_snapshot(spark, table_dir, version=version).collect()
     coarse_rows = sorted(
         ((r["idx"], r["vec"]) for r in rows if r["component"] == "coarse")

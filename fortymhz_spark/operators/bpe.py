@@ -268,23 +268,13 @@ def load_bpe_merges(
     collect of n_merges rows, validated against the note's count so a
     truncated artifact fails here, not as silently-worse tokenization
     downstream."""
-    import json as _json
-
     from fortymhz_spark.sources.snapshots import (
         read_snapshot,
-        snapshot_versions,
+        resolve_artifact,
     )
 
-    entries = {e["version"]: e for e in snapshot_versions(table_dir)}
-    if version is None:
-        version = max(entries)
-    note = entries[version].get("note", "")
-    if not note.startswith(_BPE_NOTE):
-        raise ValueError(
-            f"snapshot v={version} at {table_dir} is not a bpe_merges "
-            f"artifact (note: {note[:60]!r})"
-        )
-    want = int(_json.loads(note[len(_BPE_NOTE):])["n_merges"])
+    version, params = resolve_artifact(table_dir, _BPE_NOTE, version=version)
+    want = int(params["n_merges"])
     rows = sorted(
         read_snapshot(spark, table_dir, version=version).collect(),
         key=lambda r: r["rank"],

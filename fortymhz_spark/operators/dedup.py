@@ -406,23 +406,11 @@ def build_minhash_index(
 
 
 def _minhash_index_params(table_dir: str) -> dict:
-    import json as _json
+    from fortymhz_spark.sources.snapshots import resolve_artifact
 
-    from fortymhz_spark.sources.snapshots import snapshot_versions
-
-    entries = snapshot_versions(table_dir)
-    note = entries[-1].get("note", "") if entries else ""
-    # extends carry the note forward; v=1 always has it
-    for e in reversed(entries):
-        if e.get("note", "").startswith(_MINHASH_NOTE):
-            note = e["note"]
-            break
-    if not note.startswith(_MINHASH_NOTE):
-        raise ValueError(
-            f"{table_dir} is not a minhash_index artifact "
-            f"(note: {note[:60]!r})"
-        )
-    return _json.loads(note[len(_MINHASH_NOTE):])
+    # the type tag lives on the build version; extends (MERGE) publish
+    # their own notes — resolve_artifact searches the lineage for it
+    return resolve_artifact(table_dir, _MINHASH_NOTE)[1]
 
 
 def extend_minhash_index(new_docs: DataFrame, table_dir: str, *,

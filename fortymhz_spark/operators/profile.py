@@ -51,7 +51,7 @@ def profile_table(
     estimate is deterministic on any partitioning; graded via
     error-band booleans against the exact twin
     (queries: q_profile_orders_approx), plan asserted Expand-free
-    (tests/test_operators.py).
+    (tests/test_properties.py).
     """
     cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]

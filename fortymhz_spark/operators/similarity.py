@@ -280,6 +280,22 @@ KMEANS_AUTO_FIT_ROWS_PER_CENTROID: int = 32
 KMEANS_AUTO_ARROW_MIN_K: int = 33
 
 
+def _check_index_dim(corpus: DataFrame, vec_col: str, want: int) -> None:
+    """Serving-time guard for a persisted index: the corpus's vector
+    width must equal the width the index trained on, or the distance
+    arithmetic downstream is silently wrong (short zip_with folds,
+    numpy shape errors deep in the arrow kernel).  One first() over
+    the size projection — the same bounded probe ``_pq_train`` pays."""
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    got = None if first is None else first["d"]
+    if got != want:
+        raise ValueError(
+            f"persisted index trained at dim={want} but the serving "
+            f"corpus's {vec_col!r} is dim={got} — rebuild the index or "
+            "serve the matching corpus"
+        )
+
+
 def _auto_cells(
     corpus: DataFrame, n_cells: int | None, n: int | None = None
 ) -> int:
@@ -438,6 +454,7 @@ def ivf_knn(
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     if index is not None:
+        _check_index_dim(corpus, vec_col, index.dim)
         cents, n_cells = index.coarse, index.n_coarse
     else:
         n_cells = _auto_cells(corpus, n_cells)
@@ -659,6 +676,7 @@ def pq_knn(
     ignored when given.
     """
     if index is not None:
+        _check_index_dim(corpus, vec_col, index.dim)
         d_sub, books = index.d_sub, index.books
         n_sub, n_cells = index.n_sub, index.n_cells
     else:
@@ -904,6 +922,7 @@ def ivfpq_knn(
         else None
     )
     if index is not None:
+        _check_index_dim(corpus, vec_col, index.dim)
         coarse, books = index.coarse, index.books
         n_coarse, n_sub, n_cells, d_sub = (
             index.n_coarse, index.n_sub, index.n_cells, index.d_sub,
@@ -1176,9 +1195,12 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, returning each row's
     final ``cluster`` (int) and squared distance integerized as
-    ``dist_e9`` (BIGINT) — deterministic end to end with the default
-    ``assign="expr"`` (the partition-independence claims below are
-    scoped to that path; see the ``assign`` paragraph).
+    ``dist_e9`` (BIGINT) — deterministic end to end under the expr
+    assignment path, which the ``"auto"`` default resolves to at
+    k ≤ 32; above that the default goes arrow, where the
+    partition-independence claims below do NOT apply (see the
+    ``assign`` paragraph — pass ``assign="expr"`` explicitly to pin
+    bit-reproducibility at any k).
 
     Iterative algorithms are where a declarative engine needs a driver
     loop: each of the ``iters`` rounds is one distributed pass —

@@ -334,23 +334,15 @@ def load_unigram_model(
     """Load a persisted unigram model (current or pinned version) —
     bounded collect ∝ vocabulary, inventory validated against the
     note."""
-    import json as _json
-
     from fortymhz_spark.sources.snapshots import (
         read_snapshot,
-        snapshot_versions,
+        resolve_artifact,
     )
 
-    entries = {e["version"]: e for e in snapshot_versions(table_dir)}
-    if version is None:
-        version = max(entries)
-    note = entries[version].get("note", "")
-    if not note.startswith(_UNIGRAM_NOTE):
-        raise ValueError(
-            f"snapshot v={version} at {table_dir} is not a unigram_model "
-            f"artifact (note: {note[:60]!r})"
-        )
-    want = int(_json.loads(note[len(_UNIGRAM_NOTE):])["n_pieces"])
+    version, params = resolve_artifact(
+        table_dir, _UNIGRAM_NOTE, version=version
+    )
+    want = int(params["n_pieces"])
     rows = read_snapshot(spark, table_dir, version=version).collect()
     model = {r["piece"]: float(r["logp"]) for r in rows}
     if len(model) != want:

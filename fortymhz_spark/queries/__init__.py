@@ -47,10 +47,11 @@ full):
    (q_docs_strip_boilerplate, q_emb_near_dup_pairs) rotate to
    DEFERRED_TO_NEXT_ROUND.
 
-After this round the 39 round-5 greens whose code is unchanged carry
-the registry's oldest checks and sit in DEFERRED_TO_NEXT_ROUND so
-round-8 gate assembly picks them up FIRST; the 46 round-6 greens not
-re-graded above rotate to PREVIOUSLY_GREEN.  Everything outside the
+After this round the 41 deferred rows (39 untouched round-5 greens +
+the 2 displaced freshness picks) carry the registry's oldest checks
+and sit in DEFERRED_TO_NEXT_ROUND so round-8 gate assembly picks them
+up FIRST; the 46 round-6 greens not re-graded above rotate to
+PREVIOUSLY_GREEN.  Everything outside the
 gate stays covered by the local sf0.001 differential
 (tests/test_oracle_parity.py) either way.
 """
@@ -63,8 +64,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 gate (slots 1-50): 4 new + 4 changed-code re-grades + ALL
-# 39 deferred rows + 3 changed-file-adjacency freshness picks.
+# Round-7 gate (slots 1-50): 6 new + 4 changed-code re-grades + ALL
+# 39 deferred rows + 1 changed-file-adjacency freshness pick.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_docs_span_dedup",
@@ -123,9 +124,11 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_label_centroids",
 )
 
-# The 39 round-5 greens whose code is unchanged: still green (driver
-# rows r5), but they now carry the OLDEST checks in the registry, so
-# round-8 gate assembly picks them up FIRST.
+# The 41 rows deferring to round 8: 39 round-5 greens whose code is
+# unchanged plus the 2 r5-green freshness picks displaced by the late
+# new queries — all still green (driver rows r5), but they now carry
+# the OLDEST checks in the registry, so round-8 gate assembly picks
+# them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # displaced from the round-7 freshness picks by the late new
     # queries q_docs_incremental_dedup and q_docs_bpe_persisted (both

@@ -1979,8 +1979,12 @@ def q_text_crossdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_docs_span_dedup",
     oracle="""
     WITH tok0 AS (
+      -- coalesce BEFORE lower: the Spark derivation's concat_ws skips
+      -- NULLs, so a NULL-text recipient must become '' (its tokens
+      -- []) on BOTH engines or the derived corpora diverge
       SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
       FROM documents
     ),
     donor AS (
@@ -2076,8 +2080,12 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span structs + array expression) so the shingle subtree executes
     once, not once per output column."""
     docs = load_table(spark, sf_dir, "documents")
-    tok_col = tx.tokens(F.lower(F.col("text")))
-    with_tk = docs.select("doc_id", F.lower(F.col("text")).alias("text"),
+    # coalesce mirrors the oracle's tok0: a NULL text derives as ''
+    # identically on both engines (concat_ws would silently skip a
+    # NULL, while DuckDB's || propagates it — review finding)
+    safe_text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    tok_col = tx.tokens(safe_text)
+    with_tk = docs.select("doc_id", safe_text.alias("text"),
                           tok_col.alias("tk"))
     donors = (
         with_tk.filter((F.col("doc_id") % 10 == 7) & (F.size("tk") >= 18))

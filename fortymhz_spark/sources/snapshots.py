@@ -819,6 +819,51 @@ def vacuum_snapshot(
     return report
 
 
+def resolve_artifact(
+    table_dir: str, note_prefix: str, *, version: int | None = None
+) -> tuple[int, dict[str, Any]]:
+    """Resolve a typed artifact stored in a snapshot table: pick the
+    requested (or current) version, validate that the lineage carries
+    ``note_prefix`` (the artifact type tag every builder writes), and
+    return ``(version, params)`` with the params decoded from the
+    note's JSON payload.  The shared front half of every artifact
+    loader (ANN index, MinHash signature index, BPE merges, unigram
+    model) — one place for the version-existence and type checks, so
+    a typoed or vacuumed version pin fails with a descriptive error
+    instead of a bare KeyError.
+
+    The note is searched newest-first across the lineage: derived
+    versions published by MERGE (e.g. ``extend_minhash_index``) carry
+    their own notes, while the type tag lives on the build version."""
+    import json
+
+    entries = snapshot_versions(table_dir)
+    if not entries:
+        raise ValueError(f"no published versions at {table_dir}")
+    by_v = {e["version"]: e for e in entries}
+    if version is None:
+        version = max(by_v)
+    elif version not in by_v:
+        raise ValueError(
+            f"snapshot v={version} does not exist at {table_dir} "
+            f"(published: {sorted(by_v)})"
+        )
+    note = ""
+    for e in reversed(entries):
+        if e["version"] <= version and e.get("note", "").startswith(
+            note_prefix
+        ):
+            note = e["note"]
+            break
+    if not note:
+        raise ValueError(
+            f"snapshot v={version} at {table_dir} is not a "
+            f"{note_prefix.strip()} artifact "
+            f"(note: {by_v[version].get('note', '')[:60]!r})"
+        )
+    return version, json.loads(note[len(note_prefix):])
+
+
 def snapshot_versions(table_dir: str) -> list[dict[str, Any]]:
     """Published version metadata, oldest first: version, rows,
     created_unix, note — the audit trail for "what did run N read"."""

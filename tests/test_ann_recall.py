@@ -603,7 +603,7 @@ def test_ann_index_time_travel_and_validation(spark, truth, tmp_path):
     write_snapshot(
         emb.limit(1).select("vec_id"), other, note="plain table"
     )
-    with _pytest.raises(ValueError, match="not an ann_index"):
+    with _pytest.raises(ValueError, match=r"not a.*ann_index.*artifact"):
         load_ann_index(spark, other)
     # serving kind is validated
     idx = load_ann_index(spark, td)

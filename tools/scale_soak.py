@@ -529,7 +529,7 @@ def media_decode_1mb_rows(spark, scale_mult: int) -> int:
 
 def _snapshot_ivm_setup(spark, scale_mult: int) -> tuple[str, str, str]:
     """Build (once per scale, cached on disk) the IVM soak fixtures:
-    a 100k×scale-row snapshot table (key, 64 groups, value), a REAL
+    a 20M×scale-row snapshot table (key, 64 groups, hash value), a REAL
     v1→v2 merge of a fixed 2k-row delta (1k updates + 1k inserts),
     the materialized v1 aggregate, and the materialized pre-image CDC
     delta.  Returns (table_dir, agg_parquet, cdc_parquet)."""
@@ -548,7 +548,10 @@ def _snapshot_ivm_setup(spark, scale_mult: int) -> tuple[str, str, str]:
     tbl = os.path.join(root, "tbl")
     aggp = os.path.join(root, "agg_v1.parquet")
     cdcp = os.path.join(root, "cdc.parquet")
-    if os.path.exists(os.path.join(tbl, "_manifest.json")):
+    # gate on the LAST artifact written: a run killed mid-setup left a
+    # manifest but no agg/cdc parquet, and an exists-check on the first
+    # artifact would return paths to nothing forever (review finding)
+    if os.path.exists(os.path.join(cdcp, "_SUCCESS")):
         return tbl, aggp, cdcp
     shutil.rmtree(root, ignore_errors=True)
     # v is a 24-bit hash (sum fits a long at 200M rows under ANSI)
