@@ -104,6 +104,20 @@ SENSITIVE = [
     # the per-row folds — integer cross-multiplied flags must not
     # notice the partitioning
     "q_docs_gopher_repetition",
+    # round-7: alignment-free span dedup — banned-shingle frequencies
+    # (distinct-doc counts), the per-doc run-merge window, and the
+    # union coverage must all survive hostile partitioning
+    "q_docs_span_dedup",
+    # approx profile: HLL++ sketch merges are commutative, so the NDV
+    # estimates (and the band booleans) must be partition-invariant
+    "q_profile_orders_approx",
+    # derived-corpus C4 grade: the in-plan re-lining + line folds are
+    # map-only; the single-row combine must not notice partitioning
+    "q_docs_c4_rules_derived",
+    # tokenizer artifact: train → publish → load → encode — the merge
+    # table collect and the loaded-artifact encode must be identical
+    # under hostile partitioning
+    "q_docs_bpe_persisted",
 ]
 
 _QUERIES = all_queries()
@@ -147,6 +161,14 @@ ENGINE_HASH_GATE = [
     # flip cannot change a row.  If this test ever flakes on these
     # rows after a fixture regeneration, re-measure the margins before
     # suspecting the operator.
+    #
+    # round-7: serving from the persisted artifact must be exactly as
+    # run-deterministic as the in-process fit it mirrors (plus the
+    # identity boolean must hold at any partition count), and the
+    # incremental-dedup path's banded join against persisted lanes
+    # must emit the same verified pairs under hostile partitioning
+    "q_emb_ann_ivfpq_persisted",
+    "q_docs_incremental_dedup",
 ]
 
 

@@ -386,3 +386,59 @@ def test_semantic_near_dup_operator_is_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # overlapping-shingle span dedup: frequency agg + banned-run
+        # window + coverage arrays — equi-joins on md5/doc keys only
+        "q_docs_span_dedup",
+        # derived-corpus C4 grade: in-plan re-lining + line folds,
+        # map-only into a single-row combine
+        "q_docs_c4_rules_derived",
+        # incremental dedup: banded bucket join against persisted
+        # lanes + candidate-only verify — never all-pairs
+        "q_docs_incremental_dedup",
+    ],
+)
+def test_round7_text_queries_stay_jvm_and_bucketed(plans, name):
+    plan = plans[name]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_operator_shuffles_positions_not_text(spark, sf_dir):
+    """duplicated_spans' shuffles carry (id, pos, md5) — the text
+    column must be pruned out before any exchange (the 'only
+    positions ever shuffle' scale claim, asserted on the plan)."""
+    from fortymhz_spark.operators.text import duplicated_spans
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(duplicated_spans(docs, shingle_tokens=8))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_incremental_dedup_never_rescans_archive_signatures(
+    spark, sf_dir, tmp_path
+):
+    """The serving plan must read the archive's lanes from the INDEX
+    parquet, not recompute them: exactly one scan of the base
+    documents table may appear (the candidate-verify fetch), and the
+    index path must appear as a file source."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators import dedup as dd
+    from fortymhz_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 20 != 0)
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    td = str(tmp_path / "idx")
+    dd.build_minhash_index(old, td, num_hashes=32, bands=16)
+    plan = plan_of(dd.incremental_near_dups(new, old, td, threshold=0.7))
+    assert td in plan  # lanes come from the artifact
