@@ -393,6 +393,118 @@ def start_snapshot_sink(
     )
 
 
+def start_dedup_ingest_sink(
+    df: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    available_now: bool = True,
+    txn_id: str | None = None,
+) -> StreamingQuery:
+    """The streaming INGEST-DEDUP loop — the lifecycle a crawl
+    pipeline runs end to end: every micro-batch of documents is
+    near-dup checked against the standing corpus via the PERSISTED
+    MinHash signature index (``operators/dedup.py::
+    incremental_near_dups`` — one signature pass over the batch, the
+    archive is never re-shingled in bulk), the survivors merge into
+    the corpus snapshot table, and their signatures extend the index
+    so the NEXT batch dedups against them too.
+
+    Both tables must pre-exist: the corpus as a snapshot table of the
+    seed documents, the index built over the same seed
+    (``build_minhash_index``).  Drop rule, per batch doc d: d is
+    dropped if it pairs (verified Jaccard ≥ ``threshold``) with ANY
+    archive doc — the archive always wins, regardless of id — or with
+    a smaller-id doc in the same batch (the min-id convention;
+    batch-internal CHAINS use the pairwise rule, the conservative
+    form — run ``near_dup_components`` offline where full grouping
+    matters).
+
+    Two-table exactly-once: the index extend runs FIRST and is an
+    idempotent keyed upsert (replays re-apply harmlessly); the corpus
+    merge carries the ``(txn_id, batch_id)`` manifest mark, so a
+    crash between the two writes replays into (idempotent re-extend,
+    then the corpus merge), and a replay of a fully-committed batch
+    is skipped by the mark before any work runs.  The survivor set is
+    ``localCheckpoint``-ed so both writes publish the SAME rows even
+    if an executor is lost between them.
+
+    Per-trigger cost: batch signature pass + slim banded join against
+    the index + candidate-only verify + two bounded writes — nothing
+    ∝ corpus except the merge's anti-join against the current
+    version (the ``start_snapshot_sink`` merge cost)."""
+    from fortymhz_spark.operators.dedup import (
+        extend_minhash_index,
+        incremental_near_dups,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
+        spark = batch_df.sparkSession
+        base = read_snapshot(spark, corpus_dir)
+        pairs = incremental_near_dups(
+            batch_df, base, index_dir,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        )
+        bid = F.col(id_col)
+        batch_ids = batch_df.select(bid.alias("__bid__"))
+        flagged = (
+            pairs.join(
+                F.broadcast(batch_ids.withColumnRenamed("__bid__", "id_a")
+                            .withColumn("__na__", F.lit(True))),
+                ["id_a"], "left",
+            )
+            .join(
+                F.broadcast(batch_ids.withColumnRenamed("__bid__", "id_b")
+                            .withColumn("__nb__", F.lit(True))),
+                ["id_b"], "left",
+            )
+        )
+        # both in batch → the LARGER id drops (pairs carry id_a < id_b);
+        # only one in batch → the batch side drops (archive wins)
+        drop_ids = flagged.select(
+            F.when(
+                F.col("__na__").isNotNull() & F.col("__nb__").isNotNull(),
+                F.col("id_b"),
+            )
+            .when(F.col("__nb__").isNotNull(), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        ).distinct()
+        survivors = batch_df.join(
+            drop_ids, [id_col], "left_anti"
+        ).localCheckpoint()
+        if survivors.isEmpty():
+            # still advance the high-water mark so a replay of this
+            # all-duplicate batch does not redo the dedup work
+            merge_snapshot(
+                spark, corpus_dir, survivors, [id_col],
+                note=f"ingest batch={batch_id} (all duplicates)",
+                txn=(app, batch_id),
+            )
+            return
+        extend_minhash_index(
+            survivors, index_dir, id_col=id_col, text_col=text_col
+        )
+        merge_snapshot(
+            spark, corpus_dir, survivors, [id_col],
+            note=f"ingest batch={batch_id}",
+            txn=(app, batch_id),
+        )
+
+    return _start_exactly_once_sink(
+        df, corpus_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
+    )
+
+
 def start_materialized_agg(
     df: DataFrame,
     table_dir: str,

@@ -1060,3 +1060,95 @@ def test_materialized_agg_maintains_view_incrementally(spark, tmp_path):
             file_stream(spark, str(src / "*"), "grp string, v long"),
             table, ckpt, [],
         )
+
+
+def test_dedup_ingest_sink_end_to_end(spark, tmp_path):
+    """The streaming ingest-dedup loop (streaming/sinks.py::
+    start_dedup_ingest_sink): batch 1 carries one archive duplicate
+    and one in-batch duplicate pair; batch 2 duplicates a batch-1
+    SURVIVOR (so the index extend must have happened between
+    triggers).  Survivors land in the corpus table, their lanes in
+    the index, and a checkpoint-replay restart republishes nothing."""
+    from fortymhz_spark.operators.dedup import build_minhash_index
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_dedup_ingest_sink
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "completely different words about some unrelated topic here now"
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    seed = spark.createDataFrame(
+        [(1, base_text), (2, other)], "doc_id long, text string"
+    )
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    write_snapshot(seed, corpus_dir, note="seed")
+    build_minhash_index(seed, index_dir, num_hashes=32, bands=16)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1: 10 dups the archive (drop), 11/12 near-dup each other
+    # (12 drops, min-id keeps 11), 13 is novel (survives)
+    fresh = "brand new content that matches nothing else in the corpus yet"
+    b1 = spark.createDataFrame(
+        [
+            (10, base_text + " lambda"),
+            (11, fresh),
+            (12, fresh + " extra"),
+            (13, "another novel document with its own vocabulary entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # batch 2: 20 dups batch-1 SURVIVOR 11 (must drop — proves the
+    # index absorbed batch 1), 21 is novel
+    b2 = spark.createDataFrame(
+        [(20, fresh + " tail"), (21, "yet more unique words nothing shares")],
+        "doc_id long, text string",
+    )
+    # one flat dir, one json file per batch; the file source picks
+    # them up oldest-mtime-first with maxFilesPerTrigger=1
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    for i, b in enumerate((b1, b2), start=1):
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.json(staging)
+        part = _glob.glob(staging + "/part-*.json")[0]
+        _shutil.copy(part, str(src / f"{i}.json"))
+        _time.sleep(1.1)  # distinct mtimes pin trigger order
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = start_dedup_ingest_sink(
+        stream, corpus_dir, index_dir, ckpt,
+        threshold=0.5, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    corpus_ids = sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    )
+    assert corpus_ids == [1, 2, 11, 13, 21]
+    index_ids = sorted(r.id for r in read_snapshot(spark, index_dir).collect())
+    assert index_ids == [1, 2, 11, 13, 21]
+
+    n_versions = len(snapshot_versions(corpus_dir))
+    # replay: restart against the same checkpoint — marks skip both
+    # batches, nothing republishes
+    q2 = start_dedup_ingest_sink(
+        stream, corpus_dir, index_dir, ckpt,
+        threshold=0.5, available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(corpus_dir)) == n_versions
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2, 11, 13, 21]
