@@ -182,6 +182,9 @@ HEADLINE = [
     # tokenizer-artifact round-trip encode
     "q_docs_incremental_dedup",
     "q_docs_bpe_persisted",
+    # span-level decontamination: one shingle row per train token
+    # position + eval-set semi join + run merge, total per-doc output
+    "q_docs_decontaminate_spans",
 ]
 
 

@@ -39,16 +39,18 @@ full):
    r3/r4-era driver checks (q5/q13/q16-q18/q21, the pivot/rollup/
    profile/histogram/sketch family, bigram/tfidf/jaccard/simhash
    rows, asof/cogroup/salted-agg, pack/pipeline/mixture rows).
-4. FRESHNESS (1 remaining slot after the late new queries
-   q_docs_incremental_dedup — persisted-signature ingest dedup —
-   and q_docs_bpe_persisted — the tokenizer artifact round-trip):
-   q_emb_label_centroids (r5-green; operators/similarity.py, edited
-   heavily again this round).  The displaced picks
-   (q_docs_strip_boilerplate, q_emb_near_dup_pairs) rotate to
+4. FRESHNESS: the three adjacency picks originally slotted here
+   were each displaced by a late new query
+   (q_docs_incremental_dedup — persisted-signature ingest dedup;
+   q_docs_bpe_persisted — the tokenizer artifact round-trip;
+   q_docs_decontaminate_spans — span-level decontamination): new
+   evidence outranks re-grading r5 greens the sf0.001 differential
+   still covers.  The displaced picks (q_docs_strip_boilerplate,
+   q_emb_near_dup_pairs, q_emb_label_centroids) rotate to
    DEFERRED_TO_NEXT_ROUND.
 
-After this round the 41 deferred rows (39 untouched round-5 greens +
-the 2 displaced freshness picks) carry the registry's oldest checks
+After this round the 42 deferred rows (39 untouched round-5 greens +
+the 3 displaced freshness picks) carry the registry's oldest checks
 and sit in DEFERRED_TO_NEXT_ROUND so round-8 gate assembly picks them
 up FIRST; the 46 round-6 greens not re-graded above rotate to
 PREVIOUSLY_GREEN.  Everything outside the
@@ -64,8 +66,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 gate (slots 1-50): 6 new + 4 changed-code re-grades + ALL
-# 39 deferred rows + 1 changed-file-adjacency freshness pick.
+# Round-7 gate (slots 1-50): 7 new + 4 changed-code re-grades + ALL
+# 39 deferred rows.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
     "q_docs_span_dedup",
@@ -74,6 +76,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_profile_orders_approx",
     "q_docs_incremental_dedup",
     "q_docs_bpe_persisted",
+    "q_docs_decontaminate_spans",
     # —— held over: code changed this round ——
     "q_vec_kmeans",
     "q_emb_prototype_prune",
@@ -120,21 +123,21 @@ ROUND_GATE: tuple[str, ...] = (
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
-    # —— freshness re-grade (r5-green; changed-file adjacency) ——
-    "q_emb_label_centroids",
 )
 
-# The 41 rows deferring to round 8: 39 round-5 greens whose code is
-# unchanged plus the 2 r5-green freshness picks displaced by the late
+# The 42 rows deferring to round 8: 39 round-5 greens whose code is
+# unchanged plus the 3 r5-green freshness picks displaced by the late
 # new queries — all still green (driver rows r5), but they now carry
 # the OLDEST checks in the registry, so round-8 gate assembly picks
 # them up FIRST.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # displaced from the round-7 freshness picks by the late new
-    # queries q_docs_incremental_dedup and q_docs_bpe_persisted (both
-    # displaced rows r5-green, code unchanged)
+    # queries q_docs_incremental_dedup, q_docs_bpe_persisted and
+    # q_docs_decontaminate_spans (displaced rows all r5-green, code
+    # unchanged)
     "q_docs_strip_boilerplate",
     "q_emb_near_dup_pairs",
+    "q_emb_label_centroids",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -2177,6 +2177,83 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# span-level decontamination (operators/text.py::decontaminate_spans)
+# — the fourth member of the decontamination family (exact hash /
+# fuzzy n-gram fraction / bloom membership / VERBATIM SPANS at
+# arbitrary alignment).  Train = doc_id % 4 != 3, eval = the rest;
+# the fixture's natural cross-doc duplication makes the grade
+# non-vacuous (contaminated docs exist), and the oracle replicates
+# the whole pipeline: overlapping shingles, eval-membership semi
+# join, gaps-and-islands run merge, union coverage, total output.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_decontaminate_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 = 3
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 != 3
+    ),
+    bp AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM ev)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM bp
+    ),
+    spans AS (
+      SELECT doc_id FROM runs GROUP BY doc_id, grp
+    ),
+    sagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, u.t
+      FROM bp, unnest(range(pos, pos + 8)) AS u(t)
+    ),
+    covagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT tr.doc_id,
+           COALESCE(s.n_spans, 0) AS n_spans,
+           COALESCE(c.contaminated_tokens, 0) AS contaminated_tokens,
+           COALESCE(s.n_spans, 0) > 0 AS is_contaminated
+    FROM (SELECT doc_id FROM t WHERE doc_id % 4 != 3) tr
+    LEFT JOIN sagg s USING (doc_id)
+    LEFT JOIN covagg c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-doc span-level contamination audit against the eval
+    slice: maximal verbatim-overlap span count, exact union coverage
+    in tokens, and the contamination flag — total over the train side
+    (clean docs report zeros), raw value for raw value against the
+    full SQL replication."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 4 != 3)
+    ev = docs.filter(F.col("doc_id") % 4 == 3)
+    return tx.decontaminate_spans(
+        train, ev, shingle_tokens=8
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # heavy hitters via per-partition Misra-Gries, graded by the sketch's
 # CONTAINMENT GUARANTEE: the lower-bound estimates depend on partition
 # layout (never oracle-comparable), but Misra-Gries guarantees every

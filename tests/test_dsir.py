@@ -393,3 +393,34 @@ def test_rrf_fuse_matches_pure_python_and_validates(spark):
         rrf_fuse([lex], k=0)
     with pytest.raises(ValueError, match="scale"):
         rrf_fuse([lex], scale=0)
+
+
+def test_decontaminate_spans_localizes_misaligned_eval_overlap(spark):
+    """Span decontamination must localize a verbatim eval span at
+    arbitrary alignment, report exact union coverage, and stay total
+    (clean and NULL docs report zeros)."""
+    from fortymhz_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"),
+            (2, "clean document nothing shared with any eval item at all"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 suffix")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.contaminated_tokens, r.is_contaminated)
+        for r in tx.decontaminate_spans(train, ev, shingle_tokens=8).collect()
+    }
+    # the 10-token eval span sits at train offset 2, eval offset 1 —
+    # no aligned-block form could pair those
+    assert out == {1: (1, 10, True), 2: (0, 0, False), 3: (0, 0, False)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_tokens"):
+        tx.decontaminate_spans(train, ev, shingle_tokens=0)

@@ -118,6 +118,9 @@ SENSITIVE = [
     # table collect and the loaded-artifact encode must be identical
     # under hostile partitioning
     "q_docs_bpe_persisted",
+    # span decontamination: eval shingle-set semi join + run merge +
+    # union coverage, total output — partitioning must not move a row
+    "q_docs_decontaminate_spans",
 ]
 
 _QUERIES = all_queries()

@@ -2,12 +2,12 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 7 runs the steady-state policy: the 6
-new queries and 4 changed-code rows enter the gate immediately, ALL
-39 rows deferred from round 6 re-grade (the r6 verdict's item #1),
-and the remaining slot takes a round-5 green with changed-file
-adjacency; the 39 untouched round-5 greens plus the 2 displaced
-freshness picks defer to round 8 (queries/__init__.py's docstring).
+queries/__init__.py).  Round 7 runs the steady-state policy: the 7
+new queries and 4 changed-code rows enter the gate immediately and
+ALL 39 rows deferred from round 6 re-grade (the r6 verdict's item
+#1) — late new queries displaced every freshness pick; the 39
+untouched round-5 greens plus the 3 displaced picks defer to round 8
+(queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.
