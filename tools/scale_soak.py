@@ -406,6 +406,33 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             .count(),
         ),
         (
+            # alignment-free duplicated-span detection: ONE row per
+            # token position (the documented ~8× row fan-out vs the
+            # aligned block form — a LINEAR price), map-side-combined
+            # shingle frequencies, run-merge window over banned
+            # positions only.  The tiled namespaces preserve
+            # per-namespace duplication, so the ratio should track
+            # token volume.
+            "span_dedup",
+            lambda: text_ops.duplicated_spans(
+                docs, shingle_tokens=8
+            ).count(),
+        ),
+        (
+            # span decontamination: train side = one row per token
+            # position, eval side reduced to distinct shingle hashes
+            # (3/4 vs 1/4 split of the same corpus at both scales)
+            "decontaminate_spans",
+            lambda: text_ops.decontaminate_spans(
+                docs.filter(F.col("doc_id") % 4 != 3),
+                docs.filter(F.col("doc_id") % 4 == 3),
+                shingle_tokens=8,
+            )
+            .agg(F.sum("contaminated_tokens"))
+            .collect()
+            .__len__(),
+        ),
+        (
             # snapshot-lifecycle IVM, refresh arm: apply a FIXED-size
             # CDC delta (2k rows from a real v1→v2 merge_snapshot) to
             # a materialized 64-group aggregate while the BASE table
