@@ -405,12 +405,16 @@ def build_minhash_index(
     )
 
 
-def _minhash_index_params(table_dir: str) -> dict:
+def _minhash_index_params(table_dir: str, version: int | None = None) -> dict:
     from fortymhz_spark.sources.snapshots import resolve_artifact
 
-    # the type tag lives on the build version; extends (MERGE) publish
-    # their own notes — resolve_artifact searches the lineage for it
-    return resolve_artifact(table_dir, _MINHASH_NOTE)[1]
+    # The type tag lives on the build version; extends (MERGE) publish
+    # their own notes — resolve_artifact searches the lineage for it.
+    # ``version`` MUST match the version whose signature rows will be
+    # read: after a rebuild with different num_hashes/shingle_n, the
+    # latest params would band a pinned older version with the wrong
+    # lane geometry (missing h* columns, or silently different recall).
+    return resolve_artifact(table_dir, _MINHASH_NOTE, version=version)[1]
 
 
 def extend_minhash_index(new_docs: DataFrame, table_dir: str, *,
@@ -460,7 +464,8 @@ def incremental_near_dups(
     involving the batch (graded: q_docs_incremental_dedup)."""
     from fortymhz_spark.sources.snapshots import read_snapshot
 
-    p = _minhash_index_params(table_dir)
+    # params resolve at the SAME version as the signature rows below
+    p = _minhash_index_params(table_dir, version=version)
     spark = new_docs.sparkSession
     sig_old = read_snapshot(spark, table_dir, version=version)
     sig_new = _lane_mins(

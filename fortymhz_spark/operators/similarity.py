@@ -454,6 +454,11 @@ def ivf_knn(
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     if index is not None:
+        if index.kind != "ivfpq":
+            raise ValueError(
+                f"ivf_knn serves the coarse half of an 'ivfpq' index, "
+                f"got kind={index.kind!r}"
+            )
         _check_index_dim(corpus, vec_col, index.dim)
         cents, n_cells = index.coarse, index.n_coarse
     else:
@@ -676,6 +681,11 @@ def pq_knn(
     ignored when given.
     """
     if index is not None:
+        if index.kind != "ivfpq":
+            raise ValueError(
+                f"pq_knn serves the codebook half of an 'ivfpq' index, "
+                f"got kind={index.kind!r}"
+            )
         _check_index_dim(corpus, vec_col, index.dim)
         d_sub, books = index.d_sub, index.books
         n_sub, n_cells = index.n_sub, index.n_cells

@@ -757,6 +757,81 @@ def _spans_from_banned_positions(
     )
 
 
+def _contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str,
+    w: int,
+) -> DataFrame:
+    """Shared front half of :func:`decontaminate_spans` and
+    :func:`strip_contaminated_spans`: every train-doc token position
+    whose ``w``-token shingle appears verbatim in ANY eval document,
+    as ``(__id__, __pos__)``.  The eval side reduces to its DISTINCT
+    shingle hashes (the semi-join's small build side); the train side
+    emits one ``(id, pos, md5)`` row per token position — the honest
+    linear price of alignment-free matching."""
+
+    def shingled(df: DataFrame, col: str, with_pos: bool) -> DataFrame:
+        tok = tokens(F.lower(F.coalesce(_colified(col), F.lit(""))))
+
+        def shingles_of(tk: Column) -> Column:
+            nsh = F.greatest(F.size(tk) - w + 1, F.lit(0))
+            return F.slice(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nsh, F.lit(1))),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
+                ),
+                1,
+                nsh,
+            )
+
+        arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
+        if with_pos:
+            return df.select(
+                F.col(id_col).alias("__id__"),
+                F.posexplode(arr).alias("__pos__", "__h__"),
+            )
+        return df.select(F.explode(arr).alias("__h__")).distinct()
+
+    return shingled(train, text_col, True).join(
+        shingled(eval_docs, eval_text_col, False), "__h__", "left_semi"
+    ).select("__id__", "__pos__")
+
+
+def _union_coverage(sp: Column) -> Column:
+    """Exact union token coverage of a per-doc span-struct list in
+    O(spans): sort the (tiny) list by ``span_start`` and fold a
+    ``(covered, merged_end)`` accumulator — a span adds
+    ``max(0, end − max(start, merged_end))`` new tokens, which handles
+    overlapping, adjacent, contained and disjoint spans alike.
+    Replaces the per-token ``sequence``/``array_distinct`` union whose
+    intermediate was bounded by DOC LENGTH (one array element per
+    contaminated token — pathological for a fully contaminated long
+    doc); this form is bounded by the span count, which the run merge
+    already made small.  Starts are ≥ 0, so ``merged_end = 0`` is a
+    safe init."""
+    return F.aggregate(
+        F.array_sort(sp),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(0).cast("long").alias("end"),
+        ),
+        lambda acc, s: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(s["span_start"] + s["span_len"], acc["end"])
+                - F.greatest(s["span_start"], acc["end"])
+            ).alias("cov"),
+            F.greatest(s["span_start"] + s["span_len"], acc["end"]).alias(
+                "end"
+            ),
+        ),
+        lambda acc: acc["cov"],
+    )
+
+
 def decontaminate_spans(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -794,52 +869,15 @@ def decontaminate_spans(
             f"shingle_tokens must be >= 1, got {shingle_tokens}"
         )
     w = shingle_tokens
-    etc = eval_text_col or text_col
-
-    def shingled(df: DataFrame, col: str, with_pos: bool) -> DataFrame:
-        tok = tokens(F.lower(F.coalesce(_colified(col), F.lit(""))))
-
-        def shingles_of(tk: Column) -> Column:
-            nsh = F.greatest(F.size(tk) - w + 1, F.lit(0))
-            return F.slice(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(nsh, F.lit(1))),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
-                ),
-                1,
-                nsh,
-            )
-
-        arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
-        if with_pos:
-            return df.select(
-                F.col(id_col).alias("__id__"),
-                F.posexplode(arr).alias("__pos__", "__h__"),
-            )
-        return df.select(F.explode(arr).alias("__h__")).distinct()
-
-    hits = shingled(train, text_col, True).join(
-        shingled(eval_docs, etc, False), "__h__", "left_semi"
-    ).select("__id__", "__pos__")
+    hits = _contamination_hits(
+        train, eval_docs, id_col, text_col, eval_text_col or text_col, w
+    )
     spans = _spans_from_banned_positions(hits, w, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("__span_tokens__"),
         F.collect_list(F.struct("span_start", "span_len")).alias("__sp__"),
     )
-    coverage = F.size(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    F.col("__sp__"),
-                    lambda s: F.sequence(
-                        s["span_start"],
-                        s["span_start"] + s["span_len"] - 1,
-                    ),
-                )
-            )
-        )
-    ).cast("long")
+    coverage = _union_coverage(F.col("__sp__"))
     return (
         train.select(id_col)
         .join(per_doc, [id_col], "left")
@@ -884,6 +922,67 @@ def strip_duplicated_spans(
         shingle_tokens=shingle_tokens,
         max_df=max_df,
     )
+    return _strip_spans(docs, spans, id_col, text_col, out_col, removed_col)
+
+
+def strip_contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    shingle_tokens: int = 8,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed_tokens",
+) -> DataFrame:
+    """The REWRITE half of span-level decontamination, completing the
+    flag→rewrite symmetry the cross-doc family already has
+    (``duplicated_spans``/``strip_duplicated_spans``,
+    ``crossdoc_blocks``/``strip_crossdoc_blocks``):
+    :func:`decontaminate_spans` localizes and measures eval overlap;
+    this removes every token covered by an eval-overlap span from each
+    train document and rebuilds the text from the survivors
+    (lowercased, the repo-wide token convention).  The targeted form
+    of decontamination a 100 TB pipeline wants when a doc is mostly
+    clean — drop the leaked benchmark sentence, keep the document.
+
+    Output: the train columns + ``out_col`` + ``removed_col`` (the
+    exact UNION coverage in tokens — overlapping spans never
+    double-remove).  Total over train: clean docs pass through with
+    zero removed.
+
+    Scale shape: inherits :func:`decontaminate_spans` (distinct eval
+    hashes broadcast to a semi join; one ``(id, pos, md5)`` row per
+    train token position; the run merge windows only HIT positions)
+    plus one doc-keyed join of tiny per-doc span lists back to the
+    original text and a map-side token filter."""
+    if shingle_tokens < 1:
+        raise ValueError(
+            f"shingle_tokens must be >= 1, got {shingle_tokens}"
+        )
+    w = shingle_tokens
+    hits = _contamination_hits(
+        train, eval_docs, id_col, text_col, eval_text_col or text_col, w
+    )
+    spans = _spans_from_banned_positions(hits, w, id_col)
+    return _strip_spans(train, spans, id_col, text_col, out_col, removed_col)
+
+
+def _strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+    removed_col: str,
+) -> DataFrame:
+    """Shared rebuild tail of :func:`strip_duplicated_spans` and
+    :func:`strip_contaminated_spans`: drop every token covered by a
+    ``(id_col, span_start, span_len)`` span and rebuild the text from
+    the survivors.  Coverage is the union over spans — overlapping
+    runs never double-remove — so ``removed_col`` is the exact covered
+    token count per document."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("__spans__")
     ).withColumnRenamed(id_col, "__sid__")

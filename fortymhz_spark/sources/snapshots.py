@@ -492,6 +492,27 @@ def merge_snapshot(
     )
 
 
+def mark_stream_txn(table_dir: str, txn: tuple[str, int]) -> None:
+    """Record a streaming writer's ``(app_id, batch_id)`` high-water
+    mark in the manifest WITHOUT publishing a data version — the no-op
+    commit for a micro-batch that produced nothing to write (e.g. an
+    all-duplicates batch in the ingest-dedup sink).  Without it the
+    mark never lands, a checkpoint replay re-delivers the same batch,
+    and the stream re-runs identical work forever — a poison-pill
+    batch that permanently wedges the loop.
+
+    Goes through the same CAS publisher as :func:`write_snapshot`'s
+    ``txn=`` path, so concurrent data publishes and no-op marks
+    serialize correctly.  Monotonic: an older batch id never regresses
+    an existing mark (publishers may retry the mutator)."""
+    def _mutate(fresh: dict[str, Any]) -> dict[str, Any]:
+        marks = fresh.setdefault("stream_txn", {})
+        marks[str(txn[0])] = max(int(marks.get(str(txn[0]), -1)), int(txn[1]))
+        return fresh
+
+    manifest_publisher(table_dir, _mutate)
+
+
 def snapshot_diff(
     spark: SparkSession,
     table_dir: str,

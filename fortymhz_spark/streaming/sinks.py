@@ -442,6 +442,7 @@ def start_dedup_ingest_sink(
         incremental_near_dups,
     )
     from fortymhz_spark.sources.snapshots import (
+        mark_stream_txn,
         merge_snapshot,
         read_snapshot,
     )
@@ -482,13 +483,13 @@ def start_dedup_ingest_sink(
             drop_ids, [id_col], "left_anti"
         ).localCheckpoint()
         if survivors.isEmpty():
-            # still advance the high-water mark so a replay of this
-            # all-duplicate batch does not redo the dedup work
-            merge_snapshot(
-                spark, corpus_dir, survivors, [id_col],
-                note=f"ingest batch={batch_id} (all duplicates)",
-                txn=(app, batch_id),
-            )
+            # All-duplicates batch: nothing to merge or index, but the
+            # (app, batch_id) mark MUST still land or a checkpoint
+            # replay re-delivers the batch and re-runs the dedup
+            # forever (a poison pill).  merge_snapshot rejects empty
+            # update frames by design, so the mark commits on its own
+            # through the manifest CAS — no data version for a no-op.
+            mark_stream_txn(corpus_dir, (app, batch_id))
             return
         extend_minhash_index(
             survivors, index_dir, id_col=id_col, text_col=text_col

@@ -605,11 +605,19 @@ def test_ann_index_time_travel_and_validation(spark, truth, tmp_path):
     )
     with _pytest.raises(ValueError, match=r"not a.*ann_index.*artifact"):
         load_ann_index(spark, other)
-    # serving kind is validated
+    # serving kind is validated on ALL THREE access paths — a future
+    # non-ivfpq artifact (or a corrupted kind field) must never be
+    # consumed silently with wrong geometry
+    from fortymhz_spark.operators.similarity import ivf_knn, pq_knn
+
     idx = load_ann_index(spark, td)
     object.__setattr__(idx, "kind", "pq")
     with _pytest.raises(ValueError, match="'ivfpq' index"):
         ivfpq_knn(emb, emb.limit(1), index=idx)
+    with _pytest.raises(ValueError, match="kind='pq'"):
+        ivf_knn(emb, emb.limit(1), index=idx)
+    with _pytest.raises(ValueError, match="kind='pq'"):
+        pq_knn(emb, emb.limit(1), index=idx)
 
 
 def test_one_persisted_index_serves_ivf_pq_and_ivfpq(spark, truth, tmp_path):

@@ -424,3 +424,89 @@ def test_decontaminate_spans_localizes_misaligned_eval_overlap(spark):
 
     with _pytest.raises(ValueError, match="shingle_tokens"):
         tx.decontaminate_spans(train, ev, shingle_tokens=0)
+
+
+def test_decontaminate_spans_union_coverage_over_overlapping_runs(spark):
+    """The O(spans) coverage fold must union correctly when SEPARATE
+    maximal runs overlap in token coverage: hit positions {0, 2} (but
+    not 1) produce two spans covering tokens 0-7 and 2-9 — union 10,
+    never 16.  Construction: eval docs are exactly the train's token
+    windows 0-7 and 2-9; window 1-8 appears nowhere in eval."""
+    from fortymhz_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 tail1 tail2")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "t0 t1 t2 t3 t4 t5 t6 t7"),
+         (101, "t2 t3 t4 t5 t6 t7 t8 t9")],
+        "doc_id long, text string",
+    )
+    row = tx.decontaminate_spans(train, ev, shingle_tokens=8).first()
+    assert (row.n_spans, row.contaminated_tokens, row.is_contaminated) == (
+        2, 10, True,
+    )
+    # disjoint-spans sanity on the same fold: two eval windows far
+    # apart cover exactly 8 + 8 tokens
+    train2 = spark.createDataFrame(
+        [(1, "a0 a1 a2 a3 a4 a5 a6 a7 gap1 gap2 gap3 "
+             "b0 b1 b2 b3 b4 b5 b6 b7 tail")],
+        "doc_id long, text string",
+    )
+    ev2 = spark.createDataFrame(
+        [(100, "a0 a1 a2 a3 a4 a5 a6 a7"),
+         (101, "b0 b1 b2 b3 b4 b5 b6 b7")],
+        "doc_id long, text string",
+    )
+    row2 = tx.decontaminate_spans(train2, ev2, shingle_tokens=8).first()
+    assert (row2.n_spans, row2.contaminated_tokens) == (2, 16)
+
+
+def test_strip_contaminated_spans_rewrites_and_stays_total(spark):
+    """strip_contaminated_spans removes exactly the union-covered
+    tokens (overlapping runs never double-remove), rebuilds the text,
+    passes clean/NULL docs through with zero removed, and is
+    partition-invariant."""
+    from fortymhz_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"),
+            (2, "clean document nothing shared with any eval item at all"),
+            (3, None),
+            # overlapping-runs doc: eval windows 0-7 and 2-9 of its text
+            (4, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 tail1 tail2"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 suffix"),
+         (101, "t0 t1 t2 t3 t4 t5 t6 t7"),
+         (102, "t2 t3 t4 t5 t6 t7 t8 t9")],
+        "doc_id long, text string",
+    )
+    out = tx.strip_contaminated_spans(train, ev, shingle_tokens=8)
+    got = {
+        r.doc_id: (r.n_removed_tokens, r.clean_text)
+        for r in out.select(
+            "doc_id", "n_removed_tokens", "clean_text"
+        ).collect()
+    }
+    assert got == {
+        1: (10, "t1 t2 t3 t4"),
+        2: (0, "clean document nothing shared with any eval item at all"),
+        3: (0, ""),
+        4: (10, "tail1 tail2"),
+    }
+    rep = {
+        r.doc_id: (r.n_removed_tokens, r.clean_text)
+        for r in tx.strip_contaminated_spans(
+            train.repartition(7), ev.repartition(3), shingle_tokens=8
+        ).select("doc_id", "n_removed_tokens", "clean_text").collect()
+    }
+    assert rep == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_tokens"):
+        tx.strip_contaminated_spans(train, ev, shingle_tokens=0)

@@ -2123,6 +2123,45 @@ def test_incremental_near_dups_matches_from_scratch(spark, tmp_path):
     assert (40, 60) in got2  # matches a doc that arrived in batch 1
 
 
+def test_incremental_near_dups_pinned_version_uses_pinned_params(
+    spark, tmp_path
+):
+    """incremental_near_dups(version=N) must resolve the hash-family
+    params AT version N, not at the latest lineage: after a rebuild
+    with a different num_hashes, latest-params banding of pinned rows
+    would reference h* columns the old signatures don't carry (or
+    silently band with different recall)."""
+    from fortymhz_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(1, base), (2, base + " iota")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(20, base + " kappa")], "doc_id long, text string"
+    )
+    td = str(tmp_path / "idx")
+    assert dd.build_minhash_index(old, td, num_hashes=16, bands=8) == 1
+    # rebuild with WIDER signatures: latest params now want h16..h31,
+    # which v=1's rows do not carry
+    assert dd.build_minhash_index(old, td, num_hashes=32, bands=16) == 2
+    pinned = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.incremental_near_dups(
+            new, old, td, threshold=0.5, version=1
+        ).collect()
+    )
+    fresh_td = str(tmp_path / "fresh16")
+    dd.build_minhash_index(old, fresh_td, num_hashes=16, bands=8)
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.incremental_near_dups(
+            new, old, fresh_td, threshold=0.5
+        ).collect()
+    )
+    assert pinned == want and pinned  # non-vacuous
+
+
 def test_minhash_index_rejects_foreign_artifacts_and_bad_params(
     spark, tmp_path
 ):

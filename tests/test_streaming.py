@@ -1152,3 +1152,88 @@ def test_dedup_ingest_sink_end_to_end(spark, tmp_path):
     assert sorted(
         r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
     ) == [1, 2, 11, 13, 21]
+
+
+def test_dedup_ingest_sink_all_duplicate_batch_is_not_a_poison_pill(
+    spark, tmp_path
+):
+    """An ALL-duplicates micro-batch has no survivors to merge, but its
+    (app, batch_id) mark must still land (mark_stream_txn — a data-less
+    manifest commit) or checkpoint replay re-delivers it forever.  The
+    stream must survive the batch, ingest the NEXT batch normally, and
+    a restart must republish nothing."""
+    from fortymhz_spark.operators.dedup import build_minhash_index
+    from fortymhz_spark.sources.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_dedup_ingest_sink
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    seed = spark.createDataFrame(
+        [(1, base_text)], "doc_id long, text string"
+    )
+    write_snapshot(seed, corpus_dir, note="seed")
+    build_minhash_index(seed, index_dir, num_hashes=32, bands=16)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1: BOTH docs near-dup the archive — zero survivors (the
+    # poison-pill shape: pre-fix, merge_snapshot raised on the empty
+    # survivors frame and the mark never landed)
+    b1 = spark.createDataFrame(
+        [(10, base_text + " lambda"), (11, base_text + " mu")],
+        "doc_id long, text string",
+    )
+    # batch 2: novel — the stream must get here
+    b2 = spark.createDataFrame(
+        [(20, "entirely novel vocabulary nothing in the corpus shares")],
+        "doc_id long, text string",
+    )
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    for i, b in enumerate((b1, b2), start=1):
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.json(staging)
+        part = _glob.glob(staging + "/part-*.json")[0]
+        _shutil.copy(part, str(src / f"{i}.json"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = start_dedup_ingest_sink(
+        stream, corpus_dir, index_dir, ckpt,
+        threshold=0.5, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 20]
+    # the all-dup batch published NO data version, only its mark:
+    # versions = seed + batch-2 merge; the high-water mark covers
+    # BOTH batch ids
+    assert len(snapshot_versions(corpus_dir)) == 2
+    marks = _load_manifest(corpus_dir).get("stream_txn", {})
+    assert list(marks.values()) == [1]
+
+    n_versions = len(snapshot_versions(corpus_dir))
+    q2 = start_dedup_ingest_sink(
+        stream, corpus_dir, index_dir, ckpt,
+        threshold=0.5, available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(corpus_dir)) == n_versions
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 20]
