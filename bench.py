@@ -185,6 +185,13 @@ HEADLINE = [
     # span-level decontamination: one shingle row per train token
     # position + eval-set semi join + run merge, total per-doc output
     "q_docs_decontaminate_spans",
+    # round-8 additions: IVFPQ served from the persisted ENCODED
+    # corpus (cold rep pays build_ann_index + build_ann_codes via the
+    # per-process caches; medians grade codes-scan serving + the
+    # in-plan-identity branch), and the span-decontamination STRIP
+    # (the flag row's shape plus the per-doc text rebuild)
+    "q_emb_ann_ivfpq_codes",
+    "q_docs_strip_contaminated_spans",
 ]
 
 

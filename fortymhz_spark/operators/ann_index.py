@@ -16,11 +16,18 @@ Index state is deliberately TINY relative to the corpus it serves —
 ``n_coarse × dim + n_sub × n_cells × d_sub`` floats (the same
 driver-side footprint the in-process fit already collects), so the
 snapshot write/read costs milliseconds and the serving path loads it
-with one bounded collect.  The CODES are not persisted: they are a
-map-only projection of the corpus through codebook literals, fused
-into the corpus scan by the serving query (persisting them would be a
-materialized-view decision orthogonal to the index artifact — at
-100 TB you'd write them as a column via the snapshot table's MERGE).
+with one bounded collect.
+
+The ENCODED CORPUS is persisted separately (:func:`build_ann_codes`):
+one ``(id, cell, code_0..code_{n_sub-1})`` row per corpus vector, as
+its own versioned snapshot table keyed to (index version, corpus
+version).  Serving from it (``ivfpq_knn(index=..., codes=...)``) is
+what IVFPQ buys at rest at 100 TB — the candidate scan reads the
+16×-compressed code table and never re-assigns or re-encodes the
+corpus per query; raw vectors come back only for the exact-re-rank
+shortlist.  :func:`load_ann_codes` fails loudly on a stale pairing
+(codes built against a different index version, or a corpus version
+other than the one being served).
 
 One artifact, three access paths: the composed ivfpq index serves
 ``ivf_knn(index=...)`` (coarse half), ``pq_knn(index=...)``
@@ -186,3 +193,109 @@ def load_ann_index(
         d_sub=int(params["d_sub"]),
         version=version,
     )
+
+
+def build_ann_codes(
+    corpus: DataFrame,
+    table_dir: str,
+    index: AnnIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_version: int | None = None,
+    assign: str = "arrow",
+) -> int:
+    """Encode the corpus through a persisted index and publish the
+    per-vector ``(id, cell, code_0..code_{n_sub-1})`` table as the
+    next version of the snapshot table at ``table_dir``; returns the
+    version.  This is the ADD half of the FAISS train/add/search
+    lifecycle: run once per (index version, corpus version), then
+    every serving query scans THESE ~``n_sub``-byte rows instead of
+    re-assigning and re-encoding the full corpus in-plan — at 100 TB
+    the difference between a compressed-at-rest cell-pruned scan and
+    a per-query O(corpus · n_coarse · dim) encode pass.
+
+    The encode is EXACTLY :func:`ivfpq_knn`'s in-plan expressions
+    (:func:`~fortymhz_spark.operators.similarity._ivfpq_codes` — same
+    deterministic tie-breaks), so serving from the artifact is
+    byte-identical to the in-plan encode of the same corpus.
+
+    ``corpus_version`` pins which corpus snapshot these codes
+    describe; :func:`load_ann_codes` refuses to serve a mismatched
+    pin — the staleness failure mode (corpus moved, codes didn't) is
+    silent wrong-recall otherwise.  The index pairing (version + full
+    geometry) is recorded and validated the same way.  Map-only: no
+    shuffle; one slim parquet write + atomic manifest commit."""
+    from fortymhz_spark.operators.similarity import _ivfpq_codes
+
+    if index.kind != "ivfpq":
+        raise ValueError(
+            f"build_ann_codes needs an 'ivfpq' index, got {index.kind!r}"
+        )
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    codes = _ivfpq_codes(
+        corpus, id_col, vec_col, index.coarse, index.books,
+        index.n_sub, index.n_cells, index.d_sub, assign,
+    ).withColumnRenamed("neighbor_id", "id")
+    params = {
+        "kind": "ivfpq_codes",
+        "index_version": index.version,
+        "n_coarse": index.n_coarse,
+        "n_sub": index.n_sub,
+        "n_cells": index.n_cells,
+        "d_sub": index.d_sub,
+        "dim": index.dim,
+        "corpus_version": corpus_version,
+    }
+    return write_snapshot(
+        codes,
+        table_dir,
+        note="ann_codes " + json.dumps(params, sort_keys=True),
+    )
+
+
+def load_ann_codes(
+    spark: SparkSession,
+    table_dir: str,
+    index: AnnIndex,
+    *,
+    version: int | None = None,
+    corpus_version: int | None = None,
+) -> DataFrame:
+    """Load a persisted encoded-corpus table for serving with
+    ``ivfpq_knn(index=..., codes=...)`` — current version, or a pinned
+    ``version=`` for time travel.  Validates the (index, codes)
+    pairing BEFORE any data is touched: the codes must have been
+    built against exactly this index version and geometry, and — when
+    the caller pins ``corpus_version=`` — against exactly that corpus
+    snapshot.  A stale pairing is the silent-wrong-recall failure
+    mode (old codes rank candidates under a new index's codebooks, or
+    describe vectors the corpus no longer holds), so every mismatch
+    fails loudly here.  Returns the codes DataFrame (lazy — nothing
+    scans until the serving query runs)."""
+    v, params = resolve_artifact(table_dir, "ann_codes ", version=version)
+    if int(params["index_version"]) != int(index.version) or any(
+        int(params[k]) != int(getattr(index, k))
+        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+    ):
+        raise ValueError(
+            f"ann_codes v={v} at {table_dir} was built against index "
+            f"v={params['index_version']} "
+            f"(n_coarse={params['n_coarse']}, n_sub={params['n_sub']}, "
+            f"n_cells={params['n_cells']}) but the serving index is "
+            f"v={index.version} (n_coarse={index.n_coarse}, "
+            f"n_sub={index.n_sub}, n_cells={index.n_cells}) — rebuild "
+            "the codes or load the matching index version"
+        )
+    if corpus_version is not None and (
+        params.get("corpus_version") is None
+        or int(params["corpus_version"]) != int(corpus_version)
+    ):
+        raise ValueError(
+            f"ann_codes v={v} at {table_dir} encodes corpus version "
+            f"{params.get('corpus_version')} but the serving corpus is "
+            f"version {corpus_version} — the corpus moved since the "
+            "encode; re-run build_ann_codes against the new version"
+        )
+    return read_snapshot(spark, table_dir, version=v)

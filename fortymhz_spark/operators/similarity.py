@@ -795,6 +795,61 @@ def _adc_sum(n_sub: int):
     return adc
 
 
+def _ivfpq_codes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: list,
+    books: list,
+    n_sub: int,
+    n_cells: int,
+    d_sub: int,
+    assign: str,
+) -> DataFrame:
+    """The IVFPQ corpus ENCODE — ``(neighbor_id, cell,
+    code_0..code_{n_sub-1})`` — shared verbatim by
+    :func:`ivfpq_knn`'s in-plan path and
+    ``operators/ann_index.py::build_ann_codes``'s persisted path, so
+    codes served from the artifact are byte-identical to codes
+    computed in-plan (the encode is deterministic: ties break to the
+    lowest PQ cell, coarse ties to the higher coarse cell — both
+    pinned by the standalone twins).  Map-only: one coarse assignment
+    + ``n_sub`` argmin expressions per row, no shuffle."""
+    if assign == "arrow":
+        # bound-normalized-vector discipline (see pq_knn): the norm
+        # fold appears once per side, the n_sub columns read the alias
+        vna = F.col("_vn")
+        return _assign_cells_arrow(
+            corpus, id_col, vec_col, coarse, 1, keep_vec=True
+        ).select(
+            F.col("id").alias("neighbor_id"),
+            "cell",
+            _normalized("v").alias("_vn"),
+        ).select(
+            "neighbor_id",
+            "cell",
+            *[
+                _pq_code_col(vna, books, s, d_sub, n_cells).alias(
+                    f"code_{s}"
+                )
+                for s in range(n_sub)
+            ],
+        )
+    vn = F.col("_vn")
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
+        _normalized(vec_col).alias("_vn"),
+    ).select(
+        "neighbor_id",
+        "cell",
+        *[
+            _pq_code_col(vn, books, s, d_sub, n_cells).alias(f"code_{s}")
+            for s in range(n_sub)
+        ],
+    )
+
+
 def _adc_shortlist(cand: DataFrame, width: int) -> DataFrame:
     """Keep the ``width`` best (lowest-ADC) candidates per query; ties
     break to the lowest neighbor id (the family convention)."""
@@ -862,6 +917,7 @@ def ivfpq_knn(
     dim: int | None = None,
     assign: str = "arrow",
     index=None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the architecture large-scale ANN actually
     deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
@@ -918,12 +974,29 @@ def ivfpq_knn(
     against the SERVING corpus; the index-sizing arguments
     (``n_coarse``/``n_sub``/``n_cells``/``train_*``/``dim``) are
     ignored when ``index`` is given.
+
+    ``codes=`` (the pre-encoded corpus table from
+    ``build_ann_codes``/``load_ann_codes`` — requires ``index=``)
+    completes the serve-at-rest lifecycle: the candidate scan reads
+    the PERSISTED ``(id, cell, code_*)`` table instead of re-assigning
+    and re-encoding every corpus vector in-plan, which is exactly what
+    IVFPQ buys at rest — the 16×-compressed code table and cell-pruned
+    scans; the raw corpus is touched only by the shortlist's re-rank
+    fetch.  ``load_ann_codes`` guards staleness (index version and
+    corpus version must match); results are byte-identical to the
+    in-plan encode of the same corpus because ``build_ann_codes`` runs
+    the identical deterministic encode expressions.
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     if index is not None and index.kind != "ivfpq":
         raise ValueError(
             f"ivfpq_knn needs an 'ivfpq' index, got {index.kind!r}"
+        )
+    if codes is not None and index is None:
+        raise ValueError(
+            "codes= carries no index geometry — pass the index it was "
+            "encoded with (load_ann_codes validates the pairing)"
         )
     n_rows = (
         corpus.count()
@@ -947,30 +1020,30 @@ def ivfpq_knn(
     rerank = _auto_rerank(corpus, rerank, n=n_rows)
     if nprobe is None:
         nprobe = _auto_nprobe(n_coarse, k, rerank, n_rows)
-    if assign == "arrow":
-        # bound-normalized-vector discipline (see pq_knn): the norm
-        # fold appears once per side, the n_sub columns read the alias
-        vna = F.col("_vn")
-        codes = _assign_cells_arrow(
-            corpus, id_col, vec_col, coarse, 1, keep_vec=True
-        ).select(
+    if codes is not None:
+        want = ["id", "cell"] + [f"code_{s}" for s in range(n_sub)]
+        missing = [c for c in want if c not in codes.columns]
+        if missing:
+            raise ValueError(
+                f"codes frame is missing columns {missing} — not a "
+                f"codes table for this index (n_sub={n_sub})"
+            )
+        code_tbl = codes.select(
             F.col("id").alias("neighbor_id"),
             "cell",
-            _normalized("v").alias("_vn"),
-        ).select(
-            "neighbor_id",
-            "cell",
-            *[
-                _pq_code_col(vna, books, s, d_sub, n_cells).alias(
-                    f"code_{s}"
-                )
-                for s in range(n_sub)
-            ],
+            *[f"code_{s}" for s in range(n_sub)],
         )
+    else:
+        code_tbl = _ivfpq_codes(
+            corpus, id_col, vec_col, coarse, books, n_sub, n_cells,
+            d_sub, assign,
+        )
+    if assign == "arrow":
         # Distance tables are O(n_sub·n_cells·d_sub) per row — compute
         # them on the one-row-per-query frame (explode=False), THEN
         # explode the probe cells, so the Generate replicates computed
         # values instead of re-evaluating the dtabs nprobe times.
+        vna = F.col("_vn")
         qtabs = (
             _assign_cells_arrow(
                 queries, id_col, vec_col, coarse, nprobe,
@@ -998,23 +1071,9 @@ def ivfpq_knn(
             )
         )
     else:
-        vn = F.col("_vn")
-        codes = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
-            _normalized(vec_col).alias("_vn"),
-        ).select(
-            "neighbor_id",
-            "cell",
-            *[
-                _pq_code_col(vn, books, s, d_sub, n_cells).alias(
-                    f"code_{s}"
-                )
-                for s in range(n_sub)
-            ],
-        )
         # Same explode-last discipline as the arrow route: dtabs are
         # evaluated once per query row, the Generate only replicates.
+        vn = F.col("_vn")
         qtabs = (
             queries.select(
                 F.col(id_col).alias("query_id"),
@@ -1038,7 +1097,7 @@ def ivfpq_knn(
             )
         )
     cand = (
-        codes.join(qtabs, ["cell"])
+        code_tbl.join(qtabs, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _adc_sum(n_sub).alias("adc"))
     )

@@ -11,51 +11,43 @@ exposes to the driver harness.
 Registration order is EVIDENCE POLICY: the driver's correctness gate
 grades exactly the first 50 registered queries per round.  Round 2
 graded the north-star surfaces (45 green), round 3 the never-graded
-long tail (50/50), round 4 completed the rotation (50/50 — after it,
-every registered query held a driver-green row produced by
-then-current code; see CORRECTNESS_r0{2,3,4}.json).
+long tail (50/50), round 4 completed the rotation (50/50), rounds 5-7
+ran the steady-state policy (new + changed-code + the full deferred
+bucket each round; 50/50 every time — see CORRECTNESS_r0{5,6,7}.json).
 
-Round 7 rotation (steady-state policy; the r6 verdict's item #1 —
-"rotate the gate onto the 39 DEFERRED rows first" — is satisfied in
-full):
+Round 8 rotation (the r7 verdict's item #1 — "rotate the gate onto the
+42 DEFERRED rows first" — is satisfied in full):
 
-1. NEW QUERIES enter immediately: q_docs_incremental_dedup
-   (near-dup pairs for an arriving batch served against a PERSISTED
-   MinHash signature index — the ingest lifecycle), q_docs_span_dedup (alignment-free
-   duplicated-span dedup on a planted-misaligned-duplicate corpus,
-   full DuckDB replication oracle), q_emb_ann_ivfpq_persisted (IVFPQ
-   served from a persisted snapshot-table index, graded
-   byte-identical to the refit twin in-plan), q_docs_c4_rules_derived
-   (the C4 line rules on a derived corpus where every rule fires —
-   the r6 vacuity fix), and q_profile_orders_approx (Expand-free
-   HLL++ table profiling, NDV error-band grade).
-2. CHANGED CODE RE-GRADES: q_vec_kmeans and q_emb_prototype_prune
-   (kmeans_assign/prototype_prune defaults became "auto" — sampled
-   fit + arrow assignment at deployment sizing; the graded rows pin
-   the explicit full-fit form), q_emb_ann_ivfpq and
-   q_emb_ann_ivfpq_auto (ivfpq_knn grew the index= serving branch and
-   its fit/knob resolution was restructured around it).
-3. THE 39 DEFERRED ROWS — all of them, as promised: the rows carrying
-   r3/r4-era driver checks (q5/q13/q16-q18/q21, the pivot/rollup/
-   profile/histogram/sketch family, bigram/tfidf/jaccard/simhash
-   rows, asof/cogroup/salted-agg, pack/pipeline/mixture rows).
-4. FRESHNESS: the three adjacency picks originally slotted here
-   were each displaced by a late new query
-   (q_docs_incremental_dedup — persisted-signature ingest dedup;
-   q_docs_bpe_persisted — the tokenizer artifact round-trip;
-   q_docs_decontaminate_spans — span-level decontamination): new
-   evidence outranks re-grading r5 greens the sf0.001 differential
-   still covers.  The displaced picks (q_docs_strip_boilerplate,
-   q_emb_near_dup_pairs, q_emb_label_centroids) rotate to
-   DEFERRED_TO_NEXT_ROUND.
+1. NEW QUERIES enter immediately: q_emb_ann_ivfpq_codes (IVFPQ served
+   from the PERSISTED ENCODED CORPUS — the (id, cell, pq_codes) table
+   keyed to (index version, corpus version); the serving plan never
+   re-encodes the corpus, closing the r7 verdict's serving-path gap)
+   and q_docs_strip_contaminated_spans (the REWRITE half of span-level
+   decontamination — rebuilt text graded cell-for-cell).
+2. CHANGED CODE RE-GRADES: q_docs_decontaminate_spans (union coverage
+   re-expressed as an O(spans) sorted fold, r7 item #7),
+   q_docs_incremental_dedup (_minhash_index_params now resolves at the
+   pinned signature version — the r7 ADVICE medium), and the
+   index-serving ANN family q_emb_ann_ivfpq_persisted / q_emb_ann_ivfpq
+   / q_emb_ann_ivf / q_emb_ann_pq (ivfpq_knn restructured around the
+   codes= serving branch; ivf_knn/pq_knn grew the artifact kind
+   check).
+3. THE 42 DEFERRED ROWS — all of them, as promised: the rows carrying
+   the registry's oldest (round-5) driver checks, from q1/q3/q4/q6 and
+   the dt family through the bpe/dedup/fingerprint/media rows, plus
+   the 3 freshness picks displaced in round 7
+   (q_docs_strip_boilerplate, q_emb_near_dup_pairs,
+   q_emb_label_centroids).
 
-After this round the 42 deferred rows (39 untouched round-5 greens +
-the 3 displaced freshness picks) carry the registry's oldest checks
-and sit in DEFERRED_TO_NEXT_ROUND so round-8 gate assembly picks them
-up FIRST; the 46 round-6 greens not re-graded above rotate to
-PREVIOUSLY_GREEN.  Everything outside the
-gate stays covered by the local sf0.001 differential
-(tests/test_oracle_parity.py) either way.
+2 new + 6 changed + 42 deferred = 50 — no freshness slots left this
+round; the oldest remaining checks (the 44 round-6 greens below) form
+the round-9 deferred bucket.
+
+After this round: every query graded in round 8 plus the 46 round-7
+greens not re-graded here carry fresh checks; the 44 round-6 greens
+rotate to DEFERRED_TO_NEXT_ROUND so round-9 gate assembly picks them
+up FIRST.  Everything outside the gate stays covered by the local
+sf0.001 differential (tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -66,75 +58,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 gate (slots 1-50): 7 new + 4 changed-code re-grades + ALL
-# 39 deferred rows.
+# Round-8 gate (slots 1-50): 2 new + 6 changed-code re-grades + ALL
+# 42 deferred rows.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
-    "q_docs_span_dedup",
-    "q_emb_ann_ivfpq_persisted",
-    "q_docs_c4_rules_derived",
-    "q_profile_orders_approx",
-    "q_docs_incremental_dedup",
-    "q_docs_bpe_persisted",
-    "q_docs_decontaminate_spans",
+    "q_emb_ann_ivfpq_codes",
+    "q_docs_strip_contaminated_spans",
     # —— held over: code changed this round ——
-    "q_vec_kmeans",
-    "q_emb_prototype_prune",
+    "q_docs_decontaminate_spans",
+    "q_docs_incremental_dedup",
+    "q_emb_ann_ivfpq_persisted",
     "q_emb_ann_ivfpq",
-    "q_emb_ann_ivfpq_auto",
-    # —— the 39 rows deferred from round 6 (oldest driver checks:
-    #    r3/r4 era) — the whole bucket, per the r6 verdict ——
-    "q13_order_count_distribution",
-    "q_emb_semantic_keep_list",
-    "q_text_repetition_stats",
-    "q_chunk_token_windows",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q21_suppliers_kept_waiting",
-    "q5_local_supplier_volume",
-    "q_brand_volume",
-    "q_cogroup_user_orders",
-    "q_distinct_parts_per_flag",
-    "q_docs_bigram_familiarity",
-    "q_docs_decontaminate_bloom",
-    "q_docs_decontaminate_fuzzy",
-    "q_docs_jaccard_blocked",
-    "q_docs_minhash_estimate",
-    "q_docs_simhash_near_dups",
-    "q_docs_tfidf_top_terms",
-    "q_events_asof_last_order",
-    "q_histogram_quantity",
-    "q_mixture_temperature",
-    "q_pack_export",
-    "q_pipeline_curation",
-    "q_pivot_flag_by_status",
-    "q_profile_orders",
-    "q_right_outer_order_counts",
-    "q_rollup_returnflag_status",
-    "q_salted_agg_volume",
-    "q_scalar_functions",
-    "q_search_bm25",
-    "q_sketch_cardinality",
-    "q_sketch_heavy_hitters",
-    "q_sql_revenue_by_nation",
-    "q_text_crossdoc_blocks",
-    "q_text_rarity_score",
-    "q_top_customers",
-    "q_vec_int8_quant_error",
-    "q_window_top_orders_per_customer",
-)
-
-# The 42 rows deferring to round 8: 39 round-5 greens whose code is
-# unchanged plus the 3 r5-green freshness picks displaced by the late
-# new queries — all still green (driver rows r5), but they now carry
-# the OLDEST checks in the registry, so round-8 gate assembly picks
-# them up FIRST.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # displaced from the round-7 freshness picks by the late new
-    # queries q_docs_incremental_dedup, q_docs_bpe_persisted and
-    # q_docs_decontaminate_spans (displaced rows all r5-green, code
-    # unchanged)
+    "q_emb_ann_ivf",
+    "q_emb_ann_pq",
+    # —— the 42 rows deferred from round 7 (oldest driver checks:
+    #    round-5 era) — the whole bucket, per the r7 verdict ——
     "q_docs_strip_boilerplate",
     "q_emb_near_dup_pairs",
     "q_emb_label_centroids",
@@ -179,11 +117,12 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_media_frame_sample",
 )
 
-# Driver-green rows outside the round-7 gate with FRESH checks: the
-# 46 round-6 gate greens not re-graded this round.  The registry
-# asserts gate ∪ deferred ∪ previously-green == all registered
-# queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+# The 44 rows deferring to round 9: the round-6 gate greens whose code
+# is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into the
+# round-8 gate as changed-code re-grades).  After round 8 they carry
+# the OLDEST checks in the registry, so round-9 gate assembly picks
+# them up FIRST.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",
@@ -205,9 +144,7 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_docs_unigram_encode_stats",
     "q_docs_unigram_soft_encode",
     "q_dt_event_time_span",
-    "q_emb_ann_ivf",
     "q_emb_ann_lsh",
-    "q_emb_ann_pq",
     "q_emb_knn_bruteforce",
     "q_emb_near_dup_lsh_subset",
     "q_emb_semantic_dedup",
@@ -230,6 +167,59 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_vec_knn_arrow",
     "q_window_lag_order_gap",
     "q_window_running_revenue",
+)
+
+# Driver-green rows outside the round-8 gate with FRESH checks: the
+# 46 round-7 gate greens not re-graded this round.  The registry
+# asserts gate ∪ deferred ∪ previously-green == all registered
+# queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_docs_span_dedup",
+    "q_docs_c4_rules_derived",
+    "q_profile_orders_approx",
+    "q_docs_bpe_persisted",
+    "q_vec_kmeans",
+    "q_emb_prototype_prune",
+    "q_emb_ann_ivfpq_auto",
+    "q13_order_count_distribution",
+    "q_emb_semantic_keep_list",
+    "q_text_repetition_stats",
+    "q_chunk_token_windows",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+    "q5_local_supplier_volume",
+    "q_brand_volume",
+    "q_cogroup_user_orders",
+    "q_distinct_parts_per_flag",
+    "q_docs_bigram_familiarity",
+    "q_docs_decontaminate_bloom",
+    "q_docs_decontaminate_fuzzy",
+    "q_docs_jaccard_blocked",
+    "q_docs_minhash_estimate",
+    "q_docs_simhash_near_dups",
+    "q_docs_tfidf_top_terms",
+    "q_events_asof_last_order",
+    "q_histogram_quantity",
+    "q_mixture_temperature",
+    "q_pack_export",
+    "q_pipeline_curation",
+    "q_pivot_flag_by_status",
+    "q_profile_orders",
+    "q_right_outer_order_counts",
+    "q_rollup_returnflag_status",
+    "q_salted_agg_volume",
+    "q_scalar_functions",
+    "q_search_bm25",
+    "q_sketch_cardinality",
+    "q_sketch_heavy_hitters",
+    "q_sql_revenue_by_nation",
+    "q_text_crossdoc_blocks",
+    "q_text_rarity_score",
+    "q_top_customers",
+    "q_vec_int8_quant_error",
+    "q_window_top_orders_per_customer",
 )
 
 

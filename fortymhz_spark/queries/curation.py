@@ -1791,6 +1791,119 @@ def q_emb_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVFPQ served AT REST — the encoded corpus itself persisted
+# (operators/ann_index.py::build_ann_codes): the candidate scan reads
+# the versioned (id, cell, code_*) table keyed to (index version,
+# corpus version) instead of re-assigning + re-encoding every corpus
+# vector in-plan per query, which is the thing IVFPQ exists to buy at
+# 100 TB (compressed-at-rest codes, cell-pruned scans); raw vectors
+# come back only for the exact re-rank shortlist.  Graded IN-PLAN by
+# identical_to_inplan — zero symmetric difference between the rows
+# served from the persisted codes and the same index's in-plan-encode
+# twin — alongside the family recall band.  Query slice 30 ≤ vec_id <
+# 40, offset from the persisted row's slice.
+# ---------------------------------------------------------------------------
+_ANN_CODES_CACHE: dict[str, str] = {}
+
+
+def _ann_codes_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir), the _ann_index_table
+    pattern: the first caller encodes the corpus through the persisted
+    index and publishes v=1 with corpus_version=1 (the fixture parquet
+    is immutable — one logical corpus version); everyone else loads."""
+    if sf_dir in _ANN_CODES_CACHE:
+        return _ANN_CODES_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        load_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    table_dir = tempfile.mkdtemp(prefix="fmhz_anncodes_")
+    build_ann_codes(emb, table_dir, idx, corpus_version=1)
+    _ANN_CODES_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_ivfpq_codes",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_inplan
+    FROM embeddings WHERE vec_id >= 30 AND vec_id < 40 ORDER BY query_id
+    """,
+)
+def q_emb_ann_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for query vectors with 30 <= vec_id < 40, served
+    from the PERSISTED ENCODED CORPUS (build_ann_codes →
+    load_ann_codes with the corpus-version pin → ivfpq_knn(index=...,
+    codes=...)), graded on (a) the family recall band and (b)
+    ``identical_to_inplan`` — per query, ZERO symmetric difference
+    between the codes-served result and the same persisted index's
+    in-plan-encode twin with the same auto knobs.  Together with
+    q_emb_ann_ivfpq_persisted's identical_to_refit chain this pins
+    artifact-codes == in-plan-encode == fresh-fit byte for byte, while
+    the serving plan itself never encodes the corpus."""
+    from fortymhz_spark.operators.ann_index import (
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40))
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    codes = load_ann_codes(
+        spark, _ann_codes_table(spark, sf_dir), idx, corpus_version=1
+    )
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    inplan = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            inplan.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__")
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_inplan"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram tokenizer with the SOFT (forward-backward) E-step — the
 # SentencePiece-fidelity variant beside the hard-EM row: same exact
 # word/char totals and reconstruction/bound invariants, plus the

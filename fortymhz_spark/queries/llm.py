@@ -2254,6 +2254,85 @@ def q_docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# span-level decontamination STRIP (operators/text.py::
+# strip_contaminated_spans) — the REWRITE half completing the
+# flag→rewrite symmetry the cross-doc family already has
+# (q_docs_decontaminate_spans measures; this removes): every token
+# covered by an eval-overlap span is cut from its train doc and the
+# text rebuilt from the survivors.  Same train/eval split as the flag
+# row; graded on the REBUILT TEXT of EVERY train document
+# cell-for-cell against the full SQL replication (the
+# q_docs_strip_boilerplate pattern) — a mis-merged run, an off-by-one
+# span end, or double-removal of overlapping coverage all change the
+# graded string.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_strip_contaminated_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 = 3
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 != 3
+    ),
+    bp AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM ev)),
+    cov AS (
+      SELECT DISTINCT doc_id, u.t
+      FROM bp, unnest(range(pos, pos + 8)) AS u(t)
+    ),
+    covlist AS (
+      SELECT doc_id, list(t) AS cp FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(coalesce(c.cp, [])) AS BIGINT) AS n_removed_tokens,
+           -- coalesce: DuckDB's array_to_string over the empty kept
+           -- list yields NULL where Spark's array_join yields ''
+           coalesce(array_to_string(
+             list_filter(t.tk,
+                         (x, i) -> NOT list_contains(coalesce(c.cp, []),
+                                                     i - 1)),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN covlist c USING (doc_id)
+    WHERE t.doc_id % 4 != 3
+    ORDER BY t.doc_id
+    """,
+)
+def q_docs_strip_contaminated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rewrite every train document (doc_id % 4 != 3) with its
+    eval-overlap spans removed (8-token verbatim windows shared with
+    the doc_id % 4 == 3 eval slice, merged to maximal spans), grading
+    the rebuilt text and the exact union-coverage removal count per
+    doc — total over train, clean docs pass through unchanged.
+
+    Scale shape: strip_contaminated_spans — distinct eval hashes are
+    the semi-join's small build side; one (id, pos, md5) row per train
+    token position; the run merge windows only hit positions; the
+    rebuild re-reads the original text against tiny per-doc span
+    lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 4 != 3).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 4 == 3)
+    out = tx.strip_contaminated_spans(train, ev, shingle_tokens=8)
+    return out.select(
+        "doc_id", "n_removed_tokens", "clean_text"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # heavy hitters via per-partition Misra-Gries, graded by the sketch's
 # CONTAINMENT GUARANTEE: the lower-bound estimates depend on partition
 # layout (never oracle-comparable), but Misra-Gries guarantees every

@@ -620,7 +620,134 @@ def test_ann_index_time_travel_and_validation(spark, truth, tmp_path):
         pq_knn(emb, emb.limit(1), index=idx)
 
 
-def test_one_persisted_index_serves_ivf_pq_and_ivfpq(spark, truth, tmp_path):
+def test_ann_codes_roundtrip_serves_byte_identical(spark, truth, tmp_path):
+    """The persisted encoded corpus (build_ann_codes → load_ann_codes →
+    ivfpq_knn(index=..., codes=...)) must reproduce the in-plan encode
+    byte for byte, and the codes table itself must hold exactly the
+    in-plan encode rows."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import _ivfpq_codes, ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    assert build_ann_codes(emb, codes_dir, idx, corpus_version=1) == 1
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+    # the artifact rows ARE the in-plan encode rows
+    inplan_codes = _ivfpq_codes(
+        emb, "vec_id", "embedding", idx.coarse, idx.books,
+        idx.n_sub, idx.n_cells, idx.d_sub, "arrow",
+    ).withColumnRenamed("neighbor_id", "id")
+    key = lambda r: tuple(r)
+    assert sorted(map(key, codes.collect())) == sorted(
+        map(key, inplan_codes.collect())
+    )
+    served = ivfpq_knn(
+        emb, queries, k=K, nprobe=None, rerank=None, index=idx, codes=codes
+    ).collect()
+    inplan = ivfpq_knn(
+        emb, queries, k=K, nprobe=None, rerank=None, index=idx
+    ).collect()
+    assert sorted(map(key, served)) == sorted(map(key, inplan))
+
+
+def test_ann_codes_staleness_guards_and_validation(spark, truth, tmp_path):
+    """A stale (index, codes) or (corpus, codes) pairing is the
+    silent-wrong-recall failure mode — every mismatch must fail
+    loudly before any data is served."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=3)
+    # happy path: matching pins serve
+    assert load_ann_codes(
+        spark, codes_dir, idx, corpus_version=3
+    ).count() == emb.count()
+    # unpinned corpus_version skips the corpus check (caller's call)
+    assert load_ann_codes(spark, codes_dir, idx).count() == emb.count()
+    # corpus moved since the encode
+    with _pytest.raises(ValueError, match="corpus .*moved|moved since"):
+        load_ann_codes(spark, codes_dir, idx, corpus_version=4)
+    # index rebuilt since the encode (new version, different geometry)
+    build_ann_index(emb, idx_dir, n_coarse=4, n_sub=8, n_cells=16)
+    idx2 = load_ann_index(spark, idx_dir)
+    with _pytest.raises(ValueError, match="built against index"):
+        load_ann_codes(spark, codes_dir, idx2, corpus_version=3)
+    # codes without their index carry no geometry
+    with _pytest.raises(ValueError, match="codes= carries no index"):
+        ivfpq_knn(emb, emb.limit(1), codes=emb.limit(1))
+    # a frame that is not a codes table for this index fails the
+    # column inventory check
+    from pyspark.sql import functions as F
+
+    bad = emb.select(F.col("vec_id").alias("id"), F.lit(0).alias("cell"))
+    with _pytest.raises(ValueError, match="missing columns"):
+        ivfpq_knn(emb, emb.limit(1), index=idx, codes=bad)
+    # a non-codes snapshot is rejected by note
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    other = str(tmp_path / "plain")
+    write_snapshot(emb.limit(1).select("vec_id"), other, note="plain")
+    with _pytest.raises(ValueError, match=r"not a.*ann_codes.*artifact"):
+        load_ann_codes(spark, other, idx)
+
+
+def test_ann_codes_serving_plan_reads_codes_not_corpus_encode(
+    spark, truth, tmp_path
+):
+    """The codes-served plan's candidate side must SCAN the persisted
+    codes table: the code_* values come from parquet, not from
+    re-encoding the corpus in-plan — the executed plan reads the codes
+    path and carries no PQ argmin (array_sort-over-codebook)
+    expressions for the corpus side (the query side's dtab transforms
+    remain, and exactly one arrow kernel assigns QUERY cells)."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+    plan = (
+        ivfpq_knn(
+            emb, queries, k=K, nprobe=4, rerank=8, index=idx, codes=codes
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the candidate scan READS the code columns from parquet (a
+    # FileScan carrying code_* output — directory paths get truncated
+    # in Location strings, so assert on the scanned schema instead)
+    assert any(
+        "FileScan parquet" in line and "code_0#" in line
+        for line in plan.splitlines()
+    ), "candidate scan must read the persisted codes table"
+    # corpus-side PQ encode is an argmin = array_sort over (dist, cell)
+    # structs; absent when codes are served at rest
+    assert "array_sort" not in plan, "in-plan PQ encode leaked back in"
     """The composed ivfpq artifact serves all three access paths —
     ivf_knn reads its coarse half, pq_knn its codebook half, ivfpq_knn
     both — each byte-identical to the corresponding in-process fit

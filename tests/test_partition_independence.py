@@ -121,6 +121,9 @@ SENSITIVE = [
     # span decontamination: eval shingle-set semi join + run merge +
     # union coverage, total output — partitioning must not move a row
     "q_docs_decontaminate_spans",
+    # round-8: the strip half — the rebuilt text (token filter against
+    # per-doc span lists) must be byte-identical at any partition count
+    "q_docs_strip_contaminated_spans",
 ]
 
 _QUERIES = all_queries()
@@ -172,6 +175,10 @@ ENGINE_HASH_GATE = [
     # must emit the same verified pairs under hostile partitioning
     "q_emb_ann_ivfpq_persisted",
     "q_docs_incremental_dedup",
+    # round-8: serving from the persisted ENCODED corpus reads its
+    # candidate codes from parquet — the served rows (and the
+    # identical_to_inplan boolean) must hold at any partition count
+    "q_emb_ann_ivfpq_codes",
 ]
 
 

@@ -2,11 +2,12 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 7 runs the steady-state policy: the 7
-new queries and 4 changed-code rows enter the gate immediately and
-ALL 39 rows deferred from round 6 re-grade (the r6 verdict's item
-#1) — late new queries displaced every freshness pick; the 39
-untouched round-5 greens plus the 3 displaced picks defer to round 8
+queries/__init__.py).  Round 8 runs the steady-state policy: the 2
+new queries and 6 changed-code rows enter the gate immediately and
+ALL 42 rows deferred from round 7 re-grade (the r7 verdict's item
+#1) — the gate is exactly full, so no freshness picks this round; the
+44 untouched round-6 greens defer to round 9 and the 46 round-7
+greens not re-graded here sit in PREVIOUSLY_GREEN
 (queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
