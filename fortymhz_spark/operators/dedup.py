@@ -449,8 +449,11 @@ def incremental_near_dups(
     the standing signature index: the batch's signatures compute
     fresh (one pass over the BATCH only), the standing corpus
     contributes its persisted ``(id, lanes)`` rows, both band through
-    the same :func:`_banded` expression, and candidate pairs keep
-    only those touching a new id.  ``base_docs`` supplies text for
+    the same :func:`_banded` expression, and candidates come from ONE
+    broadcast-hash join — the batch's banded lanes (small side)
+    against a map-only scan of the standing lanes, so the corpus side
+    never shuffles and the archive's internal duplication is never
+    re-paired per batch.  ``base_docs`` supplies text for
     exact-Jaccard verification of the CANDIDATES only (an id-keyed
     semi-join fetch — the standing corpus is never re-shingled in
     bulk; at 100 TB that is the difference between scanning the day's
@@ -471,27 +474,36 @@ def incremental_near_dups(
     sig_new = _lane_mins(
         new_docs, id_col, text_col, p["num_hashes"], p["shingle_n"]
     )
-    new_ids = sig_new.select("id").withColumn("__new__", F.lit(True))
-    banded = _banded(
+    # Candidate generation is a BROADCAST of the batch's banded lanes
+    # against one map-only pass over the standing signatures — never a
+    # corpus-side bucket SELF-join (whose candidate volume tracks the
+    # archive's internal duplication, paid again on every batch).  The
+    # batch side bands twice (once standalone, once inside the union)
+    # so new↔new pairs surface from the same single join; least/
+    # greatest + distinct dedups the double emission.  Per-trigger
+    # cost: one slim (id, lanes) scan of the index, zero corpus-side
+    # shuffle.
+    banded_all = _banded(
         sig_old.unionByName(sig_new), p["num_hashes"], p["bands"]
-    ).join(F.broadcast(new_ids), ["id"], "left")
-    # bucket self-join, then keep pairs touching the batch: the flag
-    # rides the banded rows so no third join is needed
+    )
+    banded_new = _banded(sig_new, p["num_hashes"], p["bands"])
     candidates = (
-        banded.select(
-            "band", "bucket",
-            F.col("id").alias("id_a"), F.col("__new__").alias("__na__"),
+        F.broadcast(
+            banded_new.select(
+                "band", "bucket", F.col("id").alias("id_n")
+            )
         )
         .join(
-            banded.select(
-                "band", "bucket",
-                F.col("id").alias("id_b"), F.col("__new__").alias("__nb__"),
+            banded_all.select(
+                "band", "bucket", F.col("id").alias("id_o")
             ),
             ["band", "bucket"],
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("__na__").isNotNull() | F.col("__nb__").isNotNull())
-        .select("id_a", "id_b")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
         .distinct()
     )
     shingles = (

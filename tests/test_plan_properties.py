@@ -442,3 +442,12 @@ def test_incremental_dedup_never_rescans_archive_signatures(
     dd.build_minhash_index(old, td, num_hashes=32, bands=16)
     plan = plan_of(dd.incremental_near_dups(new, old, td, threshold=0.7))
     assert td in plan  # lanes come from the artifact
+    # the candidate join BROADCASTS the batch's banded lanes: the
+    # standing lanes are scanned map-only, never hash-shuffled on the
+    # bucket key and never self-joined corpus-vs-corpus (round-8: the
+    # ingest-time form — per-trigger cost must not re-pair the
+    # archive's internal duplication)
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "band" not in line and "bucket" not in line, line
