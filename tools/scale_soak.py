@@ -120,6 +120,85 @@ def _served_index(spark, emb, n_coarse: int):
     return _IDX_CACHE[n_coarse]
 
 
+_CODES_CACHE: dict[int, object] = {}
+
+
+def _served_codes(spark, emb, n_coarse: int):
+    """Build (first call per sizing) and cache the ENCODED-corpus
+    artifact the ann_ivfpq_codes row serves from — min-of-reps then
+    measures the at-rest serving cost with both the fit AND the
+    encode pass amortized away (the round-8 lifecycle completion)."""
+    if n_coarse not in _CODES_CACHE:
+        import tempfile
+
+        from fortymhz_spark.operators.ann_index import (
+            build_ann_codes,
+            load_ann_codes,
+        )
+
+        idx = _served_index(spark, emb, n_coarse)
+        td = tempfile.mkdtemp(prefix="fmhz_soak_anncodes_")
+        build_ann_codes(emb, td, idx, corpus_version=1)
+        _CODES_CACHE[n_coarse] = load_ann_codes(
+            spark, td, idx, corpus_version=1
+        )
+    return _CODES_CACHE[n_coarse]
+
+
+_INGEST_CACHE: dict[int, tuple[str, str]] = {}
+
+
+def _ingest_fixture(spark, docs, scale_mult: int) -> tuple[str, str]:
+    """Standing-corpus fixtures for the ingest-dedup soak (built once
+    per scale, cached): the scale's documents published as a snapshot
+    table (the merge target) and its MinHash signature index.  The
+    soak then replays a FIXED batch against a 1× vs 10× archive —
+    the ST10 per-trigger claim measured, with the merge term
+    separated out from the dedup-check term."""
+    if scale_mult not in _INGEST_CACHE:
+        from pyspark.sql import functions as F
+
+        from fortymhz_spark.operators.dedup import build_minhash_index
+        from fortymhz_spark.sources.snapshots import write_snapshot
+
+        root = f"/tmp/fmhz_ingest_{scale_mult}x"
+        tbl, idx = os.path.join(root, "corpus"), os.path.join(root, "index")
+        if not os.path.exists(os.path.join(idx, "_manifest.json")):
+            corpus = docs.select("doc_id", "text")
+            write_snapshot(corpus, tbl, note="ingest soak corpus")
+            build_minhash_index(corpus, idx, num_hashes=32, bands=16)
+        _INGEST_CACHE[scale_mult] = (tbl, idx)
+    return _INGEST_CACHE[scale_mult]
+
+
+_BATCH_CACHE: dict[int, object] = {}
+
+
+def _ingest_batch(docs, scale_mult: int):
+    """The FIXED ~260-doc ingest batch, identical at both scales:
+    replica-0 rows (doc_id < 5000 selects the original sf0.1 ids at
+    both 1× and 10×) strided by 19, re-keyed past every id space so
+    the batch is 'new' to the archive while near-duplicating its
+    replica-0 twins — every batch doc should drop.  localCheckpoint-ed
+    per scale: a real micro-batch ARRIVES materialized, so deriving it
+    from the (10×) corpus inside the timed thunk would charge a
+    corpus scan to the per-trigger cost being measured."""
+    if scale_mult not in _BATCH_CACHE:
+        from pyspark.sql import functions as F
+
+        _BATCH_CACHE[scale_mult] = (
+            docs.filter(
+                (F.col("doc_id") < 5000) & (F.col("doc_id") % 19 == 0)
+            )
+            .select(
+                (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+                "text",
+            )
+            .localCheckpoint()
+        )
+    return _BATCH_CACHE[scale_mult]
+
+
 def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     """(name, thunk) pairs: the heavy family.  Each thunk runs the
     operator to completion with a count() so timing covers scan →
@@ -134,6 +213,7 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
     from fortymhz_spark.operators import dsir as dsir_ops
     from fortymhz_spark.operators import text as text_ops
     from fortymhz_spark.operators import unigram as ug_ops
+    from fortymhz_spark.sources.snapshots import merge_snapshot
 
     queries = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
     return [
@@ -267,6 +347,59 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
                 assign="arrow",
                 index=_served_index(spark, emb, 16 * scale_mult),
             ).count(),
+        ),
+        (
+            # round-8: served AT REST — the candidate scan reads the
+            # persisted (id, cell, code_*) table; neither the fit nor
+            # the corpus encode runs at query time (both cached via
+            # build_ann_index/build_ann_codes).  Compare against
+            # ann_ivfpq_served, whose every query re-assigns and
+            # re-encodes the corpus in-plan: the at-rest ratio should
+            # beat it because the per-query work left is the slim
+            # codes scan + ADC + shortlist-only raw fetch.
+            "ann_ivfpq_codes",
+            lambda: sim.ivfpq_knn(
+                emb,
+                queries,
+                k=10,
+                nprobe=8,
+                rerank=16,
+                assign="arrow",
+                index=_served_index(spark, emb, 16 * scale_mult),
+                codes=_served_codes(spark, emb, 16 * scale_mult),
+            ).count(),
+        ),
+        (
+            # ST10 ingest-dedup loop, CHECK term: a fixed ~260-doc
+            # batch near-dup-checked against the standing signature
+            # index (1× vs 10× archive).  Per-trigger cost = batch
+            # signature pass (flat) + one map-only scan of the
+            # persisted lanes + broadcast candidate join + candidate
+            # verify (id-keyed text fetch) — scans scale with the
+            # archive but nothing shuffles corpus-side.
+            "ingest_dedup_check",
+            lambda: dedup.incremental_near_dups(
+                _ingest_batch(docs, scale_mult),
+                docs.select("doc_id", "text"),
+                _ingest_fixture(spark, docs, scale_mult)[1],
+                threshold=0.5,
+            ).count(),
+        ),
+        (
+            # ST10 ingest-dedup loop, MERGE term (separated out, the
+            # r7 verdict's ask): upsert the fixed batch into the
+            # standing corpus snapshot table — copy-on-write, so this
+            # term alone is ∝ archive (the honest immutable-version
+            # price; the check term above is the part that must stay
+            # cheap per trigger).
+            "ingest_dedup_merge",
+            lambda: merge_snapshot(
+                spark,
+                _ingest_fixture(spark, docs, scale_mult)[0],
+                _ingest_batch(docs, scale_mult),
+                ["doc_id"],
+                note="soak batch",
+            ),
         ),
         (
             # production BPE shape: one corpus pass + bounded vocab
