@@ -192,6 +192,11 @@ HEADLINE = [
     # (the flag row's shape plus the per-doc text rebuild)
     "q_emb_ann_ivfpq_codes",
     "q_docs_strip_contaminated_spans",
+    # late round-8: the incremental ADD step — archive codes built
+    # once, the arriving slice encoded alone and upserted; cold rep
+    # pays the build+extend via the per-process cache, medians grade
+    # serving from the extended table + the in-plan-identity branch
+    "q_emb_ann_codes_extend",
 ]
 
 

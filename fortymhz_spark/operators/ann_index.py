@@ -60,6 +60,7 @@ from fortymhz_spark.operators.similarity import (
     _pq_train,
 )
 from fortymhz_spark.sources.snapshots import (
+    merge_snapshot,
     read_snapshot,
     resolve_artifact,
     write_snapshot,
@@ -252,6 +253,59 @@ def build_ann_codes(
         codes,
         table_dir,
         note="ann_codes " + json.dumps(params, sort_keys=True),
+    )
+
+
+def extend_ann_codes(
+    new_vecs: DataFrame,
+    table_dir: str,
+    index: AnnIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_version: int | None = None,
+    assign: str = "arrow",
+) -> int:
+    """Encode ONLY an arriving batch of vectors and MERGE its
+    ``(id, cell, code_*)`` rows into the codes table as the next
+    version — the incremental ADD step of the FAISS lifecycle, and the
+    ingest-time form at 100 TB: when the day's vectors arrive, the
+    archive's codes are read-only history; re-running
+    :func:`build_ann_codes` would re-encode the whole corpus to add a
+    sliver.  Keyed upsert on ``id`` (re-ingesting a vector id replaces
+    its codes), published with a fresh ``ann_codes`` note carrying the
+    same index pairing and the NEW ``corpus_version``, so
+    :func:`load_ann_codes`'s staleness guards keep working across
+    extends and a pinned older version still time-travels.
+
+    Validates the (index, table) pairing FIRST — extending someone
+    else's codes with this index's geometry would corrupt the table
+    silently.  Cost: one map-only encode of the batch + the snapshot
+    MERGE's anti-join/rewrite (the documented copy-on-write term)."""
+    from fortymhz_spark.operators.similarity import _ivfpq_codes
+
+    v, params = resolve_artifact(table_dir, "ann_codes ")
+    if int(params["index_version"]) != int(index.version) or any(
+        int(params[k]) != int(getattr(index, k))
+        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+    ):
+        raise ValueError(
+            f"ann_codes v={v} at {table_dir} was built against index "
+            f"v={params['index_version']} but the extend is encoding "
+            f"with index v={index.version} — codes from two fits must "
+            "never mix; rebuild the codes table for the new index"
+        )
+    codes = _ivfpq_codes(
+        new_vecs, id_col, vec_col, index.coarse, index.books,
+        index.n_sub, index.n_cells, index.d_sub, assign,
+    ).withColumnRenamed("neighbor_id", "id")
+    new_params = {**params, "corpus_version": corpus_version}
+    return merge_snapshot(
+        new_vecs.sparkSession,
+        table_dir,
+        codes,
+        ["id"],
+        note="ann_codes " + json.dumps(new_params, sort_keys=True),
     )
 
 

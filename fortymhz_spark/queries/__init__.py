@@ -117,12 +117,16 @@ ROUND_GATE: tuple[str, ...] = (
     "q_media_frame_sample",
 )
 
-# The 44 rows deferring to round 9: the round-6 gate greens whose code
+# The rows deferring to round 9: the 44 round-6 gate greens whose code
 # is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into the
-# round-8 gate as changed-code re-grades).  After round 8 they carry
+# round-8 gate as changed-code re-grades) — after round 8 they carry
 # the OLDEST checks in the registry, so round-9 gate assembly picks
-# them up FIRST.
+# them up FIRST — plus q_emb_ann_codes_extend, the late round-8
+# incremental-ADD query parked here because the round-8 gate is
+# exactly full (the 42-row deferred promise is immovable); it is
+# covered by the local sf0.001 differential meanwhile.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "q_emb_ann_codes_extend",
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",

@@ -1904,6 +1904,124 @@ def q_emb_ann_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The incremental ADD step of the ANN lifecycle
+# (operators/ann_index.py::extend_ann_codes): the archive's codes are
+# read-only history; an arriving batch encodes ALONE and upserts into
+# the codes table with an advanced corpus-version pin.  Graded by
+# serving the extended table and requiring zero symmetric difference
+# vs the same index's in-plan-encode twin over the full corpus — a
+# batch row encoded under wrong geometry, a dropped archive row, or a
+# stale-pin leak all change the served neighbors.  Query slice
+# 40 ≤ vec_id < 50, offset from the other ANN slices.
+# ---------------------------------------------------------------------------
+_ANN_CODES_EXT_CACHE: dict[str, str] = {}
+
+
+def _ann_codes_extended_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir): codes over the archive
+    slice (vec_id % 7 != 0) at corpus_version=1, then extend with the
+    arriving slice (vec_id % 7 == 0) at corpus_version=2 — the ingest
+    sequence a deployment runs."""
+    if sf_dir in _ANN_CODES_EXT_CACHE:
+        return _ANN_CODES_EXT_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        extend_ann_codes,
+        load_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    table_dir = tempfile.mkdtemp(prefix="fmhz_anncodesext_")
+    build_ann_codes(
+        emb.filter(F.col("vec_id") % 7 != 0), table_dir, idx,
+        corpus_version=1,
+    )
+    extend_ann_codes(
+        emb.filter(F.col("vec_id") % 7 == 0), table_dir, idx,
+        corpus_version=2,
+    )
+    _ANN_CODES_EXT_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_codes_extend",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+             AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_inplan
+    FROM embeddings WHERE vec_id >= 40 AND vec_id < 50 ORDER BY query_id
+    """,
+)
+def q_emb_ann_codes_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for query vectors with 40 <= vec_id < 50, served
+    from an INCREMENTALLY EXTENDED codes table (archive slice built at
+    corpus_version=1, arriving slice encoded alone and upserted at
+    corpus_version=2 — extend_ann_codes), graded on the family recall
+    band and ``identical_to_inplan`` — zero symmetric difference vs
+    the same persisted index's in-plan-encode twin over the FULL
+    corpus, i.e. the incremental add reproduced the from-scratch
+    encode exactly."""
+    from fortymhz_spark.operators.ann_index import (
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    codes = load_ann_codes(
+        spark, _ann_codes_extended_table(spark, sf_dir), idx,
+        corpus_version=2,
+    )
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    inplan = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            inplan.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__")
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_inplan"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram tokenizer with the SOFT (forward-backward) E-step — the
 # SentencePiece-fidelity variant beside the hard-EM row: same exact
 # word/char totals and reconstruction/bound invariants, plus the

@@ -709,6 +709,59 @@ def test_ann_codes_staleness_guards_and_validation(spark, truth, tmp_path):
         load_ann_codes(spark, other, idx)
 
 
+def test_ann_codes_extend_matches_from_scratch(spark, truth, tmp_path):
+    """extend_ann_codes (the incremental ADD step): encode ONLY the
+    arriving batch and upsert — the resulting table must equal a
+    from-scratch build over the full corpus element for element, the
+    corpus-version pin must advance, pinned time travel must still see
+    the pre-extend rows, and extending with a mismatched index must
+    fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+
+    emb, _, _ = truth
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+
+    inc_dir = str(tmp_path / "codes_inc")
+    assert build_ann_codes(old, inc_dir, idx, corpus_version=1) == 1
+    assert extend_ann_codes(batch, inc_dir, idx, corpus_version=2) == 2
+    scratch_dir = str(tmp_path / "codes_scratch")
+    build_ann_codes(emb, scratch_dir, idx, corpus_version=2)
+    key = lambda r: tuple(r)
+    inc = load_ann_codes(spark, inc_dir, idx, corpus_version=2)
+    scratch = load_ann_codes(spark, scratch_dir, idx, corpus_version=2)
+    assert sorted(map(key, inc.collect())) == sorted(
+        map(key, scratch.collect())
+    )
+    # the extend advanced the corpus pin: the OLD pin now fails at
+    # current, but still time-travels at the pre-extend version
+    with _pytest.raises(ValueError, match="moved since"):
+        load_ann_codes(spark, inc_dir, idx, corpus_version=1)
+    assert load_ann_codes(
+        spark, inc_dir, idx, version=1, corpus_version=1
+    ).count() == old.count()
+    # re-ingest is an idempotent upsert, not a duplicate append
+    extend_ann_codes(batch, inc_dir, idx, corpus_version=3)
+    assert load_ann_codes(spark, inc_dir, idx).count() == emb.count()
+    # codes from two fits must never mix
+    build_ann_index(emb, idx_dir, n_coarse=4, n_sub=8, n_cells=16)
+    idx2 = load_ann_index(spark, idx_dir)
+    with _pytest.raises(ValueError, match="never mix"):
+        extend_ann_codes(batch, inc_dir, idx2, corpus_version=4)
+
+
 def test_ann_codes_serving_plan_reads_codes_not_corpus_encode(
     spark, truth, tmp_path
 ):
