@@ -179,6 +179,8 @@ ENGINE_HASH_GATE = [
     # candidate codes from parquet — the served rows (and the
     # identical_to_inplan boolean) must hold at any partition count
     "q_emb_ann_ivfpq_codes",
+    # and from the incrementally EXTENDED codes table likewise
+    "q_emb_ann_codes_extend",
 ]
 
 

@@ -400,6 +400,9 @@ def test_semantic_near_dup_operator_is_bucketed(spark, sf_dir):
         # incremental dedup: banded bucket join against persisted
         # lanes + candidate-only verify — never all-pairs
         "q_docs_incremental_dedup",
+        # round-8: the span-decontamination STRIP — same hit/run-merge
+        # shape plus a doc-keyed rebuild join, all equi-keyed
+        "q_docs_strip_contaminated_spans",
     ],
 )
 def test_round7_text_queries_stay_jvm_and_bucketed(plans, name):
