@@ -205,6 +205,7 @@ def build_ann_codes(
     vec_col: str = "embedding",
     corpus_version: int | None = None,
     assign: str = "arrow",
+    partition_by_cell: bool = False,
 ) -> int:
     """Encode the corpus through a persisted index and publish the
     per-vector ``(id, cell, code_0..code_{n_sub-1})`` table as the
@@ -215,6 +216,16 @@ def build_ann_codes(
     re-assigning and re-encoding the full corpus in-plan — at 100 TB
     the difference between a compressed-at-rest cell-pruned scan and
     a per-query O(corpus · n_coarse · dim) encode pass.
+
+    ``partition_by_cell=True`` lays the table out as one partition
+    directory per coarse cell — the INVERTED FILE made literal in the
+    storage layout.  The serving join on ``cell`` then qualifies for
+    dynamic partition pruning: only the PROBED cells' files are read
+    (``nprobe / n_coarse`` of the table), which is the second half of
+    what IVF buys at rest — candidate ROWS were already cell-bounded,
+    this bounds the BYTES SCANNED the same way.  Off by default only
+    because tiny fixtures don't repay per-directory overhead; a
+    deployment-size corpus wants it on.
 
     The encode is EXACTLY :func:`ivfpq_knn`'s in-plan expressions
     (:func:`~fortymhz_spark.operators.similarity._ivfpq_codes` — same
@@ -252,6 +263,7 @@ def build_ann_codes(
     return write_snapshot(
         codes,
         table_dir,
+        partition_by=["cell"] if partition_by_cell else None,
         note="ann_codes " + json.dumps(params, sort_keys=True),
     )
 

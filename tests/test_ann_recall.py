@@ -709,6 +709,56 @@ def test_ann_codes_staleness_guards_and_validation(spark, truth, tmp_path):
         load_ann_codes(spark, other, idx)
 
 
+def test_ann_codes_cell_partitioned_prunes_and_stays_identical(
+    spark, truth, tmp_path
+):
+    """build_ann_codes(partition_by_cell=True) lays the table out as
+    one directory per coarse cell (the inverted file made literal);
+    the serving join on cell must then qualify for DYNAMIC PARTITION
+    PRUNING — only probed cells' files are read — while results stay
+    byte-identical to the unpartitioned and in-plan forms, and the
+    extend path must preserve the partitioned layout."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(
+        emb.filter(F.col("vec_id") % 5 != 0), codes_dir, idx,
+        corpus_version=1, partition_by_cell=True,
+    )
+    # the snapshot MERGE preserves partition_by from the manifest
+    extend_ann_codes(
+        emb.filter(F.col("vec_id") % 5 == 0), codes_dir, idx,
+        corpus_version=2,
+    )
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=2)
+    assert codes.count() == emb.count()
+    served = ivfpq_knn(
+        emb, queries, k=K, nprobe=2, rerank=8, index=idx, codes=codes
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, (
+        "cell-partitioned codes must serve under dynamic partition "
+        "pruning (probed cells only)"
+    )
+    key = lambda r: tuple(r)
+    inplan = ivfpq_knn(emb, queries, k=K, nprobe=2, rerank=8, index=idx)
+    assert sorted(map(key, served.collect())) == sorted(
+        map(key, inplan.collect())
+    )
+
+
 def test_ann_codes_extend_matches_from_scratch(spark, truth, tmp_path):
     """extend_ann_codes (the incremental ADD step): encode ONLY the
     arriving batch and upsert — the resulting table must equal a
