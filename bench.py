@@ -197,6 +197,10 @@ HEADLINE = [
     # pays the build+extend via the per-process cache, medians grade
     # serving from the extended table + the in-plan-identity branch
     "q_emb_ann_codes_extend",
+    # token-budget mixture selection: per-bucket sums (one map-side
+    # combine, ≤ sources × 256 driver rows) + wholesale pre-cutoff
+    # keep + exact window over the single cutoff bucket per source
+    "q_docs_token_budget_sample",
 ]
 
 

@@ -139,3 +139,104 @@ def repeat_weighted(
         F.sequence(F.lit(0), F.greatest(n_copies - 1, F.lit(0))), 1, n_copies
     )
     return df.withColumn("copy_idx", F.explode(copies))
+
+
+def budget_sample(
+    df: DataFrame,
+    token_budget: int,
+    *,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """TOKEN-BUDGET selection — the data-mixing primitive a pretraining
+    run actually needs ("give me 50 B tokens of web, 5 B of code"):
+    keep the maximal PREFIX of a deterministic hash order whose token
+    sum stays ≤ ``token_budget`` — per ``group_col`` value when given
+    (each source fills its own quota), else globally.  Doc-count
+    sampling (``stratified_sample``) cannot hit a token target when
+    document lengths differ across sources; this selects by the unit
+    the training budget is denominated in.  Prefix semantics: order by
+    ``(sample_score(id), id)``, keep each doc iff the running total
+    INCLUDING it is ≤ budget, stop at the first overflow (later
+    shorter docs are not back-filled — the decision for any doc is
+    independent of the corpus ordering AFTER it, so an audit can
+    replay it).  Deterministic, engine-portable, RNG-free.
+
+    Output: the kept rows with ``n_tokens`` appended.
+
+    Scale shape — the naive form is a full window cumsum per group
+    (one task serializes an entire source: a non-starter at 100 TB).
+    This runs the two-phase form instead: bucket the hash order into
+    ``n_buckets`` contiguous score ranges, aggregate per-bucket token
+    sums (map-side combined; ≤ groups × n_buckets rows to the driver),
+    locate each group's CUTOFF bucket driver-side, then keep buckets
+    before the cutoff wholesale and run the exact cumsum window ONLY
+    inside the one cutoff bucket per group (≈ corpus/n_buckets rows).
+    Same result as the naive window, bit for bit — the buckets are
+    contiguous in the order key, so prefix-by-bucket + prefix-in-bucket
+    IS the global prefix."""
+    from fortymhz_spark.operators.text import token_count
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # group key carried as string (the literal cut table's type); NULL
+    # groups map to a sentinel so the equi-join cannot drop them.
+    # NULL text counts 0 tokens (totality — a NULL doc costs nothing).
+    grp = F.col(group_col).cast("string") if group_col else F.lit("")
+    grp = F.coalesce(grp, F.lit("\x00<null>"))
+    score = sample_score(id_col)
+    bucket = F.floor(score * F.lit(n_buckets) / F.lit(SCORE_MOD)).cast("int")
+    base = df.select(
+        "*",
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "n_tokens"
+        ),
+        grp.alias("__g__"),
+        score.alias("__s__"),
+        bucket.alias("__b__"),
+    )
+    stats = (
+        base.groupBy("__g__", "__b__")
+        .agg(F.sum("n_tokens").alias("__t__"))
+        .collect()
+    )
+    by_group: dict[object, list[tuple[int, int]]] = {}
+    for r in stats:
+        by_group.setdefault(r["__g__"], []).append((r["__b__"], int(r["__t__"])))
+    # per group: buckets strictly before the cutoff fit entirely;
+    # cutoff bucket -1 means "everything fits" (no window needed)
+    cut_rows = []
+    for g, pairs in by_group.items():
+        running = 0
+        cutoff, before = -1, 0
+        for b, t in sorted(pairs):
+            if running + t > token_budget:
+                cutoff, before = b, running
+                break
+            running += t
+        cut_rows.append((g, cutoff, before))
+    spark = df.sparkSession
+    cuts = F.broadcast(
+        spark.createDataFrame(
+            cut_rows, "__g__ string, __cut__ int, __before__ long"
+        )
+    )
+    joined = base.join(cuts, ["__g__"], "left")
+    whole = joined.filter(
+        (F.col("__cut__") == -1) | (F.col("__b__") < F.col("__cut__"))
+    )
+    w = Window.partitionBy("__g__").orderBy(
+        F.col("__s__").asc(), F.col(id_col).asc()
+    )
+    edge = (
+        joined.filter(F.col("__b__") == F.col("__cut__"))
+        .withColumn("__cum__", F.sum("n_tokens").over(w))
+        .filter(F.col("__before__") + F.col("__cum__") <= F.lit(token_budget))
+        .drop("__cum__")
+    )
+    drop = ["__g__", "__s__", "__b__", "__cut__", "__before__"]
+    return whole.unionByName(edge).drop(*drop)

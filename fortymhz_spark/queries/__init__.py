@@ -121,12 +121,15 @@ ROUND_GATE: tuple[str, ...] = (
 # is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into the
 # round-8 gate as changed-code re-grades) — after round 8 they carry
 # the OLDEST checks in the registry, so round-9 gate assembly picks
-# them up FIRST — plus q_emb_ann_codes_extend, the late round-8
-# incremental-ADD query parked here because the round-8 gate is
-# exactly full (the 42-row deferred promise is immovable); it is
-# covered by the local sf0.001 differential meanwhile.
+# them up FIRST — plus the late round-8 additions
+# (q_emb_ann_codes_extend, the incremental-ADD grade, and
+# q_docs_token_budget_sample, the token-budget mixture selection)
+# parked here because the round-8 gate is exactly full (the 42-row
+# deferred promise is immovable); both are covered by the local
+# sf0.001 differential meanwhile.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_emb_ann_codes_extend",
+    "q_docs_token_budget_sample",
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",

@@ -1070,6 +1070,61 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# token-budget mixture selection (operators/sampling.py::budget_sample)
+# — the unit a pretraining budget is actually denominated in: each
+# source fills an 800-token quota as the maximal prefix of the
+# deterministic hash order (cum ≤ budget, stop at first overflow).
+# The operator runs the TWO-PHASE form (per-bucket sums → driver
+# cutoff → exact window only inside the one cutoff bucket per source);
+# the oracle is the naive full-window cumsum — the two must agree doc
+# for doc, which is exactly the contiguous-bucket-prefix argument the
+# docstring makes.  Budget 800 cuts EVERY source at every fixture sf
+# (per-source totals are ≥1.1k tokens), so the grade is never the
+# keep-all branch alone.
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 800
+
+
+@reg.query(
+    "q_docs_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 1000003 AS s
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY s, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens
+    FROM o WHERE cum <= {_TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+)
+def q_docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection: the docs each source
+    contributes to an 800-token quota under deterministic hash-prefix
+    semantics, graded row for row against the naive window-cumsum
+    replication (the two-phase bucket form must reproduce the global
+    prefix exactly).
+
+    Scale shape: one map-side-combined (group, bucket) aggregate
+    (≤ sources × 256 rows to the driver), wholesale keep of pre-cutoff
+    buckets, and the exact cumsum window only over the single cutoff
+    bucket per source — never a full-source window."""
+    from fortymhz_spark.operators.sampling import budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = budget_sample(docs, _TOKEN_BUDGET, group_col="source")
+    return picked.select("doc_id", "source", "n_tokens").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: pair graph → connected components → groups.
 # Oracle: transitive closure (recursive CTE) over the brute-force
 # Jaccard pair graph — same threshold/shingles as the minhash oracle,

@@ -124,6 +124,11 @@ SENSITIVE = [
     # round-8: the strip half — the rebuilt text (token filter against
     # per-doc span lists) must be byte-identical at any partition count
     "q_docs_strip_contaminated_spans",
+    # token-budget selection: the two-phase cutoff (driver-side prefix
+    # over per-bucket sums + one in-bucket window) must pick the SAME
+    # docs at any partition count — the kept set is pure integer
+    # arithmetic on ids and token counts
+    "q_docs_token_budget_sample",
 ]
 
 _QUERIES = all_queries()

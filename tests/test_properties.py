@@ -2219,3 +2219,71 @@ def test_bpe_and_unigram_artifacts_roundtrip(spark, tmp_path):
         bpe.load_bpe_merges(spark, other)
     with _pytest.raises(ValueError, match=r"not a.*unigram_model.*artifact"):
         ug.load_unigram_model(spark, other)
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture selection (operators/sampling.py::budget_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_budget_sample_matches_naive_prefix_reference(spark):
+    """The two-phase bucket form must reproduce the naive hash-order
+    prefix exactly — per group and globally — including the
+    stop-at-first-overflow rule (no back-filling of shorter docs past
+    the overflow point), NULL text (0 tokens) and NULL group totality,
+    and partition invariance.  n_buckets=4 forces real cutoff-bucket
+    boundaries at this size."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.sampling import budget_sample
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code", "tok " * (i % 7 + 1))
+        for i in range(200)
+    ]
+    rows.append((500, "web", None))       # NULL text: 0 tokens, kept free
+    rows.append((501, None, "a b c"))     # NULL group: its own quota
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def score(i):
+        return (i * 2_654_435_761) % 1_000_003
+
+    def ref_keep(budget, by_group):
+        import collections
+
+        groups = collections.defaultdict(list)
+        for i, s, t in rows:
+            n = len([x for x in (t or "").split(" ") if x])
+            groups[s if by_group else ""].append((score(i), i, n))
+        keep = set()
+        for docs in groups.values():
+            run = 0
+            for _, i, n in sorted(docs):
+                if run + n > budget:
+                    break
+                run += n
+                keep.add(i)
+        return keep
+
+    for budget in (0, 17, 40, 10_000):
+        got = budget_sample(df, budget, group_col="source", n_buckets=4)
+        assert {r.doc_id for r in got.collect()} == ref_keep(budget, True), budget
+    got_g = budget_sample(df, 100, n_buckets=4)
+    assert {r.doc_id for r in got_g.collect()} == ref_keep(100, False)
+    # kept token sums never exceed the budget, and n_tokens rides along
+    sums = budget_sample(df, 40, group_col="source").groupBy("source").agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()
+    assert all(r.t <= 40 for r in sums)
+    # partition-invariant
+    a = sorted(
+        r.doc_id
+        for r in budget_sample(
+            df.repartition(7), 40, group_col="source", n_buckets=4
+        ).collect()
+    )
+    assert a == sorted(ref_keep(40, True))
+    with _pytest.raises(ValueError, match="token_budget"):
+        budget_sample(df, -1)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        budget_sample(df, 10, n_buckets=0)
