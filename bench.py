@@ -201,6 +201,9 @@ HEADLINE = [
     # combine, ≤ sources × 256 driver rows) + wholesale pre-cutoff
     # keep + exact window over the single cutoff bucket per source
     "q_docs_token_budget_sample",
+    # filter-threshold yield curve: all cutoffs' doc/token retention
+    # as side-by-side conditional sums in ONE scan + literal unpivot
+    "q_docs_quality_yield_curve",
 ]
 
 

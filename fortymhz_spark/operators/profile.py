@@ -91,3 +91,78 @@ def profile_table(
         .select("p.*")
         .orderBy("column")
     )
+
+
+def quality_yield_curve(
+    df: DataFrame,
+    score,
+    thresholds: list[int],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter-threshold YIELD CURVE in one scan: for every candidate
+    threshold, how many documents and how many tokens survive
+    ``score >= threshold`` — the sweep that actually tunes a quality
+    filter ("which cutoff keeps ~2 T tokens?").  At 100 TB you cannot
+    afford one scan per candidate cutoff; this computes ALL of them as
+    side-by-side conditional aggregates in ONE pass (map-side
+    combined, a single 1-row partial), then unpivots the 1-row result
+    into ``(threshold, n_docs_kept, n_tokens_kept)`` — driver cost is
+    |thresholds| scalars.
+
+    ``score`` is any integer Column expression (e.g.
+    ``text.hashed_linear_score`` — the exact-BIGINT logit, so the
+    curve is engine-portable and oracle-checkable cell for cell).
+    NULL text counts 0 tokens; a NULL score survives no threshold
+    (SQL comparison semantics).  Monotone by construction:
+    ``n_docs_kept``/``n_tokens_kept`` are non-increasing in the
+    threshold — a pinned invariant a broken conditional aggregate
+    cannot fake."""
+    from fortymhz_spark.operators.text import token_count
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError(f"duplicate thresholds: {sorted(thresholds)}")
+    # Bind the (O(len(text)) fold) score and token count ONCE in their
+    # own projection — every threshold's pair of conditional sums then
+    # reads the bound columns; referencing the raw expressions from
+    # 2×|thresholds| aggregates would embed the tokenize+hash fold
+    # that many times per row (the hashed_linear_score CollapseProject
+    # discipline).
+    s = F.col(score) if isinstance(score, str) else score
+    ntok = token_count(F.coalesce(F.col(text_col), F.lit("")))
+    scored = df.select(s.alias("__score__"), ntok.alias("__ntok__"))
+    aggs = []
+    for i, t in enumerate(thresholds):
+        keep = F.col("__score__") >= F.lit(int(t))
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"__d{i}__")
+        )
+        aggs.append(
+            F.sum(F.when(keep, F.col("__ntok__")).otherwise(0))
+            .cast("long")
+            .alias(f"__t{i}__")
+        )
+    one = scored.agg(*aggs)
+    # unpivot by exploding ONE literal-indexed struct array over the
+    # 1-row aggregate — a union of per-threshold selects would copy
+    # the aggregate subtree |thresholds| times into the plan and
+    # re-execute it per branch, breaking the one-scan claim
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("long").alias("threshold"),
+                F.coalesce(F.col(f"__d{i}__"), F.lit(0)).alias(
+                    "n_docs_kept"
+                ),
+                F.coalesce(F.col(f"__t{i}__"), F.lit(0)).alias(
+                    "n_tokens_kept"
+                ),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("r")).select(
+        "r.threshold", "r.n_docs_kept", "r.n_tokens_kept"
+    )

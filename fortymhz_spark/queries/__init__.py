@@ -130,6 +130,7 @@ ROUND_GATE: tuple[str, ...] = (
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_emb_ann_codes_extend",
     "q_docs_token_budget_sample",
+    "q_docs_quality_yield_curve",
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",

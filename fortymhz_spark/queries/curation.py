@@ -899,6 +899,64 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Filter-threshold YIELD CURVE (operators/profile.py::
+# quality_yield_curve): docs/tokens surviving each candidate cutoff of
+# the exact-BIGINT classifier logit, ALL thresholds in ONE scan
+# (side-by-side conditional aggregates + a literal-struct unpivot) —
+# the sweep that tunes "which cutoff keeps ~2 T tokens" without one
+# scan per candidate.  The oracle recomputes the logit chain verbatim
+# (the q_docs_quality_classifier CTE) and aggregates per threshold;
+# counts are exact integers, so every cell hashes.
+# ---------------------------------------------------------------------------
+_YIELD_THRESHOLDS = [-4000, -2000, -1000, 0, 1000, 2000, 4000]
+
+
+@reg.query(
+    "q_docs_quality_yield_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='lower(text)')} AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(tk, tok ->
+                    (('0x' || substr(md5(tok), 1, 8))::BIGINT % 2001) - 1000
+                  )), 0) AS BIGINT) AS logit
+      FROM tok
+    ),
+    th AS (SELECT unnest({_YIELD_THRESHOLDS}) AS threshold)
+    SELECT CAST(th.threshold AS BIGINT) AS threshold,
+           CAST(COALESCE(SUM(CASE WHEN s.logit >= th.threshold
+                              THEN 1 END), 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN s.logit >= th.threshold
+                              THEN s.n_tokens END), 0) AS BIGINT)
+             AS n_tokens_kept
+    FROM th CROSS JOIN scored s
+    GROUP BY th.threshold
+    ORDER BY threshold
+    """,
+)
+def q_docs_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents and tokens retained at each of seven candidate
+    milli-logit cutoffs of the hashed-feature classifier, computed in
+    one scan and graded cell-for-cell against a per-threshold SQL
+    re-aggregation of the full logit chain.
+
+    Scale shape: map-only logit + token count per row, |thresholds|×2
+    conditional sums folded into ONE map-side-combined aggregate (a
+    single 1-row partial per task), then a literal unpivot — at
+    100 TB this is exactly one pass over text bytes regardless of how
+    many cutoffs are being considered."""
+    from fortymhz_spark.operators.profile import quality_yield_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_yield_curve(
+        docs, tx.hashed_linear_score("text", scale=1000), _YIELD_THRESHOLDS
+    ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
 # IVFPQ ANN: the composed coarse-cells + compressed-codes architecture
 # (FAISS IVFxx,PQyy) — candidate ROWS bounded by the inverted file,
 # candidate BYTES bounded by the codes.  Graded like its standalone

@@ -2287,3 +2287,36 @@ def test_budget_sample_matches_naive_prefix_reference(spark):
         budget_sample(df, -1)
     with _pytest.raises(ValueError, match="n_buckets"):
         budget_sample(df, 10, n_buckets=0)
+
+
+def test_quality_yield_curve_monotone_and_exact(spark):
+    """quality_yield_curve: one row per threshold, counts equal the
+    per-threshold brute-force filter, non-increasing in the threshold,
+    NULL text costs 0 tokens, and validation rejects empty/duplicate
+    threshold lists."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.profile import quality_yield_curve
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, None), (4, "f g h i")],
+        "doc_id long, text string",
+    )
+    score = (F.col("doc_id") * 10).cast("long")  # 10,20,30,40
+    got = {
+        r.threshold: (r.n_docs_kept, r.n_tokens_kept)
+        for r in quality_yield_curve(
+            df, score, [0, 15, 25, 35, 99]
+        ).collect()
+    }
+    # tokens: 3,2,0,4 — score>=t keeps the doc-id suffix
+    assert got == {
+        0: (4, 9), 15: (3, 6), 25: (2, 4), 35: (1, 4), 99: (0, 0),
+    }
+    docs = [d for d, _ in sorted(got.items())]
+    kept = [got[d] for d in docs]
+    assert kept == sorted(kept, reverse=True)  # monotone non-increasing
+    with _pytest.raises(ValueError, match="non-empty"):
+        quality_yield_curve(df, score, [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        quality_yield_curve(df, score, [1, 1])
