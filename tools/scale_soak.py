@@ -587,6 +587,21 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             lambda: _snapshot_ivm_rescan_rows(spark, scale_mult),
         ),
         (
+            # round-8: token-budget selection, two-phase form — the
+            # per-bucket fit aggregate scans all text (∝ tokens), the
+            # cutoff resolves driver-side over ≤ groups × 256 rows,
+            # and the exact window touches ONE bucket per group; the
+            # FIXED budget means the kept set stays ~constant while
+            # the corpus grows, so the ratio should track the fit
+            # scan, never a full-source window sort.
+            "budget_sample",
+            lambda: __import__(
+                "fortymhz_spark.operators.sampling", fromlist=["x"]
+            ).budget_sample(
+                docs, 800, group_col="source"
+            ).count(),
+        ),
+        (
             # collect() the 1-row aggregate (a count() over a global
             # aggregate can shortcut without evaluating the fold)
             "quality_classifier",
