@@ -204,6 +204,10 @@ HEADLINE = [
     # filter-threshold yield curve: all cutoffs' doc/token retention
     # as side-by-side conditional sums in ONE scan + literal unpivot
     "q_docs_quality_yield_curve",
+    # reverse contamination audit: per-eval leak fraction + distinct
+    # train-doc blast radius, distinct-(id, shingle) reductions + one
+    # hash join, aggregates over hit rows only
+    "q_docs_contamination_report",
 ]
 
 

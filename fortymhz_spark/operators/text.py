@@ -896,6 +896,100 @@ def decontaminate_spans(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    shingle_tokens: int = 8,
+) -> DataFrame:
+    """The REVERSE direction of :func:`decontaminate_spans` — per EVAL
+    document, how compromised is it: the audit a benchmark owner runs
+    ("which of my test items leaked into the training set, and how
+    widely?") where the decontaminate family answers the trainer's
+    question ("which of my train docs carry eval text?").  One row per
+    eval doc (total — clean items report zeros):
+
+    - ``n_eval_shingles``: its distinct ``shingle_tokens``-token
+      windows (the denominator);
+    - ``n_shingles_leaked``: how many of those appear verbatim in ANY
+      train doc — with the denominator this is the leak fraction;
+    - ``n_train_docs_hit``: how many DISTINCT train docs contain at
+      least one of them — one viral quote in a thousand crawl pages
+      reads very differently from one verbatim copy;
+    - ``is_leaked``: any overlap at all.
+
+    Exact integer counts throughout, so the report is oracle-checkable
+    cell for cell.
+
+    Scale shape: both sides reduce to DISTINCT ``(id, shingle_md5)``
+    rows; the join keys on the hash with the EVAL side as the small
+    build side (benchmarks are tiny next to a training corpus), so the
+    train side is one map-only scan + a hash join — the only shuffle
+    is the per-eval-doc aggregate over HIT rows, which are rare by
+    construction.  No text in any shuffle, nothing quadratic."""
+    if shingle_tokens < 1:
+        raise ValueError(
+            f"shingle_tokens must be >= 1, got {shingle_tokens}"
+        )
+    w = shingle_tokens
+    etc = eval_text_col or text_col
+
+    def shingled(df: DataFrame, col: str) -> DataFrame:
+        tok = tokens(F.lower(F.coalesce(_colified(col), F.lit(""))))
+
+        def shingles_of(tk: Column) -> Column:
+            nsh = F.greatest(F.size(tk) - w + 1, F.lit(0))
+            return F.slice(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nsh, F.lit(1))),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
+                ),
+                1,
+                nsh,
+            )
+
+        arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
+        return df.select(
+            F.col(id_col).alias("__id__"), F.explode(arr).alias("__h__")
+        ).distinct()
+
+    ev = shingled(eval_docs, etc)
+    tr = shingled(train, text_col)
+    hits = ev.join(
+        tr.withColumnRenamed("__id__", "__tid__"), "__h__"
+    )
+    per_eval = hits.groupBy("__id__").agg(
+        F.count_distinct("__h__").alias("n_shingles_leaked"),
+        F.count_distinct("__tid__").alias("n_train_docs_hit"),
+    )
+    totals = ev.groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_eval_shingles")
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("__id__"))
+        .join(totals, ["__id__"], "left")
+        .join(per_eval, ["__id__"], "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("n_eval_shingles"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_shingles"),
+            F.coalesce(F.col("n_shingles_leaked"), F.lit(0))
+            .cast("long")
+            .alias("n_shingles_leaked"),
+            F.coalesce(F.col("n_train_docs_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_train_docs_hit"),
+            (F.coalesce(F.col("n_shingles_leaked"), F.lit(0)) > 0).alias(
+                "is_leaked"
+            ),
+        )
+    )
+
+
 def strip_duplicated_spans(
     docs: DataFrame,
     *,

@@ -2388,6 +2388,72 @@ def q_docs_strip_contaminated_spans(
 
 
 # ---------------------------------------------------------------------------
+# contamination REPORT — the reverse direction of the decontamination
+# family (operators/text.py::contamination_report): per EVAL item, the
+# benchmark owner's audit — leak fraction (distinct leaked shingles /
+# its shingles) and blast radius (distinct train docs hit).  Same
+# train/eval split as the flag/strip rows; exact integer counts, full
+# SQL replication.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_contamination_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 = 3
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+      WHERE doc_id % 4 != 3
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_shingles
+      FROM ev GROUP BY doc_id
+    ),
+    hit AS (
+      SELECT e.doc_id,
+             CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shingles_leaked,
+             CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_train_docs_hit
+      FROM ev e JOIN tr r USING (h) GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_eval_shingles, 0) AS n_eval_shingles,
+           COALESCE(hit.n_shingles_leaked, 0) AS n_shingles_leaked,
+           COALESCE(hit.n_train_docs_hit, 0) AS n_train_docs_hit,
+           COALESCE(hit.n_shingles_leaked, 0) > 0 AS is_leaked
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN hit USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_docs_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-eval-item contamination audit against the train slice: each
+    eval doc's distinct-shingle denominator, how many of those
+    shingles appear verbatim anywhere in train (the leak fraction's
+    numerator), and how many distinct train docs carry at least one
+    (the blast radius) — total over eval, graded cell for cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 4 != 3)
+    ev = docs.filter(F.col("doc_id") % 4 == 3)
+    return tx.contamination_report(
+        train, ev, shingle_tokens=8
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # heavy hitters via per-partition Misra-Gries, graded by the sketch's
 # CONTAINMENT GUARANTEE: the lower-bound estimates depend on partition
 # layout (never oracle-comparable), but Misra-Gries guarantees every

@@ -463,6 +463,56 @@ def test_decontaminate_spans_union_coverage_over_overlapping_runs(spark):
     assert (row2.n_spans, row2.contaminated_tokens) == (2, 16)
 
 
+def test_contamination_report_leak_fraction_and_blast_radius(spark):
+    """contamination_report: per eval doc, exact distinct-shingle
+    denominator, leaked-shingle count, and distinct-train-doc blast
+    radius — total over eval (clean items report zeros), duplicate
+    leaks in one train doc counted once, and multiple train copies
+    counted per doc."""
+    from fortymhz_spark.operators import text as tx
+
+    # eval 100: its window e1..e8 appears in TWO train docs (blast
+    # radius 2); eval 101 is clean; eval 102 has NULL text
+    train = spark.createDataFrame(
+        [
+            (1, "x e1 e2 e3 e4 e5 e6 e7 e8 y"),
+            (2, "e1 e2 e3 e4 e5 e6 e7 e8"),
+            (3, "nothing shared here at all with anything beyond"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "pre e1 e2 e3 e4 e5 e6 e7 e8 post"),
+            (101, "totally clean benchmark item nothing leaked anywhere ok"),
+            (102, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_eval_shingles,
+            r.n_shingles_leaked,
+            r.n_train_docs_hit,
+            r.is_leaked,
+        )
+        for r in tx.contamination_report(train, ev, shingle_tokens=8)
+        .collect()
+    }
+    # eval 100 has 10 tokens -> 3 shingles; only the middle one
+    # (e1..e8) exists in train, in docs 1 AND 2.  eval 101's 8 tokens
+    # are exactly one (clean) shingle; NULL-text 102 has none.
+    assert got == {
+        100: (3, 1, 2, True),
+        101: (1, 0, 0, False),
+        102: (0, 0, 0, False),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_tokens"):
+        tx.contamination_report(train, ev, shingle_tokens=0)
+
+
 def test_strip_contaminated_spans_rewrites_and_stays_total(spark):
     """strip_contaminated_spans removes exactly the union-covered
     tokens (overlapping runs never double-remove), rebuilds the text,

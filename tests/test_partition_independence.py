@@ -129,6 +129,9 @@ SENSITIVE = [
     # docs at any partition count — the kept set is pure integer
     # arithmetic on ids and token counts
     "q_docs_token_budget_sample",
+    # reverse contamination audit: distinct-(id, shingle) reductions +
+    # hash join + per-eval aggregates — exact counts at any partitioning
+    "q_docs_contamination_report",
 ]
 
 _QUERIES = all_queries()
