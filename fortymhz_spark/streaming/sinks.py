@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from fortymhz_spark.streaming.sources import KAFKA_HELP
 
@@ -497,6 +498,147 @@ def start_dedup_ingest_sink(
         merge_snapshot(
             spark, corpus_dir, survivors, [id_col],
             note=f"ingest batch={batch_id}",
+            txn=(app, batch_id),
+        )
+
+    return _start_exactly_once_sink(
+        df, corpus_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
+    )
+
+
+def start_budget_ingest_sink(
+    df: DataFrame,
+    corpus_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    token_budget: int,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    txn_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming TOKEN-BUDGET ingest (ST11) — ``budget_sample``'s
+    quota semantics enforced ACROSS micro-batches: each group (source)
+    may contribute at most ``token_budget`` tokens to the corpus over
+    the stream's lifetime.  Per batch, per group: docs are taken in
+    the deterministic ``(sample_score(id), id)`` order while the
+    group's LEDGER total plus the running batch sum stays ≤ budget
+    (the stop-at-first-overflow prefix rule — later shorter docs in
+    the same batch are not back-filled, so the admit decision is
+    replayable); survivors merge into the corpus snapshot table and
+    the ledger advances to the new absolute totals.
+
+    The LEDGER is a tiny snapshot table of PER-BATCH increments
+    ``(group, batch_id, tokens_added)`` — the scale trick twice over:
+    admitting a batch reads standing totals in O(groups × batches)
+    ledger rows instead of re-aggregating the corpus per trigger
+    (∝ archive), and keying increments by ``(group, batch_id)`` makes
+    the replay math EXACT: pre-batch totals are always
+    ``sum(tokens_added) excluding the current batch_id``, so a crash
+    between the ledger upsert and the corpus merge replays into the
+    SAME admit decision (an absolute-totals ledger would have lost the
+    pre-batch state the decision needs, and a ``+=`` increment would
+    double-count — both measured-wrong designs).
+
+    Two-table exactly-once (the ``start_dedup_ingest_sink`` protocol):
+    the ledger upsert runs FIRST and is an idempotent keyed upsert of
+    this batch's increments; the corpus merge carries the
+    ``(txn_id, batch_id)`` mark, and a replay of a committed batch is
+    skipped by the mark before any work.  A batch with NO admissible
+    docs (every group at quota) still lands its mark via
+    ``mark_stream_txn`` — the all-duplicates poison-pill lesson.
+
+    Per-trigger cost: one O(groups) ledger read, one batch-local
+    window cumsum (micro-batches are small — the two-phase bucket
+    form is the BATCH operator's concern, not the sink's), and the
+    corpus merge (the documented ∝-archive copy-on-write term)."""
+    from fortymhz_spark.operators.sampling import sample_score
+    from fortymhz_spark.operators.text import token_count
+    from fortymhz_spark.sources.snapshots import (
+        _load_manifest,
+        mark_stream_txn,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
+        spark = batch_df.sparkSession
+        import os as _os
+
+        have_ledger = _os.path.exists(
+            _os.path.join(ledger_dir, "_manifest.json")
+        ) and int(_load_manifest(ledger_dir)["current"]) > 0
+        totals: dict[str, int] = {}
+        if have_ledger:
+            for r in read_snapshot(spark, ledger_dir).collect():
+                # EXCLUDING this batch's own increments: on a replay
+                # after the ledger landed but before the corpus mark,
+                # this reconstructs the exact pre-batch totals the
+                # original admit decision used
+                if int(r["batch_id"]) != batch_id:
+                    totals[r["group"]] = totals.get(r["group"], 0) + int(
+                        r["tokens_added"]
+                    )
+        w = Window.partitionBy(group_col).orderBy(
+            sample_score(id_col).asc(), F.col(id_col).asc()
+        )
+        spent = F.coalesce(
+            F.create_map(
+                *[
+                    x
+                    for g, t in sorted(totals.items())
+                    for x in (F.lit(g), F.lit(t))
+                ]
+            )[F.col(group_col)]
+            if totals
+            else F.lit(None).cast("long"),
+            F.lit(0),
+        )
+        scored = batch_df.select(
+            "*",
+            token_count(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "__nt__"
+            ),
+        ).withColumn("__cum__", F.sum("__nt__").over(w))
+        survivors = scored.filter(
+            spent + F.col("__cum__") <= F.lit(token_budget)
+        ).localCheckpoint()
+        if survivors.isEmpty():
+            # every group at quota: no data version, but the mark must
+            # land or the replay re-admits forever
+            mark_stream_txn(corpus_dir, (app, batch_id))
+            return
+        increments = (
+            survivors.groupBy(F.col(group_col).alias("group"))
+            .agg(F.sum("__nt__").cast("long").alias("tokens_added"))
+            .collect()
+        )
+        ledger_df = spark.createDataFrame(
+            [(r["group"], batch_id, int(r["tokens_added"])) for r in increments],
+            "group string, batch_id long, tokens_added long",
+        )
+        if have_ledger:
+            merge_snapshot(
+                spark, ledger_dir, ledger_df, ["group", "batch_id"],
+                note=f"budget ledger batch={batch_id}",
+            )
+        else:
+            write_snapshot(
+                ledger_df, ledger_dir,
+                note=f"budget ledger batch={batch_id}",
+            )
+        merge_snapshot(
+            spark, corpus_dir,
+            survivors.drop("__nt__", "__cum__"),
+            [id_col],
+            note=f"budget ingest batch={batch_id}",
             txn=(app, batch_id),
         )
 

@@ -1154,6 +1154,97 @@ def test_dedup_ingest_sink_end_to_end(spark, tmp_path):
     ) == [1, 2, 11, 13, 21]
 
 
+def test_budget_ingest_sink_enforces_quota_across_batches(spark, tmp_path):
+    """ST11 (streaming/sinks.py::start_budget_ingest_sink): per-source
+    token quotas enforced ACROSS micro-batches via the per-batch
+    increment ledger.  Batch 0 part-fills source A and rejects an
+    over-quota source-B doc; batch 1 is entirely inadmissible (A's
+    remaining quota is too small for its hash-order FIRST doc, and
+    prefix semantics must NOT back-fill the shorter doc behind it) —
+    no data version, but the mark lands; batch 2 admits source B
+    independently (per-group isolation).  A checkpoint restart
+    republishes nothing."""
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    # budget 10 tokens per source
+    b0 = spark.createDataFrame(
+        [
+            (1, "A", "t1 t2 t3 t4"),            # A: 4 kept (cum 4)
+            (2, "A", "u1 u2 u3 u4"),            # A: 4 kept (cum 8)
+            (3, "B", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  # 12 > 10
+        ],
+        "doc_id long, source string, text string",
+    )
+    # sample_score(10) < sample_score(11), so doc 10 (4 tokens,
+    # 8+4 > 10) is the prefix head and STOPS the group — doc 11
+    # (2 tokens, would fit) must NOT be back-filled
+    b1 = spark.createDataFrame(
+        [(10, "A", "v1 v2 v3 v4"), (11, "A", "x1 x2")],
+        "doc_id long, source string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, "B", "y1 y2 y3 y4 y5 y6 y7 y8")],  # B: 8 <= 10, kept
+        "doc_id long, source string, text string",
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    for i, b in enumerate((b0, b1, b2), start=1):
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.json(staging)
+        part = _glob.glob(staging + "/part-*.json")[0]
+        _shutil.copy(part, str(src / f"{i}.json"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = start_budget_ingest_sink(
+        stream, corpus_dir, ledger_dir, ckpt, 10, available_now=True
+    )
+    q.awaitTermination(300)
+
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2, 20]
+    ledger = {
+        (r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    assert ledger == {("A", 0): 8, ("B", 2): 8}
+    # batch 1 published no data version (v1 = batch 0, v2 = batch 2)
+    n_versions = len(snapshot_versions(corpus_dir))
+    assert n_versions == 2
+
+    q2 = start_budget_ingest_sink(
+        stream, corpus_dir, ledger_dir, ckpt, 10, available_now=True
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(corpus_dir)) == n_versions
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2, 20]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="token_budget"):
+        start_budget_ingest_sink(
+            stream, corpus_dir, ledger_dir, ckpt, -1
+        )
+
+
 def test_dedup_ingest_sink_all_duplicate_batch_is_not_a_poison_pill(
     spark, tmp_path
 ):
