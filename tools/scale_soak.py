@@ -566,6 +566,35 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             .__len__(),
         ),
         (
+            # round-8: the strip half of span decontamination — the
+            # flag row's shape plus the per-doc rebuild join; the
+            # ratio should track token volume like decontaminate_spans
+            "strip_contaminated_spans",
+            lambda: int(
+                text_ops.strip_contaminated_spans(
+                    docs.filter(F.col("doc_id") % 4 != 3),
+                    docs.filter(F.col("doc_id") % 4 == 3),
+                    shingle_tokens=8,
+                )
+                .select(F.sum("n_removed_tokens").cast("long"))
+                .first()[0]
+                or 0
+            ),
+        ),
+        (
+            # round-8: the reverse audit — distinct-(id, shingle)
+            # reductions both sides + one hash join; aggregates touch
+            # HIT rows only, so the ratio should track token volume
+            "contamination_report",
+            lambda: text_ops.contamination_report(
+                docs.filter(F.col("doc_id") % 4 != 3),
+                docs.filter(F.col("doc_id") % 4 == 3),
+                shingle_tokens=8,
+            )
+            .filter(F.col("is_leaked"))
+            .count(),
+        ),
+        (
             # snapshot-lifecycle IVM, refresh arm: apply a FIXED-size
             # CDC delta (2k rows from a real v1→v2 merge_snapshot) to
             # a materialized 64-group aggregate while the BASE table
