@@ -208,6 +208,9 @@ HEADLINE = [
     # train-doc blast radius, distinct-(id, shingle) reductions + one
     # hash join, aggregates over hit rows only
     "q_docs_contamination_report",
+    # cross-source duplication matrix: domain-bounded collect_set per
+    # shingle hash (no self-join), |sources|^2 pair fan-out per hash
+    "q_docs_source_overlap",
 ]
 
 

@@ -896,6 +896,80 @@ def decontaminate_spans(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_tokens: int = 8,
+) -> DataFrame:
+    """Cross-SOURCE duplication matrix — which sources carry each
+    other's text: for every pair of sources, the number of distinct
+    ``shingle_tokens``-token windows they share verbatim.  The
+    curation diagnostic that decides WHERE dedup effort goes (two
+    mirrors of the same crawl vs genuinely disjoint feeds) before any
+    doc-level pass runs.  One row per source pair with ≥ 1 shared
+    shingle: ``(source_a, source_b, n_shared_shingles)``,
+    ``source_a < source_b`` lexicographically.
+
+    Scale shape — deliberately NOT a self-join on the shingle hash
+    (whose candidate volume tracks raw duplication and explodes on
+    stop-shingles): per distinct hash, ``collect_set`` of the sources
+    containing it — bounded by the SOURCE DOMAIN, not the corpus —
+    then each ≥2-source hash explodes into its source pairs (≤
+    |sources|² per hash, domain-bounded) and one aggregate counts per
+    pair.  Shuffles carry (source, md5) and then (md5, source-set)
+    only; never text, never doc ids, nothing ∝ corpus²."""
+    if shingle_tokens < 1:
+        raise ValueError(
+            f"shingle_tokens must be >= 1, got {shingle_tokens}"
+        )
+    w = shingle_tokens
+    tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
+
+    def shingles_of(tk: Column) -> Column:
+        nsh = F.greatest(F.size(tk) - w + 1, F.lit(0))
+        return F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nsh, F.lit(1))),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))),
+            ),
+            1,
+            nsh,
+        )
+
+    arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
+    sh = docs.select(
+        F.col(group_col).alias("__g__"), F.explode(arr).alias("__h__")
+    ).distinct()
+    gs = (
+        sh.groupBy("__h__")
+        .agg(F.sort_array(F.collect_set("__g__")).alias("__gs__"))
+        .filter(F.size("__gs__") >= 2)
+    )
+    n = F.size("__gs__")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("__gs__"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("__gs__"), j.cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        gs.select(F.explode(pairs).alias("__p__"))
+        .groupBy(
+            F.col("__p__.a").alias("source_a"),
+            F.col("__p__.b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+
+
 def contamination_report(
     train: DataFrame,
     eval_docs: DataFrame,

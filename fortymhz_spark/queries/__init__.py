@@ -132,6 +132,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_docs_token_budget_sample",
     "q_docs_quality_yield_curve",
     "q_docs_contamination_report",
+    "q_docs_source_overlap",
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",

@@ -2454,6 +2454,51 @@ def q_docs_contamination_report(
 
 
 # ---------------------------------------------------------------------------
+# cross-source duplication matrix (operators/text.py::source_overlap)
+# — which sources carry each other's text, the diagnostic that aims
+# dedup effort before any doc-level pass.  The operator avoids the
+# hash self-join (stop-shingle blowup) via a domain-bounded
+# collect_set per hash; the ORACLE is the naive self-join — the two
+# must agree pair for pair, which is the equivalence the scale claim
+# rests on.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_source_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(tk[i::INT : (i + 7)::INT], ' ')) AS h
+      FROM t, unnest(range(1, GREATEST(len(tk) - 6, 1))) AS g(i)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct verbatim 8-token windows shared by every source pair,
+    graded pair for pair against the naive distinct-(source, shingle)
+    self-join replication.
+
+    Scale shape: shuffles carry (source, md5) then (md5, source-set)
+    — the per-hash source set is bounded by the SOURCE DOMAIN, so the
+    pair fan-out is |sources|² per ≥2-source hash regardless of how
+    many documents repeat it; no self-join, no text in any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.source_overlap(docs, shingle_tokens=8).orderBy(
+        "source_a", "source_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # heavy hitters via per-partition Misra-Gries, graded by the sketch's
 # CONTAINMENT GUARANTEE: the lower-bound estimates depend on partition
 # layout (never oracle-comparable), but Misra-Gries guarantees every

@@ -513,6 +513,46 @@ def test_contamination_report_leak_fraction_and_blast_radius(spark):
         tx.contamination_report(train, ev, shingle_tokens=0)
 
 
+def test_source_overlap_matrix_counts_and_validation(spark):
+    """source_overlap: per source pair, distinct shared shingles —
+    within-source repetition never counts, a 3-source shingle hits all
+    three pairs once, doc-level repetition of the same shingle counts
+    once, and order is canonical (source_a < source_b)."""
+    from fortymhz_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "s1 s2 s3 s4 s5 s6 s7 s8 extraA"),
+            (2, "B", "pre s1 s2 s3 s4 s5 s6 s7 s8"),
+            (3, "C", "totally different content with nothing shared here ok"),
+            # c1..c8 in ALL THREE sources; repeated twice inside A
+            (4, "A", "c1 c2 c3 c4 c5 c6 c7 c8"),
+            (5, "A", "again c1 c2 c3 c4 c5 c6 c7 c8"),
+            (6, "B", "c1 c2 c3 c4 c5 c6 c7 c8 tailB"),
+            (7, "C", "z c1 c2 c3 c4 c5 c6 c7 c8"),
+            (8, "C", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = sorted(
+        map(tuple, tx.source_overlap(docs, shingle_tokens=8).collect())
+    )
+    assert got == [("A", "B", 2), ("A", "C", 1), ("B", "C", 1)]
+    rep = sorted(
+        map(
+            tuple,
+            tx.source_overlap(
+                docs.repartition(7), shingle_tokens=8
+            ).collect(),
+        )
+    )
+    assert rep == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_tokens"):
+        tx.source_overlap(docs, shingle_tokens=0)
+
+
 def test_strip_contaminated_spans_rewrites_and_stays_total(spark):
     """strip_contaminated_spans removes exactly the union-covered
     tokens (overlapping runs never double-remove), rebuilds the text,

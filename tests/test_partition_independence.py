@@ -132,6 +132,9 @@ SENSITIVE = [
     # reverse contamination audit: distinct-(id, shingle) reductions +
     # hash join + per-eval aggregates — exact counts at any partitioning
     "q_docs_contamination_report",
+    # cross-source matrix: collect_set is sort_array-canonicalized and
+    # the pair counts are exact — identical at any partitioning
+    "q_docs_source_overlap",
 ]
 
 _QUERIES = all_queries()
