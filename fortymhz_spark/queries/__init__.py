@@ -40,14 +40,18 @@ Round 8 rotation (the r7 verdict's item #1 — "rotate the gate onto the
    q_emb_label_centroids).
 
 2 new + 6 changed + 42 deferred = 50 — no freshness slots left this
-round; the oldest remaining checks (the 44 round-6 greens below) form
-the round-9 deferred bucket.
+round; the round-9 deferred bucket is the 44 round-6 greens plus the
+FIVE late round-8 queries parked below (codes_extend,
+token_budget_sample, quality_yield_curve, contamination_report,
+source_overlap — each oracle-graded locally and green in the 145/145
+driver-audit rehearsal at sf0.01, awaiting their first driver row).
 
 After this round: every query graded in round 8 plus the 46 round-7
-greens not re-graded here carry fresh checks; the 44 round-6 greens
-rotate to DEFERRED_TO_NEXT_ROUND so round-9 gate assembly picks them
-up FIRST.  Everything outside the gate stays covered by the local
-sf0.001 differential (tests/test_oracle_parity.py) either way.
+greens not re-graded here carry fresh checks; the 49-row deferred
+bucket rotates into the round-9 gate FIRST (never-driver-graded rows
+ahead of the oldest checks).  Everything outside the gate stays
+covered by the local sf0.001 differential
+(tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -117,16 +121,19 @@ ROUND_GATE: tuple[str, ...] = (
     "q_media_frame_sample",
 )
 
-# The rows deferring to round 9: the 44 round-6 gate greens whose code
-# is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into the
-# round-8 gate as changed-code re-grades) — after round 8 they carry
-# the OLDEST checks in the registry, so round-9 gate assembly picks
-# them up FIRST — plus the late round-8 additions
-# (q_emb_ann_codes_extend, the incremental-ADD grade, and
-# q_docs_token_budget_sample, the token-budget mixture selection)
-# parked here because the round-8 gate is exactly full (the 42-row
-# deferred promise is immovable); both are covered by the local
-# sf0.001 differential meanwhile.
+# The 49 rows deferring to round 9: the 44 round-6 gate greens whose
+# code is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into
+# the round-8 gate as changed-code re-grades) — after round 8 they
+# carry the OLDEST checks in the registry, so round-9 gate assembly
+# picks them up FIRST — plus the FIVE late round-8 additions
+# (q_emb_ann_codes_extend, q_docs_token_budget_sample,
+# q_docs_quality_yield_curve, q_docs_contamination_report,
+# q_docs_source_overlap) parked here because the round-8 gate is
+# exactly full (the 42-row deferred promise is immovable); all five
+# are covered by the local sf0.001 differential and the driver-audit
+# rehearsal (145/145 at sf0.01) meanwhile.  NB round-9 gate math:
+# 49 deferred + new/changed > 50 — grade the five never-driver-graded
+# rows and the oldest checks first.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_emb_ann_codes_extend",
     "q_docs_token_budget_sample",
