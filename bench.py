@@ -211,6 +211,9 @@ HEADLINE = [
     # cross-source duplication matrix: domain-bounded collect_set per
     # shingle hash (no self-join), |sources|^2 pair fan-out per hash
     "q_docs_source_overlap",
+    # distributed perceptron training: per epoch one map-only scoring
+    # scan + one <=64-row gradient aggregate; epochs x 64 driver ints
+    "q_docs_classifier_training",
 ]
 
 

@@ -271,6 +271,96 @@ def hashed_linear_score(
     return F.element_at(F.transform(F.array(toks_expr), fold), 1)
 
 
+def train_hashed_classifier(
+    docs: DataFrame,
+    label_col,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    epochs: int = 2,
+    lr: int = 1,
+) -> list[int]:
+    """TRAIN the hashed-feature linear classifier IN the engine — the
+    closing half of :func:`hashed_linear_score`'s trained-model slot
+    (which serves a weight array but, until now, assumed it was
+    trained elsewhere): a batch perceptron over hashed unigram counts,
+    all-integer and epoch-synchronous, so the result is DETERMINISTIC
+    on any partitioning and a SQL oracle can replay the entire
+    training run epoch by epoch.
+
+    Per epoch (weights start at zero — epoch 1 therefore treats every
+    doc as misclassified, the standard cold start):
+
+    1. score every doc under the CURRENT weights (map-only — the
+       ≤``n_buckets`` ints ride the task binary as one literal);
+    2. docs with ``label · logit ≤ 0`` are the mistake set;
+    3. batch gradient: each mistake doc adds ``label`` to the bucket
+       of EACH of its token occurrences (multiplicity counts — the
+       perceptron's ``w += lr·y·x`` with x = hashed token counts),
+       one map-side-combined ``(bucket, Σlabel)`` aggregate of
+       ≤``n_buckets`` rows to the driver;
+    4. ``w[b] += lr · g[b]`` driver-side.
+
+    ``label_col`` must hold ±1 (validated with one fused aggregate —
+    a 0/NULL label silently biasing the gradient is the failure mode).
+    Returns the weight list ready for
+    ``hashed_linear_score(weights=...)`` — same bucket hash
+    (md5-prefix % n_buckets), so train and serve can never disagree
+    on the feature space.
+
+    Scale shape: ``epochs`` passes over the text, each one scan +
+    one ≤``n_buckets``-row aggregate; driver traffic is
+    ``epochs × n_buckets`` ints; no shuffle wider than the bucket
+    aggregate.  The batch (not online) update is what makes the
+    result partition-invariant — an SGD pass would depend on row
+    order, which Spark does not define."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    bad = docs.agg(
+        F.sum(
+            F.when(
+                y.isNull() | (y.cast("long") * y.cast("long") != 1), 1
+            ).otherwise(0)
+        ).alias("n")
+    ).first()
+    if int(bad["n"] or 0) > 0:
+        raise ValueError(
+            f"label_col must be ±1 on every row; {bad['n']} rows are "
+            "0/NULL/other — a silent gradient bias"
+        )
+    t = F.coalesce(_colified(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    weights = [0] * n_buckets
+    for _ in range(epochs):
+        logit = hashed_linear_score(text_col, weights=weights)
+        grad_rows = (
+            docs.select(y.cast("long").alias("__y__"), logit.alias("__l__"),
+                        toks.alias("__tk__"))
+            .filter(F.col("__y__") * F.col("__l__") <= 0)
+            .select(
+                "__y__",
+                F.explode("__tk__").alias("__tok__"),
+            )
+            .select(
+                (
+                    F.conv(F.substring(F.md5("__tok__"), 1, 8), 16, 10)
+                    .cast("long")
+                    % n_buckets
+                ).alias("__b__"),
+                "__y__",
+            )
+            .groupBy("__b__")
+            .agg(F.sum("__y__").cast("long").alias("__g__"))
+            .collect()
+        )
+        for r in grad_rows:
+            weights[int(r["__b__"])] += lr * int(r["__g__"])
+    return weights
+
+
 def vocab_linear_score(
     docs,
     weights,

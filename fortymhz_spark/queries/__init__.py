@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_docs_quality_yield_curve",
     "q_docs_contamination_report",
     "q_docs_source_overlap",
+    "q_docs_classifier_training",
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",

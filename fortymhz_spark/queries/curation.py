@@ -957,6 +957,88 @@ def q_docs_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed classifier TRAINING (operators/text.py::
+# train_hashed_classifier) — the closing half of the trained-model
+# slot: a 2-epoch integer batch perceptron over hashed unigram counts,
+# labels = "doc contains the token 'the'" (±1, ~78% positive at every
+# fixture sf).  Because the update is epoch-synchronous and
+# all-integer, the ORACLE replays the entire training run — epoch 1
+# from zero weights (every doc misclassified), epoch 2 under the
+# epoch-1 weights — and the graded output is the final 64-bucket
+# weight table cell for cell: any error in the mistake set, the
+# gradient, or the bucket hash changes a weight.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_docs_classifier_training",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN list_contains(tk, 'the') THEN 1 ELSE -1 END AS y
+      FROM t
+    ),
+    tokb AS (
+      SELECT t.doc_id,
+             ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 64 AS b
+      FROM t, unnest(t.tk) AS u(tok)
+    ),
+    g1 AS (
+      SELECT b, SUM(y) AS g FROM tokb JOIN lab USING (doc_id) GROUP BY b
+    ),
+    w1 AS (
+      SELECT r.range AS b, COALESCE(g1.g, 0) AS w
+      FROM range(0, 64) r LEFT JOIN g1 ON g1.b = r.range
+    ),
+    s2 AS (
+      SELECT tokb.doc_id, SUM(w1.w) AS logit
+      FROM tokb JOIN w1 ON w1.b = tokb.b GROUP BY tokb.doc_id
+    ),
+    mis2 AS (
+      SELECT l.doc_id, l.y FROM lab l LEFT JOIN s2 USING (doc_id)
+      WHERE l.y * COALESCE(s2.logit, 0) <= 0
+    ),
+    g2 AS (
+      SELECT tokb.b, SUM(m.y) AS g
+      FROM tokb JOIN mis2 m ON m.doc_id = tokb.doc_id GROUP BY tokb.b
+    )
+    SELECT CAST(w1.b AS BIGINT) AS bucket,
+           CAST(w1.w + COALESCE(g2.g, 0) AS BIGINT) AS weight
+    FROM w1 LEFT JOIN g2 ON g2.b = w1.b
+    ORDER BY bucket
+    """,
+)
+def q_docs_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 64-bucket hashed-feature perceptron for 2 epochs on
+    the 'contains-the' labels and return the final (bucket, weight)
+    table, graded cell-for-cell against the SQL replay of both epochs.
+
+    Scale shape: per epoch one map-only scoring scan + one
+    map-side-combined ≤64-row gradient aggregate; driver traffic is
+    epochs × 64 ints; the weight update is epoch-synchronous, so the
+    trained model is identical on any partitioning (pinned by the
+    partition-independence row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.when(
+        F.array_contains(
+            tx.tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            "the",
+        ),
+        1,
+    ).otherwise(-1)
+    w = tx.train_hashed_classifier(
+        docs, label, n_buckets=64, epochs=2, lr=1
+    )
+    return spark.createDataFrame(
+        [(b, int(x)) for b, x in enumerate(w)], "bucket long, weight long"
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
 # IVFPQ ANN: the composed coarse-cells + compressed-codes architecture
 # (FAISS IVFxx,PQyy) — candidate ROWS bounded by the inverted file,
 # candidate BYTES bounded by the codes.  Graded like its standalone

@@ -135,6 +135,9 @@ SENSITIVE = [
     # cross-source matrix: collect_set is sort_array-canonicalized and
     # the pair counts are exact — identical at any partitioning
     "q_docs_source_overlap",
+    # distributed training: the epoch-synchronous integer batch update
+    # must produce identical weights at any partition count
+    "q_docs_classifier_training",
 ]
 
 _QUERIES = all_queries()

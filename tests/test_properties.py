@@ -2320,3 +2320,41 @@ def test_quality_yield_curve_monotone_and_exact(spark):
         quality_yield_curve(df, score, [])
     with _pytest.raises(ValueError, match="duplicate"):
         quality_yield_curve(df, score, [1, 1])
+
+
+def test_train_hashed_classifier_learns_and_is_deterministic(spark):
+    """train_hashed_classifier: perfect training accuracy on a
+    separable synthetic corpus when served back through
+    hashed_linear_score(weights=...) (train and serve share the bucket
+    hash), identical weights at any partition count (the
+    epoch-synchronous batch update), and loud validation of non-±1
+    labels and bad knobs."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import text as tx
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, 1, f"posmark filler{i % 5} alpha beta"))
+        else:
+            rows.append((i, -1, f"negword{i % 7} gamma delta other"))
+    docs = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    w = tx.train_hashed_classifier(docs, "y", n_buckets=64, epochs=3)
+    acc = docs.select(
+        (
+            F.col("y") * tx.hashed_linear_score("text", weights=w) > 0
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+    assert acc == 1.0
+    assert w == tx.train_hashed_classifier(
+        docs.repartition(7), "y", n_buckets=64, epochs=3
+    )
+    with _pytest.raises(ValueError, match="±1"):
+        tx.train_hashed_classifier(
+            docs.withColumn("y", F.lit(0)), "y", n_buckets=64
+        )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        tx.train_hashed_classifier(docs, "y", n_buckets=0)
+    with _pytest.raises(ValueError, match="epochs"):
+        tx.train_hashed_classifier(docs, "y", epochs=0)
