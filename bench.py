@@ -214,6 +214,15 @@ HEADLINE = [
     # distributed perceptron training: per epoch one map-only scoring
     # scan + one <=64-row gradient aggregate; epochs x 64 driver ints
     "q_docs_classifier_training",
+    # round-9 additions: tombstone propagation into the persisted
+    # codes table (cold rep pays build + delete via the per-process
+    # cache; medians grade serving the post-delete table + the
+    # in-plan-identity branch over the surviving corpus + the exact
+    # branch), and the quantization-drift report (three map-only
+    # error scans + the refit's two bounded fit collects per call —
+    # deliberately uncached: the refit IS the measured operation)
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_drift_report",
 ]
 
 

@@ -53,6 +53,7 @@ import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fortymhz_spark.operators.similarity import (
     _auto_cells,
@@ -292,10 +293,17 @@ def extend_ann_codes(
 
     Validates the (index, table) pairing FIRST — extending someone
     else's codes with this index's geometry would corrupt the table
-    silently.  Cost: one map-only encode of the batch + the snapshot
-    MERGE's anti-join/rewrite (the documented copy-on-write term)."""
+    silently.  ``corpus_version=None`` INHERITS the table's existing
+    pin (it must not silently erase the staleness guard
+    :func:`load_ann_codes` enforces — an extend that forgot to re-pass
+    the version would otherwise strip a previously pinned table of
+    its corpus-drift protection).  Cost: one map-only encode of the
+    batch + the snapshot MERGE's anti-join/rewrite (the documented
+    copy-on-write term)."""
     from fortymhz_spark.operators.similarity import _ivfpq_codes
 
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     v, params = resolve_artifact(table_dir, "ann_codes ")
     if int(params["index_version"]) != int(index.version) or any(
         int(params[k]) != int(getattr(index, k))
@@ -311,13 +319,153 @@ def extend_ann_codes(
         new_vecs, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
     ).withColumnRenamed("neighbor_id", "id")
-    new_params = {**params, "corpus_version": corpus_version}
+    new_params = {
+        **params,
+        "corpus_version": (
+            params.get("corpus_version")
+            if corpus_version is None
+            else corpus_version
+        ),
+    }
     return merge_snapshot(
         new_vecs.sparkSession,
         table_dir,
         codes,
         ["id"],
         note="ann_codes " + json.dumps(new_params, sort_keys=True),
+    )
+
+
+def delete_ann_codes(
+    deleted: DataFrame,
+    table_dir: str,
+    index: AnnIndex,
+    *,
+    id_col: str = "vec_id",
+    corpus_version: int | None = None,
+) -> int:
+    """Propagate corpus DELETIONS into the codes table as the next
+    version — the tombstone half the extend path alone leaves open:
+    the dedup pipeline this engine is built around REMOVES documents,
+    and a codes table that only ever grows keeps serving vanished ids
+    until a full refit (``ivfpq_knn(codes=...)`` would shortlist them,
+    then the re-rank fetch silently drops them — a recall leak, or a
+    phantom id if the raw vectors linger elsewhere).  Keyed MERGE
+    delete through the snapshot layer's delete arm
+    (``sources/snapshots.py::merge_snapshot`` ``delete_col=``):
+    deleting an absent id is a no-op, so replaying the same delete
+    batch is idempotent.
+
+    ``deleted`` carries the ids to remove in ``id_col`` (any extra
+    columns are ignored; duplicate ids are collapsed — a delete has
+    no per-row payload to be ambiguous about).  Validates the
+    (index, table) pairing first, exactly like :func:`extend_ann_codes`
+    — the version advance must never be mistaken for a geometry
+    change.  ``corpus_version`` pins the POST-delete corpus snapshot;
+    ``None`` inherits the prior pin (same contract as extend).
+
+    After the delete the table is byte-identical to
+    :func:`build_ann_codes` re-run on the surviving corpus (per-row
+    deterministic encode; pinned by tests/test_ann_index.py), at the
+    cost of one merge rewrite instead of a full corpus re-encode.
+    Cell-partitioned layouts survive: the merge re-publishes under the
+    table's recorded ``partition_by`` and tombstones never write data
+    rows."""
+    v, params = resolve_artifact(table_dir, "ann_codes ")
+    if int(params["index_version"]) != int(index.version) or any(
+        int(params[k]) != int(getattr(index, k))
+        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+    ):
+        raise ValueError(
+            f"ann_codes v={v} at {table_dir} was built against index "
+            f"v={params['index_version']} but the delete is keyed to "
+            f"index v={index.version} — refusing to tombstone a table "
+            "paired with a different fit"
+        )
+    spark = deleted.sparkSession
+    target = read_snapshot(spark, table_dir, version=v)
+    dtypes = dict(target.dtypes)
+    tomb = deleted.select(F.col(id_col).cast(dtypes["id"]).alias("id"))
+    tomb = tomb.distinct()
+    for c in target.columns:
+        if c != "id":
+            tomb = tomb.withColumn(c, F.lit(None).cast(dtypes[c]))
+    tomb = tomb.withColumn("__delete__", F.lit(True))
+    new_params = {
+        **params,
+        "corpus_version": (
+            params.get("corpus_version")
+            if corpus_version is None
+            else corpus_version
+        ),
+    }
+    return merge_snapshot(
+        spark,
+        table_dir,
+        tomb,
+        ["id"],
+        delete_col="__delete__",
+        note="ann_codes " + json.dumps(new_params, sort_keys=True),
+    )
+
+
+def ann_drift_report(
+    corpus: DataFrame,
+    index: AnnIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label: str = "current",
+) -> DataFrame:
+    """Index STALENESS as a number: the mean/max ADC quantization
+    error of ``corpus`` under this index's codebooks — per row, the
+    sum over subquantizers of the squared L2 distance from the
+    normalized subvector to its NEAREST codeword (exactly the residual
+    the PQ encode minimizes, so this is the error the served ADC
+    ranking actually carries).  Codebooks fit at corpus v1 quietly
+    degrade as the corpus drifts; recall probes need ground truth, but
+    quantization error needs only one map-only scan — compare the
+    report across corpus versions and "refit now" becomes a measured
+    threshold instead of a guess (the FAISS index-health recipe:
+    monitor reconstruction error, refit when it rises).
+
+    One row out: ``(corpus_label, n_vectors, mean_quant_err,
+    max_quant_err)``.  Plan shape: map-only expressions (the same
+    per-subquantizer distance-table lambdas the serving path uses,
+    ``similarity._pq_dtab_col`` + ``array_min``) into one global
+    aggregate — no shuffle beyond the final reduce, nothing collected
+    but the single report row's inputs, linear in the corpus at any
+    scale."""
+    from fortymhz_spark.operators.similarity import (
+        _normalized,
+        _pq_dtab_col,
+    )
+
+    if index.kind != "ivfpq":
+        raise ValueError(
+            f"ann_drift_report needs an 'ivfpq' index, got {index.kind!r}"
+        )
+    vn = F.col("_vn")
+    per_row = corpus.select(
+        _normalized(vec_col).alias("_vn")
+    ).select(
+        sum(
+            (
+                F.array_min(
+                    _pq_dtab_col(
+                        vn, index.books, s, index.d_sub, index.n_cells
+                    )
+                )
+                for s in range(index.n_sub)
+            ),
+            F.lit(0.0),
+        ).alias("__qerr__")
+    )
+    return per_row.agg(
+        F.lit(label).alias("corpus_label"),
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg("__qerr__").alias("mean_quant_err"),
+        F.max("__qerr__").alias("max_quant_err"),
     )
 
 

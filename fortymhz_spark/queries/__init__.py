@@ -11,46 +11,40 @@ exposes to the driver harness.
 Registration order is EVIDENCE POLICY: the driver's correctness gate
 grades exactly the first 50 registered queries per round.  Round 2
 graded the north-star surfaces (45 green), round 3 the never-graded
-long tail (50/50), round 4 completed the rotation (50/50), rounds 5-7
+long tail (50/50), round 4 completed the rotation (50/50), rounds 5-8
 ran the steady-state policy (new + changed-code + the full deferred
-bucket each round; 50/50 every time — see CORRECTNESS_r0{5,6,7}.json).
+bucket each round; 50/50 every time — see CORRECTNESS_r0{5..8}.json).
 
-Round 8 rotation (the r7 verdict's item #1 — "rotate the gate onto the
-42 DEFERRED rows first" — is satisfied in full):
+Round 9 rotation (the r8 verdict's item #1: never-driver-graded rows
+first, then the oldest checks; the bucket exceeds the gate for the
+first time, so two rows spill):
 
-1. NEW QUERIES enter immediately: q_emb_ann_ivfpq_codes (IVFPQ served
-   from the PERSISTED ENCODED CORPUS — the (id, cell, pq_codes) table
-   keyed to (index version, corpus version); the serving plan never
-   re-encodes the corpus, closing the r7 verdict's serving-path gap)
-   and q_docs_strip_contaminated_spans (the REWRITE half of span-level
-   decontamination — rebuilt text graded cell-for-cell).
-2. CHANGED CODE RE-GRADES: q_docs_decontaminate_spans (union coverage
-   re-expressed as an O(spans) sorted fold, r7 item #7),
-   q_docs_incremental_dedup (_minhash_index_params now resolves at the
-   pinned signature version — the r7 ADVICE medium), and the
-   index-serving ANN family q_emb_ann_ivfpq_persisted / q_emb_ann_ivfpq
-   / q_emb_ann_ivf / q_emb_ann_pq (ivfpq_knn restructured around the
-   codes= serving branch; ivf_knn/pq_knn grew the artifact kind
-   check).
-3. THE 42 DEFERRED ROWS — all of them, as promised: the rows carrying
-   the registry's oldest (round-5) driver checks, from q1/q3/q4/q6 and
-   the dt family through the bpe/dedup/fingerprint/media rows, plus
-   the 3 freshness picks displaced in round 7
-   (q_docs_strip_boilerplate, q_emb_near_dup_pairs,
-   q_emb_label_centroids).
+1. NEW QUERIES enter immediately: q_emb_ann_codes_delete (tombstone
+   propagation into the persisted ANN codes table — the r8 verdict's
+   one functional hole; serving after a delete must equal a refit on
+   the surviving corpus and never return a vanished id) and
+   q_emb_ann_drift_report (index staleness as a measured number —
+   mean ADC quantization error across corpus versions, with the
+   drift-detected / refit-recovers inequalities graded end to end).
+2. THE SIX NEVER-DRIVER-GRADED round-8 rows, ahead of everything
+   (zero driver rows ever; judge-audited green meanwhile):
+   q_emb_ann_codes_extend, q_docs_token_budget_sample,
+   q_docs_quality_yield_curve, q_docs_contamination_report,
+   q_docs_source_overlap, q_docs_classifier_training.
+   (q_emb_ann_codes_extend doubles as this round's changed-code
+   re-grade: extend_ann_codes grew assign= validation and the
+   corpus-pin inheritance fix — the r8 ADVICE items.)
+3. 42 OF THE 44 round-6 greens — the registry's oldest checks.  The
+   two alphabetically-last rows (q_window_lag_order_gap,
+   q_window_running_revenue) spill: 2 new + 6 never-graded + 44 = 52
+   > 50, and the never-graded-first rule is the r8 verdict's explicit
+   ordering.  Both spilled rows lead the round-10 deferred bucket.
 
-2 new + 6 changed + 42 deferred = 50 — no freshness slots left this
-round; the round-9 deferred bucket is the 44 round-6 greens plus the
-FIVE late round-8 queries parked below (codes_extend,
-token_budget_sample, quality_yield_curve, contamination_report,
-source_overlap — each oracle-graded locally and green in the 145/145
-driver-audit rehearsal at sf0.01, awaiting their first driver row).
-
-After this round: every query graded in round 8 plus the 46 round-7
-greens not re-graded here carry fresh checks; the 49-row deferred
-bucket rotates into the round-9 gate FIRST (never-driver-graded rows
-ahead of the oldest checks).  Everything outside the gate stays
-covered by the local sf0.001 differential
+2 new + 6 never-graded + 42 oldest = 50.  The round-10 deferred
+bucket below is those 2 spilled round-6 rows (oldest checks in the
+registry — they go FIRST) plus the 46 round-7 greens, whose checks
+become the oldest once this round lands.  Everything outside the gate
+stays covered by the local sf0.001 differential
 (tests/test_oracle_parity.py) either way.
 """
 
@@ -62,85 +56,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-8 gate (slots 1-50): 2 new + 6 changed-code re-grades + ALL
-# 42 deferred rows.
+# Round-9 gate (slots 1-50): 2 new + the 6 never-driver-graded
+# round-8 rows + 42 of the 44 round-6 greens (the oldest checks).
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round ——
-    "q_emb_ann_ivfpq_codes",
-    "q_docs_strip_contaminated_spans",
-    # —— held over: code changed this round ——
-    "q_docs_decontaminate_spans",
-    "q_docs_incremental_dedup",
-    "q_emb_ann_ivfpq_persisted",
-    "q_emb_ann_ivfpq",
-    "q_emb_ann_ivf",
-    "q_emb_ann_pq",
-    # —— the 42 rows deferred from round 7 (oldest driver checks:
-    #    round-5 era) — the whole bucket, per the r7 verdict ——
-    "q_docs_strip_boilerplate",
-    "q_emb_near_dup_pairs",
-    "q_emb_label_centroids",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q_customer_order_counts_outer",
-    "q_customers_without_orders",
-    "q_docs_bpe_encode_stats",
-    "q_docs_bpe_merges",
-    "q_docs_bpe_token_stats",
-    "q_docs_classifier_trained",
-    "q_docs_decontaminate",
-    "q_docs_dedup_groups",
-    "q_docs_dsir_selection",
-    "q_docs_exact_dedup",
-    "q_docs_fingerprints",
-    "q_docs_hybrid_search",
-    "q_docs_lang_id_confusion",
-    "q_docs_minhash_near_dups",
-    "q_docs_ngram_jaccard_pairs",
-    "q_docs_pii_stats",
-    "q_docs_quality",
-    "q_docs_quality_classifier",
-    "q_docs_stratified_sample",
-    "q_docs_token_stats",
-    "q_docs_vocab_classifier",
-    "q_dt_channel_occupancy",
-    "q_dt_custom_source_occupancy",
-    "q_dt_hits_per_orbit",
-    "q_dt_orbit_assembly",
-    "q_dt_streaming_occupancy",
-    "q_events_dedup_ingest",
-    "q_events_grouped_pandas_stats",
-    "q_events_json_props",
-    "q_events_latest_per_user",
-    "q_events_sessionize",
-    "q_events_sliding_1h_30m",
-    "q_media_decode_stats",
-    "q_media_features",
-    "q_media_frame_sample",
-)
-
-# The 49 rows deferring to round 9: the 44 round-6 gate greens whose
-# code is unchanged (minus q_emb_ann_ivf / q_emb_ann_pq, promoted into
-# the round-8 gate as changed-code re-grades) — after round 8 they
-# carry the OLDEST checks in the registry, so round-9 gate assembly
-# picks them up FIRST — plus the FIVE late round-8 additions
-# (q_emb_ann_codes_extend, q_docs_token_budget_sample,
-# q_docs_quality_yield_curve, q_docs_contamination_report,
-# q_docs_source_overlap) parked here because the round-8 gate is
-# exactly full (the 42-row deferred promise is immovable); all five
-# are covered by the local sf0.001 differential and the driver-audit
-# rehearsal (145/145 at sf0.01) meanwhile.  NB round-9 gate math:
-# 49 deferred + new/changed > 50 — grade the five never-driver-graded
-# rows and the oldest checks first.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_drift_report",
+    # —— the six never-driver-graded round-8 rows, first (the r8
+    #    verdict's explicit ordering; codes_extend also carries this
+    #    round's extend_ann_codes changes) ——
     "q_emb_ann_codes_extend",
     "q_docs_token_budget_sample",
     "q_docs_quality_yield_curve",
     "q_docs_contamination_report",
     "q_docs_source_overlap",
     "q_docs_classifier_training",
+    # —— 42 of the 44 rows carrying round-6 checks (the registry's
+    #    oldest); the two alphabetically-last spill to round 10 ——
     "q10_returned_items",
     "q11_important_suppliers",
     "q12_shipping_delay",
@@ -183,15 +115,20 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_snapshot_merge_orders",
     "q_unpivot_part_sizes",
     "q_vec_knn_arrow",
-    "q_window_lag_order_gap",
-    "q_window_running_revenue",
 )
 
-# Driver-green rows outside the round-8 gate with FRESH checks: the
-# 46 round-7 gate greens not re-graded this round.  The registry
-# asserts gate ∪ deferred ∪ previously-green == all registered
-# queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+# The 48 rows deferring to round 10, in pick-up order: the 2 round-6
+# rows spilled from this round's gate (after round 9 they are the
+# OLDEST checks in the registry — they go FIRST, the immovable spill
+# promise) followed by the 46 round-7 greens, whose checks become the
+# next-oldest once round 9 lands.  Round-10 gate math: 48 deferred +
+# new/changed rows > 50 again — same never-graded-first, oldest-first
+# spill rule applies.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— spilled from the round-9 gate (round-6 checks: oldest) ——
+    "q_window_lag_order_gap",
+    "q_window_running_revenue",
+    # —— the 46 round-7 greens ——
     "q_docs_span_dedup",
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
@@ -238,6 +175,63 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
+)
+
+# Driver-green rows outside the round-9 gate with the FRESHEST checks:
+# the 50 rows graded 50/50 in round 8 (CORRECTNESS_r08.json).  The
+# registry asserts gate ∪ deferred ∪ previously-green == all
+# registered queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_emb_ann_ivfpq_codes",
+    "q_docs_strip_contaminated_spans",
+    "q_docs_decontaminate_spans",
+    "q_docs_incremental_dedup",
+    "q_emb_ann_ivfpq_persisted",
+    "q_emb_ann_ivfpq",
+    "q_emb_ann_ivf",
+    "q_emb_ann_pq",
+    "q_docs_strip_boilerplate",
+    "q_emb_near_dup_pairs",
+    "q_emb_label_centroids",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q_customer_order_counts_outer",
+    "q_customers_without_orders",
+    "q_docs_bpe_encode_stats",
+    "q_docs_bpe_merges",
+    "q_docs_bpe_token_stats",
+    "q_docs_classifier_trained",
+    "q_docs_decontaminate",
+    "q_docs_dedup_groups",
+    "q_docs_dsir_selection",
+    "q_docs_exact_dedup",
+    "q_docs_fingerprints",
+    "q_docs_hybrid_search",
+    "q_docs_lang_id_confusion",
+    "q_docs_minhash_near_dups",
+    "q_docs_ngram_jaccard_pairs",
+    "q_docs_pii_stats",
+    "q_docs_quality",
+    "q_docs_quality_classifier",
+    "q_docs_stratified_sample",
+    "q_docs_token_stats",
+    "q_docs_vocab_classifier",
+    "q_dt_channel_occupancy",
+    "q_dt_custom_source_occupancy",
+    "q_dt_hits_per_orbit",
+    "q_dt_orbit_assembly",
+    "q_dt_streaming_occupancy",
+    "q_events_dedup_ingest",
+    "q_events_grouped_pandas_stats",
+    "q_events_json_props",
+    "q_events_latest_per_user",
+    "q_events_sessionize",
+    "q_events_sliding_1h_30m",
+    "q_media_decode_stats",
+    "q_media_features",
+    "q_media_frame_sample",
 )
 
 

@@ -2162,6 +2162,206 @@ def q_emb_ann_codes_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The DELETE step of the ANN lifecycle
+# (operators/ann_index.py::delete_ann_codes): the dedup pipeline this
+# engine is built around REMOVES documents, and a codes table that
+# only grows keeps serving vanished ids until a full refit.  Tombstone
+# propagation = keyed MERGE delete through the snapshot layer; graded
+# by serving the post-delete table and requiring (a) zero symmetric
+# difference vs the same index's in-plan-encode twin over the
+# SURVIVING corpus — i.e. the delete reproduced a from-scratch rebuild
+# on the survivors exactly — and (b) no deleted id in any served row.
+# Query slice 50 ≤ vec_id < 60, offset from the other ANN slices.
+# ---------------------------------------------------------------------------
+_ANN_CODES_DEL_CACHE: dict[str, str] = {}
+
+
+def _ann_codes_deleted_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir): codes over the FULL
+    corpus at corpus_version=1, then tombstone the slice
+    (vec_id % 7 == 0) at corpus_version=2 — the sequence a dedup pass
+    that drops documents runs against the serving index."""
+    if sf_dir in _ANN_CODES_DEL_CACHE:
+        return _ANN_CODES_DEL_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        delete_ann_codes,
+        load_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    table_dir = tempfile.mkdtemp(prefix="fmhz_anncodesdel_")
+    build_ann_codes(emb, table_dir, idx, corpus_version=1)
+    delete_ann_codes(
+        emb.filter(F.col("vec_id") % 7 == 0), table_dir, idx,
+        corpus_version=2,
+    )
+    _ANN_CODES_DEL_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_codes_delete",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings
+                           WHERE vec_id % 7 <> 0)
+                          - CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_inplan,
+           TRUE AS no_deleted_served
+    FROM embeddings WHERE vec_id >= 50 AND vec_id < 60 ORDER BY query_id
+    """,
+)
+def q_emb_ann_codes_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for query vectors with 50 <= vec_id < 60, served
+    from a codes table with TOMBSTONED deletions (full corpus encoded
+    at corpus_version=1, the vec_id % 7 == 0 slice deleted at
+    corpus_version=2 — delete_ann_codes), graded on the family recall
+    band against the SURVIVING corpus's exact truth,
+    ``identical_to_inplan`` (zero symmetric difference vs the same
+    persisted index's in-plan-encode twin over the surviving corpus —
+    the delete reproduced a from-scratch rebuild exactly), and
+    ``no_deleted_served`` (no vanished id reaches a served row)."""
+    from fortymhz_spark.operators.ann_index import (
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surviving = emb.filter(F.col("vec_id") % 7 != 0)
+    queries = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    codes = load_ann_codes(
+        spark, _ann_codes_deleted_table(spark, sf_dir), idx,
+        corpus_version=2,
+    )
+    served = sim.ivfpq_knn(
+        surviving, queries, k=10, nprobe=None, rerank=None, index=idx,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    inplan = sim.ivfpq_knn(
+        surviving, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(surviving, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            inplan.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__"),
+            F.sum(
+                F.when(
+                    F.col("__s__").isNotNull()
+                    & (F.col("neighbor_id") % 7 == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("__n_deleted__"),
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_inplan"
+            ),
+            (F.coalesce(F.col("__n_deleted__"), F.lit(0)) == 0).alias(
+                "no_deleted_served"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index staleness as a NUMBER (operators/ann_index.py::
+# ann_drift_report): codebooks fit at corpus v1 quietly degrade as the
+# corpus drifts, and "refit now" should be a measured threshold, not a
+# guess.  The report is the mean ADC quantization error — the residual
+# the served ranking actually carries — in ONE map-only scan per
+# corpus version.  Graded end-to-end on the lifecycle claim: the
+# fitted corpus scores low, a drifted corpus (element-wise squared
+# embeddings — a deliberately strong distribution shift) scores
+# HIGHER under the stale index, and refitting on the drifted corpus
+# brings the error back DOWN — the three comparisons that make the
+# report actionable.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_drift_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS drift_detected,
+           TRUE AS refit_recovers
+    FROM embeddings
+    """,
+)
+def q_emb_ann_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-drift report over the persisted index's lifecycle:
+    score the fitted corpus, a drifted twin (embedding elements
+    squared — shifts every vector's direction distribution off the
+    trained manifold), and the drifted twin under a FRESH refit.
+    Grades ``drift_detected`` (stale-index error strictly above the
+    fit-corpus error) and ``refit_recovers`` (refit error strictly
+    below the stale error) — the two inequalities an operator's
+    refit-now alert rests on.  Cost: three map-only scans + two
+    bounded fit collects for the refit; no shuffle beyond the three
+    single-row aggregates."""
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    drifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * x).alias("embedding"),
+    )
+    r_fit = ann_drift_report(emb, idx, label="fit").first()
+    r_stale = ann_drift_report(drifted, idx, label="drifted").first()
+    refit_dir = tempfile.mkdtemp(prefix="fmhz_annrefit_")
+    build_ann_index(
+        drifted, refit_dir, n_coarse=idx.n_coarse, n_sub=idx.n_sub,
+        n_cells=idx.n_cells,
+    )
+    r_refit = ann_drift_report(
+        drifted, load_ann_index(spark, refit_dir), label="refit"
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(r_fit["n_vectors"]),
+                bool(r_stale["mean_quant_err"] > r_fit["mean_quant_err"]),
+                bool(r_refit["mean_quant_err"] < r_stale["mean_quant_err"]),
+            )
+        ],
+        "n_vectors long, drift_detected boolean, refit_recovers boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram tokenizer with the SOFT (forward-backward) E-step — the
 # SentencePiece-fidelity variant beside the hard-EM row: same exact
 # word/char totals and reconstruction/bound invariants, plus the

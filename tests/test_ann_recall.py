@@ -887,3 +887,190 @@ def test_ann_codes_serving_plan_reads_codes_not_corpus_encode(
         assert sorted(map(key, served.collect())) == sorted(
             map(key, refit.collect())
         )
+
+
+def test_ann_codes_delete_matches_refit_on_survivors(spark, truth, tmp_path):
+    """delete_ann_codes (the tombstone step the dedup pipeline needs):
+    after deleting a slice, the table must be byte-identical to
+    build_ann_codes re-run on the surviving corpus, serving must never
+    return a deleted id, the corpus pin must advance (with time travel
+    back to the pre-delete version), replaying the same delete must be
+    an idempotent no-op, and a mismatched index must fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        delete_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    surviving = emb.filter(F.col("vec_id") % 7 != 0)
+    doomed = emb.filter(F.col("vec_id") % 7 == 0)
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    assert delete_ann_codes(doomed, codes_dir, idx, corpus_version=2) == 2
+
+    key = lambda r: tuple(r)
+    deleted = load_ann_codes(spark, codes_dir, idx, corpus_version=2)
+    scratch_dir = str(tmp_path / "codes_scratch")
+    build_ann_codes(surviving, scratch_dir, idx, corpus_version=2)
+    scratch = load_ann_codes(spark, scratch_dir, idx, corpus_version=2)
+    assert sorted(map(key, deleted.collect())) == sorted(
+        map(key, scratch.collect())
+    )
+    # serving the post-delete table returns no vanished id and matches
+    # the in-plan twin over the surviving corpus
+    served = ivfpq_knn(
+        surviving, queries, k=K, nprobe=4, rerank=8, index=idx,
+        codes=deleted,
+    ).collect()
+    assert all(r["neighbor_id"] % 7 != 0 for r in served)
+    inplan = ivfpq_knn(
+        surviving, queries, k=K, nprobe=4, rerank=8, index=idx
+    ).collect()
+    assert sorted(map(key, served)) == sorted(map(key, inplan))
+    # pin advanced: old pin fails at current, still time-travels
+    with _pytest.raises(ValueError, match="moved since"):
+        load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+    assert load_ann_codes(
+        spark, codes_dir, idx, version=1, corpus_version=1
+    ).count() == emb.count()
+    # replaying the delete (absent keys) is an idempotent no-op row-wise
+    delete_ann_codes(doomed, codes_dir, idx, corpus_version=2)
+    assert load_ann_codes(
+        spark, codes_dir, idx, corpus_version=2
+    ).count() == surviving.count()
+    # corpus_version=None inherits the prior pin instead of erasing it
+    delete_ann_codes(emb.filter(F.col("vec_id") == 1), codes_dir, idx)
+    assert load_ann_codes(
+        spark, codes_dir, idx, corpus_version=2
+    ).count() == surviving.count() - 1
+    # a different fit must never tombstone this table
+    build_ann_index(emb, idx_dir, n_coarse=4, n_sub=8, n_cells=16)
+    idx2 = load_ann_index(spark, idx_dir)
+    with _pytest.raises(ValueError, match="different fit"):
+        delete_ann_codes(doomed, codes_dir, idx2)
+
+
+def test_ann_codes_delete_preserves_cell_partitioning(spark, truth, tmp_path):
+    """Deletes against a cell-partitioned codes table must re-publish
+    under the same layout (DPP keeps working) and stay byte-identical
+    to the unpartitioned delete."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        delete_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(
+        emb, codes_dir, idx, corpus_version=1, partition_by_cell=True
+    )
+    delete_ann_codes(
+        emb.filter(F.col("vec_id") % 7 == 0), codes_dir, idx,
+        corpus_version=2,
+    )
+    surviving = emb.filter(F.col("vec_id") % 7 != 0)
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=2)
+    assert codes.count() == surviving.count()
+    served = ivfpq_knn(
+        surviving, queries, k=K, nprobe=2, rerank=8, index=idx, codes=codes
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, (
+        "post-delete partitioned codes must still serve under DPP"
+    )
+
+
+def test_extend_ann_codes_validates_assign_and_inherits_pin(
+    spark, truth, tmp_path
+):
+    """extend_ann_codes must reject a typo'd assign= (silently falling
+    through to the expr path hides an arrow-path regression) and must
+    INHERIT the table's corpus pin when corpus_version=None — an
+    extend that forgot to re-pass the version must not strip a pinned
+    table of its staleness guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(
+        emb.filter(F.col("vec_id") % 5 != 0), codes_dir, idx,
+        corpus_version=7,
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    with _pytest.raises(ValueError, match="assign must be"):
+        extend_ann_codes(batch, codes_dir, idx, assign="arrw")
+    # None inherits the pin: the table still serves under pin 7
+    extend_ann_codes(batch, codes_dir, idx)
+    assert load_ann_codes(
+        spark, codes_dir, idx, corpus_version=7
+    ).count() == emb.count()
+
+
+def test_ann_drift_report_detects_corpus_drift(spark, truth, tmp_path):
+    """ann_drift_report: the fitted corpus scores a finite mean ADC
+    quantization error; a drifted corpus (element-wise squared
+    embeddings) scores strictly HIGHER under the stale index; a fresh
+    refit on the drifted corpus brings it back DOWN — the measured
+    inequalities a refit-now alert rests on.  Wrong-kind indexes are
+    rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        AnnIndex,
+        ann_drift_report,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    r_fit = ann_drift_report(emb, idx, label="fit").first()
+    assert r_fit["corpus_label"] == "fit"
+    assert r_fit["n_vectors"] == emb.count()
+    assert 0.0 <= r_fit["mean_quant_err"] <= r_fit["max_quant_err"]
+    drifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x * x).alias("embedding")
+    )
+    r_stale = ann_drift_report(drifted, idx, label="drifted").first()
+    assert r_stale["mean_quant_err"] > r_fit["mean_quant_err"]
+    refit_dir = str(tmp_path / "refit")
+    build_ann_index(drifted, refit_dir, n_coarse=8, n_sub=8, n_cells=16)
+    r_refit = ann_drift_report(drifted, load_ann_index(spark, refit_dir))
+    assert r_refit.first()["mean_quant_err"] < r_stale["mean_quant_err"]
+    bad = AnnIndex(
+        kind="flat", coarse=idx.coarse, books=idx.books, dim=idx.dim,
+        n_sub=idx.n_sub, n_cells=idx.n_cells, d_sub=idx.d_sub,
+    )
+    with _pytest.raises(ValueError, match="ivfpq"):
+        ann_drift_report(emb, bad)

@@ -195,6 +195,12 @@ ENGINE_HASH_GATE = [
     "q_emb_ann_ivfpq_codes",
     # and from the incrementally EXTENDED codes table likewise
     "q_emb_ann_codes_extend",
+    # round-9: serving after a TOMBSTONE delete (and the
+    # no-deleted-id boolean) must hold at any partition count, and
+    # the drift report's fit/stale/refit inequalities are driver-side
+    # scalars over deterministic fits — identical at any partitioning
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_drift_report",
 ]
 
 

@@ -454,3 +454,68 @@ def test_incremental_dedup_never_rescans_archive_signatures(
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "band" not in line and "bucket" not in line, line
+
+
+def test_drift_report_is_map_only_single_scan(spark, sf_dir, tmp_path):
+    """ann_drift_report is the index-health probe an operator runs per
+    corpus version at 100 TB — it must stay ONE map-only scan into a
+    single-row aggregate: no join, no Python boundary, and no
+    per-cell literal-array blowup (the per-subquantizer dtab lambda
+    form, same discipline as the serving path)."""
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    td = str(tmp_path / "idx")
+    build_ann_index(emb, td, n_coarse=8, n_sub=8, n_cells=16)
+    plan = plan_of(ann_drift_report(emb, load_ann_index(spark, td)))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_codes_delete_serving_still_reads_codes_at_rest(
+    spark, sf_dir, tmp_path
+):
+    """After delete_ann_codes, the serving plan must be unchanged in
+    kind: candidate codes come from the parquet codes table (a
+    FileScan carrying code_0#), with NO in-plan corpus encode
+    (array_sort argmin) leaking back in — a tombstone merge that
+    broke the at-rest layout would silently revert serving to the
+    O(corpus · encode) per-query shape."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        delete_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    delete_ann_codes(
+        emb.filter(F.col("vec_id") % 7 == 0), codes_dir, idx,
+        corpus_version=2,
+    )
+    surviving = emb.filter(F.col("vec_id") % 7 != 0)
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=2)
+    plan = plan_of(
+        ivfpq_knn(
+            surviving, emb.limit(3), k=5, nprobe=4, rerank=8, index=idx,
+            codes=codes,
+        )
+    )
+    assert any(
+        "FileScan parquet" in line and "code_0#" in line
+        for line in plan.splitlines()
+    ), "post-delete candidate scan must read the persisted codes table"
+    assert "array_sort" not in plan, "in-plan PQ encode leaked back in"

@@ -2,12 +2,13 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 8 runs the steady-state policy: the 2
-new queries and 6 changed-code rows enter the gate immediately and
-ALL 42 rows deferred from round 7 re-grade (the r7 verdict's item
-#1) — the gate is exactly full, so no freshness picks this round; the
-44 untouched round-6 greens defer to round 9 and the 46 round-7
-greens not re-graded here sit in PREVIOUSLY_GREEN
+queries/__init__.py).  Round 9 runs the overflow form of the
+steady-state policy for the first time: the 2 new queries and the 6
+never-driver-graded round-8 rows enter first (the r8 verdict's
+explicit ordering), then 42 of the 44 round-6 greens — the registry's
+oldest checks — fill the gate exactly; the 2 spilled round-6 rows
+lead the round-10 deferred bucket, followed by the 46 round-7 greens,
+and the 50 rows graded in round 8 sit in PREVIOUSLY_GREEN
 (queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
