@@ -507,6 +507,15 @@ def start_dedup_ingest_sink(
     )
 
 
+# NULL-group sentinel, shared semantics with the batch twin
+# (operators/sampling.py::budget_sample): groups ride the ledger and a
+# create_map lookup as STRINGS, and neither tolerates a NULL key —
+# Spark rejects NULL map keys at runtime, and the snapshot MERGE
+# rejects NULL merge keys by design — so a NULL group would otherwise
+# poison-pill the stream on every retry.
+_NULL_GROUP = "\x00<null>"
+
+
 def start_budget_ingest_sink(
     df: DataFrame,
     corpus_dir: str,
@@ -517,6 +526,7 @@ def start_budget_ingest_sink(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    ledger_compact_after: int = 16,
     available_now: bool = True,
     txn_id: str | None = None,
 ) -> StreamingQuery:
@@ -529,19 +539,39 @@ def start_budget_ingest_sink(
     (the stop-at-first-overflow prefix rule — later shorter docs in
     the same batch are not back-filled, so the admit decision is
     replayable); survivors merge into the corpus snapshot table and
-    the ledger advances to the new absolute totals.
+    the ledger advances to the new totals.  Groups are carried as
+    strings, NULL mapping to ``budget_sample``'s sentinel — a NULL
+    group value must fill (and exhaust) a quota like any other, not
+    crash the ``create_map`` lookup on every retry.
 
-    The LEDGER is a tiny snapshot table of PER-BATCH increments
-    ``(group, batch_id, tokens_added)`` — the scale trick twice over:
-    admitting a batch reads standing totals in O(groups × batches)
-    ledger rows instead of re-aggregating the corpus per trigger
-    (∝ archive), and keying increments by ``(group, batch_id)`` makes
-    the replay math EXACT: pre-batch totals are always
-    ``sum(tokens_added) excluding the current batch_id``, so a crash
+    The LEDGER is a tiny snapshot table of PER-WRITER, PER-BATCH
+    increments ``(app, group, batch_id, tokens_added)``: admitting a
+    batch reads standing totals from ledger rows instead of
+    re-aggregating the corpus per trigger (∝ archive), and keying
+    increments by ``(app, group, batch_id)`` makes the replay math
+    EXACT — pre-batch totals are always ``sum(tokens_added)``
+    excluding THIS writer's rows for the current batch id, so a crash
     between the ledger upsert and the corpus merge replays into the
     SAME admit decision (an absolute-totals ledger would have lost the
     pre-batch state the decision needs, and a ``+=`` increment would
-    double-count — both measured-wrong designs).
+    double-count — both measured-wrong designs).  The ``app`` key is
+    what lets a reprocess under a fresh ``txn_id`` — or a second
+    stream sharing the ledger — restart batch numbering at 0 without
+    silently upserting over another writer's increments; quota totals
+    deliberately SUM ACROSS writers (the budget bounds the corpus, not
+    any one stream).
+
+    MARK-ANCHORED COMPACTION bounds the ledger: rows for this writer's
+    batch ids at or below its committed corpus mark are immutable
+    history (the replay-exclusion rule only ever needs the possibly
+    in-flight CURRENT batch id to stay per-batch), so once
+    ``ledger_compact_after`` such rows accumulate they fold into one
+    absolute ``batch_id = -1`` row per group in a single keyed
+    merge+delete.  Without it the per-trigger ledger read grows
+    linearly in stream AGE (a year at 1 batch/min ≈ 0.5 M rows ×
+    groups); with it the steady state is O(writers × groups) absolute
+    rows plus a bounded per-batch tail.  Compaction never touches the
+    crash window: a replaying batch id is strictly above the mark.
 
     Two-table exactly-once (the ``start_dedup_ingest_sink`` protocol):
     the ledger upsert runs FIRST and is an idempotent keyed upsert of
@@ -551,9 +581,10 @@ def start_budget_ingest_sink(
     docs (every group at quota) still lands its mark via
     ``mark_stream_txn`` — the all-duplicates poison-pill lesson.
 
-    Per-trigger cost: one O(groups) ledger read, one batch-local
-    window cumsum (micro-batches are small — the two-phase bucket
-    form is the BATCH operator's concern, not the sink's), and the
+    Per-trigger cost: one bounded ledger read (compacted), one
+    batch-local window cumsum (micro-batches are small — the
+    two-phase bucket form is the BATCH operator's concern, not the
+    sink's), the occasional compaction merge (tiny table), and the
     corpus merge (the documented ∝-archive copy-on-write term)."""
     from fortymhz_spark.operators.sampling import sample_score
     from fortymhz_spark.operators.text import token_count
@@ -567,6 +598,11 @@ def start_budget_ingest_sink(
 
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if ledger_compact_after < 1:
+        raise ValueError(
+            f"ledger_compact_after must be >= 1, got {ledger_compact_after}"
+        )
+    _LEDGER_SCHEMA = "app string, group string, batch_id long, tokens_added long"
 
     def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
         spark = batch_df.sparkSession
@@ -575,18 +611,62 @@ def start_budget_ingest_sink(
         have_ledger = _os.path.exists(
             _os.path.join(ledger_dir, "_manifest.json")
         ) and int(_load_manifest(ledger_dir)["current"]) > 0
+        rows = (
+            read_snapshot(spark, ledger_dir).collect() if have_ledger else []
+        )
         totals: dict[str, int] = {}
-        if have_ledger:
-            for r in read_snapshot(spark, ledger_dir).collect():
-                # EXCLUDING this batch's own increments: on a replay
-                # after the ledger landed but before the corpus mark,
-                # this reconstructs the exact pre-batch totals the
-                # original admit decision used
-                if int(r["batch_id"]) != batch_id:
-                    totals[r["group"]] = totals.get(r["group"], 0) + int(
-                        r["tokens_added"]
-                    )
-        w = Window.partitionBy(group_col).orderBy(
+        for r in rows:
+            # EXCLUDING this writer's increments for this batch id: on
+            # a replay after the ledger landed but before the corpus
+            # mark, this reconstructs the exact pre-batch totals the
+            # original admit decision used.  Other writers' rows (any
+            # batch id) always count — the quota bounds the corpus.
+            if r["app"] == app and int(r["batch_id"]) == batch_id:
+                continue
+            totals[r["group"]] = totals.get(r["group"], 0) + int(
+                r["tokens_added"]
+            )
+        # mark-anchored compaction of THIS writer's committed history
+        committed = int(
+            _load_manifest(corpus_dir).get("stream_txn", {}).get(app, -1)
+        )
+        compactible = [
+            r
+            for r in rows
+            if r["app"] == app and 0 <= int(r["batch_id"]) <= committed
+        ]
+        if len(compactible) >= ledger_compact_after:
+            absolute: dict[str, int] = {
+                r["group"]: int(r["tokens_added"])
+                for r in rows
+                if r["app"] == app and int(r["batch_id"]) == -1
+            }
+            for r in compactible:
+                absolute[r["group"]] = absolute.get(r["group"], 0) + int(
+                    r["tokens_added"]
+                )
+            merge_snapshot(
+                spark,
+                ledger_dir,
+                spark.createDataFrame(
+                    [
+                        (app, g, -1, t, False)
+                        for g, t in sorted(absolute.items())
+                    ]
+                    + [
+                        (app, r["group"], int(r["batch_id"]), 0, True)
+                        for r in compactible
+                    ],
+                    _LEDGER_SCHEMA + ", __delete__ boolean",
+                ),
+                ["app", "group", "batch_id"],
+                delete_col="__delete__",
+                note=f"budget ledger compaction through batch={committed}",
+            )
+        grp = F.coalesce(
+            F.col(group_col).cast("string"), F.lit(_NULL_GROUP)
+        )
+        w = Window.partitionBy("__grp__").orderBy(
             sample_score(id_col).asc(), F.col(id_col).asc()
         )
         spent = F.coalesce(
@@ -596,13 +676,14 @@ def start_budget_ingest_sink(
                     for g, t in sorted(totals.items())
                     for x in (F.lit(g), F.lit(t))
                 ]
-            )[F.col(group_col)]
+            )[F.col("__grp__")]
             if totals
             else F.lit(None).cast("long"),
             F.lit(0),
         )
         scored = batch_df.select(
             "*",
+            grp.alias("__grp__"),
             token_count(F.coalesce(F.col(text_col), F.lit(""))).alias(
                 "__nt__"
             ),
@@ -616,17 +697,21 @@ def start_budget_ingest_sink(
             mark_stream_txn(corpus_dir, (app, batch_id))
             return
         increments = (
-            survivors.groupBy(F.col(group_col).alias("group"))
+            survivors.groupBy(F.col("__grp__").alias("group"))
             .agg(F.sum("__nt__").cast("long").alias("tokens_added"))
             .collect()
         )
         ledger_df = spark.createDataFrame(
-            [(r["group"], batch_id, int(r["tokens_added"])) for r in increments],
-            "group string, batch_id long, tokens_added long",
+            [
+                (app, r["group"], batch_id, int(r["tokens_added"]))
+                for r in increments
+            ],
+            _LEDGER_SCHEMA,
         )
         if have_ledger:
             merge_snapshot(
-                spark, ledger_dir, ledger_df, ["group", "batch_id"],
+                spark, ledger_dir, ledger_df,
+                ["app", "group", "batch_id"],
                 note=f"budget ledger batch={batch_id}",
             )
         else:
@@ -636,7 +721,7 @@ def start_budget_ingest_sink(
             )
         merge_snapshot(
             spark, corpus_dir,
-            survivors.drop("__nt__", "__cum__"),
+            survivors.drop("__nt__", "__cum__", "__grp__"),
             [id_col],
             note=f"budget ingest batch={batch_id}",
             txn=(app, batch_id),

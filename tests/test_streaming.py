@@ -1328,3 +1328,273 @@ def test_dedup_ingest_sink_all_duplicate_batch_is_not_a_poison_pill(
     assert sorted(
         r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
     ) == [1, 20]
+
+
+def _stage_json_batches(spark, tmp_path, batches, schema):
+    """One flat incoming dir, one json file per batch, distinct mtimes
+    so maxFilesPerTrigger=1 pins trigger order.  Returns (src_dir,
+    stream_reader_fn)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    src = tmp_path / "incoming"
+    src.mkdir(parents=True, exist_ok=True)
+    start = len(_glob.glob(str(src / "*.json"))) + 1
+    for i, rows in enumerate(batches, start=start):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(staging)
+        part = _glob.glob(staging + "/part-*.json")[0]
+        _shutil.copy(part, str(src / f"{i}.json"))
+        _time.sleep(1.1)
+    return src, lambda: (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+def test_budget_ingest_sink_null_group_is_not_a_poison_pill(
+    spark, tmp_path
+):
+    """The ADVICE poison-pill class: a batch whose group value is NULL
+    must ingest under the batch twin's sentinel — not write a NULL
+    ledger key that every later batch's create_map lookup crashes on.
+    The NULL group fills (and exhausts) a quota like any other, and a
+    later NULL-group doc over quota is rejected without killing the
+    stream."""
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import (
+        _NULL_GROUP,
+        start_budget_ingest_sink,
+    )
+
+    schema = "doc_id long, source string, text string"
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [
+            # batch 0: NULL group admits 6 tokens; named group admits 2
+            [(1, None, "a b c d e f"), (2, "X", "p q")],
+            # batch 1: NULL group doc of 6 tokens → 12 > 10, rejected;
+            # named group doc still admits (per-group isolation)
+            [(10, None, "g h i j k l"), (11, "X", "r s")],
+        ],
+        schema,
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, str(tmp_path / "ckpt"), 10,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2, 11]
+    ledger = {
+        (r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    assert ledger == {
+        (_NULL_GROUP, 0): 6, ("X", 0): 2, ("X", 1): 2,
+    }
+    # the kept rows carry the ORIGINAL NULL, not the sentinel
+    assert read_snapshot(spark, corpus_dir).filter(
+        F.col("doc_id") == 1
+    ).first()["source"] is None
+
+
+def test_budget_ingest_sink_non_string_group_col(spark, tmp_path):
+    """A non-string group column (here: long) must ride the ledger as
+    its string form — the hardcoded 'group string' ledger schema must
+    not reject it (the second half of the ADVICE medium)."""
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    schema = "doc_id long, source long, text string"
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [[(1, 7, "a b c"), (2, 8, "d e f g h i j k l m n o")]],
+        schema,
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"), 10, available_now=True,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1]
+    ledger = {
+        (r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(
+            spark, str(tmp_path / "ledger")
+        ).collect()
+    }
+    assert ledger == {("7", 0): 3}
+
+
+def test_budget_ingest_ledger_compaction_bounds_rows(spark, tmp_path):
+    """Mark-anchored compaction (the r8 verdict's scale-killer): once
+    ledger_compact_after committed per-batch rows accumulate, they
+    fold into one absolute batch_id=-1 row per group — the ledger's
+    steady state is O(groups) + a bounded tail, NOT one row per batch
+    forever — while quota enforcement stays exact across the fold
+    (the over-quota doc in the last batch is still rejected)."""
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    schema = "doc_id long, source string, text string"
+    # five batches of 2 tokens each for source A (budget 9): batches
+    # 0-3 admit (cum 2,4,6,8), batch 4's 2-token doc → 10 > 9 rejected
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [[(i, "A", f"w{i}a w{i}b")] for i in range(5)],
+        schema,
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, str(tmp_path / "ckpt"), 9,
+        ledger_compact_after=2, available_now=True,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [0, 1, 2, 3]
+    rows = read_snapshot(spark, ledger_dir).collect()
+    by_key = {(r.group, r.batch_id): r.tokens_added for r in rows}
+    # everything at/below the final committed mark that crossed the
+    # threshold folded into the absolute row; only a bounded tail of
+    # per-batch rows remains (< compact_after committed + in-flight)
+    assert by_key[("A", -1)] >= 4  # at least batches 0-1 folded
+    per_batch = [k for k in by_key if k[1] >= 0]
+    assert len(per_batch) <= 3, by_key
+    # the absolute + tail still sum to the true committed total
+    assert sum(by_key.values()) == 8
+
+
+def test_budget_ingest_replay_across_compaction_boundary(
+    spark, tmp_path
+):
+    """The crash window, replayed ACROSS compacted history: the ledger
+    upsert for a batch lands, the corpus mark does not, and the
+    restart re-delivers the batch.  Pre-batch totals must come from
+    the absolute (compacted) row + tail EXCLUDING this writer's
+    in-flight rows — budget chosen so that double-counting the
+    in-flight increment would flip the admit decision."""
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    schema = "doc_id long, source string, text string"
+    # batches 0-2: 2 tokens each (cum 6).  budget 8.
+    src, mk = _stage_json_batches(
+        spark, tmp_path,
+        [[(i, "A", f"w{i}a w{i}b")] for i in range(3)],
+        schema,
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    app = os.path.abspath(ckpt)  # the sink's default app id
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, ckpt, 8,
+        ledger_compact_after=2, available_now=True,
+    )
+    q.awaitTermination(300)
+    by_key = {
+        (r.app, r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    assert (app, "A", -1) in by_key, "compaction must have run"
+    # simulate the crash window for batch 3: its ledger increment
+    # landed (keyed upsert), the corpus mark did not
+    from fortymhz_spark.sources.snapshots import merge_snapshot
+
+    merge_snapshot(
+        spark, ledger_dir,
+        spark.createDataFrame(
+            [(app, "A", 3, 2)],
+            "app string, group string, batch_id long, tokens_added long",
+        ),
+        ["app", "group", "batch_id"],
+        note="simulated in-flight batch-3 increment (crash window)",
+    )
+    # the re-delivered batch: totals must read 6 (absolute+tail,
+    # excluding the in-flight row) → 6+2=8 ≤ 8 ADMITS.  Double-counting
+    # the in-flight row would read 8 → 8+2=10 > 8 and wrongly reject.
+    _stage_json_batches(
+        spark, tmp_path, [[(30, "A", "x1 x2")]], schema
+    )
+    q2 = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, ckpt, 8,
+        ledger_compact_after=2, available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [0, 1, 2, 30]
+    final = {
+        (r.app, r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    # the replay re-upserted the SAME key — no duplicate, no double sum
+    assert final[(app, "A", 3)] == 2
+    assert sum(final.values()) == 8
+
+
+def test_budget_ingest_two_writers_share_quota_without_collision(
+    spark, tmp_path
+):
+    """The ledger is keyed per writer: a second stream (fresh txn_id,
+    fresh checkpoint → batch numbering restarts at 0) must NOT upsert
+    over the first writer's batch-0 increments, and quota totals SUM
+    across writers — the budget bounds the corpus, not any one
+    stream."""
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    schema = "doc_id long, source string, text string"
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    # writer A, batch 0: admits 4 tokens
+    _, mk_a = _stage_json_batches(
+        spark, tmp_path / "a", [[(1, "S", "a b c d")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_a(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_a"), 10,
+        txn_id="writer-a", available_now=True,
+    )
+    q.awaitTermination(300)
+    # writer B, batch 0 (same numbering!): admits 4 more (cum 8)
+    _, mk_b = _stage_json_batches(
+        spark, tmp_path / "b", [[(2, "S", "e f g h")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_b(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_b"), 10,
+        txn_id="writer-b", available_now=True,
+    )
+    q.awaitTermination(300)
+    ledger = {
+        (r.app, r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    # BOTH batch-0 rows survive — an app-less ledger would have
+    # silently upserted writer B over writer A here
+    assert ledger == {
+        ("writer-a", "S", 0): 4, ("writer-b", "S", 0): 4,
+    }
+    # writer B, batch 1: a 4-token doc → 8+4 > 10, rejected ACROSS
+    # writers (the corpus-level quota)
+    _stage_json_batches(
+        spark, tmp_path / "b", [[(3, "S", "i j k l")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_b(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_b"), 10,
+        txn_id="writer-b", available_now=True,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2]

@@ -33,6 +33,16 @@ REPLICAS = 10
 
 
 def build_10x(spark, out_dir: str) -> None:
+    build_tile(spark, out_dir, REPLICAS)
+
+
+def build_tile(spark, out_dir: str, replicas: int) -> None:
+    """The tiled blow-up at an arbitrary factor — round-9 generalizes
+    the 10× builder so the heaviest families get a THIRD decade
+    (--scales 1,10,100): same disjoint token namespaces / cyclic
+    dimension rotations, so per-replica statistics still equal the
+    original corpus exactly and the scaling exponent stays the clean
+    read-out."""
     from pyspark.sql import functions as F
 
     from fortymhz_spark.sources.batch import load_table
@@ -48,7 +58,7 @@ def build_10x(spark, out_dir: str) -> None:
     # id space a count stride would collide replica r's low ids with
     # replica r-1's high ids, silently merging rows across replicas.
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
-    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
     docs10 = (
         docs.select("doc_id", "text", "lang", "source", "n_chars", reps)
         .select(
@@ -930,32 +940,35 @@ def main() -> int:
         default=None,
         help="comma-separated workload names to run (default: all)",
     )
+    ap.add_argument(
+        "--scales",
+        default="1,10",
+        help="comma-separated blow-up factors (default: 1,10; the "
+        "round-9 third decade: 1,10,100)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    mults = [int(s) for s in args.scales.split(",")]
 
     from fortymhz_spark.session import get_session
     from fortymhz_spark.sources.batch import load_table
 
     spark = get_session("fmhz-scale-soak", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    build_10x(spark, args.out)
-
-    docs1 = load_table(spark, SF_DIR, "documents")
-    emb1 = load_table(spark, SF_DIR, "embeddings")
-    docs10 = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
-    emb10 = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
 
     results: dict[str, dict[str, float]] = {}
-    for scale, docs, emb, mult, dpath in (
-        ("1x", docs1, emb1, 1, os.path.join(SF_DIR, "documents.parquet")),
-        (
-            "10x",
-            docs10,
-            emb10,
-            REPLICAS,
-            os.path.join(args.out, "documents.parquet"),
-        ),
-    ):
+    for mult in mults:
+        scale = f"{mult}x"
+        if mult == 1:
+            docs = load_table(spark, SF_DIR, "documents")
+            emb = load_table(spark, SF_DIR, "embeddings")
+            dpath = os.path.join(SF_DIR, "documents.parquet")
+        else:
+            out = args.out if mult == REPLICAS else f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+            dpath = os.path.join(out, "documents.parquet")
         for name, thunk in workloads(
             spark, docs, emb, scale_mult=mult, docs_path=dpath
         ):
@@ -970,14 +983,21 @@ def main() -> int:
             results[name][f"rows_{scale}"] = n
             print(f"# {scale} {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
-    print("| operator | t(1×) s | t(10×) s | ratio | rows 1× → 10× |")
-    print("|---|---|---|---|---|")
+    scales = [f"{m}x" for m in mults]
+    hdr_t = " | ".join(f"t({s}) s" for s in scales)
+    hdr_r = " | ".join(
+        f"{a}→{b}" for a, b in zip(scales, scales[1:])
+    )
+    print(f"| operator | {hdr_t} | {hdr_r} | rows |")
+    print("|---" * (len(scales) + max(0, len(scales) - 1) + 2) + "|")
     for name, r in results.items():
-        ratio = r["10x"] / r["1x"] if r["1x"] > 0 else float("nan")
-        print(
-            f"| {name} | {r['1x']:.2f} | {r['10x']:.2f} | {ratio:.1f}× "
-            f"| {int(r['rows_1x'])} → {int(r['rows_10x'])} |"
+        ts = " | ".join(f"{r[s]:.2f}" for s in scales)
+        ratios = " | ".join(
+            f"{(r[b] / r[a]):.1f}×" if r[a] > 0 else "nan"
+            for a, b in zip(scales, scales[1:])
         )
+        rows = " → ".join(str(int(r[f"rows_{s}"])) for s in scales)
+        print(f"| {name} | {ts} | {ratios} | {rows} |")
     spark.stop()
     return 0
 
