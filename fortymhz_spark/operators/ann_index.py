@@ -269,6 +269,47 @@ def build_ann_codes(
     )
 
 
+def _validate_codes_pairing(
+    v: int, params: dict, table_dir: str, index: AnnIndex, action: str
+) -> None:
+    """The ONE copy of the (index, codes) pairing check shared by
+    extend / delete / load: the codes must have been built against
+    exactly this index version AND geometry — codes from two fits must
+    never mix, and a geometry key added here protects every path at
+    once (the checks exist to prevent silent corruption; diverging
+    copies of them would be the same failure one level up)."""
+    if int(params["index_version"]) != int(index.version) or any(
+        int(params[k]) != int(getattr(index, k))
+        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+    ):
+        raise ValueError(
+            f"ann_codes v={v} at {table_dir} was built against index "
+            f"v={params['index_version']} "
+            f"(n_coarse={params['n_coarse']}, n_sub={params['n_sub']}, "
+            f"n_cells={params['n_cells']}) but the {action} uses index "
+            f"v={index.version} (n_coarse={index.n_coarse}, "
+            f"n_sub={index.n_sub}, n_cells={index.n_cells}) — codes "
+            "from two fits must never mix (a different fit also must "
+            "never extend or tombstone this table); rebuild the codes "
+            "or load the matching index version"
+        )
+
+
+def _inherit_pin(params: dict, corpus_version: int | None) -> dict:
+    """New note params for a codes mutation: ``corpus_version=None``
+    INHERITS the table's existing pin — a mutation that forgot to
+    re-pass the version must not strip a pinned table of its
+    staleness guard."""
+    return {
+        **params,
+        "corpus_version": (
+            params.get("corpus_version")
+            if corpus_version is None
+            else corpus_version
+        ),
+    }
+
+
 def extend_ann_codes(
     new_vecs: DataFrame,
     table_dir: str,
@@ -278,6 +319,7 @@ def extend_ann_codes(
     vec_col: str = "embedding",
     corpus_version: int | None = None,
     assign: str = "arrow",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Encode ONLY an arriving batch of vectors and MERGE its
     ``(id, cell, code_*)`` rows into the codes table as the next
@@ -305,34 +347,19 @@ def extend_ann_codes(
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     v, params = resolve_artifact(table_dir, "ann_codes ")
-    if int(params["index_version"]) != int(index.version) or any(
-        int(params[k]) != int(getattr(index, k))
-        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
-    ):
-        raise ValueError(
-            f"ann_codes v={v} at {table_dir} was built against index "
-            f"v={params['index_version']} but the extend is encoding "
-            f"with index v={index.version} — codes from two fits must "
-            "never mix; rebuild the codes table for the new index"
-        )
+    _validate_codes_pairing(v, params, table_dir, index, "extend")
     codes = _ivfpq_codes(
         new_vecs, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
     ).withColumnRenamed("neighbor_id", "id")
-    new_params = {
-        **params,
-        "corpus_version": (
-            params.get("corpus_version")
-            if corpus_version is None
-            else corpus_version
-        ),
-    }
+    new_params = _inherit_pin(params, corpus_version)
     return merge_snapshot(
         new_vecs.sparkSession,
         table_dir,
         codes,
         ["id"],
         note="ann_codes " + json.dumps(new_params, sort_keys=True),
+        txn=txn,
     )
 
 
@@ -343,6 +370,7 @@ def delete_ann_codes(
     *,
     id_col: str = "vec_id",
     corpus_version: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Propagate corpus DELETIONS into the codes table as the next
     version — the tombstone half the extend path alone leaves open:
@@ -357,12 +385,16 @@ def delete_ann_codes(
     batch is idempotent.
 
     ``deleted`` carries the ids to remove in ``id_col`` (any extra
-    columns are ignored; duplicate ids are collapsed — a delete has
-    no per-row payload to be ambiguous about).  Validates the
-    (index, table) pairing first, exactly like :func:`extend_ann_codes`
-    — the version advance must never be mistaken for a geometry
-    change.  ``corpus_version`` pins the POST-delete corpus snapshot;
-    ``None`` inherits the prior pin (same contract as extend).
+    columns are ignored; duplicate ids are collapsed and NULL ids are
+    dropped — a delete has no per-row payload to be ambiguous about,
+    and "delete the NULL id" names no row).  An EMPTY delete batch is
+    a true no-op: the current version is returned unchanged (a dedup
+    pass that dropped zero documents must not crash the pipeline).
+    Validates the (index, table) pairing first, exactly like
+    :func:`extend_ann_codes` — the version advance must never be
+    mistaken for a geometry change.  ``corpus_version`` pins the
+    POST-delete corpus snapshot; ``None`` inherits the prior pin
+    (same contract as extend).
 
     After the delete the table is byte-identical to
     :func:`build_ann_codes` re-run on the surviving corpus (per-row
@@ -372,33 +404,22 @@ def delete_ann_codes(
     table's recorded ``partition_by`` and tombstones never write data
     rows."""
     v, params = resolve_artifact(table_dir, "ann_codes ")
-    if int(params["index_version"]) != int(index.version) or any(
-        int(params[k]) != int(getattr(index, k))
-        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
-    ):
-        raise ValueError(
-            f"ann_codes v={v} at {table_dir} was built against index "
-            f"v={params['index_version']} but the delete is keyed to "
-            f"index v={index.version} — refusing to tombstone a table "
-            "paired with a different fit"
-        )
+    _validate_codes_pairing(v, params, table_dir, index, "delete")
     spark = deleted.sparkSession
     target = read_snapshot(spark, table_dir, version=v)
     dtypes = dict(target.dtypes)
-    tomb = deleted.select(F.col(id_col).cast(dtypes["id"]).alias("id"))
-    tomb = tomb.distinct()
+    tomb = (
+        deleted.select(F.col(id_col).cast(dtypes["id"]).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    if tomb.isEmpty():
+        return v
     for c in target.columns:
         if c != "id":
             tomb = tomb.withColumn(c, F.lit(None).cast(dtypes[c]))
     tomb = tomb.withColumn("__delete__", F.lit(True))
-    new_params = {
-        **params,
-        "corpus_version": (
-            params.get("corpus_version")
-            if corpus_version is None
-            else corpus_version
-        ),
-    }
+    new_params = _inherit_pin(params, corpus_version)
     return merge_snapshot(
         spark,
         table_dir,
@@ -406,6 +427,7 @@ def delete_ann_codes(
         ["id"],
         delete_col="__delete__",
         note="ann_codes " + json.dumps(new_params, sort_keys=True),
+        txn=txn,
     )
 
 
@@ -413,7 +435,6 @@ def ann_drift_report(
     corpus: DataFrame,
     index: AnnIndex,
     *,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     label: str = "current",
 ) -> DataFrame:
@@ -489,19 +510,7 @@ def load_ann_codes(
     fails loudly here.  Returns the codes DataFrame (lazy — nothing
     scans until the serving query runs)."""
     v, params = resolve_artifact(table_dir, "ann_codes ", version=version)
-    if int(params["index_version"]) != int(index.version) or any(
-        int(params[k]) != int(getattr(index, k))
-        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
-    ):
-        raise ValueError(
-            f"ann_codes v={v} at {table_dir} was built against index "
-            f"v={params['index_version']} "
-            f"(n_coarse={params['n_coarse']}, n_sub={params['n_sub']}, "
-            f"n_cells={params['n_cells']}) but the serving index is "
-            f"v={index.version} (n_coarse={index.n_coarse}, "
-            f"n_sub={index.n_sub}, n_cells={index.n_cells}) — rebuild "
-            "the codes or load the matching index version"
-        )
+    _validate_codes_pairing(v, params, table_dir, index, "serving load")
     if corpus_version is not None and (
         params.get("corpus_version") is None
         or int(params["corpus_version"]) != int(corpus_version)

@@ -28,6 +28,13 @@ from pyspark.sql.window import Window
 KNUTH = 2_654_435_761
 SCORE_MOD = 1_000_003
 
+# NULL-group sentinel, the ONE definition: budget_sample keys groups
+# as strings (the cut-table literal's type) with NULL mapped here, and
+# the streaming quota sink (streaming/sinks.py::start_budget_ingest_sink)
+# must key its ledger IDENTICALLY or a NULL group's quota silently
+# splits across two phantom groups between the batch and stream forms.
+NULL_GROUP = "\x00<null>"
+
 
 def sample_score(key: Column | str) -> Column:
     """Deterministic pseudo-uniform score in [0, SCORE_MOD) from an
@@ -187,7 +194,7 @@ def budget_sample(
     # groups map to a sentinel so the equi-join cannot drop them.
     # NULL text counts 0 tokens (totality — a NULL doc costs nothing).
     grp = F.col(group_col).cast("string") if group_col else F.lit("")
-    grp = F.coalesce(grp, F.lit("\x00<null>"))
+    grp = F.coalesce(grp, F.lit(NULL_GROUP))
     score = sample_score(id_col)
     bucket = F.floor(score * F.lit(n_buckets) / F.lit(SCORE_MOD)).cast("int")
     base = df.select(

@@ -304,15 +304,35 @@ def _start_exactly_once_sink(
     ``(app_id, batch_id)`` high-water mark.  ``body(batch_df,
     batch_id, app_id)`` publishes the batch — and MUST pass
     ``txn=(app_id, batch_id)`` to its write so the mark lands in the
-    same atomic swap as the data."""
+    same atomic swap as the data.
+
+    CONCURRENT WRITERS: every sink body's snapshot writes are derived
+    (CAS-pinned to the base version they read), so a competing
+    writer's publish vetoes the commit with
+    :class:`~fortymhz_spark.sources.snapshots.ConcurrentWriteError`
+    instead of corrupting the table — and because every body
+    recomputes its decision from fresh reads and its merges are
+    replay-idempotent (that is the exactly-once design), losing the
+    race is safely retryable.  Three bounded in-place retries per
+    micro-batch absorb the benign interleavings of the multi-writer
+    topologies the budget/codes sinks advertise; sustained contention
+    still surfaces (the streaming query fails) rather than spinning."""
     app_id = txn_id if txn_id is not None else os.path.abspath(checkpoint_dir)
+
+    from fortymhz_spark.sources.snapshots import ConcurrentWriteError
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
             return
-        if batch_id <= _last_stream_batch(table_dir, app_id):
-            return  # checkpoint replay of an already-published batch
-        body(batch_df, batch_id, app_id)
+        for attempt in range(3):
+            if batch_id <= _last_stream_batch(table_dir, app_id):
+                return  # checkpoint replay of an already-published batch
+            try:
+                body(batch_df, batch_id, app_id)
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -507,13 +527,14 @@ def start_dedup_ingest_sink(
     )
 
 
-# NULL-group sentinel, shared semantics with the batch twin
-# (operators/sampling.py::budget_sample): groups ride the ledger and a
+# NULL-group sentinel — THE batch twin's constant
+# (operators/sampling.py::NULL_GROUP), imported so the two forms can
+# never key a NULL group differently: groups ride the ledger and a
 # create_map lookup as STRINGS, and neither tolerates a NULL key —
 # Spark rejects NULL map keys at runtime, and the snapshot MERGE
 # rejects NULL merge keys by design — so a NULL group would otherwise
 # poison-pill the stream on every retry.
-_NULL_GROUP = "\x00<null>"
+from fortymhz_spark.operators.sampling import NULL_GROUP as _NULL_GROUP
 
 
 def start_budget_ingest_sink(
@@ -559,7 +580,11 @@ def start_budget_ingest_sink(
     stream sharing the ledger — restart batch numbering at 0 without
     silently upserting over another writer's increments; quota totals
     deliberately SUM ACROSS writers (the budget bounds the corpus, not
-    any one stream).
+    any one stream).  One drift the increments cannot self-heal: a
+    writer that DIES with an in-flight increment (ledger landed,
+    corpus merge didn't) and never restarts leaves that row counted
+    forever — the budget then UNDER-fills, the safe direction;
+    :func:`reconcile_budget_ledger` is the explicit repair.
 
     MARK-ANCHORED COMPACTION bounds the ledger: rows for this writer's
     batch ids at or below its committed corpus mark are immutable
@@ -614,6 +639,14 @@ def start_budget_ingest_sink(
         rows = (
             read_snapshot(spark, ledger_dir).collect() if have_ledger else []
         )
+        # rows written before the per-writer keying carry no app
+        # column (and NULL after a schema-evolved merge): they count
+        # toward totals like a foreign writer's and are never
+        # excluded or compacted — the backward-compatible reading of
+        # a pre-upgrade ledger.
+        def _app_of(r) -> str | None:
+            return r["app"] if "app" in r.__fields__ else None
+
         totals: dict[str, int] = {}
         for r in rows:
             # EXCLUDING this writer's increments for this batch id: on
@@ -621,7 +654,7 @@ def start_budget_ingest_sink(
             # mark, this reconstructs the exact pre-batch totals the
             # original admit decision used.  Other writers' rows (any
             # batch id) always count — the quota bounds the corpus.
-            if r["app"] == app and int(r["batch_id"]) == batch_id:
+            if _app_of(r) == app and int(r["batch_id"]) == batch_id:
                 continue
             totals[r["group"]] = totals.get(r["group"], 0) + int(
                 r["tokens_added"]
@@ -633,13 +666,13 @@ def start_budget_ingest_sink(
         compactible = [
             r
             for r in rows
-            if r["app"] == app and 0 <= int(r["batch_id"]) <= committed
+            if _app_of(r) == app and 0 <= int(r["batch_id"]) <= committed
         ]
         if len(compactible) >= ledger_compact_after:
             absolute: dict[str, int] = {
                 r["group"]: int(r["tokens_added"])
                 for r in rows
-                if r["app"] == app and int(r["batch_id"]) == -1
+                if _app_of(r) == app and int(r["batch_id"]) == -1
             }
             for r in compactible:
                 absolute[r["group"]] = absolute.get(r["group"], 0) + int(
@@ -662,6 +695,9 @@ def start_budget_ingest_sink(
                 ["app", "group", "batch_id"],
                 delete_col="__delete__",
                 note=f"budget ledger compaction through batch={committed}",
+                # tolerate a pre-upgrade 3-column ledger: legacy rows
+                # carry over with app NULL-backfilled
+                allow_schema_evolution=True,
             )
         grp = F.coalesce(
             F.col(group_col).cast("string"), F.lit(_NULL_GROUP)
@@ -713,6 +749,10 @@ def start_budget_ingest_sink(
                 spark, ledger_dir, ledger_df,
                 ["app", "group", "batch_id"],
                 note=f"budget ledger batch={batch_id}",
+                # tolerate a pre-upgrade 3-column ledger: legacy rows
+                # carry over with app NULL-backfilled (counted like a
+                # foreign writer's — never excluded, never compacted)
+                allow_schema_evolution=True,
             )
         else:
             write_snapshot(
@@ -729,6 +769,155 @@ def start_budget_ingest_sink(
 
     return _start_exactly_once_sink(
         df, corpus_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
+    )
+
+
+def reconcile_budget_ledger(
+    spark: SparkSession,
+    corpus_dir: str,
+    ledger_dir: str,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> int:
+    """Rebuild the budget ledger FROM the corpus — the recovery path
+    for the one state the incremental ledger cannot self-heal: a
+    writer whose ledger increment landed but whose corpus merge never
+    did, and which never restarts (or restarts under a fresh
+    ``txn_id``, the documented reprocess recipe).  Its orphaned
+    in-flight row is excluded by nobody, so every other writer
+    permanently counts tokens that never reached the corpus — the
+    SAFE direction (the budget under-fills, never over-fills), but a
+    drift with no incremental fix.
+
+    This recomputes the true per-group totals with ONE aggregate over
+    the corpus snapshot (∝ corpus — the rare, explicit repair, not a
+    per-trigger cost) and publishes them as the ledger's next version:
+    one absolute ``('<reconciled>', group, -1, total)`` row per group,
+    replacing every increment row.  Run it with ALL budget-ingest
+    streams STOPPED — a live writer's in-flight increment would be
+    folded in as if committed.  Returns the published ledger version.
+
+    NULL groups reconcile under the same sentinel the sink and
+    ``budget_sample`` key by, so quotas stay whole."""
+    from fortymhz_spark.operators.text import token_count
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    corpus = read_snapshot(spark, corpus_dir)
+    totals = corpus.groupBy(
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_GROUP))
+        .alias("group")
+    ).agg(
+        F.sum(
+            token_count(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("long").alias("tokens_added")
+    )
+    return write_snapshot(
+        totals.select(
+            F.lit("<reconciled>").alias("app"),
+            "group",
+            F.lit(-1).cast("long").alias("batch_id"),
+            "tokens_added",
+        ),
+        ledger_dir,
+        note="budget ledger reconciled from corpus",
+    )
+
+
+def start_ann_codes_sink(
+    df: DataFrame,
+    codes_dir: str,
+    index,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    delete_col: str | None = None,
+    assign: str = "arrow",
+    available_now: bool = True,
+    txn_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming ANN-codes MAINTENANCE — the live form of the
+    build→extend→delete→serve lifecycle (operators/ann_index.py):
+    every micro-batch of vectors encodes ALONE under the pinned
+    ``index`` and upserts into the persisted codes table
+    (``extend_ann_codes``), and rows flagged in ``delete_col``
+    tombstone out (``delete_ann_codes``) — so a serving query
+    (``ivfpq_knn(index=..., codes=...)``) always reads codes that
+    track the ingest stream, never a stale build.  The codes table
+    must pre-exist (``build_ann_codes`` over the seed corpus — the
+    dedup-ingest-sink convention), and the index geometry is
+    validated on EVERY batch merge, so a rebuilt index cannot
+    silently corrupt a live stream's table.
+
+    Within a batch, deletes win: a row both upserted and
+    delete-flagged ends deleted (the delete merge runs second).
+    ``corpus_version`` pins are inherited unchanged — a streaming
+    maintainer tracks ROWS; corpus-version advancement is the
+    batch lifecycle's coordination point, not the stream's.
+
+    Exactly-once: the batch's LAST merge carries the
+    ``(txn_id, batch_id)`` manifest mark; a replay of a committed
+    batch is skipped by the mark before any work, and a crash BETWEEN
+    the extend and the delete merges replays into an idempotent
+    re-extend (keyed upsert of byte-identical codes — the encode is
+    deterministic under the pinned index) followed by the delete that
+    never landed.  A batch with nothing to apply still lands its mark
+    (``mark_stream_txn`` — the poison-pill lesson).
+
+    Per-trigger cost: one map-only encode of the batch + the snapshot
+    MERGE's anti-join/rewrite per merge (the documented copy-on-write
+    term; nothing else is ∝ table)."""
+    from fortymhz_spark.operators.ann_index import (
+        delete_ann_codes,
+        extend_ann_codes,
+    )
+    from fortymhz_spark.sources.snapshots import mark_stream_txn
+
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
+        if delete_col is not None:
+            flagged = F.coalesce(F.col(delete_col), F.lit(False))
+            adds = batch_df.filter(~flagged).drop(delete_col)
+            dels = batch_df.filter(flagged).localCheckpoint()
+        else:
+            adds, dels = batch_df, None
+        # At-least-once upstreams re-emit: a duplicate vec_id within
+        # ONE micro-batch would poison-pill the stream (merge_snapshot
+        # rejects duplicate update keys, the batch never commits, the
+        # replay re-raises forever — the _NULL_GROUP lesson), and a
+        # NULL id names no row.  Collapse to one row per id with a
+        # DETERMINISTIC winner (greatest vector — array ordering), so
+        # a crash-window replay re-encodes byte-identical codes.
+        adds = (
+            adds.select(F.col(id_col), F.col(vec_col))
+            .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.max(vec_col).alias(vec_col))
+        )
+        adds = adds.localCheckpoint()
+        have_adds = not adds.isEmpty()
+        have_dels = dels is not None and not dels.isEmpty()
+        if not have_adds and not have_dels:
+            mark_stream_txn(codes_dir, (app, batch_id))
+            return
+        if have_adds:
+            extend_ann_codes(
+                adds, codes_dir, index, id_col=id_col, vec_col=vec_col,
+                assign=assign,
+                txn=None if have_dels else (app, batch_id),
+            )
+        if have_dels:
+            delete_ann_codes(
+                dels, codes_dir, index, id_col=id_col,
+                txn=(app, batch_id),
+            )
+
+    return _start_exactly_once_sink(
+        df, codes_dir, checkpoint_dir, body,
         available_now=available_now, txn_id=txn_id,
     )
 

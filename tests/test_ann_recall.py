@@ -1074,3 +1074,34 @@ def test_ann_drift_report_detects_corpus_drift(spark, truth, tmp_path):
     )
     with _pytest.raises(ValueError, match="ivfpq"):
         ann_drift_report(emb, bad)
+
+
+def test_delete_ann_codes_empty_and_null_ids_are_noops(
+    spark, truth, tmp_path
+):
+    """An EMPTY delete batch returns the current version unchanged (a
+    dedup pass that dropped zero documents must not crash), and NULL
+    ids are dropped rather than rejected by the merge's NULL-key
+    guard."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        delete_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    empty = emb.filter(F.lit(False))
+    assert delete_ann_codes(empty, codes_dir, idx) == 1  # no new version
+    nulls_and_one = spark.createDataFrame(
+        [(None,), (3,)], "vec_id long"
+    )
+    assert delete_ann_codes(nulls_and_one, codes_dir, idx) == 2
+    assert load_ann_codes(spark, codes_dir, idx).count() == emb.count() - 1

@@ -1598,3 +1598,249 @@ def test_budget_ingest_two_writers_share_quota_without_collision(
     assert sorted(
         r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
     ) == [1, 2]
+
+
+def test_ann_codes_maintenance_sink_tracks_ingest(spark, tmp_path):
+    """Streaming ANN-codes maintenance (start_ann_codes_sink): a seed
+    build, then two micro-batches — adds, then adds + tombstones —
+    must leave the codes table byte-identical to a from-scratch
+    build_ann_codes over the final corpus; serving returns no deleted
+    id; a checkpoint restart republishes nothing."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(seed, codes_dir, idx, corpus_version=1)
+
+    def rows_of(df, deleted=False):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], deleted)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    b1 = rows_of(emb.filter(F.col("vec_id") % 3 == 1))
+    # batch 2: the remaining third arrives AND a seed slice tombstones
+    b2 = rows_of(emb.filter(F.col("vec_id") % 3 == 2)) + rows_of(
+        emb.filter(F.col("vec_id") % 9 == 0), deleted=True
+    )
+    _, mk = _stage_json_batches(spark, tmp_path, [b1, b2], schema)
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, ckpt, delete_col="is_deleted",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    final_corpus = emb.filter(F.col("vec_id") % 9 != 0)
+    scratch_dir = str(tmp_path / "scratch")
+    build_ann_codes(final_corpus, scratch_dir, idx, corpus_version=1)
+    key = lambda r: tuple(r)
+    got = read_snapshot(spark, codes_dir).collect()
+    want = load_ann_codes(spark, scratch_dir, idx).collect()
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    n_versions = len(snapshot_versions(codes_dir))
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, ckpt, delete_col="is_deleted",
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(codes_dir)) == n_versions
+
+
+def test_budget_ingest_reads_pre_upgrade_ledger(spark, tmp_path):
+    """A ledger written by the pre-per-writer code (3 columns, no app)
+    must not crash the upgraded sink: legacy rows count toward totals
+    like a foreign writer's (never excluded, never compacted), and the
+    first post-upgrade merge schema-evolves them to app=NULL."""
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    ledger_dir = str(tmp_path / "ledger")
+    # the old schema: (group, batch_id, tokens_added); 6 tokens spent
+    write_snapshot(
+        spark.createDataFrame(
+            [("A", 0, 6)], "group string, batch_id long, tokens_added long"
+        ),
+        ledger_dir,
+        note="budget ledger batch=0",
+    )
+    schema = "doc_id long, source string, text string"
+    # budget 10: legacy 6 + 3 admits doc 1; +4 would overflow → doc 2
+    # (later in hash order within its own batch) is rejected
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [[(1, "A", "a b c")], [(2, "A", "d e f g h")]],
+        schema,
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, str(tmp_path / "ckpt"), 10,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1]
+    rows = read_snapshot(spark, ledger_dir).collect()
+    got = {(r.app, r.group, r.batch_id): r.tokens_added for r in rows}
+    assert got[(None, "A", 0)] == 6  # legacy row carried, app NULL
+    assert sum(v for (a, _, _), v in got.items() if a is not None) == 3
+
+
+def test_reconcile_budget_ledger_repairs_orphaned_increment(
+    spark, tmp_path
+):
+    """A writer that died with an in-flight increment (ledger landed,
+    corpus merge didn't, never restarts) leaves quota consumed by
+    tokens that never reached the corpus.  reconcile_budget_ledger
+    rebuilds the ledger from the corpus; the next batch then admits
+    against the TRUE totals."""
+    from fortymhz_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import (
+        reconcile_budget_ledger,
+        start_budget_ingest_sink,
+    )
+
+    schema = "doc_id long, source string, text string"
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    # batch 0 admits 4 tokens (budget 10)
+    _, mk = _stage_json_batches(
+        spark, tmp_path, [[(1, "A", "a b c d")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, str(tmp_path / "ckpt"), 10,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    # a DEAD writer's orphan: 5 phantom tokens nobody will replay
+    merge_snapshot(
+        spark, ledger_dir,
+        spark.createDataFrame(
+            [("dead-writer", "A", 0, 5)],
+            "app string, group string, batch_id long, tokens_added long",
+        ),
+        ["app", "group", "batch_id"],
+        note="orphaned in-flight increment",
+    )
+    # without repair a 4-token doc would see 4+5=9 → 9+4 > 10: reject
+    reconcile_budget_ledger(spark, corpus_dir, ledger_dir)
+    rows = read_snapshot(spark, ledger_dir).collect()
+    assert {(r.app, r.group, r.batch_id, r.tokens_added) for r in rows} == {
+        ("<reconciled>", "A", -1, 4)
+    }
+    _stage_json_batches(spark, tmp_path, [[(2, "A", "e f g h")]], schema)
+    q2 = start_budget_ingest_sink(
+        mk(), corpus_dir, ledger_dir, str(tmp_path / "ckpt"), 10,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2]
+
+
+def test_ann_codes_sink_dedupes_batch_and_drops_null_ids(
+    spark, tmp_path
+):
+    """An at-least-once upstream re-emitting a vec_id within one
+    micro-batch (or a NULL-id row) must not poison-pill the codes
+    sink: duplicates collapse to a deterministic winner, NULL ids
+    drop, and the stream completes."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    seed = emb.filter(F.col("vec_id") < 100)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(seed, codes_dir, idx, corpus_version=1)
+
+    v200 = [float(x) for x in emb.filter(
+        F.col("vec_id") == 200
+    ).first()["embedding"]]
+    v201 = [float(x) for x in emb.filter(
+        F.col("vec_id") == 201
+    ).first()["embedding"]]
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    batch = [
+        (200, v200, False),
+        (200, v201, False),  # duplicate id, different vector
+        (None, v201, False),  # NULL id names no row
+        (202, None, False),  # NULL vector cannot encode
+        (201, v201, False),
+    ]
+    _, mk = _stage_json_batches(spark, tmp_path, [batch], schema)
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"),
+        delete_col="is_deleted", available_now=True,
+    )
+    q.awaitTermination(300)
+    ids = sorted(r.id for r in read_snapshot(spark, codes_dir).collect())
+    assert ids == sorted(
+        [r.vec_id for r in seed.select("vec_id").collect()] + [200, 201]
+    )
+
+
+def test_exactly_once_sink_retries_concurrent_write_veto(
+    spark, tmp_path
+):
+    """A sink body losing the snapshot CAS race to a competing writer
+    raises ConcurrentWriteError — the shared exactly-once helper must
+    retry the (replay-idempotent) body in place instead of killing
+    the streaming query, and give up only after bounded attempts."""
+    from fortymhz_spark.sources.snapshots import (
+        ConcurrentWriteError,
+        mark_stream_txn,
+    )
+    from fortymhz_spark.streaming.sinks import _start_exactly_once_sink
+
+    schema = "doc_id long, text string"
+    _, mk = _stage_json_batches(
+        spark, tmp_path, [[(1, "a")]], schema
+    )
+    table_dir = str(tmp_path / "table")
+    os.makedirs(table_dir)
+    calls = {"n": 0}
+
+    def flaky_body(batch_df, batch_id, app):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConcurrentWriteError("simulated competing publish")
+        mark_stream_txn(table_dir, (app, batch_id))
+
+    q = _start_exactly_once_sink(
+        mk(), table_dir, str(tmp_path / "ckpt"), flaky_body,
+        available_now=True, txn_id="flaky",
+    )
+    q.awaitTermination(300)
+    assert calls["n"] == 3

@@ -32,10 +32,6 @@ SF_DIR = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
-def build_10x(spark, out_dir: str) -> None:
-    build_tile(spark, out_dir, REPLICAS)
-
-
 def build_tile(spark, out_dir: str, replicas: int) -> None:
     """The tiled blow-up at an arbitrary factor — round-9 generalizes
     the 10× builder so the heaviest families get a THIRD decade
@@ -984,20 +980,17 @@ def main() -> int:
             print(f"# {scale} {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     scales = [f"{m}x" for m in mults]
-    hdr_t = " | ".join(f"t({s}) s" for s in scales)
-    hdr_r = " | ".join(
-        f"{a}→{b}" for a, b in zip(scales, scales[1:])
-    )
-    print(f"| operator | {hdr_t} | {hdr_r} | rows |")
-    print("|---" * (len(scales) + max(0, len(scales) - 1) + 2) + "|")
+    pairs = list(zip(scales, scales[1:]))
+    cols = [f"t({s}) s" for s in scales] + [f"{a}→{b}" for a, b in pairs]
+    print("| operator | " + " | ".join(cols) + " | rows |")
+    print("|---" * (len(cols) + 2) + "|")
     for name, r in results.items():
-        ts = " | ".join(f"{r[s]:.2f}" for s in scales)
-        ratios = " | ".join(
+        cells = [f"{r[s]:.2f}" for s in scales] + [
             f"{(r[b] / r[a]):.1f}×" if r[a] > 0 else "nan"
-            for a, b in zip(scales, scales[1:])
-        )
+            for a, b in pairs
+        ]
         rows = " → ".join(str(int(r[f"rows_{s}"])) for s in scales)
-        print(f"| {name} | {ts} | {ratios} | {rows} |")
+        print(f"| {name} | " + " | ".join(cells) + f" | {rows} |")
     spark.stop()
     return 0
 
