@@ -201,6 +201,10 @@ ENGINE_HASH_GATE = [
     # scalars over deterministic fits — identical at any partitioning
     "q_emb_ann_codes_delete",
     "q_emb_ann_drift_report",
+    # late round-9: the PCA fit's integer-moment partials make the
+    # whole model (and thus every graded boolean) bit-identical at
+    # any partition count — the module's core discipline
+    "q_emb_pca_audit",
 ]
 
 

@@ -445,6 +445,17 @@ def workloads(spark, docs, emb, scale_mult: int = 1, docs_path: str = ""):
             ).count(),
         ),
         (
+            # distributed PCA fit: one pass of integer moment partials
+            # per partition (dim + dim² longs per PARTITION) + driver
+            # eigh — cost should track rows × dim², i.e. linear in the
+            # corpus at fixed dim; nothing corpus-sized moves.
+            "pca_fit",
+            lambda: __import__(
+                "fortymhz_spark.operators.projection",
+                fromlist=["fit_pca"],
+            ).fit_pca(emb, 8).k,
+        ),
+        (
             # cross-doc span removal: (id, pos, md5)-only shuffles +
             # text rebuild — should track token volume like exact dedup
             "strip_crossdoc",
