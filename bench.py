@@ -223,9 +223,10 @@ HEADLINE = [
     # deliberately uncached: the refit IS the measured operation)
     "q_emb_ann_codes_delete",
     "q_emb_ann_drift_report",
-    # late round-9: distributed PCA — two one-pass integer-moment
-    # fits (k=8 and the k=2 comparison) + two map-only Pythagorean
-    # audit scans; deliberately uncached, the fit IS the measured op
+    # late round-9: distributed PCA — one one-pass integer-moment
+    # fit (the k=2 comparison is an O(1) driver truncation) + two
+    # map-only Pythagorean audit scans; deliberately uncached, the
+    # fit IS the measured op
     "q_emb_pca_audit",
 ]
 

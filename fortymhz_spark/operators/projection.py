@@ -17,15 +17,17 @@ Scale shape (the only part that matters at 100 TB):
 - **determinism discipline**: float partial sums would make the fitted
   components depend on partitioning (summation order), poisoning every
   downstream byte-identity guarantee this repo leans on.  So vectors
-  are QUANTIZED to integers (``round(x · 2^quant_bits)``) and the
-  moments accumulate in int64 (partition-local, numpy) and exact
-  Python ints (driver) — the covariance matrix is bit-identical at any
-  partition count, and LAPACK ``eigh`` on identical input bits returns
-  identical components.  Quantization at the default 16 bits perturbs
-  unit-normalized coordinates by ≤ 2⁻¹⁷ — far below embedding noise —
-  and the int64 partials hold exactly for ≤ 2³¹ rows per partition at
-  16 bits (asserted in the kernel; lower ``quant_bits`` to trade
-  precision for row headroom).
+  are QUANTIZED to integers (``round(x · 2^quant_bits)``): per Arrow
+  batch the moments are one exact int64 GEMM (wrap-impossibility
+  ASSERTED in the kernel — rows × max|q|² ≤ 2⁶² per batch, with
+  non-finite coordinates raising loudly instead of quantizing to
+  INT64_MIN garbage), accumulated across batches and partitions in
+  exact Python-int object arrays — the covariance matrix is
+  bit-identical at any partition count, and LAPACK ``eigh`` on
+  identical input bits returns identical components.  Quantization at
+  the default 16 bits perturbs unit-normalized coordinates by ≤ 2⁻¹⁷
+  — far below embedding noise; lower ``quant_bits`` to trade
+  precision for magnitude/row headroom.
 - **apply** is map-only JVM expressions by default: each output
   coordinate is one ``aggregate(zip_with(vec, lit(component)))`` fold —
   k × dim literal floats in the task binary (the codebook-literal
@@ -71,39 +73,75 @@ class PcaModel:
             sum(self.explained) / self.total_var if self.total_var else 1.0
         )
 
+    def truncated(self, k: int) -> "PcaModel":
+        """The k'-component model for k' ≤ k, sliced in O(1) on the
+        driver — BIT-IDENTICAL to refitting at k' (the fit
+        eigendecomposes the full covariance and slices the top k, so
+        a smaller k is always a prefix; pinned by
+        tests/test_projection.py).  Use this instead of a second
+        corpus pass when comparing reconstruction across k."""
+        if not 1 <= k <= self.k:
+            raise ValueError(f"k={k} outside [1, {self.k}]")
+        return PcaModel(
+            mean=self.mean,
+            components=self.components[:k],
+            explained=self.explained[:k],
+            total_var=self.total_var,
+            dim=self.dim,
+            k=k,
+        )
+
 
 _PARTIAL_SCHEMA = "n long, s array<long>, ss array<long>"
 
 
 def _moment_kernel(dim: int, scale: int):
     """mapInPandas kernel: integer moment partials per partition.
-    Emits ONE row per non-empty partition batch group — (count,
-    Σq(x) [dim], Σq(x)q(x)ᵀ [dim²] flattened row-major)."""
+    Emits ONE row per non-empty partition — (count, Σq(x) [dim],
+    Σq(x)q(x)ᵀ [dim²] flattened row-major).  Per Arrow batch the
+    moments are ONE vectorized int64 GEMM (``Qᵀ @ Q``), accumulated
+    exactly across batches in Python-int object arrays; an explicit
+    bound check guarantees the int64 GEMM cannot wrap (rows ×
+    max|q|² ≤ 2⁶²), and non-finite coordinates raise LOUDLY — a NaN
+    would otherwise quantize to INT64_MIN and silently poison the
+    covariance."""
 
     def fold(batches):
         import numpy as np
         import pandas as pd
 
         n = 0
-        s = np.zeros(dim, dtype=object)
-        ss = np.zeros(dim * dim, dtype=object)
+        s = None
+        ss = None
         for pdf in batches:
-            for v in pdf.iloc[:, 0]:
-                if v is None:
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                if x.shape[0] != dim:
-                    raise ValueError(
-                        f"ragged embedding: expected dim {dim}, got "
-                        f"{x.shape[0]}"
-                    )
-                q = np.rint(x * scale).astype(np.int64)
-                # int64 outer-product safety: |q| ≤ scale·max|x|; the
-                # per-partition row bound keeps Σqᵢqⱼ inside int64
-                outer = np.multiply.outer(q, q)
-                n += 1
-                s += q
-                ss += outer.reshape(-1)
+            vals = [v for v in pdf.iloc[:, 0] if v is not None]
+            if not vals:
+                continue
+            bad = [len(v) for v in vals if len(v) != dim]
+            if bad:
+                raise ValueError(
+                    f"ragged embedding: expected dim {dim}, got {bad[0]}"
+                )
+            X = np.asarray(vals, dtype=np.float64)
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "non-finite embedding coordinate (NaN/Inf): the "
+                    "integer moment quantization would silently corrupt "
+                    "the model — clean or drop these rows first"
+                )
+            Q = np.rint(X * scale).astype(np.int64)
+            qmax = int(np.abs(Q).max())
+            if qmax and len(vals) > (1 << 62) // (qmax * qmax):
+                raise ValueError(
+                    f"quantized magnitude {qmax} over {len(vals)} rows "
+                    "would overflow the exact int64 moment GEMM — lower "
+                    "quant_bits or pre-normalize the vectors"
+                )
+            bs = Q.sum(axis=0)
+            bss = (Q.T @ Q).reshape(-1)
+            n += len(vals)
+            s = bs.astype(object) if s is None else s + bs
+            ss = bss.astype(object) if ss is None else ss + bss
         if n:
             yield pd.DataFrame(
                 {
@@ -152,16 +190,21 @@ def fit_pca(
     )
     if not partials:
         raise ValueError("no non-NULL embeddings to fit on")
-    # exact integer reduction (Python ints — no overflow, no order
-    # dependence), then ONE descale into floats
+    # exact integer reduction (Python-int object arrays — no overflow,
+    # no order dependence; cost ∝ partitions × dim², the partial
+    # payload itself), then ONE descale into floats
     n = sum(int(r["n"]) for r in partials)
-    s = [sum(int(r["s"][i]) for r in partials) for i in range(dim)]
-    ss = [
-        sum(int(r["ss"][i]) for r in partials) for i in range(dim * dim)
-    ]
-    mean_q = np.array(s, dtype=np.float64) / n
+    s = sum(
+        (np.array(r["s"], dtype=object) for r in partials),
+        np.zeros(dim, dtype=object),
+    )
+    ss = sum(
+        (np.array(r["ss"], dtype=object) for r in partials),
+        np.zeros(dim * dim, dtype=object),
+    )
+    mean_q = s.astype(np.float64) / n
     cov = (
-        np.array(ss, dtype=np.float64).reshape(dim, dim) / n
+        ss.astype(np.float64).reshape(dim, dim) / n
         - np.outer(mean_q, mean_q)
     ) / (scale * scale)
     w, v = np.linalg.eigh(cov)  # ascending
@@ -188,6 +231,8 @@ def project_expr(vec: Column | str, model: PcaModel) -> Column:
     per-subquantizer literal discipline), map-only, no Python.  The
     centering fold is let-bound once via a one-element transform scope
     so it runs once per row, not once per component."""
+    from fortymhz_spark.functions.vectors import dot_product
+
     v = F.col(vec) if isinstance(vec, str) else vec
     centered = F.zip_with(
         v, F.lit(model.mean), lambda a, b: a.cast("double") - b
@@ -196,13 +241,7 @@ def project_expr(vec: Column | str, model: PcaModel) -> Column:
     def over(c):
         return F.array(
             *[
-                F.aggregate(
-                    F.zip_with(
-                        c, F.lit(model.components[i]), lambda a, b: a * b
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+                dot_product(c, F.lit(model.components[i]))
                 for i in range(model.k)
             ]
         )
@@ -250,13 +289,23 @@ def apply_projection(
     def gemm(batches):
         C = np.asarray(comp, dtype=np.float64)
         m = np.asarray(mean, dtype=np.float64)
+        k = C.shape[0]
         for pdf in batches:
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            ) if len(pdf) else np.zeros((0, model.dim))
-            P = (X - m) @ C.T
+            vals = list(pdf[vec_col])
+            # NULL vectors project to k NULLs — the expr path's
+            # behavior (zip_with over NULL is NULL), kept identical so
+            # the twins never diverge on the rows fit_pca skips
+            live = [i for i, v in enumerate(vals) if v is not None]
+            out_vals: list = [[None] * k] * len(vals)
+            if live:
+                X = np.stack(
+                    [np.asarray(vals[i], dtype=np.float64) for i in live]
+                )
+                P = (X - m) @ C.T
+                for j, i in enumerate(live):
+                    out_vals[i] = [float(x) for x in P[j]]
             out = pdf.copy()
-            out[out_col] = [list(map(float, row)) for row in P]
+            out[out_col] = out_vals
             yield out
 
     return df.mapInPandas(gemm, schema).select(*cols, out_col)
@@ -286,9 +335,12 @@ def pca_audit(
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
+    # count NON-NULL residuals — the rows the fit itself skipped
+    # (NULL vectors) must not inflate the audited count, and the
+    # count then always matches avg()'s denominator
     return corpus.select(
         (centered_sq - proj_sq).alias("__resid__")
     ).agg(
-        F.count(F.lit(1)).alias("n_vectors"),
+        F.count("__resid__").alias("n_vectors"),
         F.avg("__resid__").alias("mean_recon_err"),
     )

@@ -56,16 +56,24 @@ def test_fit_is_partition_invariant_bit_for_bit(spark, emb):
 
 def test_projection_paths_agree_and_expr_is_jvm_side(spark, emb):
     m = fit_pca(emb, 8)
-    key = lambda r: (r["vec_id"], tuple(r["projected"]))
-    expr_rows = sorted(
-        map(key, apply_projection(emb, m).select(
-            "vec_id", "projected").collect())
-    )
-    arrow_rows = sorted(
-        map(key, apply_projection(emb, m, method="arrow").select(
-            "vec_id", "projected").collect())
-    )
-    assert expr_rows == arrow_rows
+    expr = {
+        r["vec_id"]: r["projected"]
+        for r in apply_projection(emb, m).select(
+            "vec_id", "projected").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["projected"]
+        for r in apply_projection(emb, m, method="arrow").select(
+            "vec_id", "projected").collect()
+    }
+    assert set(expr) == set(arrow)
+    # the contract is equality up to IEEE summation order (the expr
+    # fold is strict left-to-right; BLAS GEMM may block/FMA) — assert
+    # a summation-order-sized tolerance, not bitwise equality
+    for k in expr:
+        assert max(
+            abs(x - y) for x, y in zip(expr[k], arrow[k])
+        ) < 1e-12
     plan = (
         apply_projection(emb, m)
         ._jdf.queryExecution().executedPlan().toString()
@@ -74,6 +82,55 @@ def test_projection_paths_agree_and_expr_is_jvm_side(spark, emb):
     assert "Exchange" not in plan  # map-only
     with pytest.raises(ValueError, match="method must be"):
         apply_projection(emb, m, method="gemm")
+
+
+def test_projection_paths_agree_on_null_vectors(spark, emb):
+    """Both apply paths must map a NULL vector to k NULLs — the rows
+    fit_pca skips must not crash the Arrow twin or diverge from the
+    expr form."""
+    m = fit_pca(emb, 4)
+    with_null = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 50 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    for method in ("expr", "arrow"):
+        rows = apply_projection(with_null, m, method=method).select(
+            "vec_id", "projected"
+        ).collect()
+        nulls = [r for r in rows if r["vec_id"] % 50 == 0]
+        assert nulls and all(
+            r["projected"] is None or list(r["projected"]) == [None] * 4
+            for r in nulls
+        ), method
+
+
+def test_truncated_model_equals_refit(spark, emb):
+    m8 = fit_pca(emb, 8)
+    assert m8.truncated(2) == fit_pca(emb, 2)
+    assert m8.truncated(8) == m8
+    with pytest.raises(ValueError, match="outside"):
+        m8.truncated(9)
+
+
+def test_fit_rejects_non_finite_coordinates(spark, emb):
+    """A NaN coordinate must raise loudly — quantized it would become
+    INT64_MIN and silently poison the covariance."""
+    poisoned = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 7,
+            F.array(
+                F.lit(float("nan")),
+                *[F.lit(0.0)] * 63,
+            ),
+        ).otherwise(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="[Nn]on-finite"):
+        fit_pca(poisoned, 4)
 
 
 def test_reconstruction_error_is_monotone_in_k(spark, emb):
@@ -124,3 +181,45 @@ def test_pca_recovers_planted_principal_direction(spark):
     c0 = np.asarray(m.components[0])
     assert abs(c0[3]) > 0.99
     assert m.explained[0] / m.total_var > 0.8
+
+
+def test_projection_composes_with_ann_family(spark, emb, tmp_path):
+    """The pipeline the operator exists for: project to k dims at
+    ingest, then run the ANN lifecycle over the PROJECTED column —
+    index build, codes at rest, serving — all on `projected` as the
+    vector column.  Serving from codes must stay byte-identical to
+    the in-plan twin on the projected space."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    m = fit_pca(emb, 16)
+    proj = apply_projection(emb, m).select("vec_id", "projected")
+    proj = proj.localCheckpoint()  # the ingest-materialized form
+    queries = proj.orderBy("vec_id").limit(5)
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(
+        proj, idx_dir, vec_col="projected", n_coarse=8, n_sub=8,
+        n_cells=16,
+    )
+    idx = load_ann_index(spark, idx_dir)
+    assert idx.dim == 16 and idx.d_sub == 2
+    build_ann_codes(
+        proj, codes_dir, idx, vec_col="projected", corpus_version=1
+    )
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+    key = lambda r: tuple(r)
+    served = ivfpq_knn(
+        proj, queries, vec_col="projected", k=5, nprobe=4, rerank=8,
+        index=idx, codes=codes,
+    ).collect()
+    inplan = ivfpq_knn(
+        proj, queries, vec_col="projected", k=5, nprobe=4, rerank=8,
+        index=idx,
+    ).collect()
+    assert len(served) == 25
+    assert sorted(map(key, served)) == sorted(map(key, inplan))
