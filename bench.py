@@ -228,6 +228,10 @@ HEADLINE = [
     # map-only Pythagorean audit scans; deliberately uncached, the
     # fit IS the measured op
     "q_emb_pca_audit",
+    # and the moments lifecycle: four one-pass moment scans (init,
+    # extend, the two scratch twins the byte-identity grade needs) +
+    # three O(dim^3) driver fits; artifact per call (uncached)
+    "q_emb_pca_incremental",
 ]
 
 

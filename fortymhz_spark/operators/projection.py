@@ -167,8 +167,6 @@ def fit_pca(
     module docstring for why integers) + one driver-side ``eigh`` of
     the dim×dim covariance.  Deterministic at any partition count.
     NULL vectors are skipped (totality); ragged dims raise."""
-    import numpy as np
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if dim is None:
@@ -183,6 +181,18 @@ def fit_pca(
     if k > dim:
         raise ValueError(f"k={k} exceeds dim={dim}")
     scale = 1 << quant_bits
+    n, s, ss = _corpus_moments(corpus, vec_col, dim, scale)
+    return _model_from_moments(n, s, ss, dim, scale, k)
+
+
+def _corpus_moments(corpus: DataFrame, vec_col: str, dim: int, scale: int):
+    """The distributed half of the fit: one pass of integer moment
+    partials + the exact Python-int driver reduction.  Returns
+    ``(n, s[dim], ss[dim·dim])`` as exact integers — the MERGEABLE
+    (and subtractable) sufficient statistic the persisted-moments
+    lifecycle rides on."""
+    import numpy as np
+
     partials = (
         corpus.select(F.col(vec_col))
         .mapInPandas(_moment_kernel(dim, scale), _PARTIAL_SCHEMA)
@@ -192,7 +202,7 @@ def fit_pca(
         raise ValueError("no non-NULL embeddings to fit on")
     # exact integer reduction (Python-int object arrays — no overflow,
     # no order dependence; cost ∝ partitions × dim², the partial
-    # payload itself), then ONE descale into floats
+    # payload itself)
     n = sum(int(r["n"]) for r in partials)
     s = sum(
         (np.array(r["s"], dtype=object) for r in partials),
@@ -202,9 +212,21 @@ def fit_pca(
         (np.array(r["ss"], dtype=object) for r in partials),
         np.zeros(dim * dim, dtype=object),
     )
-    mean_q = s.astype(np.float64) / n
+    return n, [int(x) for x in s], [int(x) for x in ss]
+
+
+def _model_from_moments(
+    n: int, s: list, ss: list, dim: int, scale: int, k: int
+) -> PcaModel:
+    """The driver half: one descale into floats, one dim×dim ``eigh``,
+    deterministic sign normalization.  Identical moment integers →
+    identical model bits, which is what makes the incremental and
+    decremental paths byte-equal to from-scratch fits."""
+    import numpy as np
+
+    mean_q = np.array(s, dtype=np.float64) / n
     cov = (
-        ss.astype(np.float64).reshape(dim, dim) / n
+        np.array(ss, dtype=np.float64).reshape(dim, dim) / n
         - np.outer(mean_q, mean_q)
     ) / (scale * scale)
     w, v = np.linalg.eigh(cov)  # ascending
@@ -343,4 +365,163 @@ def pca_audit(
     ).agg(
         F.count("__resid__").alias("n_vectors"),
         F.avg("__resid__").alias("mean_recon_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PCA moments — the model-maintenance lifecycle.  Because
+# the sufficient statistic (n, Σq, Σqqᵀ) is EXACT INTEGERS, it is not
+# just mergeable (extend with an arriving batch) but SUBTRACTABLE
+# (retract rows a dedup pass deleted) — and a model refit from the
+# maintained moments is BYTE-IDENTICAL to a from-scratch fit on the
+# corpus it describes, at O(dim²) maintenance cost per batch instead
+# of a full corpus re-pass.  Float moments can do none of this: their
+# sums drift with every addition order.  The artifact is a versioned
+# snapshot table (atomic publish, time travel), ``(kind, idx, val)``
+# with val DECIMAL(38,0) — exact for ≤ ~10²⁸ rows at 16 quant bits.
+# ---------------------------------------------------------------------------
+_MOMENTS_SCHEMA = "kind string, idx int, val decimal(38,0)"
+
+
+def _publish_moments(
+    spark, table_dir: str, params: dict, n: int, s: list, ss: list
+) -> int:
+    import json as _json
+    from decimal import Decimal
+
+    from fortymhz_spark.sources.snapshots import write_snapshot
+
+    rows = (
+        [("n", 0, Decimal(int(n)))]
+        + [("s", i, Decimal(int(v))) for i, v in enumerate(s)]
+        + [("ss", i, Decimal(int(v))) for i, v in enumerate(ss)]
+    )
+    return write_snapshot(
+        spark.createDataFrame(rows, _MOMENTS_SCHEMA),
+        table_dir,
+        note="pca_moments " + _json.dumps(params, sort_keys=True),
+    )
+
+
+def _load_moments(spark, table_dir: str, version: int | None = None):
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        resolve_artifact,
+    )
+
+    v, params = resolve_artifact(table_dir, "pca_moments ", version=version)
+    dim = int(params["dim"])
+    n = 0
+    s = [0] * dim
+    ss = [0] * (dim * dim)
+    for r in read_snapshot(spark, table_dir, version=v).collect():
+        val = int(r["val"])
+        if r["kind"] == "n":
+            n = val
+        elif r["kind"] == "s":
+            s[int(r["idx"])] = val
+        else:
+            ss[int(r["idx"])] = val
+    return v, params, n, s, ss
+
+
+def init_pca_moments(
+    corpus: DataFrame,
+    table_dir: str,
+    *,
+    vec_col: str = "embedding",
+    quant_bits: int = 16,
+    dim: int | None = None,
+) -> int:
+    """Compute the corpus's integer PCA moments (one distributed pass)
+    and publish them as v=1 of the snapshot table at ``table_dir``;
+    returns the version.  The artifact is the model-maintenance seed:
+    :func:`extend_pca_moments` / :func:`retract_pca_moments` keep it
+    current as the corpus grows and shrinks, and
+    :func:`fit_pca_from_moments` turns any version into a
+    ``PcaModel`` byte-identical to a from-scratch fit."""
+    if dim is None:
+        first = (
+            corpus.select(F.size(F.col(vec_col)).alias("d"))
+            .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+            .first()
+        )
+        if first is None:
+            raise ValueError("no non-NULL embeddings to infer dim from")
+        dim = int(first["d"])
+    scale = 1 << quant_bits
+    n, s, ss = _corpus_moments(corpus, vec_col, dim, scale)
+    return _publish_moments(
+        corpus.sparkSession, table_dir,
+        {"dim": dim, "quant_bits": quant_bits}, n, s, ss,
+    )
+
+
+def extend_pca_moments(
+    batch: DataFrame, table_dir: str, *, vec_col: str = "embedding"
+) -> int:
+    """ADD an arriving batch's moments to the persisted statistic and
+    publish the next version — O(batch) scan + O(dim²) integer adds,
+    never a corpus re-pass.  The refit from the extended moments is
+    byte-identical to a from-scratch fit on the grown corpus (exact
+    integers — no accumulation-order drift), pinned by
+    tests/test_projection.py."""
+    spark = batch.sparkSession
+    v, params, n, s, ss = _load_moments(spark, table_dir)
+    dn, dss_s, dss = _corpus_moments(
+        batch, vec_col, int(params["dim"]), 1 << int(params["quant_bits"])
+    )
+    return _publish_moments(
+        spark, table_dir, params,
+        n + dn,
+        [a + b for a, b in zip(s, dss_s)],
+        [a + b for a, b in zip(ss, dss)],
+    )
+
+
+def retract_pca_moments(
+    batch: DataFrame, table_dir: str, *, vec_col: str = "embedding"
+) -> int:
+    """SUBTRACT deleted rows' moments — the decremental arm no float
+    formulation can offer (float sums cannot be un-added exactly).
+    ``batch`` must be EXACTLY rows previously contributed (same
+    vectors, bit for bit): the moments then return to the state of a
+    corpus that never held them, and the refit matches a from-scratch
+    fit on the survivors byte for byte.  Retracting more rows than
+    the statistic holds raises (the n ≥ 1 floor keeps the covariance
+    defined); retracting rows that were never added is undetectable
+    here — it simply yields the moments of the corpus-minus-those
+    rows, wrong only if the caller's bookkeeping was."""
+    spark = batch.sparkSession
+    v, params, n, s, ss = _load_moments(spark, table_dir)
+    dn, ds, dss = _corpus_moments(
+        batch, vec_col, int(params["dim"]), 1 << int(params["quant_bits"])
+    )
+    if dn >= n:
+        raise ValueError(
+            f"retracting {dn} rows from a {n}-row moment statistic "
+            "would leave nothing to fit on"
+        )
+    return _publish_moments(
+        spark, table_dir, params,
+        n - dn,
+        [a - b for a, b in zip(s, ds)],
+        [a - b for a, b in zip(ss, dss)],
+    )
+
+
+def fit_pca_from_moments(
+    spark, table_dir: str, k: int, *, version: int | None = None
+) -> PcaModel:
+    """Fit a k-component model from the PERSISTED moments (current
+    version, or a pinned ``version=`` for time travel) — zero corpus
+    passes, one bounded collect of dim² + dim + 1 rows, one driver
+    ``eigh``.  Byte-identical to :func:`fit_pca` over the corpus the
+    moments describe."""
+    v, params, n, s, ss = _load_moments(spark, table_dir, version=version)
+    dim = int(params["dim"])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k={k} outside [1, {dim}]")
+    return _model_from_moments(
+        n, s, ss, dim, 1 << int(params["quant_bits"]), k
     )

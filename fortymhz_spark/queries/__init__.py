@@ -41,12 +41,13 @@ first time, so two rows spill):
    ordering.  Both spilled rows lead the round-10 deferred bucket.
 
 2 new + 6 never-graded + 42 oldest = 50.  The round-10 deferred
-bucket below is the ONE late round-9 query parked after the gate
-filled (q_emb_pca_audit — never driver-graded, so it leads the
-bucket), those 2 spilled round-6 rows (the registry's oldest checks),
-and the 46 round-7 greens, whose checks become the next-oldest once
-this round lands.  Everything outside the gate stays covered by the
-local sf0.001 differential (tests/test_oracle_parity.py) either way.
+bucket below is the TWO late round-9 queries parked after the gate
+filled (q_emb_pca_audit, q_emb_pca_incremental — never driver-graded,
+so they lead the bucket), those 2 spilled round-6 rows (the
+registry's oldest checks), and the 46 round-7 greens, whose checks
+become the next-oldest once this round lands.  Everything outside the
+gate stays covered by the local sf0.001 differential
+(tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -118,9 +119,10 @@ ROUND_GATE: tuple[str, ...] = (
     "q_vec_knn_arrow",
 )
 
-# The 49 rows deferring to round 10, in pick-up order: the ONE late
-# round-9 query parked when the gate was already exactly full
-# (q_emb_pca_audit — never driver-graded, so it goes FIRST, ahead
+# The 50 rows deferring to round 10, in pick-up order: the TWO late
+# round-9 queries parked when the gate was already exactly full
+# (q_emb_pca_audit, q_emb_pca_incremental — never driver-graded, so
+# they go FIRST, ahead
 # even of the spill promise, per the never-graded-first rule), then
 # the 2 round-6 rows spilled from this round's gate (after round 9
 # they carry the OLDEST checks in the registry — the immovable spill
@@ -129,9 +131,10 @@ ROUND_GATE: tuple[str, ...] = (
 # new/changed rows > 50 again — same never-graded-first, oldest-first
 # spill rule applies.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— late round-9 addition, never driver-graded (covered by the
-    #    sf0.001 differential + the 149/149 driver-audit rehearsal) ——
+    # —— late round-9 additions, never driver-graded (covered by the
+    #    sf0.001 differential + the driver-audit rehearsal) ——
     "q_emb_pca_audit",
+    "q_emb_pca_incremental",
     # —— spilled from the round-9 gate (round-6 checks: oldest) ——
     "q_window_lag_order_gap",
     "q_window_running_revenue",

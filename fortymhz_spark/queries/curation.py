@@ -2431,6 +2431,61 @@ def q_emb_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted PCA moments (operators/projection.py::init/extend/retract_
+# pca_moments + fit_pca_from_moments) — model MAINTENANCE as exact
+# integer algebra: because the sufficient statistic (n, Σq, Σqqᵀ) is
+# exact integers in a versioned snapshot table, an arriving batch
+# EXTENDS it and a dedup pass's deletions RETRACT from it, and the
+# refit from the maintained artifact is BYTE-IDENTICAL to a
+# from-scratch fit on the corpus it describes — the float formulation
+# can do neither (sums drift with addition order and cannot be
+# un-added).  Graded on both directions of that identity.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_pca_incremental",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS extend_matches_scratch,
+           TRUE AS retract_matches_scratch
+    FROM embeddings
+    """,
+)
+def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Init the moment artifact on the vec_id % 4 != 0 slice, EXTEND
+    with the % 4 == 0 batch, and grade the refit byte-identical
+    (dataclass equality — every float bit) to a from-scratch fit on
+    the full corpus; then RETRACT the batch and grade the refit
+    byte-identical to a from-scratch fit on the original slice.  Cost:
+    four one-pass moment scans (init, extend, and the two scratch
+    twins the grade needs) + three O(dim³) driver fits; nothing
+    corpus-sized moves."""
+    import tempfile
+
+    from fortymhz_spark.operators.projection import (
+        extend_pca_moments,
+        fit_pca,
+        fit_pca_from_moments,
+        init_pca_moments,
+        retract_pca_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    td = tempfile.mkdtemp(prefix="fmhz_pcamoments_")
+    init_pca_moments(old, td)
+    extend_pca_moments(batch, td)
+    ext_ok = fit_pca_from_moments(spark, td, 8) == fit_pca(emb, 8)
+    retract_pca_moments(batch, td)
+    ret_ok = fit_pca_from_moments(spark, td, 8) == fit_pca(old, 8)
+    return spark.createDataFrame(
+        [(emb.count(), bool(ext_ok), bool(ret_ok))],
+        "n_vectors long, extend_matches_scratch boolean, "
+        "retract_matches_scratch boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram tokenizer with the SOFT (forward-backward) E-step — the
 # SentencePiece-fidelity variant beside the hard-EM row: same exact
 # word/char totals and reconstruction/bound invariants, plus the

@@ -205,6 +205,8 @@ ENGINE_HASH_GATE = [
     # whole model (and thus every graded boolean) bit-identical at
     # any partition count — the module's core discipline
     "q_emb_pca_audit",
+    # and the moments lifecycle's byte-identity booleans with it
+    "q_emb_pca_incremental",
 ]
 
 

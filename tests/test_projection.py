@@ -223,3 +223,37 @@ def test_projection_composes_with_ann_family(spark, emb, tmp_path):
     ).collect()
     assert len(served) == 25
     assert sorted(map(key, served)) == sorted(map(key, inplan))
+
+
+def test_persisted_moments_extend_and_retract_are_exact(
+    spark, emb, tmp_path
+):
+    """The moments lifecycle: init on a slice, EXTEND with the rest →
+    refit byte-identical to a from-scratch fit on the union; RETRACT
+    the extension → byte-identical to a fit that never saw it.  Exact
+    integers make both directions possible; time travel pins any
+    intermediate state."""
+    from fortymhz_spark.operators.projection import (
+        extend_pca_moments,
+        fit_pca_from_moments,
+        init_pca_moments,
+        retract_pca_moments,
+    )
+
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    td = str(tmp_path / "moments")
+    assert init_pca_moments(old, td) == 1
+    assert extend_pca_moments(batch, td) == 2
+    m_inc = fit_pca_from_moments(spark, td, 8)
+    assert m_inc == fit_pca(emb, 8)
+    # time travel: the pre-extend version still fits the old corpus
+    assert fit_pca_from_moments(spark, td, 8, version=1) == fit_pca(old, 8)
+    # decremental: retract the batch → back to the old corpus's model
+    assert retract_pca_moments(batch, td) == 3
+    assert fit_pca_from_moments(spark, td, 8) == fit_pca(old, 8)
+    # over-retraction is refused (n >= 1 floor)
+    with pytest.raises(ValueError, match="retracting"):
+        retract_pca_moments(emb, td)
+    with pytest.raises(ValueError, match="outside"):
+        fit_pca_from_moments(spark, td, 0)
