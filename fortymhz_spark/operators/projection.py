@@ -384,7 +384,13 @@ _MOMENTS_SCHEMA = "kind string, idx int, val decimal(38,0)"
 
 
 def _publish_moments(
-    spark, table_dir: str, params: dict, n: int, s: list, ss: list
+    spark,
+    table_dir: str,
+    params: dict,
+    n: int,
+    s: list,
+    ss: list,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     import json as _json
     from decimal import Decimal
@@ -400,6 +406,7 @@ def _publish_moments(
         spark.createDataFrame(rows, _MOMENTS_SCHEMA),
         table_dir,
         note="pca_moments " + _json.dumps(params, sort_keys=True),
+        txn=txn,
     )
 
 

@@ -922,6 +922,92 @@ def start_ann_codes_sink(
     )
 
 
+def start_pca_moments_sink(
+    df: DataFrame,
+    moments_dir: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    delete_col: str | None = None,
+    available_now: bool = True,
+    txn_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming PCA-MOMENTS maintenance — the live form of the
+    persisted-moments lifecycle (operators/projection.py): every
+    micro-batch of vectors EXTENDS the integer sufficient statistic,
+    rows flagged in ``delete_col`` RETRACT from it (the decremental
+    arm only exact integers can offer), and the batch's net delta
+    publishes as ONE new version of the moments table —
+    ``fit_pca_from_moments`` then yields a model byte-identical to a
+    from-scratch fit on exactly the rows the stream has net-delivered.
+    The table must pre-exist (``init_pca_moments`` over the seed
+    corpus — the maintenance-sink convention).
+
+    Exactly-once is the SIMPLEST in the family: the batch is one
+    atomic publish, so the ``(txn_id, batch_id)`` mark rides the same
+    manifest swap as the data — there is no crash window between
+    writes at all.  A batch with nothing to apply (empty, or all-NULL
+    vectors) still lands its mark via ``mark_stream_txn``.  NB unlike
+    the codes sink there is NO intra-batch id dedup: moments track
+    row CONTRIBUTIONS, not keyed rows — an upstream that re-emits a
+    row within one batch is double-counting by its own definition and
+    must dedup before this sink (a replayed BATCH is skipped by the
+    mark as usual).  A retraction exceeding the standing row count
+    raises (the n ≥ 1 floor) rather than publishing a meaningless
+    statistic.
+
+    Per-trigger cost: one O(batch) moment scan + O(dim²) integer
+    adds + one tiny table publish; nothing ∝ corpus, ever."""
+    from fortymhz_spark.operators.projection import (
+        _corpus_moments,
+        _load_moments,
+        _publish_moments,
+    )
+    from fortymhz_spark.sources.snapshots import mark_stream_txn
+
+    def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
+        spark = batch_df.sparkSession
+        v, params, n, s, ss = _load_moments(spark, moments_dir)
+        dim, scale = int(params["dim"]), 1 << int(params["quant_bits"])
+        if delete_col is not None:
+            flagged = F.coalesce(F.col(delete_col), F.lit(False))
+            adds = batch_df.filter(~flagged)
+            dels = batch_df.filter(flagged)
+        else:
+            adds, dels = batch_df, None
+
+        def moments_of(part):
+            if part is None:
+                return 0, [0] * dim, [0] * (dim * dim)
+            live = part.filter(F.col(vec_col).isNotNull())
+            if live.isEmpty():
+                return 0, [0] * dim, [0] * (dim * dim)
+            return _corpus_moments(live, vec_col, dim, scale)
+
+        an, as_, ass = moments_of(adds)
+        dn, ds, dss = moments_of(dels)
+        if an == 0 and dn == 0:
+            mark_stream_txn(moments_dir, (app, batch_id))
+            return
+        if n + an - dn < 1:
+            raise ValueError(
+                f"batch {batch_id} retracts {dn} rows against a "
+                f"{n + an}-row statistic — nothing would remain to fit on"
+            )
+        _publish_moments(
+            spark, moments_dir, params,
+            n + an - dn,
+            [a + b - c for a, b, c in zip(s, as_, ds)],
+            [a + b - c for a, b, c in zip(ss, ass, dss)],
+            txn=(app, batch_id),
+        )
+
+    return _start_exactly_once_sink(
+        df, moments_dir, checkpoint_dir, body,
+        available_now=available_now, txn_id=txn_id,
+    )
+
+
 def start_materialized_agg(
     df: DataFrame,
     table_dir: str,

@@ -345,10 +345,22 @@ def test_zorder_layout_balances_pruning_across_dimensions(spark, tmp_path):
     z = zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0)], bits=8)
 
     zdir, xdir = str(tmp_path / "zorder"), str(tmp_path / "xsort")
-    df.withColumn("zkey", z).repartitionByRange(n_files, "zkey").drop(
-        "zkey"
-    ).write.parquet(zdir)
-    df.repartitionByRange(n_files, "x").write.parquet(xdir)
+    # DETERMINISTIC range binning via explicit bucket directories —
+    # repartitionByRange samples its boundaries with a seed derived
+    # from the global RDD-id counter, so its file layout (and this
+    # test's pruning counts) drifted with unrelated tests added
+    # earlier in the suite; exact arithmetic buckets pin the layout.
+    # bits=8 × 2 dims → zkey ∈ [0, 2^16); one bucket = one z-range.
+    zbucket = F.floor(F.col("zkey") * n_files / (1 << 16)).cast("int")
+    xbucket = F.least(
+        F.floor(F.col("x") * n_files).cast("int"), F.lit(n_files - 1)
+    )
+    df.withColumn("zkey", z).withColumn(
+        "b", zbucket
+    ).coalesce(1).write.partitionBy("b").parquet(zdir)
+    df.withColumn("b", xbucket).coalesce(1).write.partitionBy(
+        "b"
+    ).parquet(xdir)
 
     # [0.25, 0.5) is aligned to the top two bit planes of each
     # dimension (cells 64..127: high bits exactly (0, 1)), the layout

@@ -1844,3 +1844,54 @@ def test_exactly_once_sink_retries_concurrent_write_veto(
     )
     q.awaitTermination(300)
     assert calls["n"] == 3
+
+
+def test_pca_moments_sink_maintains_byte_identical_model(
+    spark, tmp_path
+):
+    """Streaming PCA-moments maintenance (start_pca_moments_sink):
+    seed init, then two micro-batches — adds, then adds + retractions
+    — must leave the moments table such that fit_pca_from_moments is
+    BYTE-identical to a from-scratch fit on the net corpus; a restart
+    republishes nothing; an over-retracting batch raises instead of
+    publishing a meaningless statistic."""
+    from fortymhz_spark.operators.projection import (
+        fit_pca,
+        fit_pca_from_moments,
+        init_pca_moments,
+    )
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+    from fortymhz_spark.streaming.sinks import start_pca_moments_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    md = str(tmp_path / "moments")
+    init_pca_moments(seed, md)
+
+    def rows_of(df, deleted=False):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], deleted)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    b1 = rows_of(emb.filter(F.col("vec_id") % 3 == 1))
+    # batch 2: the remaining third arrives AND a seed slice retracts
+    b2 = rows_of(emb.filter(F.col("vec_id") % 3 == 2)) + rows_of(
+        emb.filter(F.col("vec_id") % 9 == 0), deleted=True
+    )
+    _, mk = _stage_json_batches(spark, tmp_path, [b1, b2], schema)
+    ckpt = str(tmp_path / "ckpt")
+    q = start_pca_moments_sink(
+        mk(), md, ckpt, delete_col="is_deleted", available_now=True
+    )
+    q.awaitTermination(300)
+
+    net = emb.filter(F.col("vec_id") % 9 != 0)
+    assert fit_pca_from_moments(spark, md, 8) == fit_pca(net, 8)
+    n_versions = len(snapshot_versions(md))
+    q2 = start_pca_moments_sink(
+        mk(), md, ckpt, delete_col="is_deleted", available_now=True
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(md)) == n_versions
