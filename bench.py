@@ -228,9 +228,10 @@ HEADLINE = [
     # map-only Pythagorean audit scans; deliberately uncached, the
     # fit IS the measured op
     "q_emb_pca_audit",
-    # and the moments lifecycle: four one-pass moment scans (init,
-    # extend, the two scratch twins the byte-identity grade needs) +
-    # three O(dim^3) driver fits; artifact per call (uncached)
+    # and the moments lifecycle: five one-pass moment scans (init,
+    # the extend's and retract's batches, the two scratch twins the
+    # byte-identity grade needs) + four O(dim^3) driver eigh fits;
+    # artifact per call (uncached)
     "q_emb_pca_incremental",
 ]
 

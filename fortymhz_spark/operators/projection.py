@@ -185,12 +185,20 @@ def fit_pca(
     return _model_from_moments(n, s, ss, dim, scale, k)
 
 
-def _corpus_moments(corpus: DataFrame, vec_col: str, dim: int, scale: int):
+def _corpus_moments(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int,
+    allow_empty: bool = False,
+):
     """The distributed half of the fit: one pass of integer moment
     partials + the exact Python-int driver reduction.  Returns
     ``(n, s[dim], ss[dim·dim])`` as exact integers — the MERGEABLE
     (and subtractable) sufficient statistic the persisted-moments
-    lifecycle rides on."""
+    lifecycle rides on.  ``allow_empty=True`` returns the zero
+    statistic for an empty/all-NULL frame (a maintenance delta of
+    nothing) instead of raising (a fit over nothing)."""
     import numpy as np
 
     partials = (
@@ -199,6 +207,8 @@ def _corpus_moments(corpus: DataFrame, vec_col: str, dim: int, scale: int):
         .collect()
     )
     if not partials:
+        if allow_empty:
+            return 0, [0] * dim, [0] * (dim * dim)
         raise ValueError("no non-NULL embeddings to fit on")
     # exact integer reduction (Python-int object arrays — no overflow,
     # no order dependence; cost ∝ partitions × dim², the partial
@@ -391,7 +401,13 @@ def _publish_moments(
     s: list,
     ss: list,
     txn: tuple[str, int] | None = None,
+    expected_current: int | None = None,
 ) -> int:
+    """``expected_current`` pins a DERIVED publish (extend/retract/
+    the streaming sink) to the base version it read — a competing
+    writer's publish then vetoes with ConcurrentWriteError instead of
+    silently losing its update (the CAS derived-write contract every
+    read-modify-write in this repo follows)."""
     import json as _json
     from decimal import Decimal
 
@@ -407,6 +423,7 @@ def _publish_moments(
         table_dir,
         note="pca_moments " + _json.dumps(params, sort_keys=True),
         txn=txn,
+        expected_current=expected_current,
     )
 
 
@@ -483,6 +500,7 @@ def extend_pca_moments(
         n + dn,
         [a + b for a, b in zip(s, dss_s)],
         [a + b for a, b in zip(ss, dss)],
+        expected_current=v,
     )
 
 
@@ -514,6 +532,7 @@ def retract_pca_moments(
         n - dn,
         [a - b for a, b in zip(s, ds)],
         [a - b for a, b in zip(ss, dss)],
+        expected_current=v,
     )
 
 

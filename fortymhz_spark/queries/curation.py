@@ -2456,9 +2456,9 @@ def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dataclass equality — every float bit) to a from-scratch fit on
     the full corpus; then RETRACT the batch and grade the refit
     byte-identical to a from-scratch fit on the original slice.  Cost:
-    four one-pass moment scans (init, extend, and the two scratch
-    twins the grade needs) + three O(dim³) driver fits; nothing
-    corpus-sized moves."""
+    five one-pass moment scans (init, the extend's batch, the
+    retract's batch, and the two scratch twins the grade needs) +
+    four O(dim³) driver eigh fits; nothing corpus-sized moves."""
     import tempfile
 
     from fortymhz_spark.operators.projection import (

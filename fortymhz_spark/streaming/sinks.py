@@ -956,8 +956,9 @@ def start_pca_moments_sink(
     raises (the n ≥ 1 floor) rather than publishing a meaningless
     statistic.
 
-    Per-trigger cost: one O(batch) moment scan + O(dim²) integer
-    adds + one tiny table publish; nothing ∝ corpus, ever."""
+    Per-trigger cost: one O(batch) moment scan per side (adds, and
+    deletes when ``delete_col`` is set) + O(dim²) integer adds + one
+    tiny table publish; nothing ∝ corpus, ever."""
     from fortymhz_spark.operators.projection import (
         _corpus_moments,
         _load_moments,
@@ -977,12 +978,13 @@ def start_pca_moments_sink(
             adds, dels = batch_df, None
 
         def moments_of(part):
+            # allow_empty: an empty/all-NULL side is a zero delta —
+            # one moment scan per side, no extra isEmpty jobs
             if part is None:
                 return 0, [0] * dim, [0] * (dim * dim)
-            live = part.filter(F.col(vec_col).isNotNull())
-            if live.isEmpty():
-                return 0, [0] * dim, [0] * (dim * dim)
-            return _corpus_moments(live, vec_col, dim, scale)
+            return _corpus_moments(
+                part, vec_col, dim, scale, allow_empty=True
+            )
 
         an, as_, ass = moments_of(adds)
         dn, ds, dss = moments_of(dels)
@@ -1000,6 +1002,10 @@ def start_pca_moments_sink(
             [a + b - c for a, b, c in zip(s, as_, ds)],
             [a + b - c for a, b, c in zip(ss, ass, dss)],
             txn=(app, batch_id),
+            # the CAS derived-write pin: a competing writer's publish
+            # vetoes (ConcurrentWriteError → the shared helper's
+            # bounded retry recomputes from fresh state)
+            expected_current=v,
         )
 
     return _start_exactly_once_sink(

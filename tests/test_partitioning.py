@@ -357,7 +357,7 @@ def test_zorder_layout_balances_pruning_across_dimensions(spark, tmp_path):
     )
     df.withColumn("zkey", z).withColumn(
         "b", zbucket
-    ).coalesce(1).write.partitionBy("b").parquet(zdir)
+    ).drop("zkey").coalesce(1).write.partitionBy("b").parquet(zdir)
     df.withColumn("b", xbucket).coalesce(1).write.partitionBy(
         "b"
     ).parquet(xdir)

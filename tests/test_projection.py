@@ -257,3 +257,30 @@ def test_persisted_moments_extend_and_retract_are_exact(
         retract_pca_moments(emb, td)
     with pytest.raises(ValueError, match="outside"):
         fit_pca_from_moments(spark, td, 0)
+
+
+def test_moments_derived_writes_are_cas_pinned(spark, emb, tmp_path):
+    """extend/retract (and the streaming sink) are read-modify-write:
+    their publish must be CAS-pinned to the base version they read, so
+    a competing writer's publish vetoes with ConcurrentWriteError
+    instead of silently losing its update (the derived-write contract
+    every read-modify-write in the repo follows)."""
+    from fortymhz_spark.operators.projection import (
+        _load_moments,
+        _publish_moments,
+        extend_pca_moments,
+        init_pca_moments,
+    )
+    from fortymhz_spark.sources.snapshots import ConcurrentWriteError
+
+    td = str(tmp_path / "moments")
+    init_pca_moments(emb.filter(F.col("vec_id") % 2 == 0), td)
+    # a stale writer loads v=1 …
+    v, params, n, s, ss = _load_moments(spark, td, version=1)
+    # … a competitor publishes v=2 meanwhile …
+    extend_pca_moments(emb.filter(F.col("vec_id") % 2 == 1), td)
+    # … and the stale writer's pinned publish must VETO, not clobber
+    with pytest.raises(ConcurrentWriteError):
+        _publish_moments(
+            spark, td, params, n, s, ss, expected_current=v
+        )
