@@ -451,9 +451,13 @@ def ann_drift_report(
     monitor reconstruction error, refit when it rises).
 
     One row out: ``(corpus_label, n_vectors, mean_quant_err,
-    max_quant_err)``.  Plan shape: map-only expressions (the same
-    per-subquantizer distance-table lambdas the serving path uses,
-    ``similarity._pq_dtab_col`` + ``array_min``) into one global
+    max_quant_err)``.  ``n_vectors`` counts NON-NULL error rows — a
+    NULL embedding yields a NULL ``__qerr__`` that ``avg``/``max``
+    already exclude, so counting it would put the report's count and
+    its averages on different denominators (the same NULL discipline
+    ``pca_audit`` follows).  Plan shape: map-only expressions (the
+    same per-subquantizer distance-table lambdas the serving path
+    uses, ``similarity._pq_dtab_col`` + ``array_min``) into one global
     aggregate — no shuffle beyond the final reduce, nothing collected
     but the single report row's inputs, linear in the corpus at any
     scale."""
@@ -484,7 +488,7 @@ def ann_drift_report(
     )
     return per_row.agg(
         F.lit(label).alias("corpus_label"),
-        F.count(F.lit(1)).alias("n_vectors"),
+        F.count("__qerr__").alias("n_vectors"),
         F.avg("__qerr__").alias("mean_quant_err"),
         F.max("__qerr__").alias("max_quant_err"),
     )

@@ -489,12 +489,20 @@ def extend_pca_moments(
     never a corpus re-pass.  The refit from the extended moments is
     byte-identical to a from-scratch fit on the grown corpus (exact
     integers — no accumulation-order drift), pinned by
-    tests/test_projection.py."""
+    tests/test_projection.py.  An EMPTY (or all-NULL) batch is a true
+    no-op: the current version is returned unchanged — a dedup pass
+    that admitted zero rows must not crash the maintenance pipeline
+    (the ``delete_ann_codes`` empty-batch contract; the streaming
+    twin ``start_pca_moments_sink`` already treats it as a zero
+    delta)."""
     spark = batch.sparkSession
     v, params, n, s, ss = _load_moments(spark, table_dir)
     dn, dss_s, dss = _corpus_moments(
-        batch, vec_col, int(params["dim"]), 1 << int(params["quant_bits"])
+        batch, vec_col, int(params["dim"]),
+        1 << int(params["quant_bits"]), allow_empty=True,
     )
+    if dn == 0:
+        return v
     return _publish_moments(
         spark, table_dir, params,
         n + dn,
@@ -516,12 +524,19 @@ def retract_pca_moments(
     the statistic holds raises (the n ≥ 1 floor keeps the covariance
     defined); retracting rows that were never added is undetectable
     here — it simply yields the moments of the corpus-minus-those
-    rows, wrong only if the caller's bookkeeping was."""
+    rows, wrong only if the caller's bookkeeping was.  An EMPTY (or
+    all-NULL) batch is a true no-op returning the current version
+    unchanged (a dedup pass that dropped zero rows — the extend-side
+    contract, both matching the streaming twin's zero-delta
+    handling)."""
     spark = batch.sparkSession
     v, params, n, s, ss = _load_moments(spark, table_dir)
     dn, ds, dss = _corpus_moments(
-        batch, vec_col, int(params["dim"]), 1 << int(params["quant_bits"])
+        batch, vec_col, int(params["dim"]),
+        1 << int(params["quant_bits"]), allow_empty=True,
     )
+    if dn == 0:
+        return v
     if dn >= n:
         raise ValueError(
             f"retracting {dn} rows from a {n}-row moment statistic "

@@ -727,7 +727,40 @@ def start_budget_ingest_sink(
         survivors = scored.filter(
             spent + F.col("__cum__") <= F.lit(token_budget)
         ).localCheckpoint()
+
+        def _stale_groups(new_groups: set) -> list:
+            # A crash-window replay can recompute a DIFFERENT admit
+            # decision (other writers advanced totals meanwhile): the
+            # keyed upsert only replaces groups present in the new
+            # increments, so a pre-crash increment row for a group no
+            # longer admitted would stay counted forever — a permanent
+            # under-fill beyond the documented dead-writer case.
+            # Delete this writer's current-batch rows for groups the
+            # re-decision dropped, in the same ledger merge.
+            return sorted(
+                {
+                    r["group"]
+                    for r in rows
+                    if _app_of(r) == app
+                    and int(r["batch_id"]) == batch_id
+                    and r["group"] not in new_groups
+                }
+            )
+
         if survivors.isEmpty():
+            stale = _stale_groups(set())
+            if stale:
+                merge_snapshot(
+                    spark, ledger_dir,
+                    spark.createDataFrame(
+                        [(app, g, batch_id, 0, True) for g in stale],
+                        _LEDGER_SCHEMA + ", __delete__ boolean",
+                    ),
+                    ["app", "group", "batch_id"],
+                    delete_col="__delete__",
+                    note=f"budget ledger replay-retract batch={batch_id}",
+                    allow_schema_evolution=True,
+                )
             # every group at quota: no data version, but the mark must
             # land or the replay re-admits forever
             mark_stream_txn(corpus_dir, (app, batch_id))
@@ -737,17 +770,21 @@ def start_budget_ingest_sink(
             .agg(F.sum("__nt__").cast("long").alias("tokens_added"))
             .collect()
         )
-        ledger_df = spark.createDataFrame(
-            [
-                (app, r["group"], batch_id, int(r["tokens_added"]))
-                for r in increments
-            ],
-            _LEDGER_SCHEMA,
-        )
+        stale = _stale_groups({r["group"] for r in increments})
         if have_ledger:
             merge_snapshot(
-                spark, ledger_dir, ledger_df,
+                spark, ledger_dir,
+                spark.createDataFrame(
+                    [
+                        (app, r["group"], batch_id,
+                         int(r["tokens_added"]), False)
+                        for r in increments
+                    ]
+                    + [(app, g, batch_id, 0, True) for g in stale],
+                    _LEDGER_SCHEMA + ", __delete__ boolean",
+                ),
                 ["app", "group", "batch_id"],
+                delete_col="__delete__",
                 note=f"budget ledger batch={batch_id}",
                 # tolerate a pre-upgrade 3-column ledger: legacy rows
                 # carry over with app NULL-backfilled (counted like a
@@ -755,8 +792,16 @@ def start_budget_ingest_sink(
                 allow_schema_evolution=True,
             )
         else:
+            # first-ever ledger version: no pre-crash rows can exist
             write_snapshot(
-                ledger_df, ledger_dir,
+                spark.createDataFrame(
+                    [
+                        (app, r["group"], batch_id, int(r["tokens_added"]))
+                        for r in increments
+                    ],
+                    _LEDGER_SCHEMA,
+                ),
+                ledger_dir,
                 note=f"budget ledger batch={batch_id}",
             )
         merge_snapshot(

@@ -1074,6 +1074,19 @@ def test_ann_drift_report_detects_corpus_drift(spark, truth, tmp_path):
     )
     with _pytest.raises(ValueError, match="ivfpq"):
         ann_drift_report(emb, bad)
+    # NULL-embedding rows yield NULL __qerr__, which avg/max already
+    # exclude — n_vectors must use the SAME denominator (count the
+    # non-NULL errors), or count and averages silently disagree
+    with_null = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    r_null = ann_drift_report(with_null, idx).first()
+    n_live = with_null.filter(F.col("embedding").isNotNull()).count()
+    assert r_null["n_vectors"] == n_live
+    assert abs(r_null["mean_quant_err"]) >= 0.0  # defined, not NULL
 
 
 def test_delete_ann_codes_empty_and_null_ids_are_noops(

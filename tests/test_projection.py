@@ -259,6 +259,33 @@ def test_persisted_moments_extend_and_retract_are_exact(
         fit_pca_from_moments(spark, td, 0)
 
 
+def test_moments_empty_delta_is_a_versionless_noop(spark, emb, tmp_path):
+    """A dedup pass that admitted/dropped ZERO rows hands the batch
+    maintenance an empty (or all-NULL) delta: extend/retract must
+    return the current version unchanged — not raise 'no non-NULL
+    embeddings to fit on' (the streaming twin already treats it as a
+    zero delta; the batch paths must match)."""
+    from fortymhz_spark.operators.projection import (
+        extend_pca_moments,
+        fit_pca_from_moments,
+        init_pca_moments,
+        retract_pca_moments,
+    )
+
+    td = str(tmp_path / "moments")
+    assert init_pca_moments(emb, td) == 1
+    before = fit_pca_from_moments(spark, td, 4)
+    empty = emb.filter(F.lit(False))
+    all_null = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    ).limit(3)
+    assert extend_pca_moments(empty, td) == 1
+    assert retract_pca_moments(empty, td) == 1
+    assert extend_pca_moments(all_null, td) == 1
+    assert retract_pca_moments(all_null, td) == 1
+    assert fit_pca_from_moments(spark, td, 4) == before
+
+
 def test_moments_derived_writes_are_cas_pinned(spark, emb, tmp_path):
     """extend/retract (and the streaming sink) are read-modify-write:
     their publish must be CAS-pinned to the base version they read, so

@@ -1544,6 +1544,112 @@ def test_budget_ingest_replay_across_compaction_boundary(
     assert sum(final.values()) == 8
 
 
+def test_budget_ingest_replay_retracts_stale_increments(spark, tmp_path):
+    """The multi-writer replay drift: writer A's batch-1 ledger
+    increment lands, the corpus mark does not, and writer B fills the
+    quota before A restarts.  A's replay now ADMITS A DIFFERENT SET —
+    the keyed upsert alone would leave the pre-crash increment for the
+    no-longer-admitted group counted forever (a permanent under-fill
+    only reconcile_budget_ledger could repair).  The sink must delete
+    its own current-batch rows for groups the re-decision dropped, in
+    the same ledger merge."""
+    from fortymhz_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_budget_ingest_sink
+
+    schema = "doc_id long, source string, text string"
+    corpus_dir = str(tmp_path / "corpus")
+    ledger_dir = str(tmp_path / "ledger")
+    # per-group budget 8.  Writer A batch 0: 4 tokens in group S.
+    _, mk_a = _stage_json_batches(
+        spark, tmp_path / "a", [[(1, "S", "a b c d")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_a(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_a"), 8,
+        txn_id="writer-a", available_now=True,
+    )
+    q.awaitTermination(300)
+    # Writer B commits 4 more S tokens: S is now at quota (8).
+    _, mk_b = _stage_json_batches(
+        spark, tmp_path / "b", [[(2, "S", "e f g h")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_b(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_b"), 8,
+        txn_id="writer-b", available_now=True,
+    )
+    q.awaitTermination(300)
+    # Crash window for A's batch 1 (a 2-token S doc + a 2-token T doc):
+    # its ledger increments landed BEFORE B's commit, the corpus mark
+    # did not.  (B's admit above already happened — the injected rows
+    # postdate it, exactly the interleaving that flips the decision.)
+    merge_snapshot(
+        spark, ledger_dir,
+        spark.createDataFrame(
+            [("writer-a", "S", 1, 2), ("writer-a", "T", 1, 2)],
+            "app string, group string, batch_id long, tokens_added long",
+        ),
+        ["app", "group", "batch_id"],
+        note="simulated in-flight batch-1 increments (crash window)",
+    )
+    # A restarts and the checkpoint re-delivers batch 1.  Pre-batch S
+    # totals (excluding A's own batch-1 rows) read 8 → the S doc is now
+    # REJECTED; T still admits.  The stale (writer-a, S, 1) increment
+    # must be deleted in the same merge, not left counted forever.
+    _stage_json_batches(
+        spark, tmp_path / "a",
+        [[(10, "S", "x1 x2"), (11, "T", "y1 y2")]], schema,
+    )
+    q = start_budget_ingest_sink(
+        mk_a(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_a"), 8,
+        txn_id="writer-a", available_now=True,
+    )
+    q.awaitTermination(300)
+    ledger = {
+        (r.app, r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    assert ("writer-a", "S", 1) not in ledger, (
+        "stale pre-crash increment for the no-longer-admitted group "
+        "must be retracted"
+    )
+    assert ledger[("writer-a", "T", 1)] == 2
+    assert sorted(
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ) == [1, 2, 11]
+    # Second crash window, ALL groups dropped on replay (the
+    # empty-survivors path): batch 2's increment lands, B fills T
+    # meanwhile… T is at 2+?  inject 6 more committed T tokens for B
+    merge_snapshot(
+        spark, ledger_dir,
+        spark.createDataFrame(
+            [("writer-b", "T", 5, 6), ("writer-a", "T", 2, 2)],
+            "app string, group string, batch_id long, tokens_added long",
+        ),
+        ["app", "group", "batch_id"],
+        note="B fills T (committed) + A's in-flight batch-2 increment",
+    )
+    _stage_json_batches(
+        spark, tmp_path / "a", [[(12, "T", "z1 z2")]], schema
+    )
+    q = start_budget_ingest_sink(
+        mk_a(), corpus_dir, ledger_dir, str(tmp_path / "ckpt_a"), 8,
+        txn_id="writer-a", available_now=True,
+    )
+    q.awaitTermination(300)
+    ledger = {
+        (r.app, r.group, r.batch_id): r.tokens_added
+        for r in read_snapshot(spark, ledger_dir).collect()
+    }
+    assert ("writer-a", "T", 2) not in ledger, (
+        "the empty-survivors replay path must retract too"
+    )
+    assert 12 not in [
+        r.doc_id for r in read_snapshot(spark, corpus_dir).collect()
+    ]
+
+
 def test_budget_ingest_two_writers_share_quota_without_collision(
     spark, tmp_path
 ):
