@@ -154,6 +154,53 @@ def _moment_kernel(dim: int, scale: int):
     return fold
 
 
+# Executor-side pre-merge rows carry exact integers that can exceed
+# int64 (they sum MANY per-partition partials), so the merged schema
+# rides DECIMAL(38,0) — exact for ≤ ~10²⁸ rows at 16 quant bits, the
+# same bound the persisted moments table documents.
+_MERGED_SCHEMA = (
+    "n decimal(38,0), s array<decimal(38,0)>, ss array<decimal(38,0)>"
+)
+
+
+def _merge_kernel(dim: int):
+    """mapInPandas kernel for the SECOND reduction level: sums moment
+    partial rows exactly (int64 inputs lifted to Python-int object
+    arrays — no overflow, no order dependence) and emits ONE
+    decimal-typed row per merge task.  The integer statistic is
+    associative, so any merge tree yields bit-identical totals."""
+
+    def merge(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal
+
+        n = 0
+        s = np.zeros(dim, dtype=object)
+        ss = np.zeros(dim * dim, dtype=object)
+        seen = False
+        for pdf in batches:
+            for i in range(len(pdf)):
+                seen = True
+                n += int(pdf["n"].iloc[i])
+                s = s + np.asarray(
+                    pdf["s"].iloc[i], dtype=np.int64
+                ).astype(object)
+                ss = ss + np.asarray(
+                    pdf["ss"].iloc[i], dtype=np.int64
+                ).astype(object)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "n": [Decimal(n)],
+                    "s": [[Decimal(int(v)) for v in s]],
+                    "ss": [[Decimal(int(v)) for v in ss]],
+                }
+            )
+
+    return merge
+
+
 def fit_pca(
     corpus: DataFrame,
     k: int,
@@ -161,12 +208,16 @@ def fit_pca(
     vec_col: str = "embedding",
     quant_bits: int = 16,
     dim: int | None = None,
+    merge_fanin: int | None = 64,
 ) -> PcaModel:
     """Fit a k-component PCA over ``corpus[vec_col]`` in ONE
     distributed pass (integer moment partials per partition — see the
     module docstring for why integers) + one driver-side ``eigh`` of
     the dim×dim covariance.  Deterministic at any partition count.
-    NULL vectors are skipped (totality); ragged dims raise."""
+    NULL vectors are skipped (totality); ragged dims raise.
+    ``merge_fanin`` bounds the DRIVER-side reduce in partition count
+    (see :func:`_corpus_moments`) — the model is bit-identical either
+    way."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if dim is None:
@@ -181,7 +232,9 @@ def fit_pca(
     if k > dim:
         raise ValueError(f"k={k} exceeds dim={dim}")
     scale = 1 << quant_bits
-    n, s, ss = _corpus_moments(corpus, vec_col, dim, scale)
+    n, s, ss = _corpus_moments(
+        corpus, vec_col, dim, scale, merge_fanin=merge_fanin
+    )
     return _model_from_moments(n, s, ss, dim, scale, k)
 
 
@@ -191,6 +244,7 @@ def _corpus_moments(
     dim: int,
     scale: int,
     allow_empty: bool = False,
+    merge_fanin: int | None = 64,
 ):
     """The distributed half of the fit: one pass of integer moment
     partials + the exact Python-int driver reduction.  Returns
@@ -198,14 +252,37 @@ def _corpus_moments(
     (and subtractable) sufficient statistic the persisted-moments
     lifecycle rides on.  ``allow_empty=True`` returns the zero
     statistic for an empty/all-NULL frame (a maintenance delta of
-    nothing) instead of raising (a fit over nothing)."""
+    nothing) instead of raising (a fit over nothing).
+
+    ``merge_fanin`` bounds what the DRIVER receives: each partial is
+    dim + dim² longs, so a naive per-partition collect is
+    partitions × dim² driver bytes — at the module's own 768–3072-dim
+    deployment target a 100 TB corpus read at 10⁴–10⁵ partitions
+    would ship terabytes to one process.  When the scan has more
+    partitions than ``merge_fanin``, a SECOND executor-side reduction
+    level (hash repartition of the partial rows → exact merge per
+    task) caps the collect at ``merge_fanin`` rows regardless of
+    input layout; the integer statistic is associative, so the result
+    is bit-identical to the direct reduce (pinned by
+    tests/test_projection.py).  The extra level costs one tiny
+    shuffle of ≤ partitions partial rows and is SKIPPED below the
+    threshold, so fixture-scale fits keep their single-stage plan.
+    ``None`` disables it.  (At very large dims, size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a merge
+    task's Arrow batches of ~8·dim²-byte rows fit executor memory.)"""
     import numpy as np
 
-    partials = (
-        corpus.select(F.col(vec_col))
-        .mapInPandas(_moment_kernel(dim, scale), _PARTIAL_SCHEMA)
-        .collect()
+    partials_df = corpus.select(F.col(vec_col)).mapInPandas(
+        _moment_kernel(dim, scale), _PARTIAL_SCHEMA
     )
+    if (
+        merge_fanin is not None
+        and partials_df.rdd.getNumPartitions() > merge_fanin
+    ):
+        partials_df = partials_df.repartition(merge_fanin).mapInPandas(
+            _merge_kernel(dim), _MERGED_SCHEMA
+        )
+    partials = partials_df.collect()
     if not partials:
         if allow_empty:
             return 0, [0] * dim, [0] * (dim * dim)

@@ -54,6 +54,25 @@ def test_fit_is_partition_invariant_bit_for_bit(spark, emb):
     assert a == b
 
 
+def test_fit_merge_level_is_bit_identical_and_bounds_the_collect(
+    spark, emb
+):
+    """The two-level reduce (merge_fanin) caps the driver collect at
+    merge_fanin rows regardless of input partitioning, and — because
+    the integer statistic is associative — the model must be BIT
+    identical across: direct reduce (fanin disabled), merge forced at
+    fanin 1 (everything through one merge task), fanin 3 (a real
+    multi-task merge tree), and an adversarial 64-partition scan of a
+    60-row frame (most partials empty)."""
+    direct = fit_pca(emb, 8, merge_fanin=None)
+    assert fit_pca(emb.repartition(7), 8, merge_fanin=1) == direct
+    assert fit_pca(emb.repartition(11), 8, merge_fanin=3) == direct
+    assert fit_pca(emb.repartition(64), 8, merge_fanin=4) == direct
+    # below-threshold scans skip the extra level entirely (the
+    # fixture-scale single-stage plan): same model either way
+    assert fit_pca(emb.coalesce(2), 8, merge_fanin=64) == direct
+
+
 def test_projection_paths_agree_and_expr_is_jvm_side(spark, emb):
     m = fit_pca(emb, 8)
     expr = {

@@ -938,6 +938,72 @@ def streaming_mg_rows(spark, docs_path: str) -> int:
     return out.count()
 
 
+def pca_partition_soak(spark, reps: int = 2) -> int:
+    """The adversarial-PARTITION-count soak for the PCA fit (round-10;
+    the r9 verdict's What's-wrong #1): the moment collect ships one
+    (n, Σq[dim], Σqqᵀ[dim²]) partial per non-empty partition, so a
+    100 TB corpus read at 10⁴–10⁵ partitions would send the driver
+    partitions × dim² longs.  This measures the fit at 10 000
+    partitions with the two-level merge DISABLED (merge_fanin=None —
+    the pre-round-10 behavior) vs ENABLED (fanin 64), asserts the
+    models are bit-identical, and prints the driver-side row/byte
+    arithmetic.  Corpus: the sf0.1 embeddings replicated 100× by
+    dimension rotation (same tile rule as build_tile) so all 10 000
+    partitions are non-empty."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.projection import fit_pca
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding")
+    dim = 64
+    reps_df = spark.range(100).select(F.col("id").alias("rep"))
+    big = (
+        emb.crossJoin(F.broadcast(reps_df))
+        .select(
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                f"embedding[(i + rep * 7) % {dim}])"
+            ).alias("embedding")
+        )
+        .repartition(10_000)
+        .localCheckpoint()  # the blow-up isn't what's being timed
+    )
+    n_parts = big.rdd.getNumPartitions()
+    row_longs = 1 + dim + dim * dim
+    print(
+        f"# pca_partition_soak: {n_parts} partitions × {row_longs} "
+        f"longs/partial → direct collect ≈ "
+        f"{n_parts * row_longs * 8 / 1e6:.0f} MB driver bytes; "
+        f"merged ≤ 64 rows ≈ {64 * row_longs * 8 / 1e6:.1f} MB",
+        file=sys.stderr,
+    )
+    timings = {}
+    models = {}
+    for name, fanin in (("direct", None), ("merged_64", 64)):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            models[name] = fit_pca(big, 8, dim=dim, merge_fanin=fanin)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
+        print(f"# pca_fit_10k_parts[{name}]: {best:.2f}s", file=sys.stderr)
+    assert models["direct"] == models["merged_64"], (
+        "two-level merge changed the model bits"
+    )
+    comps = np.asarray(models["merged_64"].components)
+    assert np.abs(comps @ comps.T - np.eye(8)).max() < 1e-9
+    print(
+        "| pca_fit_10k_partitions | "
+        f"direct {timings['direct']:.2f}s ({n_parts} partials, "
+        f"{n_parts * row_longs * 8 / 1e6:.0f} MB to driver) | "
+        f"merged_64 {timings['merged_64']:.2f}s (64 partials, "
+        f"{64 * row_longs * 8 / 1e6:.1f} MB) | bit-identical |"
+    )
+    return n_parts
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
@@ -953,6 +1019,11 @@ def main() -> int:
         help="comma-separated blow-up factors (default: 1,10; the "
         "round-9 third decade: 1,10,100)",
     )
+    ap.add_argument(
+        "--pca-partitions",
+        action="store_true",
+        help="run ONLY the adversarial-partition-count PCA fit soak",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     mults = [int(s) for s in args.scales.split(",")]
@@ -962,6 +1033,11 @@ def main() -> int:
 
     spark = get_session("fmhz-scale-soak", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.pca_partitions:
+        pca_partition_soak(spark, reps=args.reps)
+        spark.stop()
+        return 0
 
     results: dict[str, dict[str, float]] = {}
     for mult in mults:
