@@ -15,38 +15,35 @@ long tail (50/50), round 4 completed the rotation (50/50), rounds 5-8
 ran the steady-state policy (new + changed-code + the full deferred
 bucket each round; 50/50 every time — see CORRECTNESS_r0{5..8}.json).
 
-Round 9 rotation (the r8 verdict's item #1: never-driver-graded rows
-first, then the oldest checks; the bucket exceeds the gate for the
-first time, so two rows spill):
+Round 10 rotation (the r9 verdict's item #1, the promised pick-up
+order — never-driver-graded rows first, then the spill promise, then
+the oldest checks):
 
-1. NEW QUERIES enter immediately: q_emb_ann_codes_delete (tombstone
-   propagation into the persisted ANN codes table — the r8 verdict's
-   one functional hole; serving after a delete must equal a refit on
-   the surviving corpus and never return a vanished id) and
-   q_emb_ann_drift_report (index staleness as a measured number —
-   mean ADC quantization error across corpus versions, with the
-   drift-detected / refit-recovers inequalities graded end to end).
-2. THE SIX NEVER-DRIVER-GRADED round-8 rows, ahead of everything
-   (zero driver rows ever; judge-audited green meanwhile):
-   q_emb_ann_codes_extend, q_docs_token_budget_sample,
-   q_docs_quality_yield_curve, q_docs_contamination_report,
-   q_docs_source_overlap, q_docs_classifier_training.
-   (q_emb_ann_codes_extend doubles as this round's changed-code
-   re-grade: extend_ann_codes grew assign= validation and the
-   corpus-pin inheritance fix — the r8 ADVICE items.)
-3. 42 OF THE 44 round-6 greens — the registry's oldest checks.  The
-   two alphabetically-last rows (q_window_lag_order_gap,
-   q_window_running_revenue) spill: 2 new + 6 never-graded + 44 = 52
-   > 50, and the never-graded-first rule is the r8 verdict's explicit
-   ordering.  Both spilled rows lead the round-10 deferred bucket.
+1. THE TWO NEVER-DRIVER-GRADED PCA rows enter FIRST:
+   q_emb_pca_audit and q_emb_pca_incremental landed after the round-9
+   gate was already exactly full — the only registered queries with
+   zero driver rows ever (judge-audited green at sf0.01 meanwhile).
+   q_emb_pca_incremental doubles as this round's changed-code
+   re-grade: the moment reduce grew the executor-side pre-merge
+   (merge_fanin) and the empty-delta no-ops — the r9 verdict item #2
+   and ADVICE item #2.
+2. THE TWO ROUND-6 ROWS SPILLED FROM THE ROUND-9 GATE —
+   q_window_lag_order_gap, q_window_running_revenue — the registry's
+   oldest checks and the immovable spill promise from the r9
+   docstring.
+3. THE 46 ROUND-7 GREENS, whose checks became the next-oldest once
+   round 9 landed.
 
-2 new + 6 never-graded + 42 oldest = 50.  The round-10 deferred
-bucket below is the TWO late round-9 queries parked after the gate
-filled (q_emb_pca_audit, q_emb_pca_incremental — never driver-graded,
-so they lead the bucket), those 2 spilled round-6 rows (the
-registry's oldest checks), and the 46 round-7 greens, whose checks
-become the next-oldest once this round lands.  Everything outside the
-gate stays covered by the local sf0.001 differential
+2 never-graded + 2 spill-promise + 46 oldest = 50 exactly.  NEW
+round-10 queries enter at the FRONT as they land; each one spills the
+alphabetically-last round-7 row from the gate to the FRONT of the
+round-11 deferred bucket (same never-graded-first / oldest-first
+overflow rule round 9 established).  The round-11 deferred bucket
+below is any such spilled round-7 rows followed by the 50 rows graded
+in round 8, whose checks become the registry's oldest once this round
+lands; PREVIOUSLY_GREEN holds the 50 rows the round-9 gate graded
+50/50 (CORRECTNESS_r09.json — the freshest checks).  Everything
+outside the gate stays covered by the local sf0.001 differential
 (tests/test_oracle_parity.py) either way.
 """
 
@@ -58,87 +55,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-9 gate (slots 1-50): 2 new + the 6 never-driver-graded
-# round-8 rows + 42 of the 44 round-6 greens (the oldest checks).
+# Round-10 gate (slots 1-50): the 2 never-driver-graded PCA rows +
+# the 2 round-6 rows spilled from the round-9 gate (the immovable
+# spill promise) + the 46 round-7 greens (the oldest checks).  New
+# round-10 queries insert at the FRONT; each spills the
+# alphabetically-last round-7 row to the round-11 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
-    # —— NEW this round ——
-    "q_emb_ann_codes_delete",
-    "q_emb_ann_drift_report",
-    # —— the six never-driver-graded round-8 rows, first (the r8
-    #    verdict's explicit ordering; codes_extend also carries this
-    #    round's extend_ann_codes changes) ——
-    "q_emb_ann_codes_extend",
-    "q_docs_token_budget_sample",
-    "q_docs_quality_yield_curve",
-    "q_docs_contamination_report",
-    "q_docs_source_overlap",
-    "q_docs_classifier_training",
-    # —— 42 of the 44 rows carrying round-6 checks (the registry's
-    #    oldest); the two alphabetically-last spill to round 10 ——
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_shipping_delay",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q22_wealthy_inactive_customers",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_cube_flag_status",
-    "q_date_functions",
-    "q_docs_c4_rules",
-    "q_docs_gopher_repetition",
-    "q_docs_gopher_rules",
-    "q_docs_top_terms",
-    "q_docs_unigram_encode_stats",
-    "q_docs_unigram_soft_encode",
-    "q_dt_event_time_span",
-    "q_emb_ann_lsh",
-    "q_emb_knn_bruteforce",
-    "q_emb_near_dup_lsh_subset",
-    "q_emb_semantic_dedup",
-    "q_events_hourly_by_type",
-    "q_events_user_enrichment",
-    "q_events_value_stats",
-    "q_events_view_to_purchase",
-    "q_full_outer_daily_activity",
-    "q_grouping_sets_flag_year",
-    "q_mixture_upsample",
-    "q_pack_sequences",
-    "q_pandas_udf_revenue",
-    "q_quantity_percentiles",
-    "q_range_join_price_bands",
-    "q_set_ops_nations",
-    "q_shuffle_epochs",
-    "q_snapshot_incremental_agg",
-    "q_snapshot_merge_orders",
-    "q_unpivot_part_sizes",
-    "q_vec_knn_arrow",
-)
-
-# The 50 rows deferring to round 10, in pick-up order: the TWO late
-# round-9 queries parked when the gate was already exactly full
-# (q_emb_pca_audit, q_emb_pca_incremental — never driver-graded, so
-# they go FIRST, ahead
-# even of the spill promise, per the never-graded-first rule), then
-# the 2 round-6 rows spilled from this round's gate (after round 9
-# they carry the OLDEST checks in the registry — the immovable spill
-# promise), then the 46 round-7 greens, whose checks become the
-# next-oldest once round 9 lands.  Round-10 gate math: 49 deferred +
-# new/changed rows > 50 again — same never-graded-first, oldest-first
-# spill rule applies.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— late round-9 additions, never driver-graded (covered by the
-    #    sf0.001 differential + the driver-audit rehearsal) ——
+    # —— the two never-driver-graded round-9 rows, FIRST (the r9
+    #    verdict's explicit ordering; pca_incremental also carries
+    #    this round's changed-code re-grade: the merge_fanin
+    #    pre-merge + empty-delta no-ops) ——
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
-    # —— spilled from the round-9 gate (round-6 checks: oldest) ——
+    # —— the round-9 spill promise (round-6 checks: oldest) ——
     "q_window_lag_order_gap",
     "q_window_running_revenue",
-    # —— the 46 round-7 greens ——
+    # —— the 46 round-7 greens (next-oldest checks) ——
     "q_docs_span_dedup",
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
@@ -187,11 +119,13 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_window_top_orders_per_customer",
 )
 
-# Driver-green rows outside the round-9 gate with the FRESHEST checks:
-# the 50 rows graded 50/50 in round 8 (CORRECTNESS_r08.json).  The
-# registry asserts gate ∪ deferred ∪ previously-green == all
-# registered queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+# The rows deferring to round 11, in pick-up order: any round-7 rows
+# spilled from this round's gate by late round-10 additions (none
+# yet), then the 50 rows graded 50/50 in round 8
+# (CORRECTNESS_r08.json), whose checks become the registry's oldest
+# once round 10 lands.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— the 50 round-8 greens (oldest checks after this round) ——
     "q_emb_ann_ivfpq_codes",
     "q_docs_strip_contaminated_spans",
     "q_docs_decontaminate_spans",
@@ -242,6 +176,63 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_features",
     "q_media_frame_sample",
+)
+
+# Driver-green rows outside the round-10 gate with the FRESHEST
+# checks: the 50 rows the round-9 gate graded 50/50
+# (CORRECTNESS_r09.json).  The registry asserts gate ∪ deferred ∪
+# previously-green == all registered queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_drift_report",
+    "q_emb_ann_codes_extend",
+    "q_docs_token_budget_sample",
+    "q_docs_quality_yield_curve",
+    "q_docs_contamination_report",
+    "q_docs_source_overlap",
+    "q_docs_classifier_training",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_cube_flag_status",
+    "q_date_functions",
+    "q_docs_c4_rules",
+    "q_docs_gopher_repetition",
+    "q_docs_gopher_rules",
+    "q_docs_top_terms",
+    "q_docs_unigram_encode_stats",
+    "q_docs_unigram_soft_encode",
+    "q_dt_event_time_span",
+    "q_emb_ann_lsh",
+    "q_emb_knn_bruteforce",
+    "q_emb_near_dup_lsh_subset",
+    "q_emb_semantic_dedup",
+    "q_events_hourly_by_type",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
+    "q_events_view_to_purchase",
+    "q_full_outer_daily_activity",
+    "q_grouping_sets_flag_year",
+    "q_mixture_upsample",
+    "q_pack_sequences",
+    "q_pandas_udf_revenue",
+    "q_quantity_percentiles",
+    "q_range_join_price_bands",
+    "q_set_ops_nations",
+    "q_shuffle_epochs",
+    "q_snapshot_incremental_agg",
+    "q_snapshot_merge_orders",
+    "q_unpivot_part_sizes",
+    "q_vec_knn_arrow",
 )
 
 

@@ -2,14 +2,14 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 9 runs the overflow form of the
-steady-state policy for the first time: the 2 new queries and the 6
-never-driver-graded round-8 rows enter first (the r8 verdict's
-explicit ordering), then 42 of the 44 round-6 greens — the registry's
-oldest checks — fill the gate exactly; the 2 spilled round-6 rows
-lead the round-10 deferred bucket, followed by the 46 round-7 greens,
-and the 50 rows graded in round 8 sit in PREVIOUSLY_GREEN
-(queries/__init__.py's docstring).
+queries/__init__.py).  Round 10 runs the promised pick-up order: the
+2 never-driver-graded PCA rows first (the r9 verdict's explicit
+ordering), then the 2 round-6 rows spilled from the round-9 gate (the
+immovable spill promise), then the 46 round-7 greens — exactly 50.
+New round-10 queries insert at the front, each spilling the
+alphabetically-last round-7 row to the round-11 deferred bucket,
+which otherwise holds the 50 round-8 greens; the 50 rows graded in
+round 9 sit in PREVIOUSLY_GREEN (queries/__init__.py's docstring).
 These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.
