@@ -86,6 +86,11 @@ class AnnIndex:
     n_cells: int
     d_sub: int
     version: int = 0
+    # FAISS by_residual: codebooks quantize (vn - anchor[cell]) rather
+    # than vn.  INDEX state, not a query knob — codes and ADC must live
+    # in the space the codebooks were trained in, so the pairing check
+    # treats it as geometry.
+    by_residual: bool = False
 
     @property
     def n_coarse(self) -> int:
@@ -104,6 +109,8 @@ def build_ann_index(
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
+    by_residual: bool = False,
+    expected_current: int | None = None,
 ) -> int:
     """Train an IVFPQ index from ``corpus`` and publish it as the next
     version of the snapshot table at ``table_dir``; returns the
@@ -113,6 +120,12 @@ def build_ann_index(
     (:func:`_auto_cells`) — so a query served from this artifact
     returns byte-identical rows to one that re-fit in-process
     (deterministic fits; pinned by q_emb_ann_ivfpq_persisted).
+
+    ``by_residual=True`` trains the codebooks on residuals vs the
+    normalized coarse centroid (FAISS's deployment default — see
+    ``ivfpq_knn``); the mode is recorded as index GEOMETRY, inherited
+    by every encode/serve against this artifact, and the codes-table
+    pairing check refuses to mix modes.
 
     Cost: the same two bounded collects the in-process fit pays, one
     tiny parquet write, one atomic manifest commit.  Query-time knobs
@@ -124,6 +137,7 @@ def build_ann_index(
     d_sub, books = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
+        coarse=coarse if by_residual else None,
     )
     rows = [
         ("coarse", -1, i, [float(x) for x in c])
@@ -142,12 +156,16 @@ def build_ann_index(
         "d_sub": d_sub,
         "train_rounds": train_rounds,
         "train_sample": train_sample,
+        "by_residual": by_residual,
     }
     df = spark.createDataFrame(rows, _INDEX_SCHEMA)
     return write_snapshot(
         df,
         table_dir,
         note="ann_index " + json.dumps(params, sort_keys=True),
+        # CAS pin for refit flows: veto the publish if another fit
+        # landed since the caller resolved its base version
+        expected_current=expected_current,
     )
 
 
@@ -194,6 +212,8 @@ def load_ann_index(
         n_cells=n_cells,
         d_sub=int(params["d_sub"]),
         version=version,
+        # pre-residual artifacts carry no key: they encoded vn directly
+        by_residual=bool(params.get("by_residual", False)),
     )
 
 
@@ -207,6 +227,7 @@ def build_ann_codes(
     corpus_version: int | None = None,
     assign: str = "arrow",
     partition_by_cell: bool = False,
+    expected_current: int | None = None,
 ) -> int:
     """Encode the corpus through a persisted index and publish the
     per-vector ``(id, cell, code_0..code_{n_sub-1})`` table as the
@@ -250,6 +271,7 @@ def build_ann_codes(
     codes = _ivfpq_codes(
         corpus, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
+        by_residual=index.by_residual,
     ).withColumnRenamed("neighbor_id", "id")
     params = {
         "kind": "ivfpq_codes",
@@ -259,6 +281,7 @@ def build_ann_codes(
         "n_cells": index.n_cells,
         "d_sub": index.d_sub,
         "dim": index.dim,
+        "by_residual": index.by_residual,
         "corpus_version": corpus_version,
     }
     return write_snapshot(
@@ -266,6 +289,7 @@ def build_ann_codes(
         table_dir,
         partition_by=["cell"] if partition_by_cell else None,
         note="ann_codes " + json.dumps(params, sort_keys=True),
+        expected_current=expected_current,
     )
 
 
@@ -278,9 +302,17 @@ def _validate_codes_pairing(
     never mix, and a geometry key added here protects every path at
     once (the checks exist to prevent silent corruption; diverging
     copies of them would be the same failure one level up)."""
-    if int(params["index_version"]) != int(index.version) or any(
-        int(params[k]) != int(getattr(index, k))
-        for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+    if (
+        int(params["index_version"]) != int(index.version)
+        or any(
+            int(params[k]) != int(getattr(index, k))
+            for k in ("n_coarse", "n_sub", "n_cells", "d_sub", "dim")
+        )
+        # encode mode IS geometry: raw codes ADC'd under residual
+        # codebooks (or vice versa) rank garbage silently.  Old tables
+        # lack the key → they were encoded raw.
+        or bool(params.get("by_residual", False))
+        != bool(getattr(index, "by_residual", False))
     ):
         raise ValueError(
             f"ann_codes v={v} at {table_dir} was built against index "
@@ -339,7 +371,11 @@ def extend_ann_codes(
     pin (it must not silently erase the staleness guard
     :func:`load_ann_codes` enforces — an extend that forgot to re-pass
     the version would otherwise strip a previously pinned table of
-    its corpus-drift protection).  Cost: one map-only encode of the
+    its corpus-drift protection).  An EMPTY batch is a true no-op
+    returning the current version unchanged — an ingest window that
+    admitted zero vectors must not crash the maintenance loop (the
+    same contract as :func:`delete_ann_codes` and the PCA moment
+    maintenance).  Cost: one map-only encode of the
     batch + the snapshot MERGE's anti-join/rewrite (the documented
     copy-on-write term)."""
     from fortymhz_spark.operators.similarity import _ivfpq_codes
@@ -348,9 +384,12 @@ def extend_ann_codes(
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     v, params = resolve_artifact(table_dir, "ann_codes ")
     _validate_codes_pairing(v, params, table_dir, index, "extend")
+    if new_vecs.isEmpty():
+        return v
     codes = _ivfpq_codes(
         new_vecs, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
+        by_residual=index.by_residual,
     ).withColumnRenamed("neighbor_id", "id")
     new_params = _inherit_pin(params, corpus_version)
     return merge_snapshot(
@@ -462,8 +501,11 @@ def ann_drift_report(
     but the single report row's inputs, linear in the corpus at any
     scale."""
     from fortymhz_spark.operators.similarity import (
+        _nearest_cells,
         _normalized,
         _pq_dtab_col,
+        _residual_anchor,
+        _residual_col,
     )
 
     if index.kind != "ivfpq":
@@ -471,9 +513,19 @@ def ann_drift_report(
             f"ann_drift_report needs an 'ivfpq' index, got {index.kind!r}"
         )
     vn = F.col("_vn")
-    per_row = corpus.select(
-        _normalized(vec_col).alias("_vn")
-    ).select(
+    if index.by_residual:
+        # residual codebooks quantize (vn - anchor[cell]) — measure the
+        # error in that space, binding the residual in its own
+        # projection (one coarse assignment + one subtraction per row,
+        # still map-only)
+        anchors = F.lit(_residual_anchor(index.coarse))
+        normed = corpus.select(
+            _normalized(vec_col).alias("_vn"),
+            _nearest_cells(vec_col, index.coarse, 1)[0].alias("_cell"),
+        ).select(_residual_col(vn, anchors, F.col("_cell")).alias("_vn"))
+    else:
+        normed = corpus.select(_normalized(vec_col).alias("_vn"))
+    per_row = normed.select(
         sum(
             (
                 F.array_min(
@@ -526,3 +578,143 @@ def load_ann_codes(
             "encode; re-run build_ann_codes against the new version"
         )
     return read_snapshot(spark, table_dir, version=v)
+
+
+def refit_ann_codes(
+    corpus: DataFrame,
+    index_dir: str,
+    codes_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_threshold: float | None = None,
+    corpus_version: int | None = None,
+    n_coarse: int | None = None,
+    assign: str = "arrow",
+) -> dict:
+    """CLOSE the drift loop: measure this corpus's quantization error
+    under the CURRENT index (:func:`ann_drift_report`), and when it
+    crosses ``drift_threshold`` rebuild index AND codes on the current
+    corpus as new versions — atomically, CAS-pinned, serving
+    uninterrupted.  ``ann_drift_report`` made "refit now" a number;
+    this is the operator that acts on it, so index maintenance becomes
+    a policy (``threshold``) instead of a manual runbook step.
+
+    Decision rule: ``drift_threshold=None`` refits unconditionally
+    (the manual-rebuild form); otherwise a measured
+    ``mean_quant_err <= drift_threshold`` is a true no-op — current
+    versions are returned unchanged and nothing is written (a healthy
+    index must not be churned by its own monitoring loop).
+
+    Refit semantics: the new index inherits the current artifact's
+    STRUCTURAL geometry (``n_sub``/``n_cells``/``by_residual`` and the
+    recorded ``train_rounds``/``train_sample``) — those are design
+    choices, not corpus measurements — while ``n_coarse=None``
+    re-auto-sizes ⌈√N⌉ against the CURRENT corpus (the FAISS sizing
+    rule; the whole point of the refit is that the corpus moved).  The
+    codes rebuild inherits the codes table's recorded partition layout
+    (cell-partitioned tables stay cell-partitioned through a refit).
+
+    Concurrency/atomicity: both publishes are CAS-pinned
+    (``expected_current=`` the versions this decision was computed
+    from) — two monitoring jobs racing the same drift signal cannot
+    both land (:class:`~fortymhz_spark.sources.snapshots
+    .ConcurrentWriteError` vetoes the loser, who re-measures).  The
+    index publishes FIRST, codes second; a reader that resolves
+    through :func:`load_ann_serving` (codes-first, index pinned to the
+    codes' recorded pairing) sees the old consistent pair until the
+    codes flip, then the new one — never a mix, and old versions stay
+    time-travelable for pinned readers.
+
+    Returns ``{"refit": bool, "mean_quant_err": float,
+    "index_version": int, "codes_version": int}`` — the versions in
+    force AFTER the call either way.
+
+    Scale shape: the drift probe is one map-only scan; the refit costs
+    exactly one :func:`build_ann_index` (two bounded collects) + one
+    :func:`build_ann_codes` (map-only encode + slim write) — no step
+    this function adds shuffles or collects corpus-sized data."""
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    spark = corpus.sparkSession
+    idx = load_ann_index(spark, index_dir)
+    codes_v, codes_params = resolve_artifact(codes_dir, "ann_codes ")
+    _validate_codes_pairing(codes_v, codes_params, codes_dir, idx, "refit")
+    drift = float(
+        ann_drift_report(corpus, idx, vec_col=vec_col)
+        .collect()[0]["mean_quant_err"]
+    )
+    if drift_threshold is not None and drift <= drift_threshold:
+        return {
+            "refit": False,
+            "mean_quant_err": drift,
+            "index_version": idx.version,
+            "codes_version": codes_v,
+        }
+    _, idx_params = resolve_artifact(index_dir, "ann_index ")
+    new_idx_v = build_ann_index(
+        corpus,
+        index_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_coarse=n_coarse,
+        n_sub=idx.n_sub,
+        n_cells=idx.n_cells,
+        train_rounds=int(idx_params.get("train_rounds", 8)),
+        train_sample=int(idx_params.get("train_sample", 512)),
+        by_residual=idx.by_residual,
+        expected_current=idx.version,
+    )
+    new_idx = load_ann_index(spark, index_dir, version=new_idx_v)
+    layout = [
+        e for e in snapshot_versions(codes_dir) if e["version"] == codes_v
+    ][0].get("partition_by", [])
+    new_codes_v = build_ann_codes(
+        corpus,
+        codes_dir,
+        new_idx,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_version=(
+            corpus_version
+            if corpus_version is not None
+            else codes_params.get("corpus_version")
+        ),
+        assign=assign,
+        partition_by_cell=(layout == ["cell"]),
+        expected_current=codes_v,
+    )
+    return {
+        "refit": True,
+        "mean_quant_err": drift,
+        "index_version": new_idx_v,
+        "codes_version": new_codes_v,
+    }
+
+
+def load_ann_serving(
+    spark: SparkSession,
+    index_dir: str,
+    codes_dir: str,
+    *,
+    codes_version: int | None = None,
+    corpus_version: int | None = None,
+) -> tuple[AnnIndex, DataFrame]:
+    """Resolve a CONSISTENT (index, codes) serving pair: the codes
+    table is resolved first (current, or a pinned ``codes_version=``)
+    and the index is loaded AT THE VERSION the codes record — so a
+    read racing :func:`refit_ann_codes` (which publishes the new index
+    before the new codes) serves the old consistent pair until the
+    codes flip, then the new one, never index vN+1 with codes built
+    against vN.  Loading "current index + current codes" independently
+    has exactly that race; this is the one-call form serving jobs
+    should use.  All of :func:`load_ann_codes`'s pairing and
+    staleness guards still run."""
+    v, params = resolve_artifact(codes_dir, "ann_codes ", version=codes_version)
+    idx = load_ann_index(
+        spark, index_dir, version=int(params["index_version"])
+    )
+    codes = load_ann_codes(
+        spark, codes_dir, idx, version=v, corpus_version=corpus_version
+    )
+    return idx, codes

@@ -527,6 +527,40 @@ def _normalized(vec_col: str):
     )
 
 
+def _residual_anchor(coarse: list) -> list[list[float]]:
+    """L2-normalized copies of the coarse centroids — the per-cell
+    anchor points residual PQ encoding subtracts.  PQ operates on the
+    NORMALIZED vector (squared-L2 order == cosine order), but the
+    coarse centroids are raw corpus vectors of arbitrary norm
+    (:func:`_centroids`); the residual must be taken in the space the
+    codebooks quantize, so each anchor is its centroid scaled onto the
+    unit sphere.  Cell ASSIGNMENT is untouched (argmax dot is
+    invariant to positive scaling of the assigned vector) — the anchor
+    only defines where the residual is measured from.  Plain Python
+    float math, deterministic; used identically by the numpy trainer
+    and the serving expressions so train and serve subtract the exact
+    same bits."""
+    out = []
+    for c in coarse:
+        v = [float(x) for x in c]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def _residual_col(vn, anchors_lit, cell_col):
+    """``vn - anchor[cell]`` as a column expression: the residual a
+    ``by_residual`` encode quantizes and a residual query ADC ranks
+    against.  ``anchors_lit`` is the :func:`_residual_anchor` matrix as
+    ONE nested literal (the ``_nearest_cells`` construction — constant
+    plan size per reference)."""
+    return F.zip_with(
+        vn,
+        F.element_at(anchors_lit, (cell_col + F.lit(1)).cast("int")),
+        lambda a, b: a - b,
+    )
+
+
 def _pq_code_col(vn, books, s: int, d_sub: int, n_cells: int):
     """PQ code for subquantizer ``s``: argmin codebook cell for the
     normalized subvector, built as ONE transform-over-sequence lambda
@@ -686,6 +720,13 @@ def pq_knn(
                 f"pq_knn serves the codebook half of an 'ivfpq' index, "
                 f"got kind={index.kind!r}"
             )
+        if getattr(index, "by_residual", False):
+            raise ValueError(
+                "pq_knn cannot serve a by_residual index: residual "
+                "codebooks quantize (vn - anchor[cell]) and are "
+                "meaningless without the coarse cell context — use "
+                "ivfpq_knn(index=...)"
+            )
         _check_index_dim(corpus, vec_col, index.dim)
         d_sub, books = index.d_sub, index.books
         n_sub, n_cells = index.n_sub, index.n_cells
@@ -740,6 +781,7 @@ def _pq_train(
     train_rounds: int,
     train_sample: int,
     dim: int | None,
+    coarse: list | None = None,
 ):
     """Shared PQ setup for :func:`pq_knn` / :func:`ivfpq_knn`: infer
     the dimension, validate divisibility, collect + L2-normalize the
@@ -748,7 +790,15 @@ def _pq_train(
     in per-subquantizer nested literals the lambda forms index.
     Returns ``(d_sub, books)`` — the plain nested list; column
     builders lift ``books[s]`` into its own literal so each code/dtab
-    column's plan line carries only its slice."""
+    column's plan line carries only its slice.
+
+    ``coarse=`` switches to RESIDUAL training (FAISS
+    ``by_residual=true``): each normalized sample vector is assigned
+    to its coarse cell with exactly the serving tie-break
+    (:func:`_nearest_cells`: highest dot, ties → HIGHER cell) and the
+    codebooks are Lloyd-trained on ``vn - anchor[cell]``
+    (:func:`_residual_anchor`) — the quantity the residual encode and
+    ADC actually see, so codewords model what they will quantize."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
@@ -778,6 +828,19 @@ def _pq_train(
             f"corpus has {len(sample)} vectors but n_cells={n_cells}: "
             "codebooks need at least n_cells training vectors"
         )
+    if coarse is not None:
+        import numpy as np
+
+        X = np.asarray(sample, dtype=np.float64)
+        C = np.asarray(
+            [[float(x) for x in c] for c in coarse], dtype=np.float64
+        )
+        dots = X @ C.T
+        # ties → HIGHER cell, matching _nearest_cells' reversed sort:
+        # argmax over the column-reversed dots, mapped back
+        cells = (C.shape[0] - 1) - np.argmax(dots[:, ::-1], axis=1)
+        A = np.asarray(_residual_anchor(coarse), dtype=np.float64)
+        sample = (X - A[cells]).tolist()
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
     return dim // n_sub, books
 
@@ -805,6 +868,7 @@ def _ivfpq_codes(
     n_cells: int,
     d_sub: int,
     assign: str,
+    by_residual: bool = False,
 ) -> DataFrame:
     """The IVFPQ corpus ENCODE — ``(neighbor_id, cell,
     code_0..code_{n_sub-1})`` — shared verbatim by
@@ -814,37 +878,45 @@ def _ivfpq_codes(
     computed in-plan (the encode is deterministic: ties break to the
     lowest PQ cell, coarse ties to the higher coarse cell — both
     pinned by the standalone twins).  Map-only: one coarse assignment
-    + ``n_sub`` argmin expressions per row, no shuffle."""
+    + ``n_sub`` argmin expressions per row, no shuffle.
+
+    ``by_residual=True`` quantizes ``vn - anchor[cell]``
+    (:func:`_residual_col`) instead of ``vn`` — the codebooks must
+    have been trained in residual space (:func:`_pq_train`
+    ``coarse=``); mixing modes is geometry corruption, which the
+    persisted-index pairing check rejects."""
     if assign == "arrow":
         # bound-normalized-vector discipline (see pq_knn): the norm
         # fold appears once per side, the n_sub columns read the alias
         vna = F.col("_vn")
-        return _assign_cells_arrow(
+        base = _assign_cells_arrow(
             corpus, id_col, vec_col, coarse, 1, keep_vec=True
         ).select(
             F.col("id").alias("neighbor_id"),
             "cell",
             _normalized("v").alias("_vn"),
-        ).select(
+        )
+    else:
+        base = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
+            _normalized(vec_col).alias("_vn"),
+        )
+        vna = F.col("_vn")
+    if by_residual:
+        # re-bind _vn to the residual in its own projection so the
+        # O(dim) subtraction runs once per row, not once per code col
+        anchors = F.lit(_residual_anchor(coarse))
+        base = base.select(
             "neighbor_id",
             "cell",
-            *[
-                _pq_code_col(vna, books, s, d_sub, n_cells).alias(
-                    f"code_{s}"
-                )
-                for s in range(n_sub)
-            ],
+            _residual_col(vna, anchors, F.col("cell")).alias("_vn"),
         )
-    vn = F.col("_vn")
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _nearest_cells(vec_col, coarse, 1)[0].alias("cell"),
-        _normalized(vec_col).alias("_vn"),
-    ).select(
+    return base.select(
         "neighbor_id",
         "cell",
         *[
-            _pq_code_col(vn, books, s, d_sub, n_cells).alias(f"code_{s}")
+            _pq_code_col(vna, books, s, d_sub, n_cells).alias(f"code_{s}")
             for s in range(n_sub)
         ],
     )
@@ -916,6 +988,7 @@ def ivfpq_knn(
     train_sample: int = 512,
     dim: int | None = None,
     assign: str = "arrow",
+    by_residual: bool = False,
     index=None,
     codes: DataFrame | None = None,
 ) -> DataFrame:
@@ -931,14 +1004,21 @@ def ivfpq_knn(
     (the PQ term) — at 100 TB both terms matter: IVF bounds the rows
     touched, PQ bounds the bytes per row.  The join is
     hash-partitioned on the cell id exactly like ``ivf_knn``; no stage
-    touches the full corpus × queries product.  Codes quantize the
-    normalized vector directly (FAISS ``by_residual=false``) — the
-    residual-encoding refinement is a recall/quality knob orthogonal
-    to the plan shape, and the exact re-rank absorbs the difference at
-    these rerank widths.  Coarse cells follow ``ivf_knn``'s dot-product
-    assignment and codebooks follow ``pq_knn``'s Lloyd training, so
-    each half of the composition matches its already-verified
-    standalone twin.
+    touches the full corpus × queries product.  By default codes
+    quantize the normalized vector directly (FAISS
+    ``by_residual=false``) and the exact re-rank absorbs the coarse
+    blur at these rerank widths; ``by_residual=True`` switches to
+    FAISS's deployment default — codebooks train on and codes quantize
+    ``vn - anchor[cell]`` (the normalized coarse centroid,
+    :func:`_residual_anchor`), which keeps codeword resolution local
+    to each cell as ``n_coarse`` grows with ``√N``.  The residual
+    trade: query distance tables become per-(query, probed-cell)
+    instead of per-query (the ADC target shifts by the cell anchor),
+    an O(nprobe·n_sub·n_cells·d_sub) expression cost on the tiny
+    broadcast side only — the corpus-side scan shape is unchanged.
+    Coarse cells follow ``ivf_knn``'s dot-product assignment and
+    codebooks follow ``pq_knn``'s Lloyd training, so each half of the
+    composition matches its already-verified standalone twin.
 
     ``n_coarse=None`` auto-sizes to ``⌈√N⌉`` capped at 4096 (the
     ``ivf_knn`` rule; see :func:`_auto_cells`) and ``rerank=None``
@@ -1010,12 +1090,16 @@ def ivfpq_knn(
         n_coarse, n_sub, n_cells, d_sub = (
             index.n_coarse, index.n_sub, index.n_cells, index.d_sub,
         )
+        # the encode mode is INDEX state, not a query-time knob — the
+        # codebooks were trained in one space and must be ADC'd in it
+        by_residual = bool(getattr(index, "by_residual", False))
     else:
         n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
         coarse = _centroids(corpus, id_col, vec_col, n_coarse)
         d_sub, books = _pq_train(
             corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
             train_sample, dim,
+            coarse=coarse if by_residual else None,
         )
     rerank = _auto_rerank(corpus, rerank, n=n_rows)
     if nprobe is None:
@@ -1036,9 +1120,54 @@ def ivfpq_knn(
     else:
         code_tbl = _ivfpq_codes(
             corpus, id_col, vec_col, coarse, books, n_sub, n_cells,
-            d_sub, assign,
+            d_sub, assign, by_residual=by_residual,
         )
-    if assign == "arrow":
+    if by_residual:
+        # Residual ADC: the distance target is (qn - anchor[cell]), so
+        # the tables are per-(query, probed-cell) — explode FIRST, bind
+        # the residual in its own projection (one O(dim) subtraction
+        # per probe row), THEN the dtab columns.  Probe-side only: the
+        # query frame is the tiny broadcast side.
+        anchors = F.lit(_residual_anchor(coarse))
+        if assign == "arrow":
+            q0 = _assign_cells_arrow(
+                queries, id_col, vec_col, coarse, nprobe,
+                keep_vec=True, explode=False,
+            ).select(
+                F.col("id").alias("query_id"),
+                "cells",
+                _normalized("v").alias("_vn"),
+            )
+        else:
+            q0 = queries.select(
+                F.col(id_col).alias("query_id"),
+                _nearest_cells(vec_col, coarse, nprobe).alias("cells"),
+                _normalized(vec_col).alias("_vn"),
+            )
+        vnr = F.col("_vn")
+        qtabs = (
+            q0.select(
+                "query_id",
+                F.explode("cells").alias("cell"),
+                "_vn",
+            )
+            .select(
+                "query_id",
+                "cell",
+                _residual_col(vnr, anchors, F.col("cell")).alias("_vn"),
+            )
+            .select(
+                "query_id",
+                "cell",
+                *[
+                    _pq_dtab_col(vnr, books, s, d_sub, n_cells).alias(
+                        f"dtab_{s}"
+                    )
+                    for s in range(n_sub)
+                ],
+            )
+        )
+    elif assign == "arrow":
         # Distance tables are O(n_sub·n_cells·d_sub) per row — compute
         # them on the one-row-per-query frame (explode=False), THEN
         # explode the probe cells, so the Generate replicates computed

@@ -1118,3 +1118,279 @@ def test_delete_ann_codes_empty_and_null_ids_are_noops(
     )
     assert delete_ann_codes(nulls_and_one, codes_dir, idx) == 2
     assert load_ann_codes(spark, codes_dir, idx).count() == emb.count() - 1
+
+
+def test_ivfpq_by_residual_recall_floor(spark, truth):
+    """Residual encoding (FAISS by_residual=true): codebooks quantize
+    (vn - anchor[cell]) — recall must clear the same floor the raw
+    form does, and probing every cell with a generous rerank must stay
+    exact (the residual shift cancels in the ADC ranking only
+    approximately, but the exact re-rank tail is mode-independent)."""
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, by_q = truth
+    got = ivfpq_knn(
+        emb, queries, k=K, n_coarse=8, n_sub=8, n_cells=16,
+        by_residual=True,
+    ).collect()
+    r = _recall(got, by_q)
+    assert r >= 0.5, f"residual IVFPQ recall@{K} = {r:.2f}"
+
+
+def test_ivfpq_by_residual_expr_matches_arrow(spark, truth):
+    """The residual query path exists in both physical forms — the
+    per-(query, cell) distance tables must rank identically whether
+    the coarse assignment ran as an expression or an Arrow matmul."""
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    kw = dict(
+        k=K, n_coarse=8, nprobe=4, n_sub=8, n_cells=16, rerank=8,
+        by_residual=True,
+    )
+    key = lambda r: tuple(r)
+    a = ivfpq_knn(emb, queries, assign="arrow", **kw).collect()
+    e = ivfpq_knn(emb, queries, assign="expr", **kw).collect()
+    assert sorted(map(key, a)) == sorted(map(key, e))
+
+
+def test_residual_index_roundtrip_codes_identity_and_lifecycle(
+    spark, truth, tmp_path
+):
+    """by_residual is INDEX GEOMETRY: the persisted artifact records
+    it, serving inherits it, the codes table is byte-identical to the
+    in-plan residual encode, extend/delete keep the from-scratch
+    identity, and every mode-mixing path fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        delete_ann_codes,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import (
+        _ivfpq_codes,
+        ivfpq_knn,
+        pq_knn,
+    )
+
+    emb, queries, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(
+        emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16, by_residual=True
+    )
+    idx = load_ann_index(spark, idx_dir)
+    assert idx.by_residual is True
+
+    # serve == in-process residual refit of the same sizing
+    key = lambda r: tuple(r)
+    served = ivfpq_knn(
+        emb, queries, k=K, nprobe=None, rerank=None, index=idx
+    ).collect()
+    refit = ivfpq_knn(
+        emb, queries, k=K, n_coarse=8, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None, by_residual=True,
+    ).collect()
+    assert sorted(map(key, served)) == sorted(map(key, refit))
+
+    # codes artifact == in-plan residual encode, element for element
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+    inplan = _ivfpq_codes(
+        emb, "vec_id", "embedding", idx.coarse, idx.books,
+        idx.n_sub, idx.n_cells, idx.d_sub, "arrow", by_residual=True,
+    ).withColumnRenamed("neighbor_id", "id")
+    assert sorted(map(key, codes.collect())) == sorted(
+        map(key, inplan.collect())
+    )
+    # ...and the codes DIFFER from a raw encode (the mode is real)
+    raw = _ivfpq_codes(
+        emb, "vec_id", "embedding", idx.coarse, idx.books,
+        idx.n_sub, idx.n_cells, idx.d_sub, "arrow", by_residual=False,
+    ).withColumnRenamed("neighbor_id", "id")
+    assert sorted(map(key, codes.collect())) != sorted(
+        map(key, raw.collect())
+    )
+
+    # extend + delete preserve the from-scratch identity in residual
+    # mode (shared encode path — this pins the plumbing end to end)
+    survivors = emb.filter(F.col("vec_id") % 5 != 0)
+    extend_ann_codes(
+        emb.filter(F.col("vec_id") % 5 == 0).limit(0), codes_dir, idx
+    )  # empty extend keeps the table serving
+    delete_ann_codes(
+        emb.filter(F.col("vec_id") % 5 == 0), codes_dir, idx,
+        corpus_version=2,
+    )
+    scratch_dir = str(tmp_path / "codes_scratch")
+    build_ann_codes(survivors, scratch_dir, idx, corpus_version=2)
+    after = load_ann_codes(spark, codes_dir, idx, corpus_version=2)
+    scratch = load_ann_codes(spark, scratch_dir, idx, corpus_version=2)
+    assert sorted(map(key, after.collect())) == sorted(
+        map(key, scratch.collect())
+    )
+
+    # mode mixing is geometry corruption: a RAW index (same sizing,
+    # fresh fit) must not touch residual codes, and vice versa
+    raw_dir = str(tmp_path / "rawidx")
+    build_ann_index(
+        emb, raw_dir, n_coarse=8, n_sub=8, n_cells=16, by_residual=False
+    )
+    raw_idx = load_ann_index(spark, raw_dir)
+    assert raw_idx.by_residual is False
+    # pin versions equal so ONLY the mode differs in the pairing check
+    assert raw_idx.version == idx.version
+    with _pytest.raises(ValueError, match="never mix"):
+        load_ann_codes(spark, codes_dir, raw_idx)
+    with _pytest.raises(ValueError, match="never mix"):
+        extend_ann_codes(emb.limit(3), codes_dir, raw_idx)
+
+    # pq_knn has no cell context — residual codebooks are unservable
+    with _pytest.raises(ValueError, match="by_residual"):
+        pq_knn(emb, queries, index=idx)
+
+
+def test_residual_drift_report_measures_residual_space(
+    spark, truth, tmp_path
+):
+    """Drift under a residual index is the quantization error of the
+    RESIDUAL, not the raw normalized vector — on the fitted corpus it
+    must be small (codebooks trained on these residuals) and a drifted
+    corpus must measure strictly higher."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(
+        emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16, by_residual=True
+    )
+    idx = load_ann_index(spark, idx_dir)
+    fitted = ann_drift_report(emb, idx, label="fitted").collect()[0]
+    drifted_corpus = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * x * F.signum(x)
+        ).alias("embedding"),
+    )
+    drifted = ann_drift_report(
+        drifted_corpus, idx, label="drifted"
+    ).collect()[0]
+    assert fitted["n_vectors"] == emb.count()
+    assert drifted["mean_quant_err"] > fitted["mean_quant_err"]
+
+
+def test_refit_ann_codes_drift_policy_and_byte_identity(
+    spark, truth, tmp_path
+):
+    """The drift→refit loop closed end to end: a below-threshold
+    corpus is a true no-op (no writes), an above-threshold corpus
+    triggers an atomic index+codes rebuild that is byte-identical to a
+    manual rebuild of the same sizing, drift strictly recovers, old
+    versions stay time-travelable, the cell layout survives, and
+    load_ann_serving always resolves a consistent pair."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+        load_ann_serving,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx1 = load_ann_index(spark, idx_dir)
+    build_ann_codes(
+        emb, codes_dir, idx1, corpus_version=1, partition_by_cell=True
+    )
+    fitted_err = ann_drift_report(emb, idx1).collect()[0]["mean_quant_err"]
+
+    # the corpus drifts (element-wise squared, sign kept); pick the
+    # policy threshold BETWEEN the two measured errors so each side of
+    # the decision rule is exercised for real
+    drifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * x * F.signum(x)
+        ).alias("embedding"),
+    )
+    drifted_err = ann_drift_report(drifted, idx1).collect()[0][
+        "mean_quant_err"
+    ]
+    assert drifted_err > fitted_err
+    threshold = (fitted_err + drifted_err) / 2
+
+    # healthy corpus, threshold above its error → true no-op
+    r = refit_ann_codes(emb, idx_dir, codes_dir, drift_threshold=threshold)
+    assert r == {
+        "refit": False,
+        "mean_quant_err": r["mean_quant_err"],
+        "index_version": 1,
+        "codes_version": 1,
+    }
+    assert len(snapshot_versions(idx_dir)) == 1  # nothing was written
+
+    r2 = refit_ann_codes(
+        drifted, idx_dir, codes_dir,
+        drift_threshold=threshold, corpus_version=2,
+    )
+    assert r2["refit"] is True
+    assert r2["mean_quant_err"] > threshold
+    assert r2["index_version"] == 2 and r2["codes_version"] == 2
+
+    # drift RECOVERS under the refit index, and a re-check is a no-op
+    idx2 = load_ann_index(spark, idx_dir)
+    after = ann_drift_report(drifted, idx2).collect()[0]["mean_quant_err"]
+    assert after < r2["mean_quant_err"]
+    r3 = refit_ann_codes(
+        drifted, idx_dir, codes_dir, drift_threshold=after * 1.5
+    )
+    assert r3["refit"] is False and r3["index_version"] == 2
+
+    # byte-identity to a MANUAL rebuild of the same structural sizing
+    key = lambda r: tuple(r)
+    man_idx_dir = str(tmp_path / "man_idx")
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_index(drifted, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    man_idx = load_ann_index(spark, man_idx_dir)
+    build_ann_codes(
+        drifted, man_codes_dir, man_idx, corpus_version=2,
+        partition_by_cell=True,
+    )
+    got = load_ann_codes(spark, codes_dir, idx2, corpus_version=2)
+    want = load_ann_codes(spark, man_codes_dir, man_idx, corpus_version=2)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+
+    # the cell layout survived the refit rebuild
+    assert [
+        e for e in snapshot_versions(codes_dir) if e["version"] == 2
+    ][0]["partition_by"] == ["cell"]
+
+    # old pair stays time-travelable; serving loader pairs consistently
+    old = load_ann_codes(
+        spark, codes_dir, idx1, version=1, corpus_version=1
+    )
+    assert old.count() == emb.count()
+    sidx, scodes = load_ann_serving(spark, idx_dir, codes_dir)
+    assert sidx.version == 2 and scodes.count() == emb.count()
+    sidx1, scodes1 = load_ann_serving(
+        spark, idx_dir, codes_dir, codes_version=1, corpus_version=1
+    )
+    assert sidx1.version == 1

@@ -1004,6 +1004,68 @@ def pca_partition_soak(spark, reps: int = 2) -> int:
     return n_parts
 
 
+def pq_residual_soak(spark, mults: list[int], reps: int = 2) -> int:
+    """Residual vs raw PQ encoding across decades (round-9 verdict
+    #3): FAISS deploys ``by_residual=true`` because raw-vector
+    codebooks blur as ``n_coarse`` grows with √N — this soak makes
+    that a measured recall@10 + wall pair at each scale, with
+    ``n_coarse ∝ corpus`` (the deployment rule, same as the main ANN
+    rows) and every other knob identical between the two modes.
+    Ground truth is the exact Arrow brute force over the same fixed
+    ~49-query set.  The verdict's decision rule: keep whichever mode
+    wins at equal wall, with the number in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        ivfpq_knn,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    K = 10
+    print("| scale | mode | wall s | recall@10 | n_queries |")
+    print("|---|---|---|---|---|")
+    for mult in mults:
+        if mult == 1:
+            emb = load_table(spark, SF_DIR, "embeddings")
+        else:
+            out = f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        # ~49 queries at every scale (id space grows with the tile)
+        queries = emb.filter(F.col("vec_id") % (41 * mult) == 0)
+        truth: dict[int, set[int]] = {}
+        for r in brute_force_knn_arrow(emb, queries, k=K).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total = sum(len(t) for t in truth.values())
+        for mode, flag in (("raw", False), ("residual", True)):
+            best, got = float("inf"), None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                got = ivfpq_knn(
+                    emb,
+                    queries,
+                    k=K,
+                    n_coarse=16 * mult,
+                    nprobe=8,
+                    n_sub=8,
+                    n_cells=16,
+                    rerank=16,
+                    assign="arrow",
+                    by_residual=flag,
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            by_q: dict[int, set[int]] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+            print(
+                f"| {mult}x | {mode} | {best:.2f} | {hits / total:.3f} "
+                f"| {len(truth)} |"
+            )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
@@ -1024,6 +1086,12 @@ def main() -> int:
         action="store_true",
         help="run ONLY the adversarial-partition-count PCA fit soak",
     )
+    ap.add_argument(
+        "--pq-residual",
+        action="store_true",
+        help="run ONLY the residual-vs-raw PQ recall/wall comparison "
+        "(honors --scales and --reps)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     mults = [int(s) for s in args.scales.split(",")]
@@ -1036,6 +1104,11 @@ def main() -> int:
 
     if args.pca_partitions:
         pca_partition_soak(spark, reps=args.reps)
+        spark.stop()
+        return 0
+
+    if args.pq_residual:
+        pq_residual_soak(spark, mults, reps=args.reps)
         spark.stop()
         return 0
 
