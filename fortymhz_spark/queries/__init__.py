@@ -34,17 +34,19 @@ the oldest checks):
 3. THE 46 ROUND-7 GREENS, whose checks became the next-oldest once
    round 9 landed.
 
-2 never-graded + 2 spill-promise + 46 oldest = 50 exactly.  NEW
-round-10 queries enter at the FRONT as they land; each one spills the
-alphabetically-last round-7 row from the gate to the FRONT of the
-round-11 deferred bucket (same never-graded-first / oldest-first
-overflow rule round 9 established).  The round-11 deferred bucket
-below is any such spilled round-7 rows followed by the 50 rows graded
-in round 8, whose checks become the registry's oldest once this round
-lands; PREVIOUSLY_GREEN holds the 50 rows the round-9 gate graded
-50/50 (CORRECTNESS_r09.json — the freshest checks).  Everything
-outside the gate stays covered by the local sf0.001 differential
-(tests/test_oracle_parity.py) either way.
+2 new (q_emb_ann_refit — the drift loop closed, verdict item #4;
+q_emb_ann_ivfpq_residual — by_residual serving, item #3) + 2
+never-graded + 2 spill-promise + 44 round-7 = 50 exactly: each new
+query spilled the alphabetically-last round-7 row from the gate to
+the FRONT of the round-11 deferred bucket (q_vec_int8_quant_error,
+q_window_top_orders_per_customer — the same never-graded-first /
+oldest-first overflow rule round 9 established).  The round-11
+deferred bucket below is those two spilled round-7 rows followed by
+the 50 rows graded in round 8, whose checks become the registry's
+oldest once this round lands; PREVIOUSLY_GREEN holds the 50 rows the
+round-9 gate graded 50/50 (CORRECTNESS_r09.json — the freshest
+checks).  Everything outside the gate stays covered by the local
+sf0.001 differential (tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -61,10 +63,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-10 queries insert at the FRONT; each spills the
 # alphabetically-last round-7 row to the round-11 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
-    # —— the two never-driver-graded round-9 rows, FIRST (the r9
-    #    verdict's explicit ordering; pca_incremental also carries
-    #    this round's changed-code re-grade: the merge_fanin
-    #    pre-merge + empty-delta no-ops) ——
+    # —— NEW this round: the drift loop CLOSED (refit_ann_codes — the
+    #    r9 verdict's item #4) and residual-PQ serving (by_residual as
+    #    index geometry — item #3) ——
+    "q_emb_ann_refit",
+    "q_emb_ann_ivfpq_residual",
+    # —— the two never-driver-graded round-9 rows (the r9 verdict's
+    #    explicit ordering; pca_incremental also carries this round's
+    #    changed-code re-grade: the merge_fanin pre-merge +
+    #    empty-delta no-ops) ——
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
     # —— the round-9 spill promise (round-6 checks: oldest) ——
@@ -115,16 +122,18 @@ ROUND_GATE: tuple[str, ...] = (
     "q_text_crossdoc_blocks",
     "q_text_rarity_score",
     "q_top_customers",
-    "q_vec_int8_quant_error",
-    "q_window_top_orders_per_customer",
 )
 
-# The rows deferring to round 11, in pick-up order: any round-7 rows
-# spilled from this round's gate by late round-10 additions (none
-# yet), then the 50 rows graded 50/50 in round 8
+# The rows deferring to round 11, in pick-up order: the two
+# alphabetically-last round-7 rows spilled from this round's gate by
+# the two new round-10 queries (2 new + 2 PCA + 2 spill-promise + 44
+# round-7 = 50 exactly), then the 50 rows graded 50/50 in round 8
 # (CORRECTNESS_r08.json), whose checks become the registry's oldest
 # once round 10 lands.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— spilled from the round-10 gate (round-7 checks) ——
+    "q_vec_int8_quant_error",
+    "q_window_top_orders_per_customer",
     # —— the 50 round-8 greens (oldest checks after this round) ——
     "q_emb_ann_ivfpq_codes",
     "q_docs_strip_contaminated_spans",

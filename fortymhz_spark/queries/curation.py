@@ -2362,6 +2362,222 @@ def q_emb_ann_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The drift loop CLOSED (operators/ann_index.py::refit_ann_codes —
+# round-10, the r9 verdict's item #4): ann_drift_report made "refit
+# now" a number; refit_ann_codes ACTS on it.  Below a declared
+# threshold the call is a write-free no-op; above it, index AND codes
+# rebuild on the current corpus as CAS-pinned new versions,
+# byte-identical to a manual rebuild, with the old pair still
+# time-travelable and load_ann_serving resolving a consistent pair
+# throughout.  Graded on all five lifecycle claims at once.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_refit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_codes,
+           CAST(1 AS BIGINT) AS noop_version,
+           CAST(2 AS BIGINT) AS refit_version,
+           TRUE AS below_threshold_noop,
+           TRUE AS refit_triggered,
+           TRUE AS matches_manual_rebuild,
+           TRUE AS refit_recovers,
+           TRUE AS old_pair_travelable
+    FROM embeddings
+    """,
+)
+def q_emb_ann_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered refit end to end: build index+codes on the
+    fitted corpus, pick the policy threshold between the measured
+    fitted and drifted errors, then grade (a) the healthy corpus is a
+    TRUE no-op (versions unchanged, nothing written), (b) the drifted
+    corpus (elements squared — the drift-report fixture) triggers a
+    refit publishing index v2 + codes v2, (c) the refit codes table is
+    element-identical to a MANUAL rebuild of the same structural
+    sizing on the drifted corpus, (d) drift strictly recovers under
+    the new index, and (e) the v1 pair still serves via
+    load_ann_serving's pinned form (time travel).  ``n_codes`` (the
+    one raw-value column) is the refit table's row count — the oracle
+    counts the corpus.  Cost: two bounded index fits (refit + manual
+    twin), three map-only encodes, four drift scans, one
+    symmetric-difference check on the slim codes table."""
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+        load_ann_serving,
+        refit_ann_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = tempfile.mkdtemp(prefix="fmhz_refit_idx_")
+    codes_dir = tempfile.mkdtemp(prefix="fmhz_refit_codes_")
+    build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    idx1 = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx1, corpus_version=1)
+    drifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * x).alias("embedding"),
+    )
+    fit_err = float(ann_drift_report(emb, idx1).first()["mean_quant_err"])
+    stale_err = float(
+        ann_drift_report(drifted, idx1).first()["mean_quant_err"]
+    )
+    threshold = (fit_err + stale_err) / 2
+    r_noop = refit_ann_codes(
+        emb, idx_dir, codes_dir, drift_threshold=threshold
+    )
+    r_refit = refit_ann_codes(
+        drifted, idx_dir, codes_dir, drift_threshold=threshold,
+        corpus_version=2,
+    )
+    idx2, codes2 = load_ann_serving(spark, idx_dir, codes_dir)
+    after_err = float(
+        ann_drift_report(drifted, idx2).first()["mean_quant_err"]
+    )
+    man_idx_dir = tempfile.mkdtemp(prefix="fmhz_refit_manidx_")
+    man_codes_dir = tempfile.mkdtemp(prefix="fmhz_refit_mancodes_")
+    build_ann_index(
+        drifted, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16
+    )
+    man_idx = load_ann_index(spark, man_idx_dir)
+    build_ann_codes(drifted, man_codes_dir, man_idx, corpus_version=2)
+    man = load_ann_codes(
+        spark, man_codes_dir, man_idx, corpus_version=2
+    )
+    n_mismatch = (
+        codes2.exceptAll(man).count() + man.exceptAll(codes2).count()
+    )
+    old_idx, old_codes = load_ann_serving(
+        spark, idx_dir, codes_dir, codes_version=1, corpus_version=1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(codes2.count()),
+                int(r_noop["index_version"]),
+                int(r_refit["index_version"]),
+                bool(r_noop["refit"] is False and r_noop["codes_version"] == 1),
+                bool(r_refit["refit"] is True and r_refit["codes_version"] == 2),
+                bool(n_mismatch == 0),
+                bool(after_err < r_refit["mean_quant_err"]),
+                bool(
+                    old_idx.version == 1
+                    and old_codes.count() == emb.count()
+                ),
+            )
+        ],
+        "n_codes long, noop_version long, refit_version long, "
+        "below_threshold_noop boolean, refit_triggered boolean, "
+        "matches_manual_rebuild boolean, refit_recovers boolean, "
+        "old_pair_travelable boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ serving (round-10, the r9 verdict's item #3): FAISS's
+# by_residual=true as recorded index GEOMETRY — codebooks train on and
+# codes quantize (vn - normalized-coarse-anchor), distance tables are
+# per-(query, probed cell).  Measured across three decades the RAW
+# form wins recall and wall on this corpus (SCALE.md), so raw stays
+# the operator default; this query pins the residual mode's own
+# serving contract end to end: persisted round-trip byte-identity and
+# the family recall band.  Query slice 60 ≤ vec_id < 70.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_ivfpq_residual",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) - 1 FROM embeddings))
+                AS BIGINT) AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_refit
+    FROM embeddings WHERE vec_id >= 60 AND vec_id < 70 ORDER BY query_id
+    """,
+)
+def q_emb_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for query vectors with 60 <= vec_id < 70 served
+    from a PERSISTED residual index (by_residual=true), graded on the
+    family recall band against exact truth and on zero symmetric
+    difference vs an in-process residual refit of the same sizing —
+    the mode is inherited from the artifact (a query cannot ask for
+    the wrong space) and the persisted fit is byte-identical to a
+    fresh one."""
+    from fortymhz_spark.operators.ann_index import load_ann_index
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70))
+    idx = load_ann_index(
+        spark, _ann_residual_index_table(spark, sf_dir)
+    )
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    refit = sim.ivfpq_knn(
+        emb, queries, k=10, n_coarse=None, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None, by_residual=True,
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            refit.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__")
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_refit"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RESIDUAL_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_residual_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir) for the RESIDUAL-mode
+    index — the _ann_index_table pattern with by_residual=true."""
+    if sf_dir in _ANN_RESIDUAL_INDEX_CACHE:
+        return _ANN_RESIDUAL_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import build_ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = tempfile.mkdtemp(prefix="fmhz_annresidx_")
+    build_ann_index(
+        emb, table_dir, n_coarse=None, n_sub=8, n_cells=16,
+        by_residual=True,
+    )
+    _ANN_RESIDUAL_INDEX_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (operators/projection.py) — the pre-ANN compression
 # step a 100 TB embedding pipeline runs at ingest: ONE pass of integer
 # moment partials per partition (partition-count-invariant bit for
