@@ -593,12 +593,23 @@ def refit_ann_codes(
     assign: str = "arrow",
 ) -> dict:
     """CLOSE the drift loop: measure this corpus's quantization error
-    under the CURRENT index (:func:`ann_drift_report`), and when it
+    under the SERVING index (:func:`ann_drift_report`), and when it
     crosses ``drift_threshold`` rebuild index AND codes on the current
     corpus as new versions — atomically, CAS-pinned, serving
     uninterrupted.  ``ann_drift_report`` made "refit now" a number;
     this is the operator that acts on it, so index maintenance becomes
     a policy (``threshold``) instead of a manual runbook step.
+
+    SELF-HEALING resolution (the load_ann_serving rule): the pair is
+    resolved CODES-FIRST — drift is measured under the index version
+    the codes table records, not whatever ``index_dir``'s current
+    happens to be.  A crash between a previous refit's two publishes
+    leaves index vN+1 current while the codes still pair vN; resolving
+    current-index-first would fail the pairing check forever (a poison
+    pill for a streaming monitor that retriggers this call), whereas
+    codes-first measures against the pair actually SERVING, and the
+    rebuild then publishes past the orphaned index version (the CAS
+    base is the REAL current), healing the half-refit state.
 
     Decision rule: ``drift_threshold=None`` refits unconditionally
     (the manual-rebuild form); otherwise a measured
@@ -637,8 +648,10 @@ def refit_ann_codes(
     from fortymhz_spark.sources.snapshots import snapshot_versions
 
     spark = corpus.sparkSession
-    idx = load_ann_index(spark, index_dir)
     codes_v, codes_params = resolve_artifact(codes_dir, "ann_codes ")
+    idx = load_ann_index(
+        spark, index_dir, version=int(codes_params["index_version"])
+    )
     _validate_codes_pairing(codes_v, codes_params, codes_dir, idx, "refit")
     drift = float(
         ann_drift_report(corpus, idx, vec_col=vec_col)
@@ -651,7 +664,11 @@ def refit_ann_codes(
             "index_version": idx.version,
             "codes_version": codes_v,
         }
-    _, idx_params = resolve_artifact(index_dir, "ann_index ")
+    # structural geometry comes from the PAIRED version's recorded
+    # params; the CAS base is the table's REAL current (past any
+    # orphaned half-refit publish)
+    _, idx_params = resolve_artifact(index_dir, "ann_index ", version=idx.version)
+    cur_idx_v, _ = resolve_artifact(index_dir, "ann_index ")
     new_idx_v = build_ann_index(
         corpus,
         index_dir,
@@ -663,7 +680,7 @@ def refit_ann_codes(
         train_rounds=int(idx_params.get("train_rounds", 8)),
         train_sample=int(idx_params.get("train_sample", 512)),
         by_residual=idx.by_residual,
-        expected_current=idx.version,
+        expected_current=cur_idx_v,
     )
     new_idx = load_ann_index(spark, index_dir, version=new_idx_v)
     layout = [

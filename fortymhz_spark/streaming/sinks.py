@@ -885,6 +885,9 @@ def start_ann_codes_sink(
     assign: str = "arrow",
     available_now: bool = True,
     txn_id: str | None = None,
+    refit_threshold: float | None = None,
+    index_dir: str | None = None,
+    corpus_dir: str | None = None,
 ) -> StreamingQuery:
     """Streaming ANN-codes MAINTENANCE — the live form of the
     build→extend→delete→serve lifecycle (operators/ann_index.py):
@@ -916,12 +919,45 @@ def start_ann_codes_sink(
 
     Per-trigger cost: one map-only encode of the batch + the snapshot
     MERGE's anti-join/rewrite per merge (the documented copy-on-write
-    term; nothing else is ∝ table)."""
+    term; nothing else is ∝ table).
+
+    ``refit_threshold=`` (requires ``index_dir`` and ``corpus_dir``)
+    arms the DRIFT→REFIT POLICY — the sink becomes self-healing index
+    maintenance, not just codes maintenance.  Two-stage decision, so
+    the per-trigger cost stays O(batch): every batch's ADDS are
+    drift-scored under the live index (one map-only pass over the
+    batch — the cheap TRIGGER); only when the batch's mean
+    quantization error crosses the threshold does the sink read the
+    corpus snapshot and run :func:`~fortymhz_spark.operators
+    .ann_index.refit_ann_codes` with the same threshold (the
+    corpus-level DECISION — a single weird batch cannot churn the
+    index if the corpus as a whole still fits).  After a refit the
+    sink hot-swaps to the new index version and RE-APPLIES the
+    current batch's adds/deletes under it (idempotent keyed merges),
+    so the batch's rows survive even when ``corpus_dir`` lags the
+    stream by a trigger.  Crash notes: the refit runs AFTER the
+    batch's txn mark, so a replayed batch never re-refits — a refit
+    lost to a crash simply re-triggers on the next above-threshold
+    batch, and a crash BETWEEN the refit's two publishes is healed by
+    ``refit_ann_codes``'s codes-first resolution (its docstring).
+    ``corpus_dir`` must be the raw-vector snapshot the codes describe,
+    maintained upstream of (or in lockstep with) this stream."""
     from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
         delete_ann_codes,
         extend_ann_codes,
+        load_ann_index,
+        refit_ann_codes,
     )
     from fortymhz_spark.sources.snapshots import mark_stream_txn
+
+    if refit_threshold is not None and (index_dir is None or corpus_dir is None):
+        raise ValueError(
+            "refit_threshold needs index_dir= (to publish the rebuilt "
+            "index) and corpus_dir= (the raw-vector snapshot to refit "
+            "from)"
+        )
+    live = {"index": index}
 
     def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
         if delete_col is not None:
@@ -951,15 +987,52 @@ def start_ann_codes_sink(
             return
         if have_adds:
             extend_ann_codes(
-                adds, codes_dir, index, id_col=id_col, vec_col=vec_col,
-                assign=assign,
+                adds, codes_dir, live["index"], id_col=id_col,
+                vec_col=vec_col, assign=assign,
                 txn=None if have_dels else (app, batch_id),
             )
         if have_dels:
             delete_ann_codes(
-                dels, codes_dir, index, id_col=id_col,
+                dels, codes_dir, live["index"], id_col=id_col,
                 txn=(app, batch_id),
             )
+        if refit_threshold is None or not have_adds:
+            return
+        # cheap trigger: the BATCH's drift under the live index
+        batch_err = ann_drift_report(
+            adds, live["index"], vec_col=vec_col
+        ).first()["mean_quant_err"]
+        if batch_err is None or batch_err <= refit_threshold:
+            return
+        # corpus-level decision + CAS-pinned rebuild (post-mark, so a
+        # replayed batch never re-refits)
+        spark = batch_df.sparkSession
+        from fortymhz_spark.sources.snapshots import read_snapshot
+
+        res = refit_ann_codes(
+            read_snapshot(spark, corpus_dir),
+            index_dir,
+            codes_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            drift_threshold=refit_threshold,
+            assign=assign,
+        )
+        if not res["refit"]:
+            return
+        live["index"] = load_ann_index(
+            spark, index_dir, version=res["index_version"]
+        )
+        # the refit rebuilt from corpus_dir — re-apply THIS batch under
+        # the new index so its rows survive a corpus that lags the
+        # stream by a trigger (idempotent keyed merges)
+        if have_adds:
+            extend_ann_codes(
+                adds, codes_dir, live["index"], id_col=id_col,
+                vec_col=vec_col, assign=assign,
+            )
+        if have_dels:
+            delete_ann_codes(dels, codes_dir, live["index"], id_col=id_col)
 
     return _start_exactly_once_sink(
         df, codes_dir, checkpoint_dir, body,

@@ -1394,3 +1394,43 @@ def test_refit_ann_codes_drift_policy_and_byte_identity(
         spark, idx_dir, codes_dir, codes_version=1, corpus_version=1
     )
     assert sidx1.version == 1
+
+
+def test_refit_ann_codes_heals_half_refit_crash_window(
+    spark, truth, tmp_path
+):
+    """A crash between a refit's two publishes leaves index vN+1
+    current while the codes still pair vN.  refit_ann_codes resolves
+    CODES-FIRST (the load_ann_serving rule), so the retriggered call
+    measures drift under the SERVING pair, rebuilds past the orphaned
+    version, and heals — instead of failing the pairing check
+    forever."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        load_ann_serving,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.sources.snapshots import resolve_artifact
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx1 = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx1, corpus_version=1)
+    # simulate the crash window: an index publish landed (v2), the
+    # codes rebuild didn't — codes still pair v1
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    assert load_ann_index(spark, idx_dir).version == 2
+    # serving is still consistent through the window
+    sidx, _ = load_ann_serving(spark, idx_dir, codes_dir)
+    assert sidx.version == 1
+    # the retriggered refit heals: index v3 + codes v2 paired to v3
+    r = refit_ann_codes(emb, idx_dir, codes_dir)
+    assert r["refit"] is True
+    assert r["index_version"] == 3 and r["codes_version"] == 2
+    _, params = resolve_artifact(codes_dir, "ann_codes ")
+    assert int(params["index_version"]) == 3
+    sidx2, scodes2 = load_ann_serving(spark, idx_dir, codes_dir)
+    assert sidx2.version == 3 and scodes2.count() == emb.count()

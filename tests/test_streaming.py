@@ -2001,3 +2001,107 @@ def test_pca_moments_sink_maintains_byte_identical_model(
     )
     q2.awaitTermination(300)
     assert len(snapshot_versions(md)) == n_versions
+
+
+def test_ann_codes_sink_refit_policy_self_heals_index(spark, tmp_path):
+    """The sink's drift→refit policy arm (refit_threshold=): a
+    below-threshold batch maintains codes WITHOUT touching the index
+    (no corpus scan, no publish), an above-threshold batch triggers
+    the corpus-level refit — exactly one new index version, codes
+    byte-identical to a manual rebuild over the corpus snapshot — and
+    the post-refit live index serves the re-applied batch."""
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    normal = emb.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    )
+    drifted = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * x).alias("embedding"),
+    )
+    # the corpus snapshot the refit rebuilds from: everything the
+    # stream will have delivered (the documented upstream contract)
+    full = emb.unionByName(normal).unionByName(drifted)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(full, corpus_dir, note="raw vectors")
+
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+
+    # threshold between the healthy-batch error and the corpus-mix
+    # error, so batch 1 (normal) stays under and batch 2 (drifted)
+    # and the corpus-level decision both land over
+    fit_err = ann_drift_report(normal, idx).first()["mean_quant_err"]
+    mix_err = ann_drift_report(full, idx).first()["mean_quant_err"]
+    drift_err = ann_drift_report(drifted, idx).first()["mean_quant_err"]
+    assert fit_err < mix_err < drift_err
+    threshold = (fit_err + mix_err) / 2
+
+    def rows_of(df):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    _, mk = _stage_json_batches(
+        spark, tmp_path, [rows_of(normal), rows_of(drifted)], schema
+    )
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"),
+        available_now=True,
+        refit_threshold=float(threshold),
+        index_dir=idx_dir, corpus_dir=corpus_dir,
+    )
+    q.awaitTermination(300)
+
+    # exactly ONE refit fired (batch 1 must not have): v1 + one rebuild
+    assert len(snapshot_versions(idx_dir)) == 2
+    idx2 = load_ann_index(spark, idx_dir)
+    assert idx2.version == 2
+
+    # the final codes table == a manual rebuild over the corpus under
+    # the refit index (which itself == a manual fit on the corpus)
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(full, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(full, man_codes_dir, man_idx)
+    key = lambda r: tuple(r)
+    got = read_snapshot(spark, codes_dir).collect()
+    want = load_ann_codes(spark, man_codes_dir, man_idx).collect()
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # replay is inert: marks skip both batches, no new versions anywhere
+    nv_idx, nv_codes = (
+        len(snapshot_versions(idx_dir)),
+        len(snapshot_versions(codes_dir)),
+    )
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"),
+        available_now=True,
+        refit_threshold=float(threshold),
+        index_dir=idx_dir, corpus_dir=corpus_dir,
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == nv_idx
+    assert len(snapshot_versions(codes_dir)) == nv_codes
