@@ -228,6 +228,7 @@ def build_ann_codes(
     assign: str = "arrow",
     partition_by_cell: bool = False,
     expected_current: int | None = None,
+    meta_cols: list[str] | None = None,
 ) -> int:
     """Encode the corpus through a persisted index and publish the
     per-vector ``(id, cell, code_0..code_{n_sub-1})`` table as the
@@ -259,7 +260,20 @@ def build_ann_codes(
     pin — the staleness failure mode (corpus moved, codes didn't) is
     silent wrong-recall otherwise.  The index pairing (version + full
     geometry) is recorded and validated the same way.  Map-only: no
-    shuffle; one slim parquet write + atomic manifest commit."""
+    shuffle; one slim parquet write + atomic manifest commit.
+
+    ``meta_cols=`` copies the named corpus columns (label, lang,
+    source, …) INTO the codes table — metadata AT REST, the
+    filtered-search enabler: ``ivfpq_knn(codes=...,
+    corpus_filter=...)`` then pushes the predicate straight into the
+    codes scan as a parquet PushedFilter instead of semi-joining the
+    corpus (zero extra joins at serve time — at 100 TB the difference
+    between pruned code files and a corpus-sized join per query).
+    The column set is recorded in the note; extends INHERIT it (a
+    batch missing a recorded column fails loudly — a codes table must
+    never hold rows with silently-NULL filter attributes).  Costs one
+    id-keyed join at BUILD time, a one-time price the serve path
+    never pays again."""
     from fortymhz_spark.operators.similarity import _ivfpq_codes
 
     if index.kind != "ivfpq":
@@ -268,11 +282,13 @@ def build_ann_codes(
         )
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    meta_cols = list(meta_cols or [])
     codes = _ivfpq_codes(
         corpus, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
         by_residual=index.by_residual,
     ).withColumnRenamed("neighbor_id", "id")
+    codes = _join_meta(codes, corpus, id_col, vec_col, meta_cols, index)
     params = {
         "kind": "ivfpq_codes",
         "index_version": index.version,
@@ -283,6 +299,7 @@ def build_ann_codes(
         "dim": index.dim,
         "by_residual": index.by_residual,
         "corpus_version": corpus_version,
+        "meta_cols": meta_cols,
     }
     return write_snapshot(
         codes,
@@ -325,6 +342,41 @@ def _validate_codes_pairing(
             "never extend or tombstone this table); rebuild the codes "
             "or load the matching index version"
         )
+
+
+def _join_meta(
+    codes: DataFrame,
+    source: DataFrame,
+    id_col: str,
+    vec_col: str,
+    meta_cols: list[str],
+    index: AnnIndex,
+) -> DataFrame:
+    """Attach metadata-at-rest columns to encoded rows: validate the
+    names don't collide with the codes schema and that the source
+    frame carries them, then one id-keyed join (build/extend-time
+    only — the serve path reads them straight off the parquet)."""
+    if not meta_cols:
+        return codes
+    reserved = {"id", "cell", id_col, vec_col} | {
+        f"code_{s}" for s in range(index.n_sub)
+    }
+    bad = [c for c in meta_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"meta_cols {bad} collide with the codes schema "
+            f"(id/cell/code_*/{id_col}/{vec_col})"
+        )
+    missing = [c for c in meta_cols if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"meta_cols {missing} absent from the corpus/batch frame — "
+            "a codes table must never hold rows with silently-NULL "
+            "filter attributes"
+        )
+    return codes.join(
+        source.select(F.col(id_col).alias("id"), *meta_cols), ["id"]
+    )
 
 
 def _inherit_pin(params: dict, corpus_version: int | None) -> dict:
@@ -391,6 +443,12 @@ def extend_ann_codes(
         index.n_sub, index.n_cells, index.d_sub, assign,
         by_residual=index.by_residual,
     ).withColumnRenamed("neighbor_id", "id")
+    # metadata-at-rest tables INHERIT their recorded column set: the
+    # arriving batch must carry every recorded attribute
+    codes = _join_meta(
+        codes, new_vecs, id_col, vec_col,
+        list(params.get("meta_cols") or []), index,
+    )
     new_params = _inherit_pin(params, corpus_version)
     return merge_snapshot(
         new_vecs.sparkSession,
@@ -700,6 +758,7 @@ def refit_ann_codes(
         assign=assign,
         partition_by_cell=(layout == ["cell"]),
         expected_current=codes_v,
+        meta_cols=list(codes_params.get("meta_cols") or []),
     )
     return {
         "refit": True,

@@ -991,6 +991,7 @@ def ivfpq_knn(
     by_residual: bool = False,
     index=None,
     codes: DataFrame | None = None,
+    corpus_filter=None,
 ) -> DataFrame:
     """IVF + PQ composed — the architecture large-scale ANN actually
     deploys (FAISS ``IVFxx,PQyy``): a coarse inverted file restricts
@@ -1066,6 +1067,24 @@ def ivfpq_knn(
     corpus version must match); results are byte-identical to the
     in-plan encode of the same corpus because ``build_ann_codes`` runs
     the identical deterministic encode expressions.
+
+    ``corpus_filter=`` (a boolean Column) is METADATA-FILTERED search
+    — the vector-store feature: top-k among only the corpus rows
+    satisfying a predicate, served from ONE shared index (the index
+    and codes describe the full corpus; the filter is query-time).
+    Candidates are filtered BEFORE ranking (pre-filter), so recall
+    against the filtered population does not collapse when the
+    predicate is selective — the post-filter alternative (over-fetch
+    then discard) loses exactly the rows a selective filter needs.
+    Plan shape by path: in-plan encode simply encodes the filtered
+    corpus; with ``codes=`` the predicate is PUSHED INTO THE CODES
+    SCAN when the codes table carries the referenced columns at rest
+    (``build_ann_codes(meta_cols=...)`` — a parquet PushedFilter,
+    zero extra joins), else it falls back to a semi-join of the codes
+    against the filtered corpus ids.  ``rerank``/``nprobe``
+    auto-sizing resolves against the FILTERED population (that is the
+    search's N).  Queries are never filtered — they are the probe
+    side, not the served population.
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
@@ -1078,6 +1097,11 @@ def ivfpq_knn(
             "codes= carries no index geometry — pass the index it was "
             "encoded with (load_ann_codes validates the pairing)"
         )
+    if corpus_filter is not None:
+        # the served population IS the filtered corpus from here on:
+        # encode (in-plan path), auto-sizing, and the re-rank fetch all
+        # see only matching rows; the codes path filters below
+        corpus = corpus.filter(corpus_filter)
     n_rows = (
         corpus.count()
         if ((n_coarse is None and index is None) or rerank is None
@@ -1112,6 +1136,20 @@ def ivfpq_knn(
                 f"codes frame is missing columns {missing} — not a "
                 f"codes table for this index (n_sub={n_sub})"
             )
+        if corpus_filter is not None:
+            from pyspark.errors import AnalysisException
+
+            try:
+                # metadata at rest: the predicate resolves against the
+                # codes frame itself and reaches the parquet scan as a
+                # PushedFilter — no join at all
+                codes = codes.filter(corpus_filter)
+            except AnalysisException:
+                # the predicate needs corpus-only columns: evaluate it
+                # there and semi-join the matching ids into the scan
+                codes = codes.join(
+                    corpus.select(F.col(id_col).alias("id")), ["id"], "semi"
+                )
         code_tbl = codes.select(
             F.col("id").alias("neighbor_id"),
             "cell",

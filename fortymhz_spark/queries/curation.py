@@ -2578,6 +2578,136 @@ def _ann_residual_index_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Metadata-FILTERED ANN serving (round-10): the vector-store feature —
+# top-k among only the rows matching a predicate, served from ONE
+# shared persisted index with the metadata AT REST in the codes table
+# (build_ann_codes(meta_cols=...)), so the predicate reaches the codes
+# scan as a parquet PushedFilter with zero extra joins
+# (plan-asserted in tests/test_ann_recall.py).  Pre-filter, not
+# post-filter: candidates are restricted BEFORE ranking, so recall
+# against the filtered population survives selective predicates.  The
+# exact ground-truth half (real SQL oracle) is q_emb_knn_filtered.
+# Query slice 80 ≤ vec_id < 90, filter label < 4 (~half the corpus).
+# ---------------------------------------------------------------------------
+_ANN_CODES_META_CACHE: dict[str, str] = {}
+
+
+def _ann_codes_meta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir): the shared index's codes
+    with label carried at rest — the filtered-serving artifact."""
+    if sf_dir in _ANN_CODES_META_CACHE:
+        return _ANN_CODES_META_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        load_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    table_dir = tempfile.mkdtemp(prefix="fmhz_anncodesmeta_")
+    build_ann_codes(
+        emb, table_dir, idx, corpus_version=1, meta_cols=["label"]
+    )
+    _ANN_CODES_META_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_filtered",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings WHERE label < 4)
+                          - CASE WHEN label < 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_inplan,
+           TRUE AS only_filtered_served
+    FROM embeddings WHERE vec_id >= 80 AND vec_id < 90 ORDER BY query_id
+    """,
+)
+def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 among ONLY the label<4 vectors for query vectors
+    80 ≤ vec_id < 90, served from the shared persisted index + the
+    metadata-at-rest codes table, graded on the family recall band
+    against the FILTERED exact truth, byte-identity to the in-plan
+    twin over the filtered corpus, and ``only_filtered_served`` (no
+    out-of-filter row reaches a served result — the claim post-filter
+    designs can only approximate)."""
+    from fortymhz_spark.operators.ann_index import (
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label") < 4
+    queries = emb.filter(
+        (F.col("vec_id") >= 80) & (F.col("vec_id") < 90)
+    ).select("vec_id", "embedding")
+    idx = load_ann_index(spark, _ann_index_table(spark, sf_dir))
+    codes = load_ann_codes(
+        spark, _ann_codes_meta_table(spark, sf_dir), idx, corpus_version=1
+    )
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx,
+        codes=codes, corpus_filter=pred,
+    ).select("query_id", "neighbor_id")
+    inplan = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx,
+        corpus_filter=pred,
+    ).select("query_id", "neighbor_id")
+    filtered = emb.filter(pred)
+    exact = sim.brute_force_knn(filtered, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            inplan.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .join(
+            filtered.select(F.col("vec_id").alias("neighbor_id"))
+            .withColumn("__f__", F.lit(1)),
+            ["neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__"),
+            F.sum(
+                F.when(
+                    F.col("__s__").isNotNull() & F.col("__f__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_outside__"),
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_inplan"
+            ),
+            (F.coalesce(F.col("__n_outside__"), F.lit(0)) == 0).alias(
+                "only_filtered_served"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (operators/projection.py) — the pre-ANN compression
 # step a 100 TB embedding pipeline runs at ingest: ONE pass of integer
 # moment partials per partition (partition-count-invariant bit for

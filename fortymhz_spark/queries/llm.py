@@ -534,6 +534,51 @@ def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# metadata-FILTERED exact KNN (round-10): top-k among only the corpus
+# rows matching a predicate — the exact ground-truth half of the
+# vector-store filtered-search feature (the ANN serving half is
+# q_emb_ann_filtered).  The oracle is the REAL filtered search in SQL
+# (raw rows incl. cosine), not a derived invariant: pre-filtering the
+# corpus composes with the brute-force operator as plain relational
+# algebra, and DuckDB replays it exactly.
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_knn_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id >= 80 AND vec_id < 90),
+    scored AS (
+      SELECT
+        q.query_id,
+        c.vec_id AS neighbor_id,
+        {_SQL_DOT.format(a='q.qv', b='c.embedding')}
+          / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='c.embedding')}) AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id AND c.label = 3
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q_emb_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine among ONLY the label=3 vectors for query
+    vectors 80 ≤ vec_id < 90 (queries themselves unrestricted — the
+    probe side is not the served population).  Spark side: the filter
+    composes with brute_force_knn as a plain pre-filter, which
+    Catalyst pushes into the corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+    return sim.brute_force_knn(
+        emb.filter(F.col("label") == 3), queries, k=10
+    ).orderBy("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup pairs above a cosine threshold (exact)
 # ---------------------------------------------------------------------------
 @reg.query(

@@ -957,6 +957,20 @@ def start_ann_codes_sink(
             "index) and corpus_dir= (the raw-vector snapshot to refit "
             "from)"
         )
+    # metadata-at-rest codes tables record their column set; the
+    # stream must carry every recorded attribute or extends would
+    # poison-pill the first batch — fail at START instead
+    from fortymhz_spark.sources.snapshots import resolve_artifact
+
+    _, _codes_params = resolve_artifact(codes_dir, "ann_codes ")
+    sink_meta = list(_codes_params.get("meta_cols") or [])
+    _missing_meta = [c for c in sink_meta if c not in df.columns]
+    if _missing_meta:
+        raise ValueError(
+            f"the codes table at {codes_dir} records meta_cols "
+            f"{sink_meta} but the stream lacks {_missing_meta} — "
+            "metadata-at-rest attributes must ride every batch"
+        )
     live = {"index": index}
 
     def body(batch_df: DataFrame, batch_id: int, app: str) -> None:
@@ -973,12 +987,39 @@ def start_ann_codes_sink(
         # NULL id names no row.  Collapse to one row per id with a
         # DETERMINISTIC winner (greatest vector — array ordering), so
         # a crash-window replay re-encodes byte-identical codes.
-        adds = (
-            adds.select(F.col(id_col), F.col(vec_col))
-            .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.max(vec_col).alias(vec_col))
-        )
+        if sink_meta:
+            # the deterministic winner covers metadata too: greatest
+            # (vector, meta...) tuple, so replays re-encode AND
+            # re-attach identical rows
+            adds = (
+                adds.select(F.col(id_col), F.col(vec_col), *sink_meta)
+                .filter(
+                    F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col(vec_col),
+                            *[F.col(c) for c in sink_meta],
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    id_col,
+                    F.col(f"_w.{vec_col}").alias(vec_col),
+                    *[F.col(f"_w.{c}").alias(c) for c in sink_meta],
+                )
+            )
+        else:
+            adds = (
+                adds.select(F.col(id_col), F.col(vec_col))
+                .filter(
+                    F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+                )
+                .groupBy(id_col)
+                .agg(F.max(vec_col).alias(vec_col))
+            )
         adds = adds.localCheckpoint()
         have_adds = not adds.isEmpty()
         have_dels = dels is not None and not dels.isEmpty()

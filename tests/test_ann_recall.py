@@ -1434,3 +1434,126 @@ def test_refit_ann_codes_heals_half_refit_crash_window(
     assert int(params["index_version"]) == 3
     sidx2, scodes2 = load_ann_serving(spark, idx_dir, codes_dir)
     assert sidx2.version == 3 and scodes2.count() == emb.count()
+
+
+def test_filtered_ann_meta_at_rest_pushdown_and_fallback(
+    spark, truth, tmp_path
+):
+    """Metadata-filtered ANN: (a) with meta_cols at rest the predicate
+    reaches the CODES SCAN as a parquet PushedFilter and no join is
+    added, (b) the metadata-free table serves the same rows via the
+    semi-join fallback, (c) both equal the in-plan twin over the
+    filtered corpus byte for byte, (d) recall clears the family band
+    against the FILTERED exact truth, and (e) no out-of-filter row is
+    ever served."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn,
+        ivfpq_knn,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF, "embeddings")  # vec_id, embedding, label
+    pred = F.col("label") < 4
+    queries = emb.orderBy("vec_id").limit(8).select("vec_id", "embedding")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+
+    meta_dir, bare_dir = str(tmp_path / "meta"), str(tmp_path / "bare")
+    build_ann_codes(emb, meta_dir, idx, meta_cols=["label"])
+    build_ann_codes(emb, bare_dir, idx)
+    meta_codes = load_ann_codes(spark, meta_dir, idx)
+    assert "label" in meta_codes.columns
+    bare_codes = load_ann_codes(spark, bare_dir, idx)
+
+    kw = dict(k=K, nprobe=4, rerank=8)
+    meta_served = ivfpq_knn(
+        emb, queries, index=idx, codes=meta_codes, corpus_filter=pred, **kw
+    )
+    bare_served = ivfpq_knn(
+        emb, queries, index=idx, codes=bare_codes, corpus_filter=pred, **kw
+    )
+    inplan = ivfpq_knn(emb, queries, index=idx, corpus_filter=pred, **kw)
+    key = lambda r: tuple(r)
+    meta_rows = meta_served.collect()
+    assert sorted(map(key, meta_rows)) == sorted(
+        map(key, bare_served.collect())
+    )
+    assert sorted(map(key, meta_rows)) == sorted(map(key, inplan.collect()))
+
+    # the predicate reached the codes scan as a parquet PushedFilter
+    plan = meta_served._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(label,4)" in plan
+
+    # recall vs the FILTERED exact truth + no out-of-filter row
+    filtered = emb.filter(pred)
+    truth_rows = brute_force_knn(filtered, queries, k=K).collect()
+    tby: dict[int, set[int]] = {}
+    for r in truth_rows:
+        tby.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in meta_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in tby.items())
+    assert hits / sum(len(t) for t in tby.values()) >= 0.5
+    ok_ids = {r["vec_id"] for r in filtered.select("vec_id").collect()}
+    assert all(r["neighbor_id"] in ok_ids for r in meta_rows)
+
+
+def test_meta_cols_inherit_through_extend_and_refit(spark, truth, tmp_path):
+    """meta_cols are TABLE state: an extend inherits the recorded set
+    (and fails loudly when the batch lacks a recorded attribute), a
+    drift refit rebuilds WITH the metadata, and validation rejects
+    colliding names."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    with _pytest.raises(ValueError, match="collide"):
+        build_ann_codes(emb, codes_dir, idx, meta_cols=["cell"])
+    with _pytest.raises(ValueError, match="absent"):
+        build_ann_codes(emb, codes_dir, idx, meta_cols=["nope"])
+    build_ann_codes(old, codes_dir, idx, meta_cols=["label"])
+
+    # a batch stripped of the recorded attribute is rejected
+    with _pytest.raises(ValueError, match="absent"):
+        extend_ann_codes(
+            batch.select("vec_id", "embedding"), codes_dir, idx
+        )
+    extend_ann_codes(batch, codes_dir, idx)
+    got = load_ann_codes(spark, codes_dir, idx)
+    scratch_dir = str(tmp_path / "scratch")
+    build_ann_codes(emb, scratch_dir, idx, meta_cols=["label"])
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, load_ann_codes(spark, scratch_dir, idx).collect())
+    )
+
+    # an unconditional refit keeps the metadata at rest
+    refit_ann_codes(emb, idx_dir, codes_dir)
+    idx2 = load_ann_index(spark, idx_dir)
+    after = load_ann_codes(spark, codes_dir, idx2)
+    assert "label" in after.columns and after.count() == emb.count()

@@ -2105,3 +2105,61 @@ def test_ann_codes_sink_refit_policy_self_heals_index(spark, tmp_path):
     q2.awaitTermination(300)
     assert len(snapshot_versions(idx_dir)) == nv_idx
     assert len(snapshot_versions(codes_dir)) == nv_codes
+
+
+def test_ann_codes_sink_carries_metadata_at_rest(spark, tmp_path):
+    """A metadata-at-rest codes table (build_ann_codes meta_cols=)
+    maintained by the STREAM: the sink resolves the recorded column
+    set at start (raising immediately if the stream lacks one), rides
+    it through the per-batch dedup deterministically, and the final
+    table equals a from-scratch metadata build."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import read_snapshot
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(seed, codes_dir, idx, meta_cols=["label"])
+
+    def rows_of(df):
+        return [
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["embedding"]],
+                int(r["label"]),
+            )
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, label int"
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    _, mk = _stage_json_batches(spark, tmp_path, [rows_of(batch)], schema)
+
+    # a stream missing a recorded attribute fails at START, not as a
+    # first-batch poison pill
+    with _pytest.raises(ValueError, match="meta_cols"):
+        start_ann_codes_sink(
+            mk().drop("label"), codes_dir, idx, str(tmp_path / "ckpt_bad")
+        )
+
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    scratch_dir = str(tmp_path / "scratch")
+    build_ann_codes(emb, scratch_dir, idx, meta_cols=["label"])
+    key = lambda r: tuple(r)
+    got = read_snapshot(spark, codes_dir).collect()
+    want = load_ann_codes(spark, scratch_dir, idx).collect()
+    assert sorted(map(key, got)) == sorted(map(key, want))
