@@ -794,3 +794,128 @@ def load_ann_serving(
         spark, codes_dir, idx, version=v, corpus_version=corpus_version
     )
     return idx, codes
+
+
+def tune_ann_serving(
+    corpus: DataFrame,
+    index: AnnIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample_queries: int = 32,
+    rerank: int | None = None,
+    codes: DataFrame | None = None,
+) -> dict:
+    """Measure, don't guess, the serving knob: the SMALLEST ``nprobe``
+    whose measured recall@k clears ``target_recall`` on a bounded,
+    deterministic query sample — the tuning loop every FAISS
+    deployment runs by hand (sweep nprobe, probe recall on held-out
+    queries, pick the knee), packaged as an operator so "what nprobe
+    do I serve at?" is an artifact of measurement, not folklore.
+    ``_auto_nprobe``'s closed-form rule sizes the candidate PATH;
+    this resolves the knob against the live corpus + index pair and
+    the caller's actual recall SLO.
+
+    Procedure (all deterministic): exact truth for a STRIDED id
+    sample (``id % 13 == 5``, lowest first — the lowest ids seed the
+    coarse centroids, so a lowest-id sample would measure recall on
+    the centroids themselves and report nprobe=1 forever) in ONE
+    brute-force pass, then
+    a doubling sweep (1, 2, 4, … capped at ``n_coarse``) to bracket
+    the target, then binary search inside the bracket — the returned
+    ``nprobe`` is exactly minimal: it meets the target and
+    ``nprobe-1`` (when ≥1 exists) was measured or bracketed failing.
+    Every step serves through the REAL path (``ivfpq_knn`` with this
+    index, and ``codes=`` at rest when given), so the tuned number is
+    valid for production serving, not a proxy.
+
+    Cost: one exact pass over the corpus (sample × corpus scored,
+    one TakeOrdered) + O(log n_coarse) served queries of
+    ``sample_queries`` rows each — bounded, and run offline per
+    (index, corpus) version, never per query.
+
+    Returns ``{"nprobe", "recall", "met", "rerank", "evaluated"}`` —
+    ``met=False`` (with ``nprobe=n_coarse`` and its achieved recall)
+    when even probing every cell cannot clear the target (the
+    ADC/rerank budget is the binding constraint; widen ``rerank`` or
+    refit).  ``evaluated`` lists every (nprobe, recall) measured, the
+    audit trail."""
+    from fortymhz_spark.operators.similarity import (
+        _auto_rerank,
+        brute_force_knn,
+        ivfpq_knn,
+    )
+
+    if index.kind != "ivfpq":
+        raise ValueError(
+            f"tune_ann_serving needs an 'ivfpq' index, got {index.kind!r}"
+        )
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter((F.col(id_col) % 13) == 5)
+        .orderBy(id_col)
+        .limit(sample_queries)
+        .localCheckpoint()
+    )
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_knn(
+        corpus, sample, id_col=id_col, vec_col=vec_col, k=k
+    ).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(t) for t in truth.values())
+    if total == 0:
+        raise ValueError("empty corpus/sample: nothing to tune against")
+    rerank = _auto_rerank(corpus, rerank)
+
+    def recall_at(p: int) -> float:
+        got: dict[int, set[int]] = {}
+        rows = ivfpq_knn(
+            corpus, sample, id_col=id_col, vec_col=vec_col, k=k,
+            nprobe=p, rerank=rerank, index=index, codes=codes,
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return (
+            sum(len(got.get(q, set()) & t) for q, t in truth.items()) / total
+        )
+
+    evaluated: list[tuple[int, float]] = []
+    # doubling sweep to bracket the target
+    lo, hi, hi_recall = 0, None, 0.0
+    p = 1
+    while True:
+        r = recall_at(p)
+        evaluated.append((p, r))
+        if r >= target_recall:
+            hi, hi_recall = p, r
+            break
+        lo = p
+        if p >= index.n_coarse:
+            return {
+                "nprobe": index.n_coarse,
+                "recall": r,
+                "met": False,
+                "rerank": rerank,
+                "evaluated": evaluated,
+            }
+        p = min(p * 2, index.n_coarse)
+    # binary search (lo fails, hi meets) for the exact minimum
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        r = recall_at(mid)
+        evaluated.append((mid, r))
+        if r >= target_recall:
+            hi, hi_recall = mid, r
+        else:
+            lo = mid
+    return {
+        "nprobe": hi,
+        "recall": hi_recall,
+        "met": True,
+        "rerank": rerank,
+        "evaluated": evaluated,
+    }

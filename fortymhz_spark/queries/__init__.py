@@ -34,17 +34,18 @@ the oldest checks):
 3. THE 46 ROUND-7 GREENS, whose checks became the next-oldest once
    round 9 landed.
 
-4 new (q_emb_ann_refit — the drift loop closed, verdict item #4;
+5 new (q_emb_ann_refit — the drift loop closed, verdict item #4;
 q_emb_ann_ivfpq_residual — by_residual serving, item #3;
 q_emb_knn_filtered + q_emb_ann_filtered — metadata-filtered search,
-exact half with a REAL SQL oracle + meta-at-rest ANN half) + 2
-never-graded + 2 spill-promise + 42 round-7 = 50 exactly: each new
+exact half with a REAL SQL oracle + meta-at-rest ANN half;
+q_emb_ann_tuned — minimal-nprobe serving auto-tuner) + 2
+never-graded + 2 spill-promise + 41 round-7 = 50 exactly: each new
 query spilled the alphabetically-last round-7 row from the gate to
-the FRONT of the round-11 deferred bucket (q_text_rarity_score,
-q_top_customers, q_vec_int8_quant_error,
+the FRONT of the round-11 deferred bucket (q_text_crossdoc_blocks,
+q_text_rarity_score, q_top_customers, q_vec_int8_quant_error,
 q_window_top_orders_per_customer — the same never-graded-first /
 oldest-first overflow rule round 9 established).  The round-11
-deferred bucket below is those four spilled round-7 rows followed by
+deferred bucket below is those five spilled round-7 rows followed by
 the 50 rows graded in round 8, whose checks become the registry's
 oldest once this round lands; PREVIOUSLY_GREEN holds the 50 rows the
 round-9 gate graded 50/50 (CORRECTNESS_r09.json — the freshest
@@ -75,6 +76,7 @@ ROUND_GATE: tuple[str, ...] = (
     "q_emb_ann_ivfpq_residual",
     "q_emb_knn_filtered",
     "q_emb_ann_filtered",
+    "q_emb_ann_tuned",
     # —— the two never-driver-graded round-9 rows (the r9 verdict's
     #    explicit ordering; pca_incremental also carries this round's
     #    changed-code re-grade: the merge_fanin pre-merge +
@@ -126,7 +128,6 @@ ROUND_GATE: tuple[str, ...] = (
     "q_sketch_cardinality",
     "q_sketch_heavy_hitters",
     "q_sql_revenue_by_nation",
-    "q_text_crossdoc_blocks",
 )
 
 # The rows deferring to round 11, in pick-up order: the two
@@ -137,6 +138,7 @@ ROUND_GATE: tuple[str, ...] = (
 # once round 10 lands.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # —— spilled from the round-10 gate (round-7 checks) ——
+    "q_text_crossdoc_blocks",
     "q_text_rarity_score",
     "q_top_customers",
     "q_vec_int8_quant_error",

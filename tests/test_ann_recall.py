@@ -1557,3 +1557,53 @@ def test_meta_cols_inherit_through_extend_and_refit(spark, truth, tmp_path):
     idx2 = load_ann_index(spark, idx_dir)
     after = load_ann_codes(spark, codes_dir, idx2)
     assert "label" in after.columns and after.count() == emb.count()
+
+
+def test_tune_ann_serving_minimal_and_bounded(spark, truth, tmp_path):
+    """The serving auto-tuner: the returned nprobe MEETS the target on
+    the strided sample, is EXACTLY minimal (the audit trail holds
+    nprobe-1 measured below target), an unreachable target reports
+    met=False at full probe width instead of looping, and validation
+    rejects bad inputs."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+        tune_ann_serving,
+    )
+
+    emb, _, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx, corpus_version=1)
+    codes = load_ann_codes(spark, codes_dir, idx, corpus_version=1)
+
+    target = 0.7
+    res = tune_ann_serving(
+        emb, idx, k=10, target_recall=target, sample_queries=16,
+        codes=codes,
+    )
+    assert res["met"] is True and res["recall"] >= target
+    assert 1 <= res["nprobe"] <= idx.n_coarse
+    ev = dict(res["evaluated"])
+    assert res["nprobe"] == 1 or ev[res["nprobe"] - 1] < target
+    # the audit trail's entry for the returned knob IS the result
+    assert ev[res["nprobe"]] == res["recall"]
+
+    # an unreachable SLO (rerank=1 starves the exact re-rank) reports
+    # met=False at full probe width — no loop, no exception
+    hard = tune_ann_serving(
+        emb, idx, k=10, target_recall=1.0, sample_queries=16,
+        rerank=1, codes=codes,
+    )
+    assert hard["met"] is False and hard["nprobe"] == idx.n_coarse
+
+    with _pytest.raises(ValueError, match="target_recall"):
+        tune_ann_serving(emb, idx, target_recall=0.0)
+    object.__setattr__(idx, "kind", "pq")
+    with _pytest.raises(ValueError, match="'ivfpq' index"):
+        tune_ann_serving(emb, idx)
