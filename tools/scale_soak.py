@@ -1066,6 +1066,68 @@ def pq_residual_soak(spark, mults: list[int], reps: int = 2) -> int:
     return 0
 
 
+def ann_filtered_soak(spark, mults: list[int], reps: int = 2) -> int:
+    """Filtered ANN serving across decades (round-10): the SAME
+    predicate (label < 4, ~half the corpus) served from codes-at-rest
+    two ways — metadata AT REST (``meta_cols=["label"]``: the
+    predicate is a parquet PushedFilter on the codes scan, zero extra
+    joins) vs the SEMI-JOIN fallback (metadata-free codes joined
+    against the filtered corpus ids per query).  The claim under test:
+    pushdown's wall tracks the codes scan while the fallback pays a
+    corpus-side join that grows with the table — the reason SCALE.md's
+    honest-list item 5 says put serving-filter attributes in the codes
+    table.  Fit/encode are cached per scale; min-of-reps measures pure
+    query-time cost, both modes probing identical cells."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+    from fortymhz_spark.sources.batch import load_table
+
+    print("| scale | mode | wall s (min of reps) | rows |")
+    print("|---|---|---|---|")
+    for mult in mults:
+        if mult == 1:
+            emb = load_table(spark, SF_DIR, "embeddings")
+        else:
+            out = f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        queries = emb.filter(F.col("vec_id") % (41 * mult) == 0).select(
+            "vec_id", "embedding"
+        )
+        idx_dir = tempfile.mkdtemp(prefix="fmhz_fsoak_idx_")
+        build_ann_index(emb, idx_dir, n_coarse=16 * mult, n_sub=8, n_cells=16)
+        idx = load_ann_index(spark, idx_dir)
+        meta_dir = tempfile.mkdtemp(prefix="fmhz_fsoak_meta_")
+        bare_dir = tempfile.mkdtemp(prefix="fmhz_fsoak_bare_")
+        build_ann_codes(emb, meta_dir, idx, meta_cols=["label"])
+        build_ann_codes(emb, bare_dir, idx)
+        pred = F.col("label") < 4
+        for mode, codes in (
+            ("meta-pushdown", load_ann_codes(spark, meta_dir, idx)),
+            ("semijoin-fallback", load_ann_codes(spark, bare_dir, idx)),
+        ):
+            best, n = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = ivfpq_knn(
+                    emb, queries, k=10, nprobe=8, rerank=16,
+                    assign="arrow", index=idx, codes=codes,
+                    corpus_filter=pred,
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            print(f"| {mult}x | {mode} | {best:.2f} | {n} |")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
@@ -1092,6 +1154,12 @@ def main() -> int:
         help="run ONLY the residual-vs-raw PQ recall/wall comparison "
         "(honors --scales and --reps)",
     )
+    ap.add_argument(
+        "--ann-filtered",
+        action="store_true",
+        help="run ONLY the filtered-ANN pushdown-vs-semijoin "
+        "comparison (honors --scales and --reps)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     mults = [int(s) for s in args.scales.split(",")]
@@ -1109,6 +1177,11 @@ def main() -> int:
 
     if args.pq_residual:
         pq_residual_soak(spark, mults, reps=args.reps)
+        spark.stop()
+        return 0
+
+    if args.ann_filtered:
+        ann_filtered_soak(spark, mults, reps=args.reps)
         spark.stop()
         return 0
 
