@@ -269,11 +269,17 @@ def build_ann_codes(
     codes scan as a parquet PushedFilter instead of semi-joining the
     corpus (zero extra joins at serve time — at 100 TB the difference
     between pruned code files and a corpus-sized join per query).
-    The column set is recorded in the note; extends INHERIT it (a
-    batch missing a recorded column fails loudly — a codes table must
-    never hold rows with silently-NULL filter attributes).  Costs one
-    id-keyed join at BUILD time, a one-time price the serve path
-    never pays again."""
+    The column set is recorded in the note; extends INHERIT it.  The
+    invariant — a codes table must never hold rows with silently-NULL
+    filter attributes — is enforced at BOTH granularities: a batch
+    missing a recorded COLUMN fails loudly (:func:`_join_meta`), and
+    NULL meta VALUES are rejected too (``isNotNull`` CHECK
+    constraints riding this write's read-back pass; extends run the
+    same check as one batch-bounded aggregate), because a NULL value
+    is invisible to every pushed-down predicate — the silent recall
+    leak metadata-at-rest exists to prevent.  Costs one id-keyed join
+    at BUILD time, a one-time price the serve path never pays
+    again."""
     from fortymhz_spark.operators.similarity import _ivfpq_codes
 
     if index.kind != "ivfpq":
@@ -307,6 +313,17 @@ def build_ann_codes(
         partition_by=["cell"] if partition_by_cell else None,
         note="ann_codes " + json.dumps(params, sort_keys=True),
         expected_current=expected_current,
+        # the no-silently-NULL-filter-attributes invariant, enforced
+        # as CHECK constraints riding write_snapshot's existing
+        # read-back pass (zero extra scans): a NULL meta value would
+        # make the row invisible to every pushed-down predicate —
+        # exactly the silent recall leak metadata-at-rest exists to
+        # prevent (advisor round-11: presence checks alone let NULL
+        # VALUES through)
+        checks=(
+            {f"meta_{c}_not_null": F.col(c).isNotNull() for c in meta_cols}
+            or None
+        ),
     )
 
 
@@ -445,10 +462,30 @@ def extend_ann_codes(
     ).withColumnRenamed("neighbor_id", "id")
     # metadata-at-rest tables INHERIT their recorded column set: the
     # arriving batch must carry every recorded attribute
-    codes = _join_meta(
-        codes, new_vecs, id_col, vec_col,
-        list(params.get("meta_cols") or []), index,
-    )
+    meta_cols = list(params.get("meta_cols") or [])
+    codes = _join_meta(codes, new_vecs, id_col, vec_col, meta_cols, index)
+    if meta_cols:
+        # the build path's CHECK constraint, applied to the batch:
+        # merge_snapshot has no checks= hook, so the NULL-value half
+        # of the no-silently-NULL-filter-attributes invariant runs
+        # here as one bounded aggregate over the BATCH (never the
+        # table) before anything merges
+        row = codes.agg(
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(c)
+                for c in meta_cols
+            ]
+        ).first()
+        bad = {c: int(row[c] or 0) for c in meta_cols if row and row[c]}
+        if bad:
+            raise ValueError(
+                f"extend_ann_codes: NULL metadata values in the batch "
+                f"— {bad} (column: NULL-row count).  A codes table "
+                "must never hold rows with silently-NULL filter "
+                "attributes; drop or backfill those rows upstream"
+            )
     new_params = _inherit_pin(params, corpus_version)
     return merge_snapshot(
         new_vecs.sparkSession,
@@ -638,6 +675,45 @@ def load_ann_codes(
     return read_snapshot(spark, table_dir, version=v)
 
 
+def codes_deleted_fraction(table_dir: str) -> float:
+    """NET shrinkage of the codes table since its current index was
+    fit: ``1 - rows(current) / rows(fresh encode under this fit)``,
+    floored at 0.  The fresh-encode base is the OLDEST version whose
+    note pairs the current index version — exactly the
+    ``build_ann_codes``/``refit_ann_codes`` publish; extends and
+    deletes inherit the pairing, so their versions never shift the
+    base.  Manifest-only arithmetic (the per-version row counts the
+    snapshot layer already records): zero data scans, so a monitoring
+    loop can call this every trigger.
+
+    This is the TOMBSTONE-MASS refit signal :func:`refit_ann_codes`'s
+    ``deleted_fraction_threshold`` arm acts on: heavy deletes leave
+    cells sparse and the ⌈√N⌉ coarse sizing stale WITHOUT moving
+    quantization error, so the drift arm alone never fires.  Caveat
+    by construction: it measures NET shrinkage — deletes masked by
+    equal-mass extends read as 0 (per-cell sparsity from such churn
+    is bounded by the drift arm's geometry signal instead)."""
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    v, params = resolve_artifact(table_dir, "ann_codes ")
+    idx_v = int(params["index_version"])
+    base_rows = cur_rows = None
+    for e in snapshot_versions(table_dir):  # oldest first
+        note = e.get("note", "")
+        if not note.startswith("ann_codes "):
+            continue
+        p = json.loads(note[len("ann_codes "):])
+        if int(p["index_version"]) != idx_v:
+            continue
+        if base_rows is None:
+            base_rows = int(e["rows"])
+        if e["version"] == v:
+            cur_rows = int(e["rows"])
+    if not base_rows or cur_rows is None:
+        return 0.0
+    return max(0.0, 1.0 - cur_rows / base_rows)
+
+
 def refit_ann_codes(
     corpus: DataFrame,
     index_dir: str,
@@ -646,6 +722,7 @@ def refit_ann_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_threshold: float | None = None,
+    deleted_fraction_threshold: float | None = None,
     corpus_version: int | None = None,
     n_coarse: int | None = None,
     assign: str = "arrow",
@@ -669,11 +746,18 @@ def refit_ann_codes(
     rebuild then publishes past the orphaned index version (the CAS
     base is the REAL current), healing the half-refit state.
 
-    Decision rule: ``drift_threshold=None`` refits unconditionally
-    (the manual-rebuild form); otherwise a measured
-    ``mean_quant_err <= drift_threshold`` is a true no-op — current
-    versions are returned unchanged and nothing is written (a healthy
-    index must not be churned by its own monitoring loop).
+    Decision rule: with NEITHER threshold set the refit is
+    unconditional (the manual-rebuild form); with either set, the
+    refit fires when ANY armed arm crosses — measured
+    ``mean_quant_err > drift_threshold`` (geometry drift) OR
+    :func:`codes_deleted_fraction` ``> deleted_fraction_threshold``
+    (tombstone mass: heavy deletes leave cells sparse and the ⌈√N⌉
+    coarse sizing stale without moving quantization error, so the
+    drift arm alone never notices) — and is otherwise a true no-op:
+    current versions are returned unchanged and nothing is written
+    (a healthy index must not be churned by its own monitoring
+    loop).  The fraction is manifest-only arithmetic (zero scans)
+    and is always measured and returned, armed or not.
 
     Refit semantics: the new index inherits the current artifact's
     STRUCTURAL geometry (``n_sub``/``n_cells``/``by_residual`` and the
@@ -696,8 +780,9 @@ def refit_ann_codes(
     time-travelable for pinned readers.
 
     Returns ``{"refit": bool, "mean_quant_err": float,
-    "index_version": int, "codes_version": int}`` — the versions in
-    force AFTER the call either way.
+    "deleted_fraction": float, "index_version": int,
+    "codes_version": int}`` — the versions in force AFTER the call
+    either way.
 
     Scale shape: the drift probe is one map-only scan; the refit costs
     exactly one :func:`build_ann_index` (two bounded collects) + one
@@ -715,10 +800,23 @@ def refit_ann_codes(
         ann_drift_report(corpus, idx, vec_col=vec_col)
         .collect()[0]["mean_quant_err"]
     )
-    if drift_threshold is not None and drift <= drift_threshold:
+    deleted_frac = codes_deleted_fraction(codes_dir)
+    armed = (
+        drift_threshold is not None
+        or deleted_fraction_threshold is not None
+    )
+    fire = (
+        (drift_threshold is not None and drift > drift_threshold)
+        or (
+            deleted_fraction_threshold is not None
+            and deleted_frac > deleted_fraction_threshold
+        )
+    )
+    if armed and not fire:
         return {
             "refit": False,
             "mean_quant_err": drift,
+            "deleted_fraction": deleted_frac,
             "index_version": idx.version,
             "codes_version": codes_v,
         }
@@ -763,6 +861,7 @@ def refit_ann_codes(
     return {
         "refit": True,
         "mean_quant_err": drift,
+        "deleted_fraction": deleted_frac,
         "index_version": new_idx_v,
         "codes_version": new_codes_v,
     }

@@ -988,7 +988,7 @@ def ivfpq_knn(
     train_sample: int = 512,
     dim: int | None = None,
     assign: str = "arrow",
-    by_residual: bool = False,
+    by_residual: bool | None = None,
     index=None,
     codes: DataFrame | None = None,
     corpus_filter=None,
@@ -1078,10 +1078,16 @@ def ivfpq_knn(
     then discard) loses exactly the rows a selective filter needs.
     Plan shape by path: in-plan encode simply encodes the filtered
     corpus; with ``codes=`` the predicate is PUSHED INTO THE CODES
-    SCAN when the codes table carries the referenced columns at rest
+    SCAN when it resolves against the table's METADATA columns alone
     (``build_ann_codes(meta_cols=...)`` — a parquet PushedFilter,
     zero extra joins), else it falls back to a semi-join of the codes
-    against the filtered corpus ids.  ``rerank``/``nprobe``
+    against the filtered corpus ids.  The pushdown gate is the
+    meta-only projection, not "whatever resolves on the codes frame":
+    a predicate referencing a corpus column that happens to share a
+    codes-schema name (``id``/``cell`` mean vector-id/coarse-cell
+    there) must never silently filter on the wrong semantics, so any
+    reference outside the meta set takes the semi-join path where the
+    names mean what the caller meant.  ``rerank``/``nprobe``
     auto-sizing resolves against the FILTERED population (that is the
     search's N).  Queries are never filtered — they are the probe
     side, not the served population.
@@ -1115,9 +1121,22 @@ def ivfpq_knn(
             index.n_coarse, index.n_sub, index.n_cells, index.d_sub,
         )
         # the encode mode is INDEX state, not a query-time knob — the
-        # codebooks were trained in one space and must be ADC'd in it
-        by_residual = bool(getattr(index, "by_residual", False))
+        # codebooks were trained in one space and must be ADC'd in it.
+        # An EXPLICIT by_residual that contradicts the index's
+        # recorded mode is the same mode-mixing the pairing check
+        # rejects everywhere else: fail loudly, never silently serve
+        # the other space (advisor round-11).
+        idx_mode = bool(getattr(index, "by_residual", False))
+        if by_residual is not None and bool(by_residual) != idx_mode:
+            raise ValueError(
+                f"by_residual={by_residual!r} conflicts with the "
+                f"index's recorded mode (by_residual={idx_mode}) — "
+                "the encode space is index geometry; drop the "
+                "argument or load the matching index"
+            )
+        by_residual = idx_mode
     else:
+        by_residual = bool(by_residual)
         n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
         coarse = _centroids(corpus, id_col, vec_col, n_coarse)
         d_sub, books = _pq_train(
@@ -1139,12 +1158,38 @@ def ivfpq_knn(
         if corpus_filter is not None:
             from pyspark.errors import AnalysisException
 
-            try:
-                # metadata at rest: the predicate resolves against the
-                # codes frame itself and reaches the parquet scan as a
-                # PushedFilter — no join at all
+            # Metadata at rest: push the predicate into the codes scan
+            # (a parquet PushedFilter, no join at all) — but ONLY when
+            # it resolves against the table's META columns alone.  The
+            # codes schema has its own ``id``/``cell`` (vector-id /
+            # coarse-cell) whose names a corpus predicate could
+            # coincidentally reference with entirely different
+            # semantics; resolving against the meta-only projection
+            # (everything beyond the codes schema IS the recorded
+            # meta_cols set — build/extend admit nothing else) rejects
+            # exactly those, and the semi-join fallback evaluates the
+            # predicate where its names mean what the caller meant
+            # (advisor round-11).
+            meta_only = [c for c in codes.columns if c not in want]
+            pushable = False
+            if meta_only:
+                # analysis-only probe against a DETACHED empty frame
+                # carrying just the meta schema: resolving on (a
+                # projection of) the codes frame would not do — the
+                # analyzer's missing-reference rescue resolves filter
+                # columns from the CHILD plan, which is exactly the
+                # wrong-semantics leak being gated out
+                probe = codes.sparkSession.createDataFrame(
+                    [], codes.select(*meta_only).schema
+                )
+                try:
+                    probe.filter(corpus_filter)
+                    pushable = True
+                except AnalysisException:
+                    pushable = False
+            if pushable:
                 codes = codes.filter(corpus_filter)
-            except AnalysisException:
+            else:
                 # the predicate needs corpus-only columns: evaluate it
                 # there and semi-join the matching ids into the scan
                 codes = codes.join(

@@ -15,42 +15,41 @@ long tail (50/50), round 4 completed the rotation (50/50), rounds 5-8
 ran the steady-state policy (new + changed-code + the full deferred
 bucket each round; 50/50 every time — see CORRECTNESS_r0{5..8}.json).
 
-Round 10 rotation (the r9 verdict's item #1, the promised pick-up
-order — never-driver-graded rows first, then the spill promise, then
-the oldest checks):
+Round 11 rotation (the r10 verdict's item #2 — rotate the gate onto
+the deferred bucket, never-graded-first / changed-code-re-grades /
+oldest-first):
 
-1. THE TWO NEVER-DRIVER-GRADED PCA rows enter FIRST:
-   q_emb_pca_audit and q_emb_pca_incremental landed after the round-9
-   gate was already exactly full — the only registered queries with
-   zero driver rows ever (judge-audited green at sf0.01 meanwhile).
-   q_emb_pca_incremental doubles as this round's changed-code
-   re-grade: the moment reduce grew the executor-side pre-merge
-   (merge_fanin) and the empty-delta no-ops — the r9 verdict item #2
-   and ADVICE item #2.
-2. THE TWO ROUND-6 ROWS SPILLED FROM THE ROUND-9 GATE —
-   q_window_lag_order_gap, q_window_running_revenue — the registry's
-   oldest checks and the immovable spill promise from the r9
-   docstring.
-3. THE 46 ROUND-7 GREENS, whose checks became the next-oldest once
-   round 9 landed.
+1. THE ONE NEW ROUND-11 QUERY enters first:
+   q_emb_ann_refit_tombstone — the deleted-fraction refit arm (the
+   r10 verdict's item #5), with four oracle-recomputed raw-value
+   columns (item #8's pattern).
+2. THE CHANGED-CODE RE-GRADES: q_emb_ann_refit (the refit decision
+   gained the tombstone arm + a deleted_fraction return field and
+   the streaming coverage guard sits upstream of it),
+   q_emb_ann_filtered (the corpus_filter pushdown is now gated on
+   meta-only resolution — the r10 advisor's wrong-semantics leak),
+   q_emb_ann_ivfpq_residual (ivfpq_knn's by_residual became a
+   tri-state with loud index-mode conflicts).  All three were graded
+   green in round 10; the code beneath them changed this round, so
+   their checks renew NOW rather than riding PREVIOUSLY_GREEN.
+3. THE FIVE ROUND-7 ROWS SPILLED FROM THE ROUND-10 GATE
+   (q_text_crossdoc_blocks, q_text_rarity_score, q_top_customers,
+   q_vec_int8_quant_error, q_window_top_orders_per_customer — the
+   r10 docstring's immovable spill promise).
+4. THE FIRST 41 OF THE 50 ROUND-8 GREENS (the registry's oldest
+   checks once round 10 landed), in their recorded order.
 
-5 new (q_emb_ann_refit — the drift loop closed, verdict item #4;
-q_emb_ann_ivfpq_residual — by_residual serving, item #3;
-q_emb_knn_filtered + q_emb_ann_filtered — metadata-filtered search,
-exact half with a REAL SQL oracle + meta-at-rest ANN half;
-q_emb_ann_tuned — minimal-nprobe serving auto-tuner) + 2
-never-graded + 2 spill-promise + 41 round-7 = 50 exactly: each new
-query spilled the alphabetically-last round-7 row from the gate to
-the FRONT of the round-11 deferred bucket (q_text_crossdoc_blocks,
-q_text_rarity_score, q_top_customers, q_vec_int8_quant_error,
-q_window_top_orders_per_customer — the same never-graded-first /
-oldest-first overflow rule round 9 established).  The round-11
-deferred bucket below is those five spilled round-7 rows followed by
-the 50 rows graded in round 8, whose checks become the registry's
-oldest once this round lands; PREVIOUSLY_GREEN holds the 50 rows the
-round-9 gate graded 50/50 (CORRECTNESS_r09.json — the freshest
-checks).  Everything outside the gate stays covered by the local
-sf0.001 differential (tests/test_oracle_parity.py) either way.
+1 new + 3 re-grades + 5 spill-promise + 41 round-8 = 50 exactly.
+The round-12 deferred bucket below is the NINE round-8 rows the
+re-grades displaced (q_events_dedup_ingest …
+q_media_frame_sample — the next spill promise, they lead the
+round-12 gate) followed by the 50 rows graded 50/50 in round 9
+(CORRECTNESS_r09.json), whose checks become the registry's oldest
+once this round lands.  PREVIOUSLY_GREEN holds the 47 rows of the
+round-10 gate not pulled back for re-grade (CORRECTNESS_r10.json —
+the freshest checks).  Everything outside the gate stays covered by
+the local sf0.001 differential (tests/test_oracle_parity.py) either
+way.
 """
 
 from __future__ import annotations
@@ -61,89 +60,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-10 gate (slots 1-50): the 2 never-driver-graded PCA rows +
-# the 2 round-6 rows spilled from the round-9 gate (the immovable
-# spill promise) + the 46 round-7 greens (the oldest checks).  New
-# round-10 queries insert at the FRONT; each spills the
-# alphabetically-last round-7 row to the round-11 deferred bucket.
+# Round-11 gate (slots 1-50): 1 new + 3 changed-code re-grades + the
+# 5-row round-10 spill promise + the first 41 round-8 greens (the
+# oldest checks).  New round-11 queries insert at the FRONT; each
+# spills the last round-8 row to the round-12 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
-    # —— NEW this round: the drift loop CLOSED (refit_ann_codes — the
-    #    r9 verdict's item #4), residual-PQ serving (by_residual as
-    #    index geometry — item #3), and metadata-FILTERED search (the
-    #    exact half with a REAL SQL oracle + the meta-at-rest ANN
-    #    serving half) ——
+    # —— NEW this round: the tombstone-mass refit arm (r10 verdict
+    #    item #5; four oracle-recomputed raw columns per item #8) ——
+    "q_emb_ann_refit_tombstone",
+    # —— changed-code re-grades (code beneath each moved this
+    #    round: tombstone arm + coverage guard; meta-only pushdown
+    #    gate; by_residual tri-state) ——
     "q_emb_ann_refit",
-    "q_emb_ann_ivfpq_residual",
-    "q_emb_knn_filtered",
     "q_emb_ann_filtered",
-    "q_emb_ann_tuned",
-    # —— the two never-driver-graded round-9 rows (the r9 verdict's
-    #    explicit ordering; pca_incremental also carries this round's
-    #    changed-code re-grade: the merge_fanin pre-merge +
-    #    empty-delta no-ops) ——
-    "q_emb_pca_audit",
-    "q_emb_pca_incremental",
-    # —— the round-9 spill promise (round-6 checks: oldest) ——
-    "q_window_lag_order_gap",
-    "q_window_running_revenue",
-    # —— the 46 round-7 greens (next-oldest checks) ——
-    "q_docs_span_dedup",
-    "q_docs_c4_rules_derived",
-    "q_profile_orders_approx",
-    "q_docs_bpe_persisted",
-    "q_vec_kmeans",
-    "q_emb_prototype_prune",
-    "q_emb_ann_ivfpq_auto",
-    "q13_order_count_distribution",
-    "q_emb_semantic_keep_list",
-    "q_text_repetition_stats",
-    "q_chunk_token_windows",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q21_suppliers_kept_waiting",
-    "q5_local_supplier_volume",
-    "q_brand_volume",
-    "q_cogroup_user_orders",
-    "q_distinct_parts_per_flag",
-    "q_docs_bigram_familiarity",
-    "q_docs_decontaminate_bloom",
-    "q_docs_decontaminate_fuzzy",
-    "q_docs_jaccard_blocked",
-    "q_docs_minhash_estimate",
-    "q_docs_simhash_near_dups",
-    "q_docs_tfidf_top_terms",
-    "q_events_asof_last_order",
-    "q_histogram_quantity",
-    "q_mixture_temperature",
-    "q_pack_export",
-    "q_pipeline_curation",
-    "q_pivot_flag_by_status",
-    "q_profile_orders",
-    "q_right_outer_order_counts",
-    "q_rollup_returnflag_status",
-    "q_salted_agg_volume",
-    "q_scalar_functions",
-    "q_search_bm25",
-    "q_sketch_cardinality",
-    "q_sketch_heavy_hitters",
-    "q_sql_revenue_by_nation",
-)
-
-# The rows deferring to round 11, in pick-up order: the two
-# alphabetically-last round-7 rows spilled from this round's gate by
-# the two new round-10 queries (2 new + 2 PCA + 2 spill-promise + 44
-# round-7 = 50 exactly), then the 50 rows graded 50/50 in round 8
-# (CORRECTNESS_r08.json), whose checks become the registry's oldest
-# once round 10 lands.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— spilled from the round-10 gate (round-7 checks) ——
+    "q_emb_ann_ivfpq_residual",
+    # —— the round-10 spill promise (round-7 checks: oldest) ——
     "q_text_crossdoc_blocks",
     "q_text_rarity_score",
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
-    # —— the 50 round-8 greens (oldest checks after this round) ——
+    # —— the first 41 round-8 greens (next-oldest checks) ——
     "q_emb_ann_ivfpq_codes",
     "q_docs_strip_contaminated_spans",
     "q_docs_decontaminate_spans",
@@ -185,6 +122,15 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_dt_hits_per_orbit",
     "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy",
+)
+
+# The rows deferring to round 12, in pick-up order: the nine
+# round-8 rows this round's new query + re-grades displaced (the
+# round-12 spill promise), then the 50 rows graded 50/50 in round 9
+# (CORRECTNESS_r09.json), whose checks become the registry's oldest
+# once round 11 lands.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— spilled from the round-11 gate (round-8 checks) ——
     "q_events_dedup_ingest",
     "q_events_grouped_pandas_stats",
     "q_events_json_props",
@@ -194,13 +140,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_features",
     "q_media_frame_sample",
-)
-
-# Driver-green rows outside the round-10 gate with the FRESHEST
-# checks: the 50 rows the round-9 gate graded 50/50
-# (CORRECTNESS_r09.json).  The registry asserts gate ∪ deferred ∪
-# previously-green == all registered queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+    # —— the 50 round-9 greens (oldest checks after this round) ——
     "q_emb_ann_codes_delete",
     "q_emb_ann_drift_report",
     "q_emb_ann_codes_extend",
@@ -251,6 +191,61 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_snapshot_merge_orders",
     "q_unpivot_part_sizes",
     "q_vec_knn_arrow",
+)
+
+# Driver-green rows outside the round-11 gate with the FRESHEST
+# checks: the round-10 gate's 50 minus the three pulled back for
+# changed-code re-grades (CORRECTNESS_r10.json).  The registry
+# asserts gate ∪ deferred ∪ previously-green == all registered
+# queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_emb_knn_filtered",
+    "q_emb_ann_tuned",
+    "q_emb_pca_audit",
+    "q_emb_pca_incremental",
+    "q_window_lag_order_gap",
+    "q_window_running_revenue",
+    "q_docs_span_dedup",
+    "q_docs_c4_rules_derived",
+    "q_profile_orders_approx",
+    "q_docs_bpe_persisted",
+    "q_vec_kmeans",
+    "q_emb_prototype_prune",
+    "q_emb_ann_ivfpq_auto",
+    "q13_order_count_distribution",
+    "q_emb_semantic_keep_list",
+    "q_text_repetition_stats",
+    "q_chunk_token_windows",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q21_suppliers_kept_waiting",
+    "q5_local_supplier_volume",
+    "q_brand_volume",
+    "q_cogroup_user_orders",
+    "q_distinct_parts_per_flag",
+    "q_docs_bigram_familiarity",
+    "q_docs_decontaminate_bloom",
+    "q_docs_decontaminate_fuzzy",
+    "q_docs_jaccard_blocked",
+    "q_docs_minhash_estimate",
+    "q_docs_simhash_near_dups",
+    "q_docs_tfidf_top_terms",
+    "q_events_asof_last_order",
+    "q_histogram_quantity",
+    "q_mixture_temperature",
+    "q_pack_export",
+    "q_pipeline_curation",
+    "q_pivot_flag_by_status",
+    "q_profile_orders",
+    "q_right_outer_order_counts",
+    "q_rollup_returnflag_status",
+    "q_salted_agg_volume",
+    "q_scalar_functions",
+    "q_search_bm25",
+    "q_sketch_cardinality",
+    "q_sketch_heavy_hitters",
+    "q_sql_revenue_by_nation",
 )
 
 

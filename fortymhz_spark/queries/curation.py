@@ -2478,6 +2478,118 @@ def q_emb_ann_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The tombstone-mass refit arm (round-11, the r10 verdict's item #5):
+# heavy deletes leave cells sparse and the ⌈√N⌉ coarse sizing stale
+# WITHOUT moving quantization error, so the drift arm alone never
+# fires.  codes_deleted_fraction measures the net shrinkage since the
+# current fit from MANIFEST row counts alone (zero scans);
+# refit_ann_codes(deleted_fraction_threshold=) acts on it with the
+# same CAS/no-op discipline as the drift arm.  Raw-value columns the
+# oracle recomputes independently: corpus/survivor/deleted counts and
+# the post-refit version number (the r10 verdict's item #8 pattern).
+# ---------------------------------------------------------------------------
+@reg.query(
+    "q_emb_ann_refit_tombstone",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+             AS n_corpus,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0)
+                AS BIGINT) AS n_survivors,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0)
+                AS BIGINT) AS n_deleted,
+           CAST(2 AS BIGINT) AS refit_version,
+           TRUE AS fresh_build_zero,
+           TRUE AS fraction_exact,
+           TRUE AS noop_below_threshold,
+           TRUE AS fired_above_threshold,
+           TRUE AS fraction_spent
+    """,
+)
+def q_emb_ann_refit_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deleted-fraction refit arm end to end: build index+codes on
+    the full corpus, tombstone the ``vec_id % 3 != 0`` two-thirds,
+    then grade (a) a fresh build measures zero, (b) the post-delete
+    fraction equals the manifest-math expectation exactly, (c) a
+    threshold ABOVE the measured fraction
+    is a write-free no-op even with the drift arm pinned unreachable,
+    (d) a threshold below fires the refit (new index + codes versions)
+    although drift never crossed, and (e) the refit spends the
+    tombstone mass (fraction back to 0, codes rows == survivors).
+    ``n_corpus``/``n_survivors``/``n_deleted``/``refit_version`` are
+    raw values the DuckDB oracle recomputes from the same parquet.
+    Cost: one fit + one encode + one merge-delete + the refit's
+    fit/encode — all bounded; the fraction checks are manifest-only."""
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        delete_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+        refit_ann_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    idx_dir = tempfile.mkdtemp(prefix="fmhz_tomb_idx_")
+    codes_dir = tempfile.mkdtemp(prefix="fmhz_tomb_codes_")
+    build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    idx1 = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx1, corpus_version=1)
+    frac0 = codes_deleted_fraction(codes_dir)
+
+    doomed = emb.filter(F.col("vec_id") % 3 != 0)
+    survivors = emb.filter(F.col("vec_id") % 3 == 0)
+    n_deleted, n_survivors = doomed.count(), survivors.count()
+    delete_ann_codes(doomed, codes_dir, idx1)
+    frac = codes_deleted_fraction(codes_dir)
+    fraction_exact = abs(frac - (1.0 - n_survivors / n_corpus)) < 1e-12
+
+    r_noop = refit_ann_codes(
+        survivors, idx_dir, codes_dir,
+        drift_threshold=1e9,
+        deleted_fraction_threshold=min(0.99, frac + 0.05),
+    )
+    r_fire = refit_ann_codes(
+        survivors, idx_dir, codes_dir,
+        drift_threshold=1e9,
+        deleted_fraction_threshold=max(0.0, frac - 0.05),
+        corpus_version=2,
+    )
+    idx2 = load_ann_index(spark, idx_dir)
+    codes2 = load_ann_codes(spark, codes_dir, idx2, corpus_version=2)
+    frac_after = codes_deleted_fraction(codes_dir)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_corpus),
+                int(n_survivors),
+                int(n_deleted),
+                int(r_fire["index_version"]),
+                bool(frac0 == 0.0),
+                bool(fraction_exact),
+                bool(
+                    r_noop["refit"] is False
+                    and r_noop["index_version"] == 1
+                    and abs(r_noop["deleted_fraction"] - frac) < 1e-12
+                ),
+                bool(
+                    r_fire["refit"] is True
+                    and r_fire["codes_version"] > r_noop["codes_version"]
+                ),
+                bool(frac_after == 0.0 and codes2.count() == n_survivors),
+            )
+        ],
+        "n_corpus long, n_survivors long, n_deleted long, "
+        "refit_version long, fresh_build_zero boolean, "
+        "fraction_exact boolean, noop_below_threshold boolean, "
+        "fired_above_threshold boolean, fraction_spent boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Residual PQ serving (round-10, the r9 verdict's item #3): FAISS's
 # by_residual=true as recorded index GEOMETRY — codebooks train on and
 # codes quantize (vn - normalized-coarse-anchor), distance tables are

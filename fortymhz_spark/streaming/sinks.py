@@ -886,6 +886,7 @@ def start_ann_codes_sink(
     available_now: bool = True,
     txn_id: str | None = None,
     refit_threshold: float | None = None,
+    refit_deleted_fraction: float | None = None,
     index_dir: str | None = None,
     corpus_dir: str | None = None,
 ) -> StreamingQuery:
@@ -921,21 +922,33 @@ def start_ann_codes_sink(
     MERGE's anti-join/rewrite per merge (the documented copy-on-write
     term; nothing else is ∝ table).
 
-    ``refit_threshold=`` (requires ``index_dir`` and ``corpus_dir``)
-    arms the DRIFT→REFIT POLICY — the sink becomes self-healing index
-    maintenance, not just codes maintenance.  Two-stage decision, so
-    the per-trigger cost stays O(batch): every batch's ADDS are
-    drift-scored under the live index (one map-only pass over the
-    batch — the cheap TRIGGER); only when the batch's mean
-    quantization error crosses the threshold does the sink read the
+    ``refit_threshold=`` / ``refit_deleted_fraction=`` (each requires
+    ``index_dir`` and ``corpus_dir``) arm the REFIT POLICY — the sink
+    becomes self-healing index maintenance, not just codes
+    maintenance.  Two-stage decision, so the per-trigger cost stays
+    O(batch): the cheap TRIGGERS are the batch's ADDS drift-scored
+    under the live index (one map-only pass over the batch) and — on
+    batches carrying deletes — the codes table's net tombstone mass
+    (:func:`~fortymhz_spark.operators.ann_index
+    .codes_deleted_fraction`, manifest-only arithmetic, zero scans:
+    heavy deletes leave cells sparse and the coarse sizing stale
+    WITHOUT moving quantization error, so the drift arm alone never
+    fires); only when an armed arm crosses does the sink read the
     corpus snapshot and run :func:`~fortymhz_spark.operators
-    .ann_index.refit_ann_codes` with the same threshold (the
+    .ann_index.refit_ann_codes` with the same thresholds (the
     corpus-level DECISION — a single weird batch cannot churn the
     index if the corpus as a whole still fits).  After a refit the
     sink hot-swaps to the new index version and RE-APPLIES the
     current batch's adds/deletes under it (idempotent keyed merges),
     so the batch's rows survive even when ``corpus_dir`` lags the
-    stream by a trigger.  Crash notes: the refit runs AFTER the
+    stream by a trigger.  A corpus lagging by 2+ triggers is caught
+    by the pre-refit COVERAGE GUARD (the codes table's live id set
+    must be producible from corpus ∪ this batch, and no corpus id the
+    stream deleted may linger): on mismatch the refit is DEFERRED
+    with a loud ``RuntimeWarning`` instead of silently dropping
+    earlier batches' rows or resurrecting earlier deletes — serving
+    stays on the current (drifted but correct) index until the
+    corpus catches up.  Crash notes: the refit runs AFTER the
     batch's txn mark, so a replayed batch never re-refits — a refit
     lost to a crash simply re-triggers on the next above-threshold
     batch, and a crash BETWEEN the refit's two publishes is healed by
@@ -944,6 +957,7 @@ def start_ann_codes_sink(
     maintained upstream of (or in lockstep with) this stream."""
     from fortymhz_spark.operators.ann_index import (
         ann_drift_report,
+        codes_deleted_fraction,
         delete_ann_codes,
         extend_ann_codes,
         load_ann_index,
@@ -951,11 +965,14 @@ def start_ann_codes_sink(
     )
     from fortymhz_spark.sources.snapshots import mark_stream_txn
 
-    if refit_threshold is not None and (index_dir is None or corpus_dir is None):
+    refit_armed = (
+        refit_threshold is not None or refit_deleted_fraction is not None
+    )
+    if refit_armed and (index_dir is None or corpus_dir is None):
         raise ValueError(
-            "refit_threshold needs index_dir= (to publish the rebuilt "
-            "index) and corpus_dir= (the raw-vector snapshot to refit "
-            "from)"
+            "refit_threshold/refit_deleted_fraction need index_dir= "
+            "(to publish the rebuilt index) and corpus_dir= (the "
+            "raw-vector snapshot to refit from)"
         )
     # metadata-at-rest codes tables record their column set; the
     # stream must carry every recorded attribute or extends would
@@ -1037,26 +1054,92 @@ def start_ann_codes_sink(
                 dels, codes_dir, live["index"], id_col=id_col,
                 txn=(app, batch_id),
             )
-        if refit_threshold is None or not have_adds:
+        if not refit_armed:
             return
-        # cheap trigger: the BATCH's drift under the live index
-        batch_err = ann_drift_report(
-            adds, live["index"], vec_col=vec_col
-        ).first()["mean_quant_err"]
-        if batch_err is None or batch_err <= refit_threshold:
+        # cheap triggers, one per armed arm: the BATCH's drift under
+        # the live index (adds — one map-only pass over the batch),
+        # and the codes table's net tombstone mass (deletes —
+        # manifest-only arithmetic, zero scans).  Either crossing
+        # escalates to the corpus-level decision.
+        trigger = False
+        if refit_threshold is not None and have_adds:
+            batch_err = ann_drift_report(
+                adds, live["index"], vec_col=vec_col
+            ).first()["mean_quant_err"]
+            trigger = batch_err is not None and batch_err > refit_threshold
+        if not trigger and refit_deleted_fraction is not None and have_dels:
+            trigger = (
+                codes_deleted_fraction(codes_dir) > refit_deleted_fraction
+            )
+        if not trigger:
             return
         # corpus-level decision + CAS-pinned rebuild (post-mark, so a
         # replayed batch never re-refits)
         spark = batch_df.sparkSession
         from fortymhz_spark.sources.snapshots import read_snapshot
 
+        corpus = read_snapshot(spark, corpus_dir)
+        # COVERAGE GUARD (round-11 advisor item): the refit rebuilds
+        # codes from ``corpus_dir`` and re-applies only THIS batch —
+        # correct only when the corpus lags the stream by at most this
+        # trigger.  If it lags further, ids extended in EARLIER batches
+        # would silently vanish from the rebuilt table and earlier
+        # deletes would be resurrected — silent serving corruption.
+        # Detect exactly that before any publish: every id the live
+        # codes table serves must be producible from (corpus ∪ this
+        # batch's adds), and every corpus id must be live in the codes
+        # or deleted by this batch.  On mismatch, DEFER the refit
+        # loudly: the old index keeps serving correct rows (drift
+        # persists, corruption doesn't) and the next above-threshold
+        # batch retries once the corpus catches up.  Cost: two
+        # id-projected anti-join counts, only on the refit path.
+        live_ids = read_snapshot(spark, codes_dir).select("id")
+        add_ids = adds.select(F.col(id_col).alias("id"))
+        corpus_ids = corpus.select(F.col(id_col).alias("id"))
+        n_missing = live_ids.join(
+            corpus_ids.union(add_ids), ["id"], "anti"
+        ).count()
+        resurrected = corpus_ids.join(live_ids, ["id"], "anti")
+        if have_dels:
+            resurrected = resurrected.join(
+                dels.select(F.col(id_col).alias("id")), ["id"], "anti"
+            )
+        n_resurrected = resurrected.count()
+        if n_missing or n_resurrected:
+            import warnings
+
+            warnings.warn(
+                f"start_ann_codes_sink: refit DEFERRED at batch "
+                f"{batch_id} — corpus snapshot at {corpus_dir} does "
+                f"not cover the live codes table ({n_missing} served "
+                f"id(s) absent from the corpus, {n_resurrected} "
+                f"corpus id(s) the stream has deleted).  The corpus "
+                f"lags the stream by 2+ triggers; refitting now would "
+                f"drop/resurrect those rows silently.  Serving "
+                f"continues on the current index; the refit retries "
+                f"on the next above-threshold batch.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return
+        # the refit must fit on the SURVIVING population: rows this
+        # very batch deletes would otherwise shape the new centroids
+        # and land in the rebuilt codes only to be re-deleted a moment
+        # later — leaving the tombstone fraction instantly high again
+        # (a churn loop for the deleted-fraction arm)
+        refit_corpus = corpus
+        if have_dels:
+            refit_corpus = corpus.join(
+                dels.select(F.col(id_col)).distinct(), [id_col], "anti"
+            )
         res = refit_ann_codes(
-            read_snapshot(spark, corpus_dir),
+            refit_corpus,
             index_dir,
             codes_dir,
             id_col=id_col,
             vec_col=vec_col,
             drift_threshold=refit_threshold,
+            deleted_fraction_threshold=refit_deleted_fraction,
             assign=assign,
         )
         if not res["refit"]:

@@ -1607,3 +1607,220 @@ def test_tune_ann_serving_minimal_and_bounded(spark, truth, tmp_path):
     object.__setattr__(idx, "kind", "pq")
     with _pytest.raises(ValueError, match="'ivfpq' index"):
         tune_ann_serving(emb, idx)
+
+
+def test_by_residual_conflict_with_index_is_rejected(spark, truth, tmp_path):
+    """The encode space is INDEX geometry: an explicit ``by_residual``
+    that contradicts the index's recorded mode must fail loudly (the
+    mode-mixing contract the pairing check enforces everywhere else),
+    never be silently overridden; a MATCHING explicit value and the
+    omitted default both serve normally."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    raw_idx = load_ann_index(spark, idx_dir)
+    assert raw_idx.by_residual is False
+    res_dir = str(tmp_path / "res_idx")
+    build_ann_index(
+        emb, res_dir, n_coarse=8, n_sub=8, n_cells=16, by_residual=True
+    )
+    res_idx = load_ann_index(spark, res_dir)
+    assert res_idx.by_residual is True
+
+    kw = dict(k=K, nprobe=4, rerank=8)
+    with _pytest.raises(ValueError, match="conflicts with the"):
+        ivfpq_knn(emb, queries, index=raw_idx, by_residual=True, **kw)
+    with _pytest.raises(ValueError, match="conflicts with the"):
+        ivfpq_knn(emb, queries, index=res_idx, by_residual=False, **kw)
+    # matching explicit value and the omitted default are equivalent
+    key = lambda r: tuple(r)
+    a = ivfpq_knn(emb, queries, index=raw_idx, by_residual=False, **kw)
+    b = ivfpq_knn(emb, queries, index=raw_idx, **kw)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    c = ivfpq_knn(emb, queries, index=res_idx, by_residual=True, **kw)
+    d = ivfpq_knn(emb, queries, index=res_idx, **kw)
+    assert sorted(map(key, c.collect())) == sorted(map(key, d.collect()))
+
+
+def test_filtered_pushdown_gated_on_meta_columns_only(spark, truth, tmp_path):
+    """A corpus predicate referencing a column that happens to share a
+    CODES-schema name (``cell`` means coarse-cell there, vector-id for
+    ``id``) must NOT be pushed into the codes scan — it would filter
+    on the wrong semantics silently.  The gate is meta-only
+    resolution: such predicates take the semi-join fallback and serve
+    exactly the in-plan twin's rows; true meta predicates still push
+    down."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, _, _ = truth
+    # a corpus whose OWN column is named "cell" — string-valued, with
+    # semantics unrelated to the codes table's coarse-cell int
+    emb2 = emb.withColumn(
+        "cell",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    queries = emb2.orderBy("vec_id").limit(6).select("vec_id", "embedding")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb2, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(emb2, codes_dir, idx, meta_cols=["label"])
+    codes = load_ann_codes(spark, codes_dir, idx)
+
+    pred = F.col("cell") == "even"
+    kw = dict(k=K, nprobe=4, rerank=8)
+    served = ivfpq_knn(
+        emb2, queries, index=idx, codes=codes, corpus_filter=pred, **kw
+    )
+    inplan = ivfpq_knn(emb2, queries, index=idx, corpus_filter=pred, **kw)
+    key = lambda r: tuple(r)
+    served_rows = served.collect()
+    assert sorted(map(key, served_rows)) == sorted(
+        map(key, inplan.collect())
+    )
+    assert served_rows, "filtered serve returned nothing"
+    assert all(r["neighbor_id"] % 2 == 0 for r in served_rows)
+    # the wrong-semantics pushdown would have compared the codes
+    # table's int cell to 'even': no PushedFilter on "cell" may appear
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(cell," not in plan
+    # a TRUE meta predicate still reaches the scan as a PushedFilter
+    meta_served = ivfpq_knn(
+        emb2, queries, index=idx, codes=codes,
+        corpus_filter=F.col("label") < 4, **kw
+    )
+    plan2 = meta_served._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(label,4)" in plan2
+
+
+def test_codes_meta_null_values_rejected_at_build_and_extend(
+    spark, truth, tmp_path
+):
+    """The no-silently-NULL-filter-attributes invariant covers VALUES,
+    not just column presence: a NULL meta value is invisible to every
+    pushed-down predicate (a silent recall leak), so build aborts via
+    CHECK constraint and extend rejects the batch before merging —
+    the table never holds such rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    emb, _, _ = truth
+    holey = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ),
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_dir = str(tmp_path / "codes")
+    with _pytest.raises(ValueError, match="meta_label_not_null"):
+        build_ann_codes(holey, codes_dir, idx, meta_cols=["label"])
+    # the aborted publish left no readable version behind
+    assert snapshot_versions(codes_dir) == []
+
+    clean = holey.filter(F.col("label").isNotNull())
+    build_ann_codes(clean, codes_dir, idx, meta_cols=["label"])
+    v1 = load_ann_codes(spark, codes_dir, idx)
+    n1 = v1.count()
+    bad_batch = holey.filter(F.col("vec_id") % 7 == 0)
+    with _pytest.raises(ValueError, match="NULL metadata values"):
+        extend_ann_codes(bad_batch, codes_dir, idx)
+    # nothing merged: same version, same rows
+    assert len(snapshot_versions(codes_dir)) == 1
+    assert load_ann_codes(spark, codes_dir, idx).count() == n1
+
+
+def test_refit_deleted_fraction_arm_and_manifest_math(spark, truth, tmp_path):
+    """The tombstone-mass refit arm (round-11): heavy deletes leave
+    cells sparse without moving quantization error, so
+    refit_ann_codes gains deleted_fraction_threshold — fires when the
+    codes table's NET shrinkage since the current fit crosses it,
+    no-ops below, and a refit resets the fraction.  The fraction
+    itself is manifest-only arithmetic: extends never push it above
+    0, and the base is the fresh encode under the CURRENT index
+    version."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        delete_ann_codes,
+        extend_ann_codes,
+        load_ann_index,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
+    emb, _, _ = truth
+    seed = emb.filter(F.col("vec_id") % 4 != 0)
+    late = emb.filter(F.col("vec_id") % 4 == 0)
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(seed, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(seed, codes_dir, idx)
+    assert codes_deleted_fraction(codes_dir) == 0.0
+
+    # an extend GROWS the table: net shrinkage stays 0 (the documented
+    # net-mass semantics), and the base stays the fresh encode
+    extend_ann_codes(late, codes_dir, idx)
+    assert codes_deleted_fraction(codes_dir) == 0.0
+
+    # delete ~two thirds of the fit population
+    n_seed = seed.count()
+    doomed = seed.filter(F.col("vec_id") % 3 != 0)
+    delete_ann_codes(doomed, codes_dir, idx)
+    frac = codes_deleted_fraction(codes_dir)
+    n_doomed = doomed.count()
+    want_frac = max(0.0, 1.0 - (n_seed + late.count() - n_doomed) / n_seed)
+    assert abs(frac - want_frac) < 1e-9 and frac > 0.2
+
+    survivors = emb.join(doomed.select("vec_id"), ["vec_id"], "anti")
+    # below the armed threshold (and drift armed sky-high): true no-op
+    res = refit_ann_codes(
+        survivors, idx_dir, codes_dir,
+        drift_threshold=1e9, deleted_fraction_threshold=frac + 0.1,
+    )
+    assert res["refit"] is False
+    assert abs(res["deleted_fraction"] - frac) < 1e-9
+    assert len(snapshot_versions(idx_dir)) == 1
+
+    # crossing the threshold fires even though drift never would
+    res2 = refit_ann_codes(
+        survivors, idx_dir, codes_dir,
+        drift_threshold=1e9, deleted_fraction_threshold=frac - 0.1,
+    )
+    assert res2["refit"] is True
+    assert len(snapshot_versions(idx_dir)) == 2
+    # the rebuild re-encoded the surviving corpus under the new fit:
+    # the tombstone mass is spent
+    assert codes_deleted_fraction(codes_dir) == 0.0

@@ -2,15 +2,14 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 10 runs the promised pick-up order: the
-2 never-driver-graded PCA rows first (the r9 verdict's explicit
-ordering), then the 2 round-6 rows spilled from the round-9 gate (the
-immovable spill promise), then the 46 round-7 greens — exactly 50.
-New round-10 queries insert at the front, each spilling the
-alphabetically-last round-7 row to the round-11 deferred bucket,
-which otherwise holds the 50 round-8 greens; the 50 rows graded in
-round 9 sit in PREVIOUSLY_GREEN (queries/__init__.py's docstring).
-These tests pin that every registered query is accounted
+queries/__init__.py).  Round 11 runs the promised pick-up order: the
+1 new round-11 query first, then the 3 changed-code re-grades
+(refit/filtered/residual — code beneath each moved this round), then
+the 5-row round-10 spill promise, then the first 41 round-8 greens —
+exactly 50.  The round-12 deferred bucket holds the 9 displaced
+round-8 rows + the 50 round-9 greens; the 47 non-re-graded rows of
+the round-10 gate sit in PREVIOUSLY_GREEN (queries/__init__.py's
+docstring).  These tests pin that every registered query is accounted
 for by exactly one of those buckets — a query registered carelessly
 can no longer silently miss its grading window.
 """

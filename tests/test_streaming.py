@@ -2163,3 +2163,199 @@ def test_ann_codes_sink_carries_metadata_at_rest(spark, tmp_path):
     got = read_snapshot(spark, codes_dir).collect()
     want = load_ann_codes(spark, scratch_dir, idx).collect()
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_ann_codes_sink_defers_refit_when_corpus_lags_stream(
+    spark, tmp_path
+):
+    """The refit COVERAGE GUARD (round-11 advisor item): when
+    corpus_dir lags the stream by 2+ triggers, a refit would rebuild
+    codes WITHOUT the earlier batches' rows — silent serving
+    corruption.  The sink must detect the gap, DEFER the refit (no
+    index publish), keep maintaining codes under the current index,
+    and refit normally once the corpus catches up."""
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    normal = emb.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    )
+    drifted = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * x).alias("embedding"),
+    )
+    drifted2 = emb.select(
+        (F.col("vec_id") + 300_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * x * x).alias("embedding"),
+    )
+    # the corpus snapshot LAGS: it holds only the seed when the
+    # drift-triggering batch 2 arrives (batch 1's rows are missing)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(emb, corpus_dir, note="seed only — lags the stream")
+
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(emb, codes_dir, idx)
+
+    fit_err = ann_drift_report(normal, idx).first()["mean_quant_err"]
+    full = emb.unionByName(normal).unionByName(drifted)
+    mix_err = ann_drift_report(full, idx).first()["mean_quant_err"]
+    batch2_err = ann_drift_report(drifted, idx).first()["mean_quant_err"]
+    batch3_err = ann_drift_report(drifted2, idx).first()["mean_quant_err"]
+    assert fit_err < mix_err < batch2_err
+    assert mix_err < batch3_err
+    threshold = (fit_err + mix_err) / 2
+
+    def rows_of(df):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    _, mk = _stage_json_batches(
+        spark, tmp_path, [rows_of(normal), rows_of(drifted)], schema
+    )
+    kw = dict(
+        available_now=True, refit_threshold=float(threshold),
+        index_dir=idx_dir, corpus_dir=corpus_dir,
+    )
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(300)
+
+    # batch 2 crossed the threshold but the refit was DEFERRED: no
+    # index publish, and the codes table tracked BOTH batches under
+    # the original index (byte-identical to a manual encode)
+    assert len(snapshot_versions(idx_dir)) == 1
+    scratch = str(tmp_path / "scratch_v1")
+    build_ann_codes(full, scratch, idx)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(map(key, load_ann_codes(spark, scratch, idx).collect()))
+    )
+
+    # the corpus catches up; the NEXT above-threshold batch refits
+    write_snapshot(full, corpus_dir, note="caught up")
+    _stage_json_batches(spark, tmp_path, [rows_of(drifted2)], schema)
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "ckpt"), **kw
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 2
+    idx2 = load_ann_index(spark, idx_dir)
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(full, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(full.unionByName(drifted2), man_codes_dir, man_idx)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(
+            map(key, load_ann_codes(spark, man_codes_dir, man_idx).collect())
+        )
+    )
+
+
+def test_ann_codes_sink_tombstone_fraction_refit_arm(spark, tmp_path):
+    """The sink's tombstone-mass trigger (refit_deleted_fraction=): a
+    small delete batch stays below the threshold (no index publish),
+    a later heavy delete crosses it and fires the corpus-level refit
+    — new index + codes byte-identical to a manual rebuild over the
+    surviving corpus — even though quantization drift never moved."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(emb, corpus_dir, note="seed")
+
+    small = emb.filter(F.col("vec_id") % 11 == 0)   # ~9 %
+    heavy = emb.filter(
+        (F.col("vec_id") % 11 != 0) & (F.col("vec_id") % 2 == 0)
+    )  # roughly another 45 %
+
+    def del_rows(df):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], True)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    kw = dict(
+        delete_col="is_deleted", available_now=True,
+        refit_deleted_fraction=0.3, index_dir=idx_dir,
+        corpus_dir=corpus_dir,
+    )
+    # batch 1: small delete — fraction ~0.09, below the 0.3 arm
+    _, mk = _stage_json_batches(spark, tmp_path, [del_rows(small)], schema)
+    q = start_ann_codes_sink(mk(), codes_dir, idx, str(tmp_path / "c1"), **kw)
+    q.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 1
+    assert 0.0 < codes_deleted_fraction(codes_dir) < 0.3
+
+    # corpus catches up with batch 1's deletes (lockstep contract),
+    # then the heavy delete crosses the arm
+    after_small = emb.join(small.select("vec_id"), ["vec_id"], "anti")
+    write_snapshot(after_small, corpus_dir, note="minus small")
+    _stage_json_batches(spark, tmp_path, [del_rows(heavy)], schema)
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "c1"), **kw
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 2
+    idx2 = load_ann_index(spark, idx_dir)
+
+    # the refit fits on the SURVIVING population (corpus snapshot
+    # minus this batch's own deletes — the anti-churn rule)
+    survivors = after_small.join(heavy.select("vec_id"), ["vec_id"], "anti")
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(
+        survivors, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16
+    )
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(survivors, man_codes_dir, man_idx)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(
+            map(key, load_ann_codes(spark, man_codes_dir, man_idx).collect())
+        )
+    )
+    # the refit spent the tombstone mass
+    assert codes_deleted_fraction(codes_dir) == 0.0

@@ -1128,6 +1128,108 @@ def ann_filtered_soak(spark, mults: list[int], reps: int = 2) -> int:
     return 0
 
 
+def ann_tuned_soak(
+    spark, mults: list[int], reps: int = 2, slo: float = 0.8
+) -> int:
+    """SLO-tuned serving across decades (round-11, the r10 verdict's
+    item #1): the r10 residual table recorded recall collapsing
+    0.651 → 0.245 → 0.192 across 1×/10×/100× — but at a FIXED
+    nprobe=8 / rerank=16 no deployment should run (the soak sized the
+    candidate path by hand and froze it across decades).  This soak
+    serves each decade three ways from the same codes-at-rest
+    artifact:
+
+    - ``fixed8``: the r10 sizing (nprobe=8, rerank=16) — the
+      known-collapsing reference row;
+    - ``auto``: the engine's serving DEFAULTS (nprobe=None →
+      ``_auto_nprobe``'s 4×-shortlist coverage rule, rerank=None →
+      √N) — what a caller gets with no knobs;
+    - ``tuned``: ``tune_ann_serving`` resolving the MINIMAL nprobe
+      for recall@10 ≥ ``slo`` against the live pair (auto rerank),
+      with the tuner's own offline wall reported beside it.
+
+    Recall is measured against exact Arrow brute force over the same
+    fixed ~49-query strided set at every scale; serve wall is
+    min-of-reps through the REAL codes path.  The decision rule the
+    verdict asked for: if ``auto`` clears the SLO at every decade,
+    the closed-form default stands documented; otherwise the tuned
+    (nprobe, wall) curve dictates a new sizing exponent."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import tune_ann_serving
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        ivfpq_knn,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    K = 10
+    print(
+        "| scale | n_coarse | mode | nprobe | rerank | recall@10 "
+        "| serve wall s | tune wall s |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for mult in mults:
+        if mult == 1:
+            emb = load_table(spark, SF_DIR, "embeddings")
+        else:
+            out = f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        n_coarse = 16 * mult
+        idx = _served_index(spark, emb, n_coarse)
+        codes = _served_codes(spark, emb, n_coarse)
+        queries = emb.filter(F.col("vec_id") % (41 * mult) == 0).select(
+            "vec_id", "embedding"
+        )
+        truth: dict[int, set[int]] = {}
+        for r in brute_force_knn_arrow(emb, queries, k=K).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total = sum(len(t) for t in truth.values())
+
+        t0 = time.perf_counter()
+        tuned = tune_ann_serving(
+            emb, idx, k=K, target_recall=slo, sample_queries=32,
+            codes=codes,
+        )
+        tune_wall = time.perf_counter() - t0
+        modes = [
+            ("fixed8", dict(nprobe=8, rerank=16), ""),
+            ("auto", dict(nprobe=None, rerank=None), ""),
+            (
+                "tuned",
+                dict(nprobe=tuned["nprobe"], rerank=tuned["rerank"]),
+                f"{tune_wall:.1f}",
+            ),
+        ]
+        for mode, kw, tw in modes:
+            best, got = float("inf"), None
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                got = ivfpq_knn(
+                    emb, queries, k=K, assign="arrow", index=idx,
+                    codes=codes, **kw,
+                ).collect()
+                best = min(best, time.perf_counter() - t1)
+            by_q: dict[int, set[int]] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+            shown_np = kw["nprobe"] if kw["nprobe"] is not None else "auto"
+            shown_rr = kw["rerank"] if kw["rerank"] is not None else "auto"
+            print(
+                f"| {mult}x | {n_coarse} | {mode} | {shown_np} "
+                f"| {shown_rr} | {hits / total:.3f} | {best:.2f} | {tw} |"
+            )
+        print(
+            f"# {mult}x tuner: nprobe={tuned['nprobe']} met={tuned['met']} "
+            f"sample_recall={tuned['recall']:.3f} rerank={tuned['rerank']} "
+            f"evaluated={tuned['evaluated']}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
@@ -1160,6 +1262,18 @@ def main() -> int:
         help="run ONLY the filtered-ANN pushdown-vs-semijoin "
         "comparison (honors --scales and --reps)",
     )
+    ap.add_argument(
+        "--ann-tuned",
+        action="store_true",
+        help="run ONLY the SLO-tuned vs auto vs fixed-nprobe serving "
+        "comparison (honors --scales and --reps)",
+    )
+    ap.add_argument(
+        "--slo",
+        type=float,
+        default=0.8,
+        help="recall@10 target for --ann-tuned (default 0.8)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     mults = [int(s) for s in args.scales.split(",")]
@@ -1182,6 +1296,11 @@ def main() -> int:
 
     if args.ann_filtered:
         ann_filtered_soak(spark, mults, reps=args.reps)
+        spark.stop()
+        return 0
+
+    if args.ann_tuned:
+        ann_tuned_soak(spark, mults, reps=args.reps, slo=args.slo)
         spark.stop()
         return 0
 
