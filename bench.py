@@ -14,7 +14,20 @@ q1..qN, q1..qN, … — so a transient host stall inflates one round of
 many queries instead of every rep of one query.  The headline
 "queries" map carries per-query MEDIANS; "value" is the sum of medians
 — the steady-state engine cost a round-over-round comparison should
-use.
+use.  A short window (budget stops the sweep before 3 rounds) falls
+back to per-query MIN (the warm rep); the top-level "stat" field
+("median"|"min") records which estimator produced the numbers
+(round-10 advisor item).
+
+Lifecycle audits (round-11): the AUDIT list's queries — the ANN
+codes family + PCA moments + the deliberately-uncached
+refit/residual/tuned audits — run ONCE each after the timed sweep,
+wall-guarded by SPARK_GRAFT_BENCH_WALL_S, with their walls recorded
+in BENCH_DETAILS.json["audit"] and summarized in the compact line's
+"audit" field but NEVER summed into "value": each is a correctness
+audit dominated by its graded twin/exact branches, and timing them
+inside the interleaved reps ate the driver's budget down to reps=2
+in round 10.
 
 Output discipline (round-3 judge: BENCH_r03.json failed to parse
 because the enriched single line with cold/spread for 55 queries
@@ -172,7 +185,6 @@ HEADLINE = [
     # refit-identity branch), the derived-corpus C4 line-rule grade,
     # and the Expand-free approx profile beside its exact twin
     "q_docs_span_dedup",
-    "q_emb_ann_ivfpq_persisted",
     "q_docs_c4_rules_derived",
     "q_profile_orders_approx",
     # late round-7 additions: incremental ingest dedup against the
@@ -185,18 +197,18 @@ HEADLINE = [
     # span-level decontamination: one shingle row per train token
     # position + eval-set semi join + run merge, total per-doc output
     "q_docs_decontaminate_spans",
-    # round-8 additions: IVFPQ served from the persisted ENCODED
-    # corpus (cold rep pays build_ann_index + build_ann_codes via the
-    # per-process caches; medians grade codes-scan serving + the
-    # in-plan-identity branch), and the span-decontamination STRIP
-    # (the flag row's shape plus the per-doc text rebuild)
-    "q_emb_ann_ivfpq_codes",
+    # round-8 addition: the span-decontamination STRIP (the flag
+    # row's shape plus the per-doc text rebuild).  NB round 11: the
+    # codes-family rows (q_emb_ann_ivfpq_codes / _codes_extend /
+    # _codes_delete / _drift_report / _filtered / _ivfpq_persisted and
+    # the two PCA-moments rows) moved to the AUDIT section below —
+    # each is dominated by its graded twin/exact/lifecycle branches,
+    # not the serving path, and together they ate a third of the
+    # driver's 400 s budget (BENCH_r10 degraded to reps=2, min-of-one-
+    # warm-rep).  The serving-path perf representatives that REMAIN
+    # timed are q_emb_ann_lsh/ivf/pq/ivfpq/ivfpq_auto + the bench-
+    # scale ann_recall report.
     "q_docs_strip_contaminated_spans",
-    # late round-8: the incremental ADD step — archive codes built
-    # once, the arriving slice encoded alone and upserted; cold rep
-    # pays the build+extend via the per-process cache, medians grade
-    # serving from the extended table + the in-plan-identity branch
-    "q_emb_ann_codes_extend",
     # token-budget mixture selection: per-bucket sums (one map-side
     # combine, ≤ sources × 256 driver rows) + wholesale pre-cutoff
     # keep + exact window over the single cutoff bucket per source
@@ -214,41 +226,39 @@ HEADLINE = [
     # distributed perceptron training: per epoch one map-only scoring
     # scan + one <=64-row gradient aggregate; epochs x 64 driver ints
     "q_docs_classifier_training",
-    # round-9 additions: tombstone propagation into the persisted
-    # codes table (cold rep pays build + delete via the per-process
-    # cache; medians grade serving the post-delete table + the
-    # in-plan-identity branch over the surviving corpus + the exact
-    # branch), and the quantization-drift report (three map-only
-    # error scans + the refit's two bounded fit collects per call —
-    # deliberately uncached: the refit IS the measured operation)
-    "q_emb_ann_codes_delete",
-    "q_emb_ann_drift_report",
-    # late round-9: distributed PCA — one one-pass integer-moment
-    # fit (the k=2 comparison is an O(1) driver truncation) + two
-    # map-only Pythagorean audit scans; deliberately uncached, the
-    # fit IS the measured op
-    "q_emb_pca_audit",
-    # and the moments lifecycle: five one-pass moment scans (init,
-    # the extend's and retract's batches, the two scratch twins the
-    # byte-identity grade needs) + four O(dim^3) driver eigh fits;
-    # artifact per call (uncached)
-    "q_emb_pca_incremental",
-    # round-10 additions — bands pre-declared in BASELINE.md.
-    # Metadata-filtered search: exact half (strong SQL oracle) +
-    # meta-at-rest ANN half (PushedFilter on the codes scan; cold rep
-    # pays the cached meta-codes build).
+    # round-10 addition: metadata-filtered search, exact half (strong
+    # SQL oracle; the ANN half is in AUDIT — its cost is the cached
+    # meta-codes build + twin branches, not the pushdown serve).
     "q_emb_knn_filtered",
+]
+
+# Lifecycle-audit queries (round-11, the r10 verdict's item #3): each
+# is a correctness audit whose wall is dominated by its graded
+# twin/exact/lifecycle branches — serve + byte-identity twin + exact
+# ground-truth per query for the codes family, deliberately-uncached
+# index fits + moment scans for drift/PCA.  They stay REGISTERED and
+# gate-graded, and the bench still RUNS each once per invocation (so
+# an erroring audit is visible per-round), but their walls live in
+# BENCH_DETAILS.json's "audit" map and the compact line's
+# audit_total/audit_n — never in "value" — so the timing headline
+# gets ≥3 interleaved reps inside the driver's budget again.  Ordered
+# cheap-branch-first so a tight wall guard still covers most rows;
+# the three ~15–30 s deliberately-uncached lifecycle audits
+# (refit/residual/tuned) sit LAST and are expected to be wall-skipped
+# under the default guard (their bands live in BASELINE.md; raise
+# SPARK_GRAFT_BENCH_WALL_S to time them here).
+AUDIT = [
+    "q_emb_pca_audit",
+    "q_emb_pca_incremental",
+    "q_emb_ann_drift_report",
     "q_emb_ann_filtered",
-    # The OTHER three round-10 queries (q_emb_ann_refit,
-    # q_emb_ann_ivfpq_residual, q_emb_ann_tuned) are gate-graded with
-    # pre-declared bands but deliberately NOT bench-headline rows:
-    # each is a ~15–30 s deliberately-uncached lifecycle audit (two
-    # index fits + three encodes per refit call; ~8 served sweeps per
-    # tune call), and two of those per round would push the cold+warm
-    # wall past the 400 s budget — round 3 would never start and
-    # every OTHER query's median would inherit the cold round.  The
-    # bench is the perf feedback loop; their wall lives in
-    # BASELINE.md's band rows instead.
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_ivfpq_persisted",
+    "q_emb_ann_ivfpq_codes",
+    "q_emb_ann_codes_extend",
+    "q_emb_ann_refit",
+    "q_emb_ann_ivfpq_residual",
+    "q_emb_ann_tuned",
 ]
 
 
@@ -335,6 +345,49 @@ def main() -> None:
         print(f"# ann_recall: ERROR {type(ex).__name__}: {str(ex)[:200]}",
               file=sys.stderr)
 
+    # Lifecycle-AUDIT pass (round-11): one run each, AFTER the timed
+    # sweep + recall report so audit branches can never pollute the
+    # headline's interleaved reps (the r10 lesson: two 23–26 s audits
+    # per round stalled unrelated probes in the shared session).
+    # Wall-guarded: each audit starts only while total elapsed is
+    # under SPARK_GRAFT_BENCH_WALL_S — a noisy window degrades to
+    # fewer audits (recorded in audit_skipped), never to a killed
+    # process with no JSON line.  Audit walls live in
+    # BENCH_DETAILS.json and the compact line's audit summary, never
+    # in "value".
+    wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "590"))
+    audit_times: dict[str, float] = {}
+    audit_errors: dict[str, str] = {}
+    audit_skipped: list[str] = []
+    for name in AUDIT:
+        if name not in registry:
+            continue
+        if time.perf_counter() - t0 > wall_s:
+            audit_skipped.append(name)
+            continue
+        start = time.perf_counter()
+        try:
+            rows = registry[name](spark, sf_dir).collect()
+        except Exception as ex:
+            audit_errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(
+                f"# audit {name}: ERROR {audit_errors[name]}",
+                file=sys.stderr,
+            )
+            continue
+        el = time.perf_counter() - start
+        audit_times[name] = el
+        print(
+            f"# audit {name}: {el:.3f}s ({len(rows)} rows)",
+            file=sys.stderr,
+        )
+    if audit_skipped:
+        print(
+            f"# audit: wall {wall_s}s reached; skipped "
+            + ",".join(audit_skipped),
+            file=sys.stderr,
+        )
+
     ok = {n: ts for n, ts in times.items() if ts and n not in errors}
     # With 3+ rounds the median discards the cold round naturally.
     # With fewer (budget stopped the sweep early), median-of-2 would
@@ -346,17 +399,29 @@ def main() -> None:
         n: (statistics.median(ts) if len(ts) >= 3 else min(ts))
         for n, ts in ok.items()
     }
+    # Which estimator produced "queries"/"value" (round-10 advisor
+    # item: a short-window min-of-warm-reps must not be read as a
+    # median) — uniform across queries because every ok query has
+    # exactly reps_run samples.
+    stat = "median" if reps_run >= 3 else "min"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
+        "stat": stat,
         "queries": {n: round(m, 3) for n, m in medians.items()},
         "n_queries_in_value": len(medians),
         "excluded": sorted(set(names) - set(medians)),
         "reps": reps_run,
         "sf": float(sf) if sf else None,
         "ann_recall": ann_recall,
+        "audit": {
+            "n": len(audit_times),
+            "total_sec": round(sum(audit_times.values()), 2),
+            "skipped": len(audit_skipped),
+            "errors": len(audit_errors),
+        },
     }
     details = {
         **result,
@@ -366,6 +431,9 @@ def main() -> None:
         "spread": {n: round(max(ts) - min(ts), 4) for n, ts in ok.items()},
         "samples": {n: [round(t, 4) for t in ts] for n, ts in ok.items()},
         "errors": errors,
+        "audit": {n: round(t, 4) for n, t in audit_times.items()},
+        "audit_skipped": audit_skipped,
+        "audit_errors": audit_errors,
     }
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_DETAILS.json")
