@@ -91,6 +91,13 @@ class AnnIndex:
     # in the space the codebooks were trained in, so the pairing check
     # treats it as geometry.
     by_residual: bool = False
+    # OPQ: rotation mode name (None | "opq") and the dim×dim matrix
+    # itself.  INDEX state exactly like by_residual — codes and ADC
+    # must rotate with the space the codebooks were trained in, so the
+    # pairing check treats the MODE as geometry (the matrix rides the
+    # artifact rows).
+    rotation: str | None = None
+    rot: list | None = None
 
     @property
     def n_coarse(self) -> int:
@@ -110,6 +117,7 @@ def build_ann_index(
     train_sample: int = 512,
     dim: int | None = None,
     by_residual: bool = False,
+    rotation: str | None = None,
     expected_current: int | None = None,
 ) -> int:
     """Train an IVFPQ index from ``corpus`` and publish it as the next
@@ -125,7 +133,15 @@ def build_ann_index(
     normalized coarse centroid (FAISS's deployment default — see
     ``ivfpq_knn``); the mode is recorded as index GEOMETRY, inherited
     by every encode/serve against this artifact, and the codes-table
-    pairing check refuses to mix modes.
+    pairing check refuses to mix modes.  ``rotation="opq"`` trains a
+    parametric-OPQ rotation before the subquantizer split
+    (``similarity._opq_rotation`` — eigenvalue-balanced PCA
+    allocation, Ge et al. 2013) and Lloyd-trains the codebooks in the
+    rotated space; the matrix rides the artifact as ``component:
+    'rot'`` rows and the MODE joins the pairing-check geometry, so
+    raw codes can never be ADC'd under rotated codebooks or vice
+    versa.  Composes with ``by_residual`` (rotation applies to the
+    residual).
 
     Cost: the same two bounded collects the in-process fit pays, one
     tiny parquet write, one atomic manifest commit.  Query-time knobs
@@ -134,10 +150,11 @@ def build_ann_index(
     spark = corpus.sparkSession
     n_coarse = _auto_cells(corpus, n_coarse)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-    d_sub, books = _pq_train(
+    d_sub, books, rot = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
         coarse=coarse if by_residual else None,
+        rotation=rotation,
     )
     rows = [
         ("coarse", -1, i, [float(x) for x in c])
@@ -146,6 +163,9 @@ def build_ann_index(
         ("book", s, c, [float(x) for x in books[s][c]])
         for s in range(n_sub)
         for c in range(n_cells)
+    ] + [
+        ("rot", -1, i, [float(x) for x in r])
+        for i, r in enumerate(rot or [])
     ]
     params = {
         "kind": "ivfpq",
@@ -157,6 +177,7 @@ def build_ann_index(
         "train_rounds": train_rounds,
         "train_sample": train_sample,
         "by_residual": by_residual,
+        "rotation": rotation,
     }
     df = spark.createDataFrame(rows, _INDEX_SCHEMA)
     return write_snapshot(
@@ -189,19 +210,28 @@ def load_ann_index(
     book_rows = [
         (r["s"], r["idx"], r["vec"]) for r in rows if r["component"] == "book"
     ]
+    rot_rows = sorted(
+        ((r["idx"], r["vec"]) for r in rows if r["component"] == "rot")
+    )
     coarse = [list(v) for _, v in coarse_rows]
     n_sub, n_cells = int(params["n_sub"]), int(params["n_cells"])
     books: list = [[None] * n_cells for _ in range(n_sub)]
     for s, c, v in book_rows:
         books[s][c] = list(v)
-    if len(coarse) != int(params["n_coarse"]) or any(
-        cell is None for book in books for cell in book
+    rotation = params.get("rotation") or None
+    rot = [list(v) for _, v in rot_rows] or None
+    if (
+        len(coarse) != int(params["n_coarse"])
+        or any(cell is None for book in books for cell in book)
+        or (rotation is not None) != (rot is not None)
+        or (rot is not None and len(rot) != int(params["dim"]))
     ):
         raise ValueError(
             f"ann_index v={version} at {table_dir} is incomplete: "
             f"{len(coarse)}/{params['n_coarse']} coarse rows, "
             f"{sum(c is not None for b in books for c in b)}/"
-            f"{n_sub * n_cells} codewords"
+            f"{n_sub * n_cells} codewords, "
+            f"{len(rot or [])} rotation rows for rotation={rotation!r}"
         )
     return AnnIndex(
         kind=str(params["kind"]),
@@ -214,6 +244,8 @@ def load_ann_index(
         version=version,
         # pre-residual artifacts carry no key: they encoded vn directly
         by_residual=bool(params.get("by_residual", False)),
+        rotation=rotation,
+        rot=rot,
     )
 
 
@@ -293,6 +325,7 @@ def build_ann_codes(
         corpus, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
         by_residual=index.by_residual,
+        rot=getattr(index, "rot", None),
     ).withColumnRenamed("neighbor_id", "id")
     codes = _join_meta(codes, corpus, id_col, vec_col, meta_cols, index)
     params = {
@@ -304,6 +337,7 @@ def build_ann_codes(
         "d_sub": index.d_sub,
         "dim": index.dim,
         "by_residual": index.by_residual,
+        "rotation": getattr(index, "rotation", None),
         "corpus_version": corpus_version,
         "meta_cols": meta_cols,
     }
@@ -347,6 +381,11 @@ def _validate_codes_pairing(
         # lack the key → they were encoded raw.
         or bool(params.get("by_residual", False))
         != bool(getattr(index, "by_residual", False))
+        # rotation mode too: unrotated codes under rotated codebooks
+        # (or vice versa) are the same silent corruption.  Old tables
+        # lack the key → they were encoded unrotated.
+        or (params.get("rotation") or None)
+        != (getattr(index, "rotation", None) or None)
     ):
         raise ValueError(
             f"ann_codes v={v} at {table_dir} was built against index "
@@ -459,6 +498,7 @@ def extend_ann_codes(
         new_vecs, id_col, vec_col, index.coarse, index.books,
         index.n_sub, index.n_cells, index.d_sub, assign,
         by_residual=index.by_residual,
+        rot=getattr(index, "rot", None),
     ).withColumnRenamed("neighbor_id", "id")
     # metadata-at-rest tables INHERIT their recorded column set: the
     # arriving batch must carry every recorded attribute
@@ -620,6 +660,14 @@ def ann_drift_report(
         ).select(_residual_col(vn, anchors, F.col("_cell")).alias("_vn"))
     else:
         normed = corpus.select(_normalized(vec_col).alias("_vn"))
+    if getattr(index, "rot", None) is not None:
+        # OPQ: the codebooks live in rotated space — measure the
+        # error there (same once-per-row rebind the encode uses)
+        from fortymhz_spark.operators.similarity import _rotate_col
+
+        normed = normed.select(
+            _rotate_col(vn, F.lit(index.rot), index.dim).alias("_vn")
+        )
     per_row = normed.select(
         sum(
             (
@@ -836,6 +884,7 @@ def refit_ann_codes(
         train_rounds=int(idx_params.get("train_rounds", 8)),
         train_sample=int(idx_params.get("train_sample", 512)),
         by_residual=idx.by_residual,
+        rotation=getattr(idx, "rotation", None),
         expected_current=cur_idx_v,
     )
     new_idx = load_ann_index(spark, index_dir, version=new_idx_v)
@@ -917,11 +966,9 @@ def tune_ann_serving(
     this resolves the knob against the live corpus + index pair and
     the caller's actual recall SLO.
 
-    Procedure (all deterministic): exact truth for a STRIDED id
-    sample (``id % 13 == 5``, lowest first — the lowest ids seed the
-    coarse centroids, so a lowest-id sample would measure recall on
-    the centroids themselves and report nprobe=1 forever) in ONE
-    brute-force pass, then
+    Procedure (all deterministic): exact truth for a STRIDED,
+    HASH-SPREAD id sample (``id % 13 == 5`` ordered by a Knuth
+    multiplicative hash of the id) in ONE brute-force pass, then
     a doubling sweep (1, 2, 4, … capped at ``n_coarse``) to bracket
     the target, then binary search inside the bracket — the returned
     ``nprobe`` is exactly minimal: it meets the target and
@@ -953,10 +1000,23 @@ def tune_ann_serving(
         )
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    # Hash-spread, not lowest-first: the coarse centroids are the
+    # n_coarse LOWEST-id vectors (_centroids), and at deployment
+    # sizing (n_coarse in the thousands) the lowest sample_queries
+    # survivors of any stride all fall INSIDE that seed region — the
+    # tuner would measure recall on the centroids themselves and
+    # report nprobe=1 with near-perfect sample recall while real
+    # serving recall collapses (the round-11 soak caught exactly
+    # this at n_coarse=1600).  A Knuth multiplicative hash of the id
+    # spreads the sample across the whole id space at ANY n_coarse,
+    # deterministically (ties broken by id).
     sample = (
         corpus.select(id_col, vec_col)
         .filter((F.col(id_col) % 13) == 5)
-        .orderBy(id_col)
+        .orderBy(
+            F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 31)),
+            F.col(id_col),
+        )
         .limit(sample_queries)
         .localCheckpoint()
     )

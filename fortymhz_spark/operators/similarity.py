@@ -561,6 +561,89 @@ def _residual_col(vn, anchors_lit, cell_col):
     )
 
 
+def _opq_rotation(sample, n_sub: int, d_sub: int) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al., CVPR 2013, the OPQ-P /
+    FAISS ``OPQMatrix`` eigenvalue-allocation recipe, closed-form):
+    eigendecompose the TRAINING SAMPLE's second-moment matrix (the
+    same bounded lowest-id sample the codebooks train on — FAISS
+    likewise trains its OPQ transform on a sample, so one collect
+    feeds both), then allocate eigenvectors to the ``n_sub``
+    subquantizer blocks balancing the per-block PRODUCT of
+    eigenvalues (greedy on Σ log λ, descending-λ order, ties to the
+    lowest block) — the allocation that equalizes the variance each
+    subquantizer must model, which is exactly what plain PCA ordering
+    destroys (it would hand block 0 all the variance).  Returns the
+    dim×dim orthogonal matrix as plain nested floats, row i = output
+    dimension i; block ``s`` owns rows ``s*d_sub..(s+1)*d_sub-1``.
+
+    Determinism: ``numpy.linalg.eigh`` on a fixed sample is
+    deterministic, eigenvector SIGN is pinned (largest-|entry|
+    coordinate made positive, ties to the lowest index), and the
+    greedy allocation breaks ties by block index — so the same corpus
+    always yields the same rotation bits, the property every
+    persisted-vs-in-plan byte-identity grade in this family rests
+    on."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    dim = X.shape[1]
+    cov = (X.T @ X) / max(len(sample), 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(dim):
+        col = evecs[:, j]
+        i = int(np.argmax(np.abs(col)))
+        if col[i] < 0:
+            evecs[:, j] = -col
+    # Greedy balanced allocation on log-eigenvalues (largest first to
+    # the least-loaded open block — the LPT schedule).  The logs are
+    # SHIFTED to non-negative first: min-load greedy balancing
+    # inverts when loads are negative (the block that already took
+    # the most mass looks "smallest" and swallows everything — the
+    # exact PCA degeneracy this allocation exists to avoid), and the
+    # shift is balance-neutral because every block ends with exactly
+    # d_sub entries (the constant adds d_sub·shift to every block).
+    eps = 1e-12
+    logs = [math.log(max(float(v), eps)) for v in evals]
+    shift = -min(logs)
+    loads = [0.0] * n_sub
+    slots = [d_sub] * n_sub
+    blocks: list[list[int]] = [[] for _ in range(n_sub)]
+    for j in range(dim):
+        open_blocks = [b for b in range(n_sub) if slots[b] > 0]
+        b = min(open_blocks, key=lambda x: (loads[x], x))
+        blocks[b].append(j)
+        loads[b] += logs[j] + shift
+        slots[b] -= 1
+    rows = []
+    for b in range(n_sub):
+        for j in blocks[b]:
+            rows.append([float(x) for x in evecs[:, j]])
+    return rows
+
+
+def _rotate_col(vn, rot_lit, dim: int):
+    """``R @ vn`` as a column expression: one zip_with/aggregate dot
+    per output dimension against the rotation literal's row —
+    O(dim²) multiply-adds per row in a strictly sequential fold, so
+    the result bits are identical wherever the expression runs (the
+    byte-identity discipline).  ``rot_lit`` is the matrix as ONE
+    nested literal (the ``_nearest_cells`` construction)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.element_at(rot_lit, (i + F.lit(1)).cast("int")),
+                vn,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def _pq_code_col(vn, books, s: int, d_sub: int, n_cells: int):
     """PQ code for subquantizer ``s``: argmin codebook cell for the
     normalized subvector, built as ONE transform-over-sequence lambda
@@ -672,6 +755,7 @@ def pq_knn(
     train_rounds: int = 8,
     train_sample: int = 512,
     dim: int | None = None,
+    rotation: str | None = None,
     index=None,
 ) -> DataFrame:
     """Approximate top-k via product quantization (Jégou et al., PAMI
@@ -730,10 +814,21 @@ def pq_knn(
         _check_index_dim(corpus, vec_col, index.dim)
         d_sub, books = index.d_sub, index.books
         n_sub, n_cells = index.n_sub, index.n_cells
+        # rotation is INDEX state, exactly like by_residual: explicit
+        # conflict with the recorded mode fails loudly, None inherits
+        idx_rotation = getattr(index, "rotation", None)
+        if rotation is not None and rotation != idx_rotation:
+            raise ValueError(
+                f"rotation={rotation!r} conflicts with the index's "
+                f"recorded mode (rotation={idx_rotation!r}) — the "
+                "rotation is index geometry; drop the argument or "
+                "load the matching index"
+            )
+        rot = getattr(index, "rot", None)
     else:
-        d_sub, books = _pq_train(
+        d_sub, books, rot = _pq_train(
             corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
-            train_sample, dim,
+            train_sample, dim, rotation=rotation,
         )
     # resolved AFTER _pq_train so parameter validation (dim/n_sub
     # divisibility) fires before any corpus job
@@ -747,17 +842,32 @@ def pq_knn(
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _normalized(vec_col).alias("_vn"),
-    ).select(
+    )
+    qtabs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _normalized(vec_col).alias("_vn"),
+    )
+    if rot is not None:
+        # OPQ: re-bind _vn to the rotated vector in its own projection
+        # (the residual-rebind discipline) so the O(dim²) rotation
+        # runs once per row, not once per code/dtab column
+        rot_lit = F.lit(rot)
+        codes = codes.select(
+            "neighbor_id",
+            _rotate_col(vn, rot_lit, d_sub * n_sub).alias("_vn"),
+        )
+        qtabs = qtabs.select(
+            "query_id",
+            _rotate_col(vn, rot_lit, d_sub * n_sub).alias("_vn"),
+        )
+    codes = codes.select(
         "neighbor_id",
         *[
             _pq_code_col(vn, books, s, d_sub, n_cells).alias(f"code_{s}")
             for s in range(n_sub)
         ],
     )
-    qtabs = queries.select(
-        F.col(id_col).alias("query_id"),
-        _normalized(vec_col).alias("_vn"),
-    ).select(
+    qtabs = qtabs.select(
         "query_id",
         *[
             _pq_dtab_col(vn, books, s, d_sub, n_cells).alias(f"dtab_{s}")
@@ -782,13 +892,14 @@ def _pq_train(
     train_sample: int,
     dim: int | None,
     coarse: list | None = None,
+    rotation: str | None = None,
 ):
     """Shared PQ setup for :func:`pq_knn` / :func:`ivfpq_knn`: infer
     the dimension, validate divisibility, collect + L2-normalize the
     ``train_sample`` lowest-id vectors (one bounded collect, sample x
     dim floats), Lloyd-train the codebooks driver-side, and wrap them
     in per-subquantizer nested literals the lambda forms index.
-    Returns ``(d_sub, books)`` — the plain nested list; column
+    Returns ``(d_sub, books, rot)`` — plain nested lists; column
     builders lift ``books[s]`` into its own literal so each code/dtab
     column's plan line carries only its slice.
 
@@ -798,7 +909,17 @@ def _pq_train(
     (:func:`_nearest_cells`: highest dot, ties → HIGHER cell) and the
     codebooks are Lloyd-trained on ``vn - anchor[cell]``
     (:func:`_residual_anchor`) — the quantity the residual encode and
-    ADC actually see, so codewords model what they will quantize."""
+    ADC actually see, so codewords model what they will quantize.
+
+    ``rotation="opq"`` trains a parametric-OPQ rotation
+    (:func:`_opq_rotation`) on the (residual-adjusted) sample and
+    Lloyd-trains the codebooks on the ROTATED sample — the returned
+    ``rot`` (dim×dim rows, else ``None``) must then be applied to
+    every vector the encode/ADC sees (:func:`_rotate_col`); mixing a
+    rotated fit with unrotated serving is geometry corruption, which
+    the persisted-index pairing check rejects."""
+    if rotation not in (None, "opq"):
+        raise ValueError(f"rotation must be None or 'opq', got {rotation!r}")
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
@@ -841,8 +962,15 @@ def _pq_train(
         cells = (C.shape[0] - 1) - np.argmax(dots[:, ::-1], axis=1)
         A = np.asarray(_residual_anchor(coarse), dtype=np.float64)
         sample = (X - A[cells]).tolist()
+    rot = None
+    if rotation == "opq":
+        import numpy as np
+
+        rot = _opq_rotation(sample, n_sub, dim // n_sub)
+        R = np.asarray(rot, dtype=np.float64)
+        sample = (np.asarray(sample, dtype=np.float64) @ R.T).tolist()
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-    return dim // n_sub, books
+    return dim // n_sub, books, rot
 
 
 def _adc_sum(n_sub: int):
@@ -869,6 +997,7 @@ def _ivfpq_codes(
     d_sub: int,
     assign: str,
     by_residual: bool = False,
+    rot: list | None = None,
 ) -> DataFrame:
     """The IVFPQ corpus ENCODE — ``(neighbor_id, cell,
     code_0..code_{n_sub-1})`` — shared verbatim by
@@ -884,7 +1013,13 @@ def _ivfpq_codes(
     (:func:`_residual_col`) instead of ``vn`` — the codebooks must
     have been trained in residual space (:func:`_pq_train`
     ``coarse=``); mixing modes is geometry corruption, which the
-    persisted-index pairing check rejects."""
+    persisted-index pairing check rejects.  ``rot=`` (an OPQ rotation
+    matrix) re-binds ``_vn`` to the rotated vector AFTER the residual
+    step — the codebooks must have been trained on rotated samples
+    (``rotation="opq"``), and the same pairing check guards the
+    mix.  Coarse assignment stays in the ORIGINAL space: an
+    orthogonal rotation preserves every dot product, so rotating the
+    centroids too would change nothing but the plan size."""
     if assign == "arrow":
         # bound-normalized-vector discipline (see pq_knn): the norm
         # fold appears once per side, the n_sub columns read the alias
@@ -911,6 +1046,13 @@ def _ivfpq_codes(
             "neighbor_id",
             "cell",
             _residual_col(vna, anchors, F.col("cell")).alias("_vn"),
+        )
+    if rot is not None:
+        # OPQ rebind, same once-per-row discipline, after the residual
+        base = base.select(
+            "neighbor_id",
+            "cell",
+            _rotate_col(vna, F.lit(rot), d_sub * n_sub).alias("_vn"),
         )
     return base.select(
         "neighbor_id",
@@ -989,6 +1131,7 @@ def ivfpq_knn(
     dim: int | None = None,
     assign: str = "arrow",
     by_residual: bool | None = None,
+    rotation: str | None = None,
     index=None,
     codes: DataFrame | None = None,
     corpus_filter=None,
@@ -1135,14 +1278,24 @@ def ivfpq_knn(
                 "argument or load the matching index"
             )
         by_residual = idx_mode
+        idx_rotation = getattr(index, "rotation", None)
+        if rotation is not None and rotation != idx_rotation:
+            raise ValueError(
+                f"rotation={rotation!r} conflicts with the index's "
+                f"recorded mode (rotation={idx_rotation!r}) — the "
+                "rotation is index geometry; drop the argument or "
+                "load the matching index"
+            )
+        rot = getattr(index, "rot", None)
     else:
         by_residual = bool(by_residual)
         n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
         coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-        d_sub, books = _pq_train(
+        d_sub, books, rot = _pq_train(
             corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
             train_sample, dim,
             coarse=coarse if by_residual else None,
+            rotation=rotation,
         )
     rerank = _auto_rerank(corpus, rerank, n=n_rows)
     if nprobe is None:
@@ -1203,7 +1356,7 @@ def ivfpq_knn(
     else:
         code_tbl = _ivfpq_codes(
             corpus, id_col, vec_col, coarse, books, n_sub, n_cells,
-            d_sub, assign, by_residual=by_residual,
+            d_sub, assign, by_residual=by_residual, rot=rot,
         )
     if by_residual:
         # Residual ADC: the distance target is (qn - anchor[cell]), so
@@ -1239,16 +1392,23 @@ def ivfpq_knn(
                 "cell",
                 _residual_col(vnr, anchors, F.col("cell")).alias("_vn"),
             )
-            .select(
+        )
+        if rot is not None:
+            # OPQ rebind after the residual, once per probe row
+            qtabs = qtabs.select(
                 "query_id",
                 "cell",
-                *[
-                    _pq_dtab_col(vnr, books, s, d_sub, n_cells).alias(
-                        f"dtab_{s}"
-                    )
-                    for s in range(n_sub)
-                ],
+                _rotate_col(vnr, F.lit(rot), d_sub * n_sub).alias("_vn"),
             )
+        qtabs = qtabs.select(
+            "query_id",
+            "cell",
+            *[
+                _pq_dtab_col(vnr, books, s, d_sub, n_cells).alias(
+                    f"dtab_{s}"
+                )
+                for s in range(n_sub)
+            ],
         )
     elif assign == "arrow":
         # Distance tables are O(n_sub·n_cells·d_sub) per row — compute
@@ -1256,17 +1416,22 @@ def ivfpq_knn(
         # explode the probe cells, so the Generate replicates computed
         # values instead of re-evaluating the dtabs nprobe times.
         vna = F.col("_vn")
-        qtabs = (
-            _assign_cells_arrow(
-                queries, id_col, vec_col, coarse, nprobe,
-                keep_vec=True, explode=False,
-            )
-            .select(
-                F.col("id").alias("query_id"),
+        qtabs = _assign_cells_arrow(
+            queries, id_col, vec_col, coarse, nprobe,
+            keep_vec=True, explode=False,
+        ).select(
+            F.col("id").alias("query_id"),
+            "cells",
+            _normalized("v").alias("_vn"),
+        )
+        if rot is not None:
+            qtabs = qtabs.select(
+                "query_id",
                 "cells",
-                _normalized("v").alias("_vn"),
+                _rotate_col(vna, F.lit(rot), d_sub * n_sub).alias("_vn"),
             )
-            .select(
+        qtabs = (
+            qtabs.select(
                 "query_id",
                 "cells",
                 *[
@@ -1286,13 +1451,19 @@ def ivfpq_knn(
         # Same explode-last discipline as the arrow route: dtabs are
         # evaluated once per query row, the Generate only replicates.
         vn = F.col("_vn")
-        qtabs = (
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                _nearest_cells(vec_col, coarse, nprobe).alias("cells"),
-                _normalized(vec_col).alias("_vn"),
+        qtabs = queries.select(
+            F.col(id_col).alias("query_id"),
+            _nearest_cells(vec_col, coarse, nprobe).alias("cells"),
+            _normalized(vec_col).alias("_vn"),
+        )
+        if rot is not None:
+            qtabs = qtabs.select(
+                "query_id",
+                "cells",
+                _rotate_col(vn, F.lit(rot), d_sub * n_sub).alias("_vn"),
             )
-            .select(
+        qtabs = (
+            qtabs.select(
                 "query_id",
                 "cells",
                 *[

@@ -19,33 +19,39 @@ Round 11 rotation (the r10 verdict's item #2 — rotate the gate onto
 the deferred bucket, never-graded-first / changed-code-re-grades /
 oldest-first):
 
-1. THE ONE NEW ROUND-11 QUERY enters first:
+1. THE TWO NEW ROUND-11 QUERIES enter first:
    q_emb_ann_refit_tombstone — the deleted-fraction refit arm (the
    r10 verdict's item #5), with four oracle-recomputed raw-value
-   columns (item #8's pattern).
+   columns (item #8's pattern) — and q_emb_ann_opq — parametric-OPQ
+   rotation as index geometry (item #4).
 2. THE CHANGED-CODE RE-GRADES: q_emb_ann_refit (the refit decision
    gained the tombstone arm + a deleted_fraction return field and
    the streaming coverage guard sits upstream of it),
    q_emb_ann_filtered (the corpus_filter pushdown is now gated on
    meta-only resolution — the r10 advisor's wrong-semantics leak),
    q_emb_ann_ivfpq_residual (ivfpq_knn's by_residual became a
-   tri-state with loud index-mode conflicts).  All three were graded
-   green in round 10; the code beneath them changed this round, so
-   their checks renew NOW rather than riding PREVIOUSLY_GREEN.
+   tri-state with loud index-mode conflicts),
+   q_emb_ann_tuned (tune_ann_serving's query sample is now
+   HASH-SPREAD — the r11 soak caught the old lowest-id stride
+   collapsing into the coarse-centroid seed region at n_coarse=1600,
+   where the tuner reported nprobe=1 / sample recall 0.97 while real
+   serving recall was 0.11).  All four were graded green in round
+   10; the code beneath them changed this round, so their checks
+   renew NOW rather than riding PREVIOUSLY_GREEN.
 3. THE FIVE ROUND-7 ROWS SPILLED FROM THE ROUND-10 GATE
    (q_text_crossdoc_blocks, q_text_rarity_score, q_top_customers,
    q_vec_int8_quant_error, q_window_top_orders_per_customer — the
    r10 docstring's immovable spill promise).
-4. THE FIRST 41 OF THE 50 ROUND-8 GREENS (the registry's oldest
+4. THE FIRST 39 OF THE 50 ROUND-8 GREENS (the registry's oldest
    checks once round 10 landed), in their recorded order.
 
-1 new + 3 re-grades + 5 spill-promise + 41 round-8 = 50 exactly.
-The round-12 deferred bucket below is the NINE round-8 rows the
-re-grades displaced (q_events_dedup_ingest …
+2 new + 4 re-grades + 5 spill-promise + 39 round-8 = 50 exactly.
+The round-12 deferred bucket below is the ELEVEN round-8 rows the
+new queries + re-grades displaced (q_dt_orbit_assembly …
 q_media_frame_sample — the next spill promise, they lead the
 round-12 gate) followed by the 50 rows graded 50/50 in round 9
 (CORRECTNESS_r09.json), whose checks become the registry's oldest
-once this round lands.  PREVIOUSLY_GREEN holds the 47 rows of the
+once this round lands.  PREVIOUSLY_GREEN holds the 46 rows of the
 round-10 gate not pulled back for re-grade (CORRECTNESS_r10.json —
 the freshest checks).  Everything outside the gate stays covered by
 the local sf0.001 differential (tests/test_oracle_parity.py) either
@@ -60,27 +66,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-11 gate (slots 1-50): 1 new + 3 changed-code re-grades + the
-# 5-row round-10 spill promise + the first 41 round-8 greens (the
+# Round-11 gate (slots 1-50): 2 new + 4 changed-code re-grades + the
+# 5-row round-10 spill promise + the first 39 round-8 greens (the
 # oldest checks).  New round-11 queries insert at the FRONT; each
 # spills the last round-8 row to the round-12 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
     # —— NEW this round: the tombstone-mass refit arm (r10 verdict
-    #    item #5; four oracle-recomputed raw columns per item #8) ——
+    #    item #5; four oracle-recomputed raw columns per item #8) and
+    #    OPQ-rotated serving (item #4) ——
     "q_emb_ann_refit_tombstone",
+    "q_emb_ann_opq",
     # —— changed-code re-grades (code beneath each moved this
     #    round: tombstone arm + coverage guard; meta-only pushdown
-    #    gate; by_residual tri-state) ——
+    #    gate; by_residual tri-state; the tuner's hash-spread sample
+    #    fix — the r11 soak caught its 100x centroid-sample bug) ——
     "q_emb_ann_refit",
     "q_emb_ann_filtered",
     "q_emb_ann_ivfpq_residual",
+    "q_emb_ann_tuned",
     # —— the round-10 spill promise (round-7 checks: oldest) ——
     "q_text_crossdoc_blocks",
     "q_text_rarity_score",
     "q_top_customers",
     "q_vec_int8_quant_error",
     "q_window_top_orders_per_customer",
-    # —— the first 41 round-8 greens (next-oldest checks) ——
+    # —— the first 39 round-8 greens (next-oldest checks) ——
     "q_emb_ann_ivfpq_codes",
     "q_docs_strip_contaminated_spans",
     "q_docs_decontaminate_spans",
@@ -120,17 +130,17 @@ ROUND_GATE: tuple[str, ...] = (
     "q_dt_channel_occupancy",
     "q_dt_custom_source_occupancy",
     "q_dt_hits_per_orbit",
-    "q_dt_orbit_assembly",
-    "q_dt_streaming_occupancy",
 )
 
-# The rows deferring to round 12, in pick-up order: the nine
-# round-8 rows this round's new query + re-grades displaced (the
+# The rows deferring to round 12, in pick-up order: the eleven
+# round-8 rows this round's new queries + re-grades displaced (the
 # round-12 spill promise), then the 50 rows graded 50/50 in round 9
 # (CORRECTNESS_r09.json), whose checks become the registry's oldest
 # once round 11 lands.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     # —— spilled from the round-11 gate (round-8 checks) ——
+    "q_dt_orbit_assembly",
+    "q_dt_streaming_occupancy",
     "q_events_dedup_ingest",
     "q_events_grouped_pandas_stats",
     "q_events_json_props",
@@ -194,13 +204,12 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
 )
 
 # Driver-green rows outside the round-11 gate with the FRESHEST
-# checks: the round-10 gate's 50 minus the three pulled back for
+# checks: the round-10 gate's 50 minus the four pulled back for
 # changed-code re-grades (CORRECTNESS_r10.json).  The registry
 # asserts gate ∪ deferred ∪ previously-green == all registered
 # queries.
 PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_emb_knn_filtered",
-    "q_emb_ann_tuned",
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
     "q_window_lag_order_gap",

@@ -2690,6 +2690,122 @@ def _ann_residual_index_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# OPQ-rotated PQ serving (round-11, the r10 verdict's item #4):
+# parametric OPQ (Ge et al., CVPR 2013 — eigenvalue-balanced PCA
+# rotation before the subquantizer split) as recorded index GEOMETRY,
+# exactly like by_residual: knob on build, inherited by
+# extend/delete/refit/serve, mode-mixing rejected by the pairing
+# check.  This query pins the rotated mode's serving contract:
+# persisted round-trip byte-identity vs an in-process OPQ refit, the
+# family recall band vs exact truth, and the rotation's isometry
+# invariant (RRᵀ = I — a non-orthogonal matrix would distort every
+# ADC distance).  Query slice 70 ≤ vec_id < 80.  The raw-vs-opq
+# DEFAULT decision follows the measured decade soak (SCALE.md), the
+# same keep-whichever-wins rule that settled by_residual.
+# ---------------------------------------------------------------------------
+_ANN_OPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_opq_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache per (process, sf_dir) for the OPQ-rotated
+    index — the _ann_index_table pattern with rotation='opq'."""
+    if sf_dir in _ANN_OPQ_INDEX_CACHE:
+        return _ANN_OPQ_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from fortymhz_spark.operators.ann_index import build_ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = tempfile.mkdtemp(prefix="fmhz_annopqidx_")
+    build_ann_index(
+        emb, table_dir, n_coarse=None, n_sub=8, n_cells=16,
+        rotation="opq",
+    )
+    _ANN_OPQ_INDEX_CACHE[sf_dir] = table_dir
+    return table_dir
+
+
+@reg.query(
+    "q_emb_ann_opq",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(LEAST(10, (SELECT COUNT(*) - 1 FROM embeddings))
+                AS BIGINT) AS n_exact,
+           CAST((SELECT LEN(embedding) FROM embeddings
+                 ORDER BY vec_id LIMIT 1) AS BIGINT) AS rot_dim,
+           TRUE AS rot_orthogonal,
+           TRUE AS recall_ok,
+           TRUE AS identical_to_refit
+    FROM embeddings WHERE vec_id >= 70 AND vec_id < 80 ORDER BY query_id
+    """,
+)
+def q_emb_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 for query vectors with 70 <= vec_id < 80 served
+    from a PERSISTED OPQ-rotated index (rotation='opq'), graded on the
+    family recall band against exact truth, on zero symmetric
+    difference vs an in-process OPQ refit of the same sizing (the
+    rotation is inherited from the artifact — a query cannot ask for
+    the wrong space), and on the rotation's isometry invariant
+    (max |RRᵀ − I| < 1e-9; ``rot_dim`` — the matrix size the oracle
+    recomputes as the embedding dimension — is the second raw-value
+    column)."""
+    import numpy as np
+
+    from fortymhz_spark.operators.ann_index import load_ann_index
+    from fortymhz_spark.queries.llm import _ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 70) & (F.col("vec_id") < 80))
+    idx = load_ann_index(spark, _ann_opq_index_table(spark, sf_dir))
+    R = np.asarray(idx.rot, dtype=np.float64)
+    orth = bool(
+        R.shape == (idx.dim, idx.dim)
+        and np.abs(R @ R.T - np.eye(idx.dim)).max() < 1e-9
+    )
+    served = sim.ivfpq_knn(
+        emb, queries, k=10, nprobe=None, rerank=None, index=idx
+    ).select("query_id", "neighbor_id")
+    refit = sim.ivfpq_knn(
+        emb, queries, k=10, n_coarse=None, nprobe=None, n_sub=8,
+        n_cells=16, rerank=None, rotation="opq",
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_knn(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    diff = (
+        served.withColumn("__s__", F.lit(1))
+        .join(
+            refit.withColumn("__r__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s__").isNull() | F.col("__r__").isNull(), 1
+                ).otherwise(0)
+            ).alias("__n_diff__")
+        )
+    )
+    return (
+        _ann_recall_check(exact, served, bound=0.5)
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.lit(int(idx.dim)).cast("long").alias("rot_dim"),
+            F.lit(orth).alias("rot_orthogonal"),
+            "recall_ok",
+            (F.coalesce(F.col("__n_diff__"), F.lit(0)) == 0).alias(
+                "identical_to_refit"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Metadata-FILTERED ANN serving (round-10): the vector-store feature —
 # top-k among only the rows matching a predicate, served from ONE
 # shared persisted index with the metadata AT REST in the codes table

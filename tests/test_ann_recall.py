@@ -1341,6 +1341,7 @@ def test_refit_ann_codes_drift_policy_and_byte_identity(
     assert r == {
         "refit": False,
         "mean_quant_err": r["mean_quant_err"],
+        "deleted_fraction": 0.0,
         "index_version": 1,
         "codes_version": 1,
     }
@@ -1824,3 +1825,169 @@ def test_refit_deleted_fraction_arm_and_manifest_math(spark, truth, tmp_path):
     # the rebuild re-encoded the surviving corpus under the new fit:
     # the tombstone mass is spent
     assert codes_deleted_fraction(codes_dir) == 0.0
+
+
+def test_opq_rotation_orthogonal_balanced_deterministic():
+    """_opq_rotation (parametric OPQ, Ge et al. 2013): the matrix is
+    orthogonal (an isometry — rotating cannot distort distances),
+    every subquantizer block gets exactly d_sub rows, the allocation
+    balances per-block eigenvalue mass (no PCA-style all-variance-in-
+    block-0 degeneracy), and the same sample yields the same bits."""
+    import numpy as np
+
+    from fortymhz_spark.operators.similarity import _opq_rotation
+
+    rng = np.random.default_rng(7)
+    dim, n_sub = 16, 4
+    # anisotropic sample: variance concentrated in few directions,
+    # the case plain PCA ordering would misallocate
+    scales = np.array([10.0, 8.0, 5.0] + [0.5] * (dim - 3))
+    X = rng.normal(size=(200, dim)) * scales
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    sample = X.tolist()
+    rot = _opq_rotation(sample, n_sub, dim // n_sub)
+    R = np.asarray(rot)
+    assert R.shape == (dim, dim)
+    assert np.abs(R @ R.T - np.eye(dim)).max() < 1e-9
+    assert _opq_rotation(sample, n_sub, dim // n_sub) == rot
+    # balanced allocation: the three dominant variance directions must
+    # land in three DISTINCT blocks (log-product balancing spreads
+    # them; plain PCA ordering would stack all three into block 0)
+    cov = (X.T @ X) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    top3 = evecs[:, np.argsort(evals)[::-1][:3]]
+    owner_blocks = set()
+    for t in range(3):
+        row = int(np.argmax(np.abs(R @ top3[:, t])))
+        owner_blocks.add(row // (dim // n_sub))
+    assert len(owner_blocks) == 3, owner_blocks
+
+
+def test_opq_index_lifecycle_byte_identity(spark, truth, tmp_path):
+    """rotation='opq' as index geometry: persisted fit serves
+    byte-identical to the in-process twin, codes-at-rest serves
+    byte-identical to the in-plan encode, an extend inherits the
+    rotation, the refit rebuilds WITH it, the drift report measures
+    in rotated space, and recall clears the family floor."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        ann_drift_report,
+        build_ann_codes,
+        build_ann_index,
+        extend_ann_codes,
+        load_ann_codes,
+        load_ann_index,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, by_q = truth
+    kw = dict(k=K, nprobe=4, rerank=8)
+    inproc = ivfpq_knn(
+        emb, queries, n_coarse=8, n_sub=8, n_cells=16, rotation="opq", **kw
+    ).collect()
+    assert _recall(inproc, by_q) >= 0.5
+
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16,
+                    rotation="opq")
+    idx = load_ann_index(spark, idx_dir)
+    assert idx.rotation == "opq" and len(idx.rot) == idx.dim
+    served = ivfpq_knn(emb, queries, index=idx, **kw).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, served)) == sorted(map(key, inproc))
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(old, codes_dir, idx)
+    extend_ann_codes(batch, codes_dir, idx)
+    codes = load_ann_codes(spark, codes_dir, idx)
+    at_rest = ivfpq_knn(
+        emb, queries, index=idx, codes=codes, **kw
+    ).collect()
+    assert sorted(map(key, at_rest)) == sorted(map(key, served))
+
+    # drift in rotated space is finite and sane; unconditional refit
+    # re-trains WITH the rotation (inherited structural geometry)
+    err = ann_drift_report(emb, idx).first()["mean_quant_err"]
+    assert err is not None and err >= 0.0
+    res = refit_ann_codes(emb, idx_dir, codes_dir)
+    assert res["refit"] is True
+    idx2 = load_ann_index(spark, idx_dir)
+    assert idx2.rotation == "opq" and len(idx2.rot) == idx2.dim
+
+
+def test_opq_mode_mixing_rejected(spark, truth, tmp_path):
+    """Rotation is geometry: same-version same-sizing indexes that
+    differ ONLY in rotation mode must not mix — codes built raw are
+    rejected by a rotated index (and vice versa), and an explicit
+    rotation= conflicting with the loaded index's recorded mode
+    raises in both ivfpq_knn and pq_knn."""
+    import pytest as _pytest
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn, pq_knn
+
+    emb, queries, _ = truth
+    raw_dir, opq_dir = str(tmp_path / "raw"), str(tmp_path / "opq")
+    build_ann_index(emb, raw_dir, n_coarse=8, n_sub=8, n_cells=16)
+    build_ann_index(emb, opq_dir, n_coarse=8, n_sub=8, n_cells=16,
+                    rotation="opq")
+    raw_idx = load_ann_index(spark, raw_dir)
+    opq_idx = load_ann_index(spark, opq_dir)
+    assert raw_idx.version == opq_idx.version  # same v, same sizing
+
+    codes_dir = str(tmp_path / "codes_raw")
+    build_ann_codes(emb, codes_dir, raw_idx)
+    with _pytest.raises(ValueError, match="must never mix"):
+        load_ann_codes(spark, codes_dir, opq_idx)
+
+    kw = dict(k=K, nprobe=4, rerank=8)
+    with _pytest.raises(ValueError, match="rotation is index geometry"):
+        ivfpq_knn(emb, queries, index=raw_idx, rotation="opq", **kw)
+    with _pytest.raises(ValueError, match="rotation is index geometry"):
+        ivfpq_knn(emb, queries, index=opq_idx, rotation="none", **kw)
+    with _pytest.raises(ValueError, match="rotation is index geometry"):
+        pq_knn(emb, queries, index=opq_idx, rotation="opq2", k=K, rerank=8)
+    # matching explicit value passes through
+    a = ivfpq_knn(emb, queries, index=opq_idx, rotation="opq", **kw)
+    b = ivfpq_knn(emb, queries, index=opq_idx, **kw)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_opq_composes_with_residual(spark, truth, tmp_path):
+    """rotation and by_residual are INDEPENDENT geometry axes: an
+    index built with both trains codebooks on ROTATED RESIDUALS,
+    round-trips through persistence byte-identically, and serves
+    within the family recall floor."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, by_q = truth
+    kw = dict(k=K, nprobe=4, rerank=8)
+    inproc = ivfpq_knn(
+        emb, queries, n_coarse=8, n_sub=8, n_cells=16,
+        by_residual=True, rotation="opq", **kw
+    ).collect()
+    assert _recall(inproc, by_q) >= 0.5
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(
+        emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16,
+        by_residual=True, rotation="opq",
+    )
+    idx = load_ann_index(spark, idx_dir)
+    assert idx.by_residual is True and idx.rotation == "opq"
+    served = ivfpq_knn(emb, queries, index=idx, **kw).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, served)) == sorted(map(key, inproc))

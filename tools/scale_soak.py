@@ -1128,6 +1128,60 @@ def ann_filtered_soak(spark, mults: list[int], reps: int = 2) -> int:
     return 0
 
 
+def pq_opq_soak(spark, mults: list[int], reps: int = 2) -> int:
+    """OPQ rotation vs raw PQ across decades (round-11, the r10
+    verdict's item #4): parametric-OPQ (eigenvalue-balanced PCA
+    rotation before the subquantizer split, Ge et al. 2013) attacks
+    quantization error from the geometry side.  Same pre-declared
+    keep-whichever-wins rule that settled by_residual: both modes run
+    with IDENTICAL deployment knobs (n_coarse ∝ corpus, auto
+    nprobe/rerank — the serving defaults, not the r10 fixed-8 posture)
+    against exact Arrow brute-force truth on the same fixed ~49-query
+    set; whichever wins recall at equal wall keeps the default."""
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        ivfpq_knn,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    K = 10
+    print("| scale | mode | wall s | recall@10 | n_queries |")
+    print("|---|---|---|---|---|")
+    for mult in mults:
+        if mult == 1:
+            emb = load_table(spark, SF_DIR, "embeddings")
+        else:
+            out = f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        queries = emb.filter(F.col("vec_id") % (41 * mult) == 0)
+        truth: dict[int, set[int]] = {}
+        for r in brute_force_knn_arrow(emb, queries, k=K).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total = sum(len(t) for t in truth.values())
+        for mode, rotation in (("raw", None), ("opq", "opq")):
+            best, got = float("inf"), None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                got = ivfpq_knn(
+                    emb, queries, k=K, n_coarse=16 * mult, nprobe=None,
+                    n_sub=8, n_cells=16, rerank=None, assign="arrow",
+                    rotation=rotation,
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            by_q: dict[int, set[int]] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+            print(
+                f"| {mult}x | {mode} | {best:.2f} | {hits / total:.3f} "
+                f"| {len(truth)} |"
+            )
+    return 0
+
+
 def ann_tuned_soak(
     spark, mults: list[int], reps: int = 2, slo: float = 0.8
 ) -> int:
@@ -1263,6 +1317,12 @@ def main() -> int:
         "comparison (honors --scales and --reps)",
     )
     ap.add_argument(
+        "--pq-opq",
+        action="store_true",
+        help="run ONLY the OPQ-rotation vs raw PQ comparison "
+        "(honors --scales and --reps)",
+    )
+    ap.add_argument(
         "--ann-tuned",
         action="store_true",
         help="run ONLY the SLO-tuned vs auto vs fixed-nprobe serving "
@@ -1301,6 +1361,11 @@ def main() -> int:
 
     if args.ann_tuned:
         ann_tuned_soak(spark, mults, reps=args.reps, slo=args.slo)
+        spark.stop()
+        return 0
+
+    if args.pq_opq:
+        pq_opq_soak(spark, mults, reps=args.reps)
         spark.stop()
         return 0
 
