@@ -954,6 +954,7 @@ def tune_ann_serving(
     target_recall: float = 0.9,
     sample_queries: int = 32,
     rerank: int | None = None,
+    max_rerank: int | None = 4096,
     codes: DataFrame | None = None,
 ) -> dict:
     """Measure, don't guess, the serving knob: the SMALLEST ``nprobe``
@@ -982,12 +983,21 @@ def tune_ann_serving(
     ``sample_queries`` rows each — bounded, and run offline per
     (index, corpus) version, never per query.
 
-    Returns ``{"nprobe", "recall", "met", "rerank", "evaluated"}`` —
-    ``met=False`` (with ``nprobe=n_coarse`` and its achieved recall)
-    when even probing every cell cannot clear the target (the
-    ADC/rerank budget is the binding constraint; widen ``rerank`` or
-    refit).  ``evaluated`` lists every (nprobe, recall) measured, the
-    audit trail."""
+    Returns ``{"nprobe", "recall", "met", "rerank", "evaluated",
+    "escalations"}``.  When a full-width sweep fails, the tuner now
+    ESCALATES the rerank axis itself — doubling the shortlist width
+    (bounded by ``max_rerank``; ``None`` disables escalation, and an
+    EXPLICIT ``rerank=`` pins the caller's budget so escalation never
+    overrides it) and
+    re-running the nprobe search — because a failed sweep means the
+    exact-re-rank budget, not the probe width, is the binding
+    constraint (measured at the 100× decade: exhaustive probing
+    topped out at 0.62 under rerank=256 while rerank=1024 met 0.8 at
+    nprobe=329 — exactly _auto_nprobe's closed-form 328).
+    ``met=False`` now means even ``max_rerank`` cannot clear the
+    target (refit or re-geometry).  ``evaluated`` lists every
+    (nprobe, recall) of the FINAL width; ``escalations`` the
+    (rerank, full-probe recall) of each abandoned width."""
     from fortymhz_spark.operators.similarity import (
         _auto_rerank,
         brute_force_knn,
@@ -1028,13 +1038,14 @@ def tune_ann_serving(
     total = sum(len(t) for t in truth.values())
     if total == 0:
         raise ValueError("empty corpus/sample: nothing to tune against")
+    may_escalate = rerank is None and max_rerank is not None
     rerank = _auto_rerank(corpus, rerank)
 
-    def recall_at(p: int) -> float:
+    def recall_at(p: int, rr: int) -> float:
         got: dict[int, set[int]] = {}
         rows = ivfpq_knn(
             corpus, sample, id_col=id_col, vec_col=vec_col, k=k,
-            nprobe=p, rerank=rerank, index=index, codes=codes,
+            nprobe=p, rerank=rr, index=index, codes=codes,
         ).collect()
         for r in rows:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -1042,39 +1053,62 @@ def tune_ann_serving(
             sum(len(got.get(q, set()) & t) for q, t in truth.items()) / total
         )
 
-    evaluated: list[tuple[int, float]] = []
-    # doubling sweep to bracket the target
-    lo, hi, hi_recall = 0, None, 0.0
-    p = 1
+    def sweep(rr: int):
+        """Minimal-nprobe search at one rerank width: doubling sweep
+        to bracket the target, then binary search.  Returns the
+        result dict (met True/False) for this width."""
+        evaluated: list[tuple[int, float]] = []
+        lo, hi, hi_recall = 0, None, 0.0
+        p = 1
+        while True:
+            r = recall_at(p, rr)
+            evaluated.append((p, r))
+            if r >= target_recall:
+                hi, hi_recall = p, r
+                break
+            lo = p
+            if p >= index.n_coarse:
+                return {
+                    "nprobe": index.n_coarse,
+                    "recall": r,
+                    "met": False,
+                    "rerank": rr,
+                    "evaluated": evaluated,
+                }
+            p = min(p * 2, index.n_coarse)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            r = recall_at(mid, rr)
+            evaluated.append((mid, r))
+            if r >= target_recall:
+                hi, hi_recall = mid, r
+            else:
+                lo = mid
+        return {
+            "nprobe": hi,
+            "recall": hi_recall,
+            "met": True,
+            "rerank": rr,
+            "evaluated": evaluated,
+        }
+
+    # RERANK ESCALATION (round-11): when even probing every cell
+    # cannot clear the SLO, the binding constraint is the exact-re-
+    # rank shortlist, not the probe width — measured at the 100×
+    # decade: nprobe=1600 of 1600 topped out at recall 0.62 under
+    # rerank=256 (ADC false positives crowd the fixed shortlist — the
+    # recall-vs-nprobe curve even turns DOWNWARD past its knee),
+    # while doubling rerank to 1024 met the 0.8 SLO at nprobe=329,
+    # which matched _auto_nprobe's closed form (328) exactly.  So on
+    # a failed sweep the tuner doubles rerank (bounded by
+    # ``max_rerank`` and the corpus size) and re-runs the nprobe
+    # search; each abandoned attempt is recorded in ``escalations``
+    # so the audit trail shows what the cheaper widths measured.
+    escalations: list[tuple[int, float]] = []
     while True:
-        r = recall_at(p)
-        evaluated.append((p, r))
-        if r >= target_recall:
-            hi, hi_recall = p, r
-            break
-        lo = p
-        if p >= index.n_coarse:
-            return {
-                "nprobe": index.n_coarse,
-                "recall": r,
-                "met": False,
-                "rerank": rerank,
-                "evaluated": evaluated,
-            }
-        p = min(p * 2, index.n_coarse)
-    # binary search (lo fails, hi meets) for the exact minimum
-    while hi - lo > 1:
-        mid = (lo + hi) // 2
-        r = recall_at(mid)
-        evaluated.append((mid, r))
-        if r >= target_recall:
-            hi, hi_recall = mid, r
-        else:
-            lo = mid
-    return {
-        "nprobe": hi,
-        "recall": hi_recall,
-        "met": True,
-        "rerank": rerank,
-        "evaluated": evaluated,
-    }
+        res = sweep(rerank)
+        if res["met"] or not may_escalate or rerank >= max_rerank:
+            res["escalations"] = escalations
+            return res
+        escalations.append((rerank, res["recall"]))
+        rerank = min(rerank * 2, max_rerank)

@@ -329,20 +329,30 @@ def _auto_nprobe(n_cells: int, k: int, rerank: int, n: int) -> int:
 def _auto_rerank(
     corpus: DataFrame, rerank: int | None, n: int | None = None
 ) -> int:
-    """Resolve a ``rerank=None`` request to ``max(16, min(256, ⌈√N⌉))``
+    """Resolve a ``rerank=None`` request to ``max(16, min(1024, ⌈√N⌉))``
     with one corpus count — the re-rank width is the recall lever that
     actually works on hard (near-uniform) embeddings, and a FIXED width
     decays as the corpus grows past it (measured: pq recall 0.91 →
     0.78 and ivfpq 0.88 → 0.75 from a 500- to a 2000-vector corpus at
     rerank=16).  √N keeps the shortlist a vanishing FRACTION of the
-    corpus while still growing absolutely; the 256 cap bounds the
-    exact-rerank fetch at k×256 rows per query — past that, recall
-    budget belongs in nprobe / codebook quality, not a wider exact
-    scan.  Explicit values pass through untouched."""
+    corpus while still growing absolutely.
+
+    The cap was 256 through round 10; the round-11 decade soak showed
+    it is the BINDING recall constraint at deployment scale on
+    near-uniform embeddings: at 200 k vectors (n_coarse=1600) even
+    probing every cell topped out at recall 0.62 under rerank=256,
+    while rerank=1024 restored 0.855 at the coverage-rule nprobe —
+    and the SLO tuner's measured minimal nprobe (329 for recall 0.8
+    at rerank=1024) matched :func:`_auto_nprobe`'s closed form (328)
+    exactly, validating the nprobe rule once rerank is right
+    (SCALE.md round-11).  The 1024 cap bounds the exact-rerank fetch
+    at k×1024 rows per query and only binds above N ≈ 10⁶; below
+    N = 65 k (√N < 256) nothing changes.  Explicit values pass
+    through untouched."""
     if rerank is not None:
         return rerank
     n = corpus.count() if n is None else n
-    return max(16, min(256, int(math.isqrt(max(n - 1, 0))) + 1))
+    return max(16, min(1024, int(math.isqrt(max(n - 1, 0))) + 1))
 
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> list:

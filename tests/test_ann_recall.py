@@ -1991,3 +1991,56 @@ def test_opq_composes_with_residual(spark, truth, tmp_path):
     served = ivfpq_knn(emb, queries, index=idx, **kw).collect()
     key = lambda r: tuple(r)
     assert sorted(map(key, served)) == sorted(map(key, inproc))
+
+
+def test_tune_ann_serving_rerank_escalation(spark, truth, tmp_path):
+    """The round-11 escalation arm: when the nprobe sweep fails at the
+    resolved rerank, an AUTO-resolved width doubles (bounded by
+    max_rerank) and the search re-runs — each abandoned width lands in
+    the ``escalations`` audit trail; an EXPLICIT rerank pins the
+    caller's budget and never escalates; max_rerank=None disables
+    escalation outright."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+        tune_ann_serving,
+    )
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_dir = str(tmp_path / "codes")
+    build_ann_codes(emb, codes_dir, idx)
+    codes = load_ann_codes(spark, codes_dir, idx)
+
+    # explicit rerank=1 starves the exact re-rank: no escalation, the
+    # failure is reported at the caller's pinned budget
+    hard = tune_ann_serving(
+        emb, idx, k=10, target_recall=1.0, sample_queries=16,
+        rerank=1, codes=codes,
+    )
+    assert hard["met"] is False and hard["rerank"] == 1
+    assert hard["escalations"] == []
+
+    # auto rerank at an aggressive target: escalation may fire; every
+    # abandoned width is strictly increasing and below the final one,
+    # and the final result is consistent either way
+    res = tune_ann_serving(
+        emb, idx, k=10, target_recall=0.99, sample_queries=16,
+        codes=codes, max_rerank=256,
+    )
+    widths = [w for w, _ in res["escalations"]]
+    assert widths == sorted(widths)
+    assert all(w < res["rerank"] for w in widths)
+    if not res["met"]:
+        assert res["rerank"] >= 256 or res["escalations"] == []
+
+    # max_rerank=None: single sweep, legacy behavior
+    legacy = tune_ann_serving(
+        emb, idx, k=10, target_recall=1.0, sample_queries=16,
+        codes=codes, max_rerank=None,
+    )
+    assert legacy["escalations"] == []
