@@ -259,6 +259,10 @@ AUDIT = [
     "q_emb_ann_refit",
     "q_emb_ann_ivfpq_residual",
     "q_emb_ann_tuned",
+    # round-11 additions: the tombstone-arm lifecycle audit and the
+    # OPQ serve/twin/exact triple (both deliberately-uncached fits)
+    "q_emb_ann_refit_tombstone",
+    "q_emb_ann_opq",
 ]
 
 
