@@ -207,6 +207,21 @@ ENGINE_HASH_GATE = [
     "q_emb_pca_audit",
     # and the moments lifecycle's byte-identity booleans with it
     "q_emb_pca_incremental",
+    # round-10/11 lifecycle rows, same discipline: residual/OPQ
+    # serving rides trained codebooks (+ the rotation literal), the
+    # refit queries re-run the whole fit lifecycle per call into
+    # fresh temp dirs (deterministic fits → identical versions and
+    # booleans), the tuner's sample is a deterministic hash-spread
+    # stride, and the filtered pair serves from cached meta codes —
+    # every one must return byte-identical rows under hostile
+    # partitioning
+    "q_emb_ann_ivfpq_residual",
+    "q_emb_ann_opq",
+    "q_emb_ann_refit",
+    "q_emb_ann_refit_tombstone",
+    "q_emb_ann_tuned",
+    "q_emb_knn_filtered",
+    "q_emb_ann_filtered",
 ]
 
 

@@ -2358,3 +2358,41 @@ def test_train_hashed_classifier_learns_and_is_deterministic(spark):
         tx.train_hashed_classifier(docs, "y", n_buckets=0)
     with _pytest.raises(ValueError, match="epochs"):
         tx.train_hashed_classifier(docs, "y", epochs=0)
+
+
+@given(
+    data=st.data(),
+    n_sub=st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=15, deadline=None)
+def test_opq_rotation_isometry_property(data, n_sub):
+    """Property: for ANY training sample, _opq_rotation returns an
+    ORTHOGONAL dim×dim matrix (isometry — rotating must never distort
+    an ADC distance), every block owns exactly d_sub output rows, and
+    the map is a pure function of the sample (same bits twice).
+    Degenerate inputs (constant vectors, rank-deficient samples,
+    near-zero variance) must not break orthogonality — eigh of a PSD
+    moment matrix always yields an orthonormal basis."""
+    import numpy as np
+
+    from fortymhz_spark.operators.similarity import _opq_rotation
+
+    dim = n_sub * data.draw(st.sampled_from([2, 4]))
+    n_rows = data.draw(st.integers(min_value=1, max_value=40))
+    sample = [
+        [
+            data.draw(
+                st.floats(
+                    min_value=-10, max_value=10,
+                    allow_nan=False, allow_infinity=False,
+                )
+            )
+            for _ in range(dim)
+        ]
+        for _ in range(n_rows)
+    ]
+    rot = _opq_rotation(sample, n_sub, dim // n_sub)
+    R = np.asarray(rot, dtype=np.float64)
+    assert R.shape == (dim, dim)
+    assert np.abs(R @ R.T - np.eye(dim)).max() < 1e-8
+    assert _opq_rotation(sample, n_sub, dim // n_sub) == rot
