@@ -365,7 +365,13 @@ def main() -> None:
     # process with no JSON line.  Audit walls live in
     # BENCH_DETAILS.json and the compact line's audit summary, never
     # in "value".
-    wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "590"))
+    # Default sized so the WHOLE process (3 timed reps ≈ 510 s on a
+    # clean window + the recall report) stays inside the wall the
+    # driver has demonstrably tolerated (~530-560 s in rounds 9-10):
+    # a clean run gets ~2-4 audit rows, a full audit pass needs the
+    # raised-wall invocation recorded in BASELINE.md.  The JSON line
+    # is worth more than the tail audits.
+    wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "555"))
     audit_times: dict[str, float] = {}
     audit_errors: dict[str, str] = {}
     audit_skipped: list[str] = []
