@@ -27,7 +27,10 @@ in BENCH_DETAILS.json["audit"] and summarized in the compact line's
 "audit" field but NEVER summed into "value": each is a correctness
 audit dominated by its graded twin/exact branches, and timing them
 inside the interleaved reps ate the driver's budget down to reps=2
-in round 10.
+in round 10.  On a default-budget run the wall may skip some or all
+audit rows (recorded in audit_skipped — their correctness is the
+GATE's job); the full audit timing record comes from raised-wall
+invocations (BASELINE.md).
 
 Output discipline (round-3 judge: BENCH_r03.json failed to parse
 because the enriched single line with cold/spread for 55 queries
@@ -368,9 +371,12 @@ def main() -> None:
     # Default sized so the WHOLE process (3 timed reps ≈ 510 s on a
     # clean window + the recall report) stays inside the wall the
     # driver has demonstrably tolerated (~530-560 s in rounds 9-10):
-    # a clean run gets ~2-4 audit rows, a full audit pass needs the
-    # raised-wall invocation recorded in BASELINE.md.  The JSON line
-    # is worth more than the tail audits.
+    # a default-budget run gets 0-4 audit rows depending on the
+    # window (rehearsed: reps=3 + recall alone filled the wall once),
+    # a full audit pass needs the raised-wall invocation recorded in
+    # BASELINE.md.  The JSON line is worth more than the tail audits;
+    # the audit queries' CORRECTNESS is graded by the gate either
+    # way.
     wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "555"))
     audit_times: dict[str, float] = {}
     audit_errors: dict[str, str] = {}
