@@ -98,6 +98,12 @@ class AnnIndex:
     # artifact rows).
     rotation: str | None = None
     rot: list | None = None
+    # Persisted serving knobs (save_ann_tuning / load_ann_tuning):
+    # NOT geometry — a measured (nprobe, rerank) operating point for
+    # this index version, attached by load_ann_serving(tuning_dir=)
+    # so ivfpq_knn(index=...) defaults to the tuned point instead of
+    # the closed-form formulas.  Explicit query knobs always win.
+    tuning: dict | None = None
 
     @property
     def n_coarse(self) -> int:
@@ -916,6 +922,144 @@ def refit_ann_codes(
     }
 
 
+def save_ann_tuning(
+    spark: SparkSession,
+    table_dir: str,
+    result: dict,
+    *,
+    index_version: int,
+    codes_version: int | None = None,
+    target_recall: float | None = None,
+    k: int | None = None,
+    expected_current: int | None = None,
+) -> int:
+    """Persist a :func:`tune_ann_serving` result as ARTIFACT STATE —
+    the round-11 gap made operational: the tuner measured a 0.822-
+    recall operating point at the 100× decade while untuned serving
+    defaults measured 0.616, but nothing recorded the knobs, so every
+    deployment had to re-tune by hand and ``load_ann_serving`` served
+    formula defaults.  This writes the accepted ``(nprobe, rerank)``
+    next to the (index, codes) version pair as its own versioned
+    snapshot table — ``load_ann_serving(tuning_dir=...)`` then
+    attaches it to the served index and ``ivfpq_knn(index=...)``
+    defaults to the measured point.
+
+    Pairing contract: the tuning is valid for EXACTLY the index
+    version it was measured against — a refit changes geometry, so
+    :func:`load_ann_tuning` treats an index-version mismatch as
+    STALE and the serving path falls back to formula defaults
+    (never silently serves knobs tuned for a different fit).
+    ``codes_version`` is recorded as provenance; extends advance the
+    codes version without touching geometry, so it does NOT
+    invalidate (the tuned point drifts with ingest exactly as much
+    as the corpus does — re-tune on refit, which rebuilds both).
+
+    Rows are the full audit trail — the accepted point plus every
+    ``evaluated`` (nprobe, recall) of the final width and every
+    abandoned ``escalations`` width — so "why this knob" is
+    answerable from the artifact alone; the note carries the
+    accepted knobs for the zero-scan load path.  Tiny table
+    (O(log n_coarse) rows), same snapshot machinery as the index
+    itself (CAS publish, time travel)."""
+    for key in ("nprobe", "rerank", "recall", "met"):
+        if key not in result:
+            raise ValueError(
+                f"save_ann_tuning needs a tune_ann_serving result "
+                f"dict; missing key {key!r}"
+            )
+    rows = [
+        (
+            "accepted",
+            int(result["nprobe"]),
+            int(result["rerank"]),
+            float(result["recall"]),
+        )
+    ] + [
+        ("evaluated", int(p), int(result["rerank"]), float(r))
+        for p, r in result.get("evaluated", [])
+    ] + [
+        ("escalation", None, int(w), float(r))
+        for w, r in result.get("escalations", [])
+    ]
+    params = {
+        "kind": "ann_tuning",
+        "index_version": int(index_version),
+        "codes_version": (
+            None if codes_version is None else int(codes_version)
+        ),
+        "nprobe": int(result["nprobe"]),
+        "rerank": int(result["rerank"]),
+        "recall": float(result["recall"]),
+        "met": bool(result["met"]),
+        "target_recall": target_recall,
+        "k": k,
+    }
+    df = spark.createDataFrame(
+        rows, "role string, nprobe int, rerank int, recall double"
+    )
+    return write_snapshot(
+        df,
+        table_dir,
+        note="ann_tuning " + json.dumps(params, sort_keys=True),
+        expected_current=expected_current,
+    )
+
+
+def load_ann_tuning(
+    table_dir: str,
+    *,
+    index_version: int | None = None,
+    version: int | None = None,
+) -> dict | None:
+    """Resolve the persisted serving knobs for an index version —
+    the zero-scan half of the tuned-serving lifecycle (the note
+    carries the accepted point; the data rows are the audit trail).
+    Returns the knob dict, or ``None`` in exactly two benign cases:
+    the table does not exist yet (nothing has been tuned — serve
+    formula defaults), or ``index_version`` is given and the
+    recorded pairing differs (STALE: a refit republished the index;
+    knobs tuned for the old geometry must not ride along — a
+    ``RuntimeWarning`` flags it so a deployment notices it is back
+    on formula defaults until it re-tunes).  Any other failure — a
+    table that exists but is not an ``ann_tuning`` artifact, a
+    pinned ``version=`` that does not exist — raises."""
+    import os
+
+    from fortymhz_spark.sources.snapshots import _manifest_path
+
+    if not os.path.exists(_manifest_path(table_dir)):
+        return None
+    v, params = resolve_artifact(table_dir, "ann_tuning ", version=version)
+    if (
+        index_version is not None
+        and int(params["index_version"]) != int(index_version)
+    ):
+        import warnings
+
+        warnings.warn(
+            f"ann_tuning v={v} at {table_dir} was measured against "
+            f"index v={params['index_version']} but the serving index "
+            f"is v={index_version} — a refit changed the geometry, so "
+            "the recorded knobs are STALE and serving falls back to "
+            "formula defaults; re-run tune_ann_serving against the "
+            "new index to restore the tuned operating point",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
+    return {
+        "nprobe": int(params["nprobe"]),
+        "rerank": int(params["rerank"]),
+        "recall": float(params["recall"]),
+        "met": bool(params["met"]),
+        "target_recall": params.get("target_recall"),
+        "k": params.get("k"),
+        "index_version": int(params["index_version"]),
+        "codes_version": params.get("codes_version"),
+        "version": v,
+    }
+
+
 def load_ann_serving(
     spark: SparkSession,
     index_dir: str,
@@ -923,6 +1067,7 @@ def load_ann_serving(
     *,
     codes_version: int | None = None,
     corpus_version: int | None = None,
+    tuning_dir: str | None = None,
 ) -> tuple[AnnIndex, DataFrame]:
     """Resolve a CONSISTENT (index, codes) serving pair: the codes
     table is resolved first (current, or a pinned ``codes_version=``)
@@ -933,7 +1078,20 @@ def load_ann_serving(
     against vN.  Loading "current index + current codes" independently
     has exactly that race; this is the one-call form serving jobs
     should use.  All of :func:`load_ann_codes`'s pairing and
-    staleness guards still run."""
+    staleness guards still run.
+
+    ``tuning_dir=`` attaches the persisted serving knobs
+    (:func:`save_ann_tuning`) to the returned index, so
+    ``ivfpq_knn(index=...)`` with no explicit ``nprobe``/``rerank``
+    serves at the MEASURED operating point instead of the closed-form
+    defaults (which measured 0.616 recall at the 100× decade vs the
+    tuner's 0.822 — SCALE.md round 11).  Knobs recorded against a
+    different index version are STALE (a refit republished) and are
+    skipped with a ``RuntimeWarning`` — formula defaults serve until
+    a re-tune; an absent tuning table is the normal pre-tune state
+    and attaches nothing, silently."""
+    import dataclasses
+
     v, params = resolve_artifact(codes_dir, "ann_codes ", version=codes_version)
     idx = load_ann_index(
         spark, index_dir, version=int(params["index_version"])
@@ -941,7 +1099,47 @@ def load_ann_serving(
     codes = load_ann_codes(
         spark, codes_dir, idx, version=v, corpus_version=corpus_version
     )
+    if tuning_dir is not None:
+        tuned = load_ann_tuning(tuning_dir, index_version=idx.version)
+        if tuned is not None:
+            idx = dataclasses.replace(idx, tuning=tuned)
     return idx, codes
+
+
+def tuning_query_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_queries: int = 32,
+) -> DataFrame:
+    """The tuner's deterministic held-out query sample, exposed as
+    the ONE copy both :func:`tune_ann_serving` and any caller that
+    wants to re-measure recall AT the recorded operating point use —
+    a grade that replays serving on a different sample would compare
+    against an SLO measured elsewhere.  Strided (``id % 13 == 5``)
+    then HASH-SPREAD: ordered by a Knuth multiplicative hash of the
+    id (reduced mod 2^31 before the multiply — the raw product
+    overflows int64 above id ~3.5e9 and throws under ANSI), ties by
+    id.  Hash-spread, not lowest-first, because the coarse centroids
+    are the n_coarse lowest-id vectors (``_centroids``) and at
+    deployment sizing any lowest-k-of-a-stride sample falls entirely
+    inside that seed region — the round-11 soak measured the tuner
+    reporting nprobe=1 / sample recall 0.97 while real serving
+    recall was 0.11 at n_coarse=1600."""
+    return (
+        corpus.select(id_col, vec_col)
+        .filter((F.col(id_col) % 13) == 5)
+        .orderBy(
+            F.pmod(
+                F.pmod(F.col(id_col), F.lit(1 << 31))
+                * F.lit(2654435761),
+                F.lit(1 << 31),
+            ),
+            F.col(id_col),
+        )
+        .limit(sample_queries)
+    )
 
 
 def tune_ann_serving(
@@ -956,6 +1154,8 @@ def tune_ann_serving(
     rerank: int | None = None,
     max_rerank: int | None = 4096,
     codes: DataFrame | None = None,
+    tuning_dir: str | None = None,
+    codes_version: int | None = None,
 ) -> dict:
     """Measure, don't guess, the serving knob: the SMALLEST ``nprobe``
     whose measured recall@k clears ``target_recall`` on a bounded,
@@ -997,7 +1197,17 @@ def tune_ann_serving(
     ``met=False`` now means even ``max_rerank`` cannot clear the
     target (refit or re-geometry).  ``evaluated`` lists every
     (nprobe, recall) of the FINAL width; ``escalations`` the
-    (rerank, full-probe recall) of each abandoned width."""
+    (rerank, full-probe recall) of each abandoned width.
+
+    ``tuning_dir=`` PERSISTS the accepted point as artifact state
+    (:func:`save_ann_tuning`, paired to ``index.version`` and the
+    optional ``codes_version`` provenance pin) so
+    ``load_ann_serving(tuning_dir=...)`` serves it from then on —
+    the one-call tune-and-record form a deployment runs per (index,
+    corpus) version.  Recorded even when ``met=False``: the failed
+    point is still the best measured configuration, and the ``met``
+    flag rides the artifact so a monitoring loop can alarm on it.
+    The new tuning version is returned as ``tuning_version``."""
     from fortymhz_spark.operators.similarity import (
         _auto_rerank,
         brute_force_knn,
@@ -1010,26 +1220,16 @@ def tune_ann_serving(
         )
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
-    # Hash-spread, not lowest-first: the coarse centroids are the
-    # n_coarse LOWEST-id vectors (_centroids), and at deployment
-    # sizing (n_coarse in the thousands) the lowest sample_queries
-    # survivors of any stride all fall INSIDE that seed region — the
-    # tuner would measure recall on the centroids themselves and
-    # report nprobe=1 with near-perfect sample recall while real
-    # serving recall collapses (the round-11 soak caught exactly
-    # this at n_coarse=1600).  A Knuth multiplicative hash of the id
-    # spreads the sample across the whole id space at ANY n_coarse,
-    # deterministically (ties broken by id).
-    sample = (
-        corpus.select(id_col, vec_col)
-        .filter((F.col(id_col) % 13) == 5)
-        .orderBy(
-            F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 31)),
-            F.col(id_col),
-        )
-        .limit(sample_queries)
-        .localCheckpoint()
-    )
+    # The deterministic hash-spread sample — one shared copy
+    # (:func:`tuning_query_sample`, which also documents the
+    # round-11 centroid-seed-region bug and the round-12 ANSI
+    # overflow fix); for ids < 2^31 the reduced hash is
+    # bit-identical to the pre-fix one, so existing graded samples
+    # don't move.
+    sample = tuning_query_sample(
+        corpus, id_col=id_col, vec_col=vec_col,
+        sample_queries=sample_queries,
+    ).localCheckpoint()
     truth: dict[int, set[int]] = {}
     for r in brute_force_knn(
         corpus, sample, id_col=id_col, vec_col=vec_col, k=k
@@ -1109,6 +1309,16 @@ def tune_ann_serving(
         res = sweep(rerank)
         if res["met"] or not may_escalate or rerank >= max_rerank:
             res["escalations"] = escalations
+            if tuning_dir is not None:
+                res["tuning_version"] = save_ann_tuning(
+                    corpus.sparkSession,
+                    tuning_dir,
+                    res,
+                    index_version=index.version,
+                    codes_version=codes_version,
+                    target_recall=target_recall,
+                    k=k,
+                )
             return res
         escalations.append((rerank, res["recall"]))
         rerank = min(rerank * 2, max_rerank)

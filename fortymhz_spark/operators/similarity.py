@@ -1207,7 +1207,11 @@ def ivfpq_knn(
     query-time knobs (``k``/``nprobe``/``rerank``) still resolve here,
     against the SERVING corpus; the index-sizing arguments
     (``n_coarse``/``n_sub``/``n_cells``/``train_*``/``dim``) are
-    ignored when ``index`` is given.
+    ignored when ``index`` is given.  An index carrying PERSISTED
+    TUNING (``load_ann_serving(tuning_dir=...)`` — the recorded
+    ``tune_ann_serving`` operating point) defaults omitted
+    ``nprobe``/``rerank`` to the measured knobs before the formulas;
+    explicit arguments always win.
 
     ``codes=`` (the pre-encoded corpus table from
     ``build_ann_codes``/``load_ann_codes`` — requires ``index=``)
@@ -1261,6 +1265,24 @@ def ivfpq_knn(
         # encode (in-plan path), auto-sizing, and the re-rank fetch all
         # see only matching rows; the codes path filters below
         corpus = corpus.filter(corpus_filter)
+    # Persisted serving knobs (round-12): an index loaded through
+    # load_ann_serving(tuning_dir=...) carries the MEASURED operating
+    # point tune_ann_serving recorded for this index version —
+    # default omitted knobs to it before the closed-form formulas
+    # (the 100× decade measured 0.822 recall tuned vs 0.616 at
+    # formula defaults).  Resolution order per knob: explicit
+    # argument > persisted tuning > formula.  Under a corpus_filter
+    # the tuned point still applies — pre-filtering makes wider
+    # probes strictly recall-safe on the filtered population (only
+    # the wall changes), whereas dropping to formula defaults would
+    # re-open the exact gap tuning closed.  When BOTH knobs resolve
+    # here, the corpus count below is skipped entirely — a tuned
+    # serving call touches nothing but the probed cells.
+    tuned = (getattr(index, "tuning", None) or {}) if index is not None else {}
+    if nprobe is None and tuned.get("nprobe") is not None:
+        nprobe = min(int(tuned["nprobe"]), index.n_coarse)
+    if rerank is None and tuned.get("rerank") is not None:
+        rerank = int(tuned["rerank"])
     n_rows = (
         corpus.count()
         if ((n_coarse is None and index is None) or rerank is None

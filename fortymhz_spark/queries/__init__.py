@@ -15,47 +15,42 @@ long tail (50/50), round 4 completed the rotation (50/50), rounds 5-8
 ran the steady-state policy (new + changed-code + the full deferred
 bucket each round; 50/50 every time — see CORRECTNESS_r0{5..8}.json).
 
-Round 11 rotation (the r10 verdict's item #2 — rotate the gate onto
-the deferred bucket, never-graded-first / changed-code-re-grades /
-oldest-first):
+Round 12 rotation (the r11 verdict's item #4 — spill promise first,
+then changed-code re-grades, then oldest greens to fill 50):
 
-1. THE TWO NEW ROUND-11 QUERIES enter first:
-   q_emb_ann_refit_tombstone — the deleted-fraction refit arm (the
-   r10 verdict's item #5), with four oracle-recomputed raw-value
-   columns (item #8's pattern) — and q_emb_ann_opq — parametric-OPQ
-   rotation as index geometry (item #4).
-2. THE CHANGED-CODE RE-GRADES: q_emb_ann_refit (the refit decision
-   gained the tombstone arm + a deleted_fraction return field and
-   the streaming coverage guard sits upstream of it),
-   q_emb_ann_filtered (the corpus_filter pushdown is now gated on
-   meta-only resolution — the r10 advisor's wrong-semantics leak),
-   q_emb_ann_ivfpq_residual (ivfpq_knn's by_residual became a
-   tri-state with loud index-mode conflicts),
-   q_emb_ann_tuned (tune_ann_serving's query sample is now
-   HASH-SPREAD — the r11 soak caught the old lowest-id stride
-   collapsing into the coarse-centroid seed region at n_coarse=1600,
-   where the tuner reported nprobe=1 / sample recall 0.97 while real
-   serving recall was 0.11).  All four were graded green in round
-   10; the code beneath them changed this round, so their checks
-   renew NOW rather than riding PREVIOUSLY_GREEN.
-3. THE FIVE ROUND-7 ROWS SPILLED FROM THE ROUND-10 GATE
-   (q_text_crossdoc_blocks, q_text_rarity_score, q_top_customers,
-   q_vec_int8_quant_error, q_window_top_orders_per_customer — the
-   r10 docstring's immovable spill promise).
-4. THE FIRST 39 OF THE 50 ROUND-8 GREENS (the registry's oldest
-   checks once round 10 landed), in their recorded order.
+1. THE ONE NEW ROUND-12 QUERY enters first:
+   q_emb_ann_tuned_persisted — persisted serving knobs as artifact
+   state (the r11 verdict's item #2: tune_ann_serving's accepted
+   point recorded next to the (index, codes) version pair,
+   load_ann_serving(tuning_dir=) defaulting to it, refit
+   invalidation), with THREE oracle-recomputed raw columns
+   (n_queries, n_corpus, n_coarse — item #8's standing bar).
+2. THE ELEVEN ROUND-8 ROWS SPILLED FROM THE ROUND-11 GATE
+   (q_dt_orbit_assembly … q_media_frame_sample — the r11
+   docstring's immovable spill promise; the r11 verdict's item #4
+   names them as leading this gate).
+3. THE CHANGED-CODE RE-GRADES: q_emb_ann_tuned (tune_ann_serving's
+   Knuth-hash sample is now reduced mod 2^31 before the multiply —
+   the r12 advisor's ANSI int64-overflow fix; bit-identical for
+   ids < 2^31 so the graded sample itself does not move — and the
+   tuner gained the tuning_dir persistence arm) and q_emb_ann_ivfpq
+   (ivfpq_knn's knob resolution gained the persisted-tuning default
+   tier: explicit > tuned > formula).  Both were graded green in
+   round 11; the code beneath them changed this round, so their
+   checks renew NOW rather than riding PREVIOUSLY_GREEN.
+4. THE FIRST 36 OF THE 50 ROUND-9 GREENS (the registry's oldest
+   checks once round 11 landed), in their recorded order.
 
-2 new + 4 re-grades + 5 spill-promise + 39 round-8 = 50 exactly.
-The round-12 deferred bucket below is the ELEVEN round-8 rows the
-new queries + re-grades displaced (q_dt_orbit_assembly …
-q_media_frame_sample — the next spill promise, they lead the
-round-12 gate) followed by the 50 rows graded 50/50 in round 9
-(CORRECTNESS_r09.json), whose checks become the registry's oldest
-once this round lands.  PREVIOUSLY_GREEN holds the 46 rows of the
-round-10 gate not pulled back for re-grade (CORRECTNESS_r10.json —
-the freshest checks).  Everything outside the gate stays covered by
-the local sf0.001 differential (tests/test_oracle_parity.py) either
-way.
+1 new + 11 spill-promise + 2 re-grades + 36 round-9 = 50 exactly.
+The round-13 deferred bucket below is the FOURTEEN round-9 rows
+that did not fit (q_events_view_to_purchase … q_vec_knn_arrow —
+the next spill promise, they lead the round-13 gate) followed by
+the 46 rows of the round-10 gate (CORRECTNESS_r10.json), whose
+checks become the registry's oldest once this round lands.
+PREVIOUSLY_GREEN holds the 48 rows of the round-11 gate not pulled
+back for re-grade (CORRECTNESS_r11.json — the freshest checks).
+Everything outside the gate stays covered by the local sf0.001
+differential (tests/test_oracle_parity.py) either way.
 """
 
 from __future__ import annotations
@@ -66,79 +61,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-11 gate (slots 1-50): 2 new + 4 changed-code re-grades + the
-# 5-row round-10 spill promise + the first 39 round-8 greens (the
-# oldest checks).  New round-11 queries insert at the FRONT; each
-# spills the last round-8 row to the round-12 deferred bucket.
+# Round-12 gate (slots 1-50): 1 new + the 11-row round-11 spill
+# promise + 2 changed-code re-grades + the first 36 round-9 greens
+# (the oldest checks).  New round-12 queries insert at the FRONT;
+# each spills the last round-9 row to the round-13 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
-    # —— NEW this round: the tombstone-mass refit arm (r10 verdict
-    #    item #5; four oracle-recomputed raw columns per item #8) and
-    #    OPQ-rotated serving (item #4) ——
-    "q_emb_ann_refit_tombstone",
-    "q_emb_ann_opq",
-    # —— changed-code re-grades (code beneath each moved this
-    #    round: tombstone arm + coverage guard; meta-only pushdown
-    #    gate; by_residual tri-state; the tuner's hash-spread sample
-    #    fix — the r11 soak caught its 100x centroid-sample bug) ——
-    "q_emb_ann_refit",
-    "q_emb_ann_filtered",
-    "q_emb_ann_ivfpq_residual",
-    "q_emb_ann_tuned",
-    # —— the round-10 spill promise (round-7 checks: oldest) ——
-    "q_text_crossdoc_blocks",
-    "q_text_rarity_score",
-    "q_top_customers",
-    "q_vec_int8_quant_error",
-    "q_window_top_orders_per_customer",
-    # —— the first 39 round-8 greens (next-oldest checks) ——
-    "q_emb_ann_ivfpq_codes",
-    "q_docs_strip_contaminated_spans",
-    "q_docs_decontaminate_spans",
-    "q_docs_incremental_dedup",
-    "q_emb_ann_ivfpq_persisted",
-    "q_emb_ann_ivfpq",
-    "q_emb_ann_ivf",
-    "q_emb_ann_pq",
-    "q_docs_strip_boilerplate",
-    "q_emb_near_dup_pairs",
-    "q_emb_label_centroids",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q_customer_order_counts_outer",
-    "q_customers_without_orders",
-    "q_docs_bpe_encode_stats",
-    "q_docs_bpe_merges",
-    "q_docs_bpe_token_stats",
-    "q_docs_classifier_trained",
-    "q_docs_decontaminate",
-    "q_docs_dedup_groups",
-    "q_docs_dsir_selection",
-    "q_docs_exact_dedup",
-    "q_docs_fingerprints",
-    "q_docs_hybrid_search",
-    "q_docs_lang_id_confusion",
-    "q_docs_minhash_near_dups",
-    "q_docs_ngram_jaccard_pairs",
-    "q_docs_pii_stats",
-    "q_docs_quality",
-    "q_docs_quality_classifier",
-    "q_docs_stratified_sample",
-    "q_docs_token_stats",
-    "q_docs_vocab_classifier",
-    "q_dt_channel_occupancy",
-    "q_dt_custom_source_occupancy",
-    "q_dt_hits_per_orbit",
-)
-
-# The rows deferring to round 12, in pick-up order: the eleven
-# round-8 rows this round's new queries + re-grades displaced (the
-# round-12 spill promise), then the 50 rows graded 50/50 in round 9
-# (CORRECTNESS_r09.json), whose checks become the registry's oldest
-# once round 11 lands.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— spilled from the round-11 gate (round-8 checks) ——
+    # —— NEW this round: persisted serving knobs as artifact state
+    #    (r11 verdict item #2; three oracle-recomputed raw columns
+    #    per the standing item-#8 bar) ——
+    "q_emb_ann_tuned_persisted",
     "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy",
     "q_events_dedup_ingest",
@@ -150,7 +81,8 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_features",
     "q_media_frame_sample",
-    # —— the 50 round-9 greens (oldest checks after this round) ——
+    "q_emb_ann_tuned",
+    "q_emb_ann_ivfpq",
     "q_emb_ann_codes_delete",
     "q_emb_ann_drift_report",
     "q_emb_ann_codes_extend",
@@ -187,6 +119,14 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_events_hourly_by_type",
     "q_events_user_enrichment",
     "q_events_value_stats",
+)
+
+# The rows deferring to round 13, in pick-up order: the fourteen
+# round-9 rows this round's gate could not fit (the round-13 spill
+# promise), then the 46 rows of the round-10 gate
+# (CORRECTNESS_r10.json), whose checks become the registry's oldest
+# once round 12 lands.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_events_view_to_purchase",
     "q_full_outer_daily_activity",
     "q_grouping_sets_flag_year",
@@ -201,14 +141,6 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_snapshot_merge_orders",
     "q_unpivot_part_sizes",
     "q_vec_knn_arrow",
-)
-
-# Driver-green rows outside the round-11 gate with the FRESHEST
-# checks: the round-10 gate's 50 minus the four pulled back for
-# changed-code re-grades (CORRECTNESS_r10.json).  The registry
-# asserts gate ∪ deferred ∪ previously-green == all registered
-# queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_emb_knn_filtered",
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
@@ -255,6 +187,62 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_sketch_cardinality",
     "q_sketch_heavy_hitters",
     "q_sql_revenue_by_nation",
+)
+
+# Driver-green rows outside the round-12 gate with the FRESHEST
+# checks: the round-11 gate's 50 minus the two pulled back for
+# changed-code re-grades (CORRECTNESS_r11.json).  The registry
+# asserts gate ∪ deferred ∪ previously-green == all registered
+# queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_emb_ann_refit_tombstone",
+    "q_emb_ann_opq",
+    "q_emb_ann_refit",
+    "q_emb_ann_filtered",
+    "q_emb_ann_ivfpq_residual",
+    "q_text_crossdoc_blocks",
+    "q_text_rarity_score",
+    "q_top_customers",
+    "q_vec_int8_quant_error",
+    "q_window_top_orders_per_customer",
+    "q_emb_ann_ivfpq_codes",
+    "q_docs_strip_contaminated_spans",
+    "q_docs_decontaminate_spans",
+    "q_docs_incremental_dedup",
+    "q_emb_ann_ivfpq_persisted",
+    "q_emb_ann_ivf",
+    "q_emb_ann_pq",
+    "q_docs_strip_boilerplate",
+    "q_emb_near_dup_pairs",
+    "q_emb_label_centroids",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q_customer_order_counts_outer",
+    "q_customers_without_orders",
+    "q_docs_bpe_encode_stats",
+    "q_docs_bpe_merges",
+    "q_docs_bpe_token_stats",
+    "q_docs_classifier_trained",
+    "q_docs_decontaminate",
+    "q_docs_dedup_groups",
+    "q_docs_dsir_selection",
+    "q_docs_exact_dedup",
+    "q_docs_fingerprints",
+    "q_docs_hybrid_search",
+    "q_docs_lang_id_confusion",
+    "q_docs_minhash_near_dups",
+    "q_docs_ngram_jaccard_pairs",
+    "q_docs_pii_stats",
+    "q_docs_quality",
+    "q_docs_quality_classifier",
+    "q_docs_stratified_sample",
+    "q_docs_token_stats",
+    "q_docs_vocab_classifier",
+    "q_dt_channel_occupancy",
+    "q_dt_custom_source_occupancy",
+    "q_dt_hits_per_orbit",
 )
 
 

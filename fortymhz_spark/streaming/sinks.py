@@ -928,7 +928,8 @@ def start_ann_codes_sink(
     maintenance.  Two-stage decision, so the per-trigger cost stays
     O(batch): the cheap TRIGGERS are the batch's ADDS drift-scored
     under the live index (one map-only pass over the batch) and — on
-    batches carrying deletes — the codes table's net tombstone mass
+    EVERY batch, empty ones included — the codes table's net
+    tombstone mass
     (:func:`~fortymhz_spark.operators.ann_index
     .codes_deleted_fraction`, manifest-only arithmetic, zero scans:
     heavy deletes leave cells sparse and the coarse sizing stale
@@ -1042,7 +1043,16 @@ def start_ann_codes_sink(
         have_dels = dels is not None and not dels.isEmpty()
         if not have_adds and not have_dels:
             mark_stream_txn(codes_dir, (app, batch_id))
-            return
+            # Liveness (round-12 advisor item): when the tombstone arm
+            # is armed, STANDING deleted mass must be re-checked even
+            # on a batch that applies nothing — after a coverage-guard
+            # deferral the trigger condition lives in the TABLE, not
+            # the batch, and a stream of empty/heartbeat triggers must
+            # still retry once the corpus catches up.  The check is
+            # manifest-only arithmetic (zero scans), so falling
+            # through costs nothing per trigger.
+            if refit_deleted_fraction is None:
+                return
         if have_adds:
             extend_ann_codes(
                 adds, codes_dir, live["index"], id_col=id_col,
@@ -1067,7 +1077,13 @@ def start_ann_codes_sink(
                 adds, live["index"], vec_col=vec_col
             ).first()["mean_quant_err"]
             trigger = batch_err is not None and batch_err > refit_threshold
-        if not trigger and refit_deleted_fraction is not None and have_dels:
+        # The tombstone arm reads STANDING table state, so it is
+        # evaluated on EVERY armed batch, not only ones carrying
+        # deletes (round-12 advisor item: gating it on have_dels left
+        # a deferred refit stalled forever once the stream turned to
+        # low-drift adds — the mass was already in the table; nothing
+        # re-looked).  Zero-scan manifest arithmetic per trigger.
+        if not trigger and refit_deleted_fraction is not None:
             trigger = (
                 codes_deleted_fraction(codes_dir) > refit_deleted_fraction
             )

@@ -2044,3 +2044,220 @@ def test_tune_ann_serving_rerank_escalation(spark, truth, tmp_path):
         codes=codes, max_rerank=None,
     )
     assert legacy["escalations"] == []
+
+
+def test_tune_ann_serving_large_ids_no_overflow(spark, tmp_path):
+    """Round-12 advisor item: the tuner's Knuth hash-spread sample
+    multiplied the RAW id by 2654435761, overflowing int64 for ids
+    above ~3.5e9 — silent wraparound with ANSI off, a runtime throw
+    under Spark 4's ANSI default.  The id is now reduced mod 2^31
+    before the multiply; this pins that a corpus with ids in the
+    5e9 range tunes cleanly (and deterministically) under ANSI."""
+    import math
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        tune_ann_serving,
+    )
+
+    # ids ≡ 5 (mod 13) so the tuner's strided sample is non-empty,
+    # all above 2^31 so the unreduced product would exceed int64
+    base = 5_000_000_010  # base % 13 == 5
+    rows = [
+        (
+            base + 13 * i,
+            [math.sin(0.7 * i + j) for j in range(8)],
+        )
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(emb, idx_dir, n_coarse=4, n_sub=4, n_cells=8)
+    idx = load_ann_index(spark, idx_dir)
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        res = tune_ann_serving(
+            emb, idx, k=3, target_recall=0.5, sample_queries=4
+        )
+        again = tune_ann_serving(
+            emb, idx, k=3, target_recall=0.5, sample_queries=4
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert 1 <= res["nprobe"] <= idx.n_coarse
+    assert {k2: res[k2] for k2 in ("nprobe", "rerank", "recall")} == {
+        k2: again[k2] for k2 in ("nprobe", "rerank", "recall")
+    }
+
+
+def test_ann_tuning_persists_and_serves(spark, truth, tmp_path):
+    """Persisted serving knobs (round-12): save_ann_tuning records the
+    tuned (nprobe, rerank) as artifact state, load_ann_serving
+    (tuning_dir=) attaches it, and ivfpq_knn with OMITTED knobs serves
+    at exactly the recorded point — byte-identical to passing the same
+    knobs explicitly, and different from the formula defaults when the
+    recorded point differs.  Explicit arguments always win over the
+    attached tuning."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_serving,
+        load_ann_tuning,
+        save_ann_tuning,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    codes_dir = str(tmp_path / "codes")
+    tune_dir = str(tmp_path / "tuning")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    from fortymhz_spark.operators.ann_index import load_ann_index
+
+    plain_idx = load_ann_index(spark, idx_dir)
+    codes_v = build_ann_codes(emb, codes_dir, plain_idx)
+
+    # absent tuning table: the normal pre-tune state, attaches nothing
+    assert load_ann_tuning(tune_dir, index_version=plain_idx.version) is None
+    idx0, _ = load_ann_serving(
+        spark, idx_dir, codes_dir, tuning_dir=tune_dir
+    )
+    assert idx0.tuning is None
+
+    # record a DELIBERATELY non-default point (nprobe=1, rerank=1 —
+    # the formulas would never resolve these at this corpus size)
+    crafted = {
+        "nprobe": 1, "rerank": 1, "recall": 0.25, "met": False,
+        "evaluated": [(1, 0.25)], "escalations": [],
+    }
+    v = save_ann_tuning(
+        spark, tune_dir, crafted,
+        index_version=plain_idx.version, codes_version=codes_v,
+        target_recall=0.9, k=5,
+    )
+    assert v == 1
+    t = load_ann_tuning(tune_dir, index_version=plain_idx.version)
+    assert t["nprobe"] == 1 and t["rerank"] == 1 and t["met"] is False
+    assert t["codes_version"] == codes_v
+
+    tuned_idx, tuned_codes = load_ann_serving(
+        spark, idx_dir, codes_dir, tuning_dir=tune_dir
+    )
+    assert tuned_idx.tuning["nprobe"] == 1
+
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    served = sorted(
+        map(key, ivfpq_knn(
+            emb, queries, k=5, index=tuned_idx, codes=tuned_codes,
+        ).collect())
+    )
+    explicit = sorted(
+        map(key, ivfpq_knn(
+            emb, queries, k=5, index=plain_idx, codes=tuned_codes,
+            nprobe=1, rerank=1,
+        ).collect())
+    )
+    formula = sorted(
+        map(key, ivfpq_knn(
+            emb, queries, k=5, index=plain_idx, codes=tuned_codes,
+        ).collect())
+    )
+    assert served == explicit  # omitted knobs default to the artifact
+    assert served != formula  # and the point is really non-default
+
+    # explicit knobs WIN over attached tuning
+    override = sorted(
+        map(key, ivfpq_knn(
+            emb, queries, k=5, index=tuned_idx, codes=tuned_codes,
+            nprobe=tuned_idx.n_coarse, rerank=64,
+        ).collect())
+    )
+    assert override == sorted(
+        map(key, ivfpq_knn(
+            emb, queries, k=5, index=plain_idx, codes=tuned_codes,
+            nprobe=plain_idx.n_coarse, rerank=64,
+        ).collect())
+    )
+    assert override != served
+
+    # the audit trail rides the artifact rows
+    from fortymhz_spark.sources.snapshots import read_snapshot
+
+    roles = {
+        r["role"] for r in read_snapshot(spark, tune_dir).collect()
+    }
+    assert "accepted" in roles and "evaluated" in roles
+
+    with pytest.raises(ValueError, match="missing key"):
+        save_ann_tuning(
+            spark, tune_dir, {"nprobe": 1}, index_version=1
+        )
+
+
+def test_ann_tuning_invalidated_by_refit(spark, truth, tmp_path):
+    """A refit republishes the index — geometry moved, so recorded
+    knobs are STALE: load_ann_serving(tuning_dir=) warns and falls
+    back to formula defaults (tuning=None) instead of silently
+    serving knobs measured against the old fit.  The one-call
+    tune_ann_serving(tuning_dir=) form persists its own result and
+    round-trips through the loader."""
+    import warnings as _warnings
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        load_ann_serving,
+        load_ann_tuning,
+        refit_ann_codes,
+        tune_ann_serving,
+    )
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    codes_dir = str(tmp_path / "codes")
+    tune_dir = str(tmp_path / "tuning")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    codes_v = build_ann_codes(emb, codes_dir, idx)
+
+    res = tune_ann_serving(
+        emb, idx, k=5, target_recall=0.6, sample_queries=8,
+        tuning_dir=tune_dir, codes_version=codes_v,
+    )
+    assert res["tuning_version"] == 1
+    t = load_ann_tuning(tune_dir, index_version=idx.version)
+    assert (t["nprobe"], t["rerank"]) == (res["nprobe"], res["rerank"])
+    served_idx, _ = load_ann_serving(
+        spark, idx_dir, codes_dir, tuning_dir=tune_dir
+    )
+    assert served_idx.tuning["nprobe"] == res["nprobe"]
+
+    # unconditional refit → index v2; the recorded pairing is stale
+    refit_ann_codes(emb, idx_dir, codes_dir)
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        after_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir, tuning_dir=tune_dir
+        )
+    assert after_idx.version == idx.version + 1
+    assert after_idx.tuning is None  # formula defaults serve again
+
+    # re-tuning against the new index heals the pairing
+    res2 = tune_ann_serving(
+        emb, after_idx, k=5, target_recall=0.6, sample_queries=8,
+        tuning_dir=tune_dir,
+    )
+    assert res2["tuning_version"] == 2
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # no stale warning now
+        healed_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir, tuning_dir=tune_dir
+        )
+    assert healed_idx.tuning["nprobe"] == res2["nprobe"]

@@ -2359,3 +2359,108 @@ def test_ann_codes_sink_tombstone_fraction_refit_arm(spark, tmp_path):
     )
     # the refit spent the tombstone mass
     assert codes_deleted_fraction(codes_dir) == 0.0
+
+
+def test_ann_codes_sink_tombstone_retry_on_addonly_batch(spark, tmp_path):
+    """Refit-retry LIVENESS (round-12 advisor item): the tombstone
+    arm reads STANDING table state, so after a coverage-guard
+    deferral it must re-evaluate on EVERY armed batch — a stream
+    that turns to low-drift ADD-ONLY batches once the corpus catches
+    up previously never re-checked the standing deleted mass, and
+    the stale index persisted forever.  Staged here exactly:
+    batch 1 extends (corpus lags), batch 2's heavy delete crosses
+    the arm but DEFERS on coverage, the corpus catches up, and
+    batch 3 — adds only, no deletes — must now fire the refit."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # the extend batches stay SMALL relative to the seed: the
+    # tombstone fraction measures NET shrinkage vs the fresh-encode
+    # base, so large extends would mask the deletes (the documented
+    # codes_deleted_fraction caveat) and the arm would never cross
+    extra = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).limit(24)
+    late = emb.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    ).limit(24)
+    heavy = emb.filter(F.col("vec_id") % 2 == 0)  # ~50 % of the seed
+
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(emb, corpus_dir, note="seed only — lags the stream")
+
+    def rows_of(df, deleted=False):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], deleted)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    kw = dict(
+        delete_col="is_deleted", available_now=True,
+        refit_deleted_fraction=0.3, index_dir=idx_dir,
+        corpus_dir=corpus_dir,
+    )
+    # batches 1+2: extend while the corpus lags, then a heavy delete
+    # that CROSSES the arm — the coverage guard defers (batch 1's
+    # rows are absent from the corpus snapshot)
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [rows_of(extra), rows_of(heavy, deleted=True)], schema,
+    )
+    with pytest.warns(RuntimeWarning, match="DEFERRED"):
+        q = start_ann_codes_sink(
+            mk(), codes_dir, idx, str(tmp_path / "c1"), **kw
+        )
+        q.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 1  # deferred, no publish
+    assert codes_deleted_fraction(codes_dir) > 0.3  # mass still standing
+
+    # the corpus catches up with the live state (seed + batch-1 adds
+    # minus batch-2 deletes); batch 3 carries ONLY low-drift adds —
+    # no deletes — and must still re-check the standing mass and fire
+    live = emb.unionByName(extra).join(
+        heavy.select("vec_id"), ["vec_id"], "anti"
+    )
+    write_snapshot(live, corpus_dir, note="caught up")
+    _stage_json_batches(spark, tmp_path, [rows_of(late)], schema)
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "c1"), **kw
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 2  # the retry fired
+    idx2 = load_ann_index(spark, idx_dir)
+
+    # refit fit on the caught-up corpus; batch 3's adds re-applied
+    # under the new index — byte-identical to a manual rebuild
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(live, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(live.unionByName(late), man_codes_dir, man_idx)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(
+            map(key, load_ann_codes(spark, man_codes_dir, man_idx).collect())
+        )
+    )
+    assert codes_deleted_fraction(codes_dir) == 0.0  # mass spent

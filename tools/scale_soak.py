@@ -1182,6 +1182,83 @@ def pq_opq_soak(spark, mults: list[int], reps: int = 2) -> int:
     return 0
 
 
+def pq_opq_aniso_soak(spark, mults: list[int], reps: int = 2) -> int:
+    """OPQ's WIN CASE demonstrated (round-12, the r11 verdict's item
+    #3): every prior fixture is near-isotropic, so the rotation's
+    premise — eigenvalue mass to balance across subquantizers — never
+    fired and raw tied recall while OPQ paid rotation wall.  This
+    tile PLANTS the anisotropy OPQ exists for: per-dimension
+    geometrically decaying scales (``x_j · exp(-j/8)``, so variance
+    concentrates in the low dimensions), which under PQ's NATURAL
+    contiguous subvector split piles nearly all the energy into the
+    first subquantizers — the classic misallocation Ge et al. 2013's
+    eigenvalue-balanced rotation repairs.  Same pre-declared
+    keep-whichever-wins rule as the isotropic soak, same deployment
+    knobs for both modes, same exact-truth grading — only the corpus
+    class changes, so the pair of tables reads as the per-class
+    decision rule: isotropic → raw, anisotropic → whichever this
+    measures (expected: opq).  ``rerank`` is pinned to the PRE-r11
+    default width (16) rather than the √N auto width: the exact
+    re-rank absorbs ADC misranking once the shortlist is generous,
+    so the codebook-quality difference under test would be masked by
+    the very knob that exists to paper over it; a tight shortlist is
+    the regime where codebook quality IS the recall."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        ivfpq_knn,
+    )
+    from fortymhz_spark.sources.batch import load_table
+
+    K = 10
+    print("| scale | mode | wall s | recall@10 | n_queries |")
+    print("|---|---|---|---|---|")
+    for mult in mults:
+        if mult == 1:
+            emb = load_table(spark, SF_DIR, "embeddings")
+        else:
+            out = f"/tmp/fmhz_scale{mult}x"
+            build_tile(spark, out, mult)
+            emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        dim = len(emb.select("embedding").first()[0])
+        scales = [float(math.exp(-j / 8.0)) for j in range(dim)]
+        emb = emb.select(
+            "vec_id",
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in scales]),
+                lambda x, s: x * s,
+            ).alias("embedding"),
+        ).localCheckpoint()
+        queries = emb.filter(F.col("vec_id") % (41 * mult) == 0)
+        truth: dict[int, set[int]] = {}
+        for r in brute_force_knn_arrow(emb, queries, k=K).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        total = sum(len(t) for t in truth.values())
+        for mode, rotation in (("raw", None), ("opq", "opq")):
+            best, got = float("inf"), None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                got = ivfpq_knn(
+                    emb, queries, k=K, n_coarse=16 * mult, nprobe=None,
+                    n_sub=8, n_cells=16, rerank=16, assign="arrow",
+                    rotation=rotation,
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            by_q: dict[int, set[int]] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+            print(
+                f"| {mult}x | {mode} | {best:.2f} | {hits / total:.3f} "
+                f"| {len(truth)} |"
+            )
+    return 0
+
+
 def ann_tuned_soak(
     spark, mults: list[int], reps: int = 2, slo: float = 0.8
 ) -> int:
