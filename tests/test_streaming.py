@@ -2464,3 +2464,173 @@ def test_ann_codes_sink_tombstone_retry_on_addonly_batch(spark, tmp_path):
         )
     )
     assert codes_deleted_fraction(codes_dir) == 0.0  # mass spent
+
+
+def test_ann_codes_sink_retunes_after_refit(spark, tmp_path):
+    """The KNOB half of the self-healing loop (round-12): a refit
+    invalidates persisted serving knobs by contract, so the sink's
+    ``tuning_dir=`` arm must re-run the tuner against the NEW
+    (index, codes) pair after every refit — the recorded operating
+    point then tracks the geometry and ``load_ann_serving
+    (tuning_dir=)`` keeps serving tuned, warning-free, with no
+    operator in the loop."""
+    import warnings as _warnings
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+        load_ann_serving,
+        load_ann_tuning,
+        tune_ann_serving,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    tune_dir = str(tmp_path / "tuning")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(emb, corpus_dir, note="seed")
+
+    # the deployment's day-0 tune, persisted against index v1
+    codes = load_ann_codes(spark, codes_dir, idx)
+    tune_ann_serving(
+        emb, idx, k=5, target_recall=0.6, sample_queries=8,
+        codes=codes, tuning_dir=tune_dir,
+    )
+    assert load_ann_tuning(tune_dir, index_version=1) is not None
+
+    # tuning_dir without an armed refit policy is a misconfiguration
+    with pytest.raises(ValueError, match="tuning_dir"):
+        start_ann_codes_sink(
+            emb, codes_dir, idx, str(tmp_path / "cbad"),
+            tuning_dir=tune_dir,
+        )
+
+    heavy = emb.filter(F.col("vec_id") % 2 == 0)  # ~50 % — crosses
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]], True)
+        for r in heavy.collect()
+    ]
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    _, mk = _stage_json_batches(spark, tmp_path, [rows], schema)
+    q = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "c1"),
+        delete_col="is_deleted", available_now=True,
+        refit_deleted_fraction=0.3, index_dir=idx_dir,
+        corpus_dir=corpus_dir, tuning_dir=tune_dir,
+        tune_target=0.6, tune_sample=8, tune_k=5,
+    )
+    q.awaitTermination(300)
+
+    # the refit fired AND the knobs were re-tuned against index v2:
+    # the artifact has a second version paired to the new geometry,
+    # and the serving load attaches it with no staleness warning
+    assert len(snapshot_versions(idx_dir)) == 2
+    assert len(snapshot_versions(tune_dir)) == 2
+    t2 = load_ann_tuning(tune_dir, index_version=2)
+    assert t2 is not None and t2["index_version"] == 2
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        served_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir, tuning_dir=tune_dir
+        )
+    assert served_idx.version == 2
+    assert served_idx.tuning["nprobe"] == t2["nprobe"]
+
+
+def test_ann_codes_sink_refit_autoheals_stale_corpus(spark, tmp_path):
+    """Coverage-guard AUTO-HEAL (round-12, the r11 verdict's item
+    #9): a corpus that lags the stream's DELETES by 2+ triggers —
+    rows earlier batches tombstoned still sit in the snapshot — used
+    to defer the refit forever under a persistently lagging
+    upstream.  Those rows are locally healable (unlike missing raw
+    vectors): the refit now excludes ids the codes table does not
+    serve, warns AUTO-HEALED, and converges — the rebuilt pair is
+    byte-identical to a manual rebuild on the true survivors and
+    never resurrects the stale rows."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    small = emb.filter(F.col("vec_id") % 11 == 0)   # ~9 % — below arm
+    heavy = emb.filter(
+        (F.col("vec_id") % 11 != 0) & (F.col("vec_id") % 2 == 0)
+    )  # ~45 % — crosses the arm at batch 2
+
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    corpus_dir = str(tmp_path / "corpus")
+    # the corpus NEVER catches up with either delete batch: by the
+    # time batch 2 triggers, batch 1's tombstones are 2 triggers
+    # stale in the snapshot
+    write_snapshot(emb, corpus_dir, note="seed — never updated")
+
+    def del_rows(df):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], True)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    _, mk = _stage_json_batches(
+        spark, tmp_path, [del_rows(small), del_rows(heavy)], schema
+    )
+    with pytest.warns(RuntimeWarning, match="AUTO-HEALED"):
+        q = start_ann_codes_sink(
+            mk(), codes_dir, idx, str(tmp_path / "c1"),
+            delete_col="is_deleted", available_now=True,
+            refit_deleted_fraction=0.3, index_dir=idx_dir,
+            corpus_dir=corpus_dir,
+        )
+        q.awaitTermination(300)
+
+    # the refit CONVERGED despite the stale corpus: new index, codes
+    # byte-identical to a manual rebuild on the true survivors
+    # (seed − small − heavy), no resurrection of batch-1 tombstones
+    assert len(snapshot_versions(idx_dir)) == 2
+    idx2 = load_ann_index(spark, idx_dir)
+    survivors = (
+        emb.join(small.select("vec_id"), ["vec_id"], "anti")
+        .join(heavy.select("vec_id"), ["vec_id"], "anti")
+    )
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(
+        survivors, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16
+    )
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(survivors, man_codes_dir, man_idx)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(
+            map(key, load_ann_codes(spark, man_codes_dir, man_idx).collect())
+        )
+    )
+    assert codes_deleted_fraction(codes_dir) == 0.0  # fresh base

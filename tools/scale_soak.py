@@ -122,11 +122,14 @@ def _served_index(spark, emb, n_coarse: int):
 
         td = tempfile.mkdtemp(prefix="fmhz_soak_annidx_")
         build_ann_index(emb, td, n_coarse=n_coarse, n_sub=8, n_cells=16)
+        _IDX_DIR_CACHE[n_coarse] = td
         _IDX_CACHE[n_coarse] = load_ann_index(spark, td)
     return _IDX_CACHE[n_coarse]
 
 
+_IDX_DIR_CACHE: dict[int, str] = {}
 _CODES_CACHE: dict[int, object] = {}
+_CODES_DIR_CACHE: dict[int, str] = {}
 
 
 def _served_codes(spark, emb, n_coarse: int):
@@ -145,6 +148,7 @@ def _served_codes(spark, emb, n_coarse: int):
         idx = _served_index(spark, emb, n_coarse)
         td = tempfile.mkdtemp(prefix="fmhz_soak_anncodes_")
         build_ann_codes(emb, td, idx, corpus_version=1)
+        _CODES_DIR_CACHE[n_coarse] = td
         _CODES_CACHE[n_coarse] = load_ann_codes(
             spark, td, idx, corpus_version=1
         )
@@ -1277,7 +1281,15 @@ def ann_tuned_soak(
       √N) — what a caller gets with no knobs;
     - ``tuned``: ``tune_ann_serving`` resolving the MINIMAL nprobe
       for recall@10 ≥ ``slo`` against the live pair (auto rerank),
-      with the tuner's own offline wall reported beside it.
+      with the tuner's own offline wall reported beside it;
+    - ``persisted`` (round-12, the r11 verdict's item #2): the tune
+      ran with ``tuning_dir=`` so its accepted point is ARTIFACT
+      STATE; this row serves through ``load_ann_serving
+      (tuning_dir=...)`` with NO knobs at all — what an
+      out-of-the-box deployment now gets.  It must reproduce the
+      ``tuned`` row exactly (same knobs read from the artifact),
+      closing the measured 0.616-auto vs 0.822-tuned gap for callers
+      that never saw the tuner's return value.
 
     Recall is measured against exact Arrow brute force over the same
     fixed ~49-query strided set at every scale; serve wall is
@@ -1318,36 +1330,56 @@ def ann_tuned_soak(
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         total = sum(len(t) for t in truth.values())
 
+        import tempfile
+
+        from fortymhz_spark.operators.ann_index import load_ann_serving
+
+        tune_dir = tempfile.mkdtemp(prefix="fmhz_soak_anntune_")
         t0 = time.perf_counter()
         tuned = tune_ann_serving(
             emb, idx, k=K, target_recall=slo, sample_queries=32,
-            codes=codes,
+            codes=codes, tuning_dir=tune_dir, codes_version=1,
         )
         tune_wall = time.perf_counter() - t0
+        sidx, scodes = load_ann_serving(
+            spark, _IDX_DIR_CACHE[n_coarse], _CODES_DIR_CACHE[n_coarse],
+            corpus_version=1, tuning_dir=tune_dir,
+        )
         modes = [
-            ("fixed8", dict(nprobe=8, rerank=16), ""),
-            ("auto", dict(nprobe=None, rerank=None), ""),
+            ("fixed8", idx, codes, dict(nprobe=8, rerank=16), ""),
+            ("auto", idx, codes, dict(nprobe=None, rerank=None), ""),
             (
                 "tuned",
+                idx,
+                codes,
                 dict(nprobe=tuned["nprobe"], rerank=tuned["rerank"]),
                 f"{tune_wall:.1f}",
             ),
+            # knob-free serving THROUGH the persisted artifact — must
+            # reproduce the tuned row from the recorded state alone
+            ("persisted", sidx, scodes, dict(nprobe=None, rerank=None), ""),
         ]
-        for mode, kw, tw in modes:
+        for mode, midx, mcodes, kw, tw in modes:
             best, got = float("inf"), None
             for _ in range(reps):
                 t1 = time.perf_counter()
                 got = ivfpq_knn(
-                    emb, queries, k=K, assign="arrow", index=idx,
-                    codes=codes, **kw,
+                    emb, queries, k=K, assign="arrow", index=midx,
+                    codes=mcodes, **kw,
                 ).collect()
                 best = min(best, time.perf_counter() - t1)
             by_q: dict[int, set[int]] = {}
             for r in got:
                 by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
             hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
-            shown_np = kw["nprobe"] if kw["nprobe"] is not None else "auto"
-            shown_rr = kw["rerank"] if kw["rerank"] is not None else "auto"
+            if mode == "persisted":
+                # knobs came from the artifact, not the call
+                t_rec = getattr(midx, "tuning", None) or {}
+                shown_np = f"artifact:{t_rec.get('nprobe')}"
+                shown_rr = f"artifact:{t_rec.get('rerank')}"
+            else:
+                shown_np = kw["nprobe"] if kw["nprobe"] is not None else "auto"
+                shown_rr = kw["rerank"] if kw["rerank"] is not None else "auto"
             print(
                 f"| {mult}x | {n_coarse} | {mode} | {shown_np} "
                 f"| {shown_rr} | {hits / total:.3f} | {best:.2f} | {tw} |"
@@ -1400,6 +1432,13 @@ def main() -> int:
         "(honors --scales and --reps)",
     )
     ap.add_argument(
+        "--pq-opq-aniso",
+        action="store_true",
+        help="run ONLY the OPQ-vs-raw comparison on the PLANTED-"
+        "anisotropy corpus class (per-dimension decaying scales; "
+        "honors --scales and --reps)",
+    )
+    ap.add_argument(
         "--ann-tuned",
         action="store_true",
         help="run ONLY the SLO-tuned vs auto vs fixed-nprobe serving "
@@ -1443,6 +1482,11 @@ def main() -> int:
 
     if args.pq_opq:
         pq_opq_soak(spark, mults, reps=args.reps)
+        spark.stop()
+        return 0
+
+    if args.pq_opq_aniso:
+        pq_opq_aniso_soak(spark, mults, reps=args.reps)
         spark.stop()
         return 0
 
