@@ -35,6 +35,14 @@ One artifact, three access paths: the composed ivfpq index serves
 byte-identical to the in-process fit of the same sizing
 (tests/test_ann_recall.py).
 
+The SERVING KNOBS are an artifact too (round-12):
+:func:`save_ann_tuning` / :func:`load_ann_tuning` persist
+:func:`tune_ann_serving`'s accepted (nprobe, rerank) operating point
+paired to the index version — ``load_ann_serving(tuning_dir=...)``
+attaches it so a knob-free ``ivfpq_knn(index=...)`` serves at the
+MEASURED point instead of the closed-form defaults, and a refit
+invalidates the pairing (stale knobs never ride new geometry).
+
 Layout: one row per centroid/codeword —
 ``(component: 'coarse'|'book', s: subquantizer or -1, idx, vec)`` —
 with the sizing params JSON in the snapshot ``note`` so a reader can
