@@ -70,6 +70,7 @@ ROUND_GATE: tuple[str, ...] = (
     #    (r11 verdict item #2; three oracle-recomputed raw columns
     #    per the standing item-#8 bar) ——
     "q_emb_ann_tuned_persisted",
+    # —— the round-11 spill promise (round-8 checks: oldest) ——
     "q_dt_orbit_assembly",
     "q_dt_streaming_occupancy",
     "q_events_dedup_ingest",
@@ -81,8 +82,11 @@ ROUND_GATE: tuple[str, ...] = (
     "q_media_decode_stats",
     "q_media_features",
     "q_media_frame_sample",
+    # —— changed-code re-grades (tuner ANSI hash fix + persistence
+    #    arm; ivfpq_knn's explicit > tuned > formula knob tier) ——
     "q_emb_ann_tuned",
     "q_emb_ann_ivfpq",
+    # —— the first 36 round-9 greens (next-oldest checks) ——
     "q_emb_ann_codes_delete",
     "q_emb_ann_drift_report",
     "q_emb_ann_codes_extend",
@@ -127,6 +131,8 @@ ROUND_GATE: tuple[str, ...] = (
 # (CORRECTNESS_r10.json), whose checks become the registry's oldest
 # once round 12 lands.
 DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— the 14 round-9 rows the round-12 gate could not fit (the
+    #    round-13 spill promise) ——
     "q_events_view_to_purchase",
     "q_full_outer_daily_activity",
     "q_grouping_sets_flag_year",
@@ -141,6 +147,7 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_snapshot_merge_orders",
     "q_unpivot_part_sizes",
     "q_vec_knn_arrow",
+    # —— the 46 rows of the round-10 gate (CORRECTNESS_r10.json) ——
     "q_emb_knn_filtered",
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
