@@ -66,6 +66,15 @@ def test_expected_cost_admission_never_overshoots_wall():
         assert elapsed <= wall, (start, elapsed)
 
 
+def test_every_audit_row_has_an_expected_cost_entry():
+    """A forgotten AUDIT_EXPECTED_S entry silently defaults to 30 s —
+    conservative for admission but wrong for the rotation's
+    cheap/heavy split and for the wall math BASELINE.md documents.
+    Every AUDIT row must have a measured entry."""
+    missing = [n for n in bench.AUDIT if n not in bench.AUDIT_EXPECTED_S]
+    assert not missing, missing
+
+
 def test_headline_and_audit_are_registered_and_disjoint():
     from fortymhz_spark.queries import all_queries
 
