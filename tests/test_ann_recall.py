@@ -2201,6 +2201,64 @@ def test_ann_tuning_persists_and_serves(spark, truth, tmp_path):
         )
 
 
+def test_tuned_serving_skips_corpus_count(spark, truth, tmp_path, monkeypatch):
+    """The documented plan property of tuned serving: when BOTH knobs
+    resolve from the attached tuning artifact, ivfpq_knn touches
+    nothing but the probed cells — in particular it must NOT run the
+    corpus count the formula defaults need (at 100 TB that count is a
+    full-scan job per serving call).  Pinned by poisoning
+    DataFrame.count for the duration of the tuned call; the formula
+    path's need for the count is sanity-checked unpatched."""
+    import dataclasses
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        load_ann_codes,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    codes = load_ann_codes(spark, codes_dir, idx)
+    tuned_idx = dataclasses.replace(
+        idx, tuning={"nprobe": 4, "rerank": 32}
+    )
+    # localCheckpoint the inputs first — checkpointing itself may
+    # count; the claim under test is about the serving call only
+    emb_c, q_c = emb.localCheckpoint(), queries.localCheckpoint()
+
+    def _poisoned(self):
+        raise AssertionError(
+            "corpus count ran during fully-tuned serving"
+        )
+
+    # patch the RUNTIME class (Spark 4's classic.DataFrame defines
+    # count itself — patching the abstract base is shadowed)
+    _cls = type(emb_c)
+    real_count = _cls.count
+    monkeypatch.setattr(_cls, "count", _poisoned)
+    try:
+        rows = ivfpq_knn(
+            emb_c, q_c, k=5, index=tuned_idx, codes=codes
+        ).collect()
+    finally:
+        monkeypatch.setattr(_cls, "count", real_count)
+    assert len(rows) > 0
+
+    # sanity: the formula path (no tuning attached) needs the count
+    monkeypatch.setattr(_cls, "count", _poisoned)
+    try:
+        with pytest.raises(AssertionError, match="count ran"):
+            ivfpq_knn(emb_c, q_c, k=5, index=idx, codes=codes)
+    finally:
+        monkeypatch.setattr(_cls, "count", real_count)
+
+
 def test_ann_tuning_invalidated_by_refit(spark, truth, tmp_path):
     """A refit republishes the index — geometry moved, so recorded
     knobs are STALE: load_ann_serving(tuning_dir=) warns and falls
