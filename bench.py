@@ -28,12 +28,19 @@ compact line's "audit" field but NEVER summed into "value": each is
 a correctness audit dominated by its graded twin/exact branches, and
 timing them inside the interleaved reps ate the driver's budget down
 to reps=2 in round 10.  Round-12 changes (the r11 verdict's top
-item — the default wall skipped ALL audit rows): admission follows
-_audit_order(round) — a round-rotating 3-cheap + 1-heavy priority
-window, then cheapest-first — and each row is admitted only when its
-expected cost (AUDIT_EXPECTED_S) fits under the wall, so a
-default-budget driver run times a different ~3-5 row subset per
-round and never overshoots the wall by a whole audit.  Skipped rows
+item — the default wall skipped ALL audit rows): the 3 CHEAP
+rotation rows of _audit_order(round) run as a ≤ ~25 s PRIORITY SLICE
+between reps 2 and 3 (the verdict's option B — a reserved slice
+ahead of the third rep, positioned where no window can exhaust the
+wall first; its wall is credited to the rep budget), the rest run
+after the recall report cheapest-first-after-the-heavy-rotation-row,
+and every admission requires the row's EXPECTED cost
+(AUDIT_EXPECTED_S) to fit under the wall — so a default-budget
+driver run times ≥3 audit rows on ANY window and never overshoots
+the wall by a whole audit.  The third rep itself is wall-aware: on a
+window too slow to hold rep 3 + the recall reserve it yields (stat
+degrades to the labeled min-of-2) rather than zeroing the audit and
+recall evidence — the opposite trade from round 11.  Skipped rows
 land in audit_skipped (their correctness is the GATE's job); the
 full audit timing record comes from raised-wall invocations
 (BASELINE.md).
@@ -378,18 +385,81 @@ def main() -> None:
     # timings measure the engine, not classloading.
     registry[names[0]](spark, sf_dir).limit(1).collect()
 
+    # Wall + rotation state, needed BEFORE the rep loop since the
+    # round-12 priority-audit slice runs mid-sweep (below).
+    wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "555"))
+    recall_reserve_s = 20.0  # the measured ~18 s recall report + pad
+    try:
+        round_idx = int(os.environ["SPARK_GRAFT_BENCH_ROUND"])
+    except (KeyError, ValueError):
+        import glob as _glob
+
+        round_idx = len(
+            _glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json",
+                )
+            )
+        )
+    audit_times: dict[str, float] = {}
+    audit_errors: dict[str, str] = {}
+    audit_skipped: list[str] = []
+
+    def run_audit(name: str) -> None:
+        start = time.perf_counter()
+        try:
+            rows = registry[name](spark, sf_dir).collect()
+        except Exception as ex:
+            audit_errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(
+                f"# audit {name}: ERROR {audit_errors[name]}",
+                file=sys.stderr,
+            )
+            return
+        el = time.perf_counter() - start
+        audit_times[name] = el
+        print(
+            f"# audit {name}: {el:.3f}s ({len(rows)} rows)",
+            file=sys.stderr,
+        )
+
     times: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
     reps_run = 0
+    audit_credit = 0.0  # mid-sweep audit wall, credited to the budget
+    last_rep_wall = 0.0
     for rep in range(reps):
-        if rep > 0 and time.perf_counter() - t0 > budget_s:
+        if rep > 0 and time.perf_counter() - t0 > budget_s + audit_credit:
             print(
                 f"# budget {budget_s}s spent after {rep} round(s); "
                 "skipping remaining repetitions",
                 file=sys.stderr,
             )
             break
+        # Round-12 wall-aware THIRD rep (the r11 verdict's option B —
+        # a reserved audit slice ahead of rep 3): by this point the
+        # priority audits have already run, so the remaining wall must
+        # hold this rep (projected at the previous rep's wall) plus
+        # the recall report, or the rep yields.  On a healthy window
+        # everything fits (reps=3 + audits + recall ≈ 550 s); on a
+        # degraded one the sweep degrades to stat=min with the audit
+        # and recall evidence INTACT — the opposite trade from
+        # round 11, where a slow window silently zeroed the audits
+        # and the ungated recall could overshoot the wall.
+        if rep >= 2 and (
+            time.perf_counter() - t0 + last_rep_wall + recall_reserve_s
+            > wall_s
+        ):
+            print(
+                f"# rep {rep} skipped: projected past the {wall_s}s "
+                "wall after the audit slice; audits+recall take "
+                "priority on a degraded window (stat degrades to min)",
+                file=sys.stderr,
+            )
+            break
         reps_run = rep + 1
+        rep_start = time.perf_counter()
         for name in names:
             if name in errors:
                 continue
@@ -406,6 +476,30 @@ def main() -> None:
                 f"# r{rep} {name}: {el:.3f}s ({len(rows)} rows)",
                 file=sys.stderr,
             )
+        last_rep_wall = time.perf_counter() - rep_start
+        if rep == 1:
+            # PRIORITY AUDIT SLICE (round-12, the r11 verdict's top
+            # item): the 3 cheap rotation rows run HERE, between the
+            # second and third reps — early enough that no window can
+            # exhaust the wall first, so a default-budget driver run
+            # always times ≥3 audit rows.  Cheap tier only (≤ 10 s
+            # expected each, ≤ ~25 s total — the heavy rotation row
+            # waits for the tail pass); the spent wall is credited to
+            # the rep budget so the slice never eats rep 3's budget
+            # gate, and each row still reserves the recall report.
+            a0 = time.perf_counter()
+            for name in _audit_order(round_idx)[:3]:
+                if name not in registry or name in audit_times:
+                    continue
+                if (
+                    time.perf_counter() - t0
+                    + AUDIT_EXPECTED_S.get(name, 30.0)
+                    > wall_s - recall_reserve_s
+                ):
+                    audit_skipped.append(name)
+                    continue
+                run_audit(name)
+            audit_credit = time.perf_counter() - a0
 
     # An erroring query is excluded from the totals entirely — even if
     # it produced samples in earlier rounds — so "value" never mixes a
@@ -438,80 +532,46 @@ def main() -> None:
         print(f"# ann_recall: ERROR {type(ex).__name__}: {str(ex)[:200]}",
               file=sys.stderr)
 
-    # Lifecycle-AUDIT pass (round-11; rotation + expected-cost
-    # admission round-12): one run each, AFTER the timed sweep +
-    # recall report so audit branches can never pollute the
-    # headline's interleaved reps (the r10 lesson: two 23–26 s audits
-    # per round stalled unrelated probes in the shared session).
-    # Admission order is _audit_order(round): a rotating 3-cheap +
-    # 1-heavy priority window, then the rest cheapest-first — so a
-    # default-budget driver run times a DIFFERENT small subset each
-    # round (the r11 verdict's top item: the default wall skipped all
-    # 14 rows every round, leaving the heaviest queries with no
-    # driver-side timing at all).  Each row is admitted only when its
-    # EXPECTED wall (AUDIT_EXPECTED_S) still fits under
-    # SPARK_GRAFT_BENCH_WALL_S, so the process can no longer run a
-    # whole audit past the wall that was checked before it started.
-    # A noisy window degrades to fewer audits (recorded in
-    # audit_skipped), never to a killed process with no JSON line.
-    # Audit walls live in BENCH_DETAILS.json and the compact line's
-    # audit summary, never in "value".  Sizing on a clean window:
-    # 3 timed reps ≈ 490 s (after the round-12 PQ/IVFPQ demotion) +
-    # recall ≈ 25 s leaves room for roughly the 4-row priority
-    # window; the FULL audit pass still needs the raised-wall
-    # invocation recorded in BASELINE.md.  The audit queries'
-    # CORRECTNESS is graded by the gate either way.
-    wall_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "555"))
-    # Round index for the rotation: one BENCH_r*.json lands per
-    # driver round, so counting them (in the repo dir) names the
-    # round being benched; SPARK_GRAFT_BENCH_ROUND overrides.
-    try:
-        round_idx = int(os.environ["SPARK_GRAFT_BENCH_ROUND"])
-    except (KeyError, ValueError):
-        import glob as _glob
-
-        round_idx = len(
-            _glob.glob(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_r*.json",
-                )
-            )
-        )
-    audit_times: dict[str, float] = {}
-    audit_errors: dict[str, str] = {}
-    audit_skipped: list[str] = []
+    # Lifecycle-AUDIT passes (round-11; rotation + expected-cost
+    # admission + the mid-sweep priority slice round-12).  The 3
+    # cheap rotation rows already ran between reps 2 and 3 (the r11
+    # verdict's top item: positioned before ANY window can exhaust
+    # the wall, so a default-budget driver run always times ≥3 audit
+    # rows); a full single-block audit pass between reps was rejected
+    # for the r10 reason (two 23–26 s audits per round stalled
+    # unrelated probes in the shared session — the cheap slice is
+    # ≤ ~25 s).  Each row is admitted only when its EXPECTED wall
+    # (AUDIT_EXPECTED_S) still fits under SPARK_GRAFT_BENCH_WALL_S,
+    # so the process can no longer run a whole audit past the wall
+    # that was checked before it started.  A noisy window degrades
+    # to fewer TAIL audits and/or a min-stat 2-rep headline (the
+    # wall-aware rep-3 gate above), never to a killed process with
+    # no JSON line.  Audit walls live in BENCH_DETAILS.json and the
+    # compact line's audit summary, never in "value"; the FULL audit
+    # pass still needs the raised-wall invocation recorded in
+    # BASELINE.md, and the audit queries' CORRECTNESS is graded by
+    # the gate either way.
+    # Tail audit pass: everything the priority slice did not run, in
+    # rotation order (the heavy rotation row leads), under EXPECTED-
+    # COST admission (round-12 advisor item): a row is started only
+    # when its whole expected wall fits — the old elapsed-only gate
+    # admitted a 30 s audit 1 s under the wall and ran 30 s past the
+    # demonstrated-safe process budget.  Skipping is per-row, not a
+    # break: a cheap row later in the order can still fit after an
+    # expensive one did not.
     for name in _audit_order(round_idx):
-        if name not in registry:
+        if name not in registry or name in audit_times:
             continue
-        # EXPECTED-COST admission (round-12 advisor item): a row is
-        # started only when its whole expected wall fits — the old
-        # elapsed-only gate admitted a 30 s audit 1 s under the wall
-        # and ran 30 s past the demonstrated-safe process budget.
-        # Skipping is per-row, not a break: a cheap row later in the
-        # order can still fit after an expensive one did not.
         if (
             time.perf_counter() - t0 + AUDIT_EXPECTED_S.get(name, 30.0)
             > wall_s
         ):
-            audit_skipped.append(name)
+            if name not in audit_skipped:
+                audit_skipped.append(name)
             continue
-        start = time.perf_counter()
-        try:
-            rows = registry[name](spark, sf_dir).collect()
-        except Exception as ex:
-            audit_errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
-            print(
-                f"# audit {name}: ERROR {audit_errors[name]}",
-                file=sys.stderr,
-            )
-            continue
-        el = time.perf_counter() - start
-        audit_times[name] = el
-        print(
-            f"# audit {name}: {el:.3f}s ({len(rows)} rows)",
-            file=sys.stderr,
-        )
+        run_audit(name)
+    # a priority-slice skip that fit later is not a skip
+    audit_skipped = [n for n in audit_skipped if n not in audit_times]
     if audit_skipped:
         print(
             f"# audit: insufficient wall headroom ({wall_s}s); skipped "
