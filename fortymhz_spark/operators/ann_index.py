@@ -157,6 +157,22 @@ def build_ann_index(
     versa.  Composes with ``by_residual`` (rotation applies to the
     residual).
 
+    ``rotation="auto"`` (round-13) applies the MEASURED
+    per-corpus-class rule at build time — isotropic → raw (the r11
+    table: OPQ is pure overhead there), anisotropic → opq (the r12
+    table: +0.20/+0.49/+0.64 recall at 1×/10×/100× under tight
+    rerank): the training sample's contiguous-block moment-mass
+    statistic (``similarity._anisotropy_stat`` — the imbalance the
+    rotation exists to repair, measured on the SAME bounded sample
+    the codebooks train on) against the pre-declared
+    ``similarity.ANISOTROPY_OPQ_THRESHOLD`` picks the mode; an
+    auto-raw decision skips the eigendecomposition entirely.  The
+    RESOLVED mode is what the artifact records as
+    ``rotation`` (so load/serve/extend/delete/refit inherit the
+    DECISION, never re-roll it); ``rotation_requested`` /
+    ``anisotropy`` / ``anisotropy_threshold`` ride the params as the
+    audit trail.
+
     Cost: the same two bounded collects the in-process fit pays, one
     tiny parquet write, one atomic manifest commit.  Query-time knobs
     (``nprobe``/``rerank``/``k``) are NOT index state — they resolve
@@ -164,7 +180,7 @@ def build_ann_index(
     spark = corpus.sparkSession
     n_coarse = _auto_cells(corpus, n_coarse)
     coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-    d_sub, books, rot = _pq_train(
+    d_sub, books, rot, rot_info = _pq_train(
         corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
         train_sample, dim,
         coarse=coarse if by_residual else None,
@@ -191,7 +207,17 @@ def build_ann_index(
         "train_rounds": train_rounds,
         "train_sample": train_sample,
         "by_residual": by_residual,
-        "rotation": rotation,
+        # the RESOLVED mode (what every encode/serve against this
+        # artifact must apply); for rotation="auto" the request, the
+        # decision statistic, and its pre-declared threshold are
+        # recorded alongside so the call is auditable from the
+        # artifact alone (round-13).  extend/delete/refit inherit the
+        # RESOLVED mode — a geometry re-decision is an explicit
+        # rebuild with rotation="auto".
+        "rotation": rot_info["rotation"],
+        "rotation_requested": rot_info["requested"],
+        "anisotropy": rot_info["anisotropy"],
+        "anisotropy_threshold": rot_info["anisotropy_threshold"],
     }
     df = spark.createDataFrame(rows, _INDEX_SCHEMA)
     return write_snapshot(
@@ -722,6 +748,8 @@ def load_ann_codes(
     describe vectors the corpus no longer holds), so every mismatch
     fails loudly here.  Returns the codes DataFrame (lazy — nothing
     scans until the serving query runs)."""
+    from fortymhz_spark.sources.snapshots import snapshot_versions
+
     v, params = resolve_artifact(table_dir, "ann_codes ", version=version)
     _validate_codes_pairing(v, params, table_dir, index, "serving load")
     if corpus_version is not None and (
@@ -734,7 +762,20 @@ def load_ann_codes(
             f"version {corpus_version} — the corpus moved since the "
             "encode; re-run build_ann_codes against the new version"
         )
-    return read_snapshot(spark, table_dir, version=v)
+    codes = read_snapshot(spark, table_dir, version=v)
+    # The manifest already records this version's live row count —
+    # ride it along (a plain Python attribute on the frame, zero
+    # scans) so ivfpq_knn's broad-filter guard can compare a
+    # semi-join-fallback filter's id count against the served table
+    # size without a codes scan (round-13, SCALE.md honest-list #5).
+    rows = [
+        e.get("rows")
+        for e in snapshot_versions(table_dir)
+        if e["version"] == v
+    ]
+    if rows and rows[0] is not None:
+        codes._fortymhz_live_rows = int(rows[0])
+    return codes
 
 
 def codes_deleted_fraction(table_dir: str) -> float:
@@ -1018,22 +1059,41 @@ def load_ann_tuning(
     *,
     index_version: int | None = None,
     version: int | None = None,
+    search_history: bool = False,
+    warn_stale: bool = True,
 ) -> dict | None:
     """Resolve the persisted serving knobs for an index version —
     the zero-scan half of the tuned-serving lifecycle (the note
     carries the accepted point; the data rows are the audit trail).
     Returns the knob dict, or ``None`` in exactly two benign cases:
     the table does not exist yet (nothing has been tuned — serve
-    formula defaults), or ``index_version`` is given and the
-    recorded pairing differs (STALE: a refit republished the index;
-    knobs tuned for the old geometry must not ride along — a
+    formula defaults), or ``index_version`` is given and no recorded
+    pairing matches (STALE: a refit republished the index; knobs
+    tuned for the old geometry must not ride along — a
     ``RuntimeWarning`` flags it so a deployment notices it is back
     on formula defaults until it re-tunes).  Any other failure — a
     table that exists but is not an ``ann_tuning`` artifact, a
-    pinned ``version=`` that does not exist — raises."""
+    pinned ``version=`` that does not exist — raises.
+
+    ``search_history=True`` (round-13, advisor item): when the
+    CURRENT tuning row pairs a different index version, scan the
+    tuning table's version LINEAGE (manifest notes only — zero data
+    scans) newest-first for the latest row paired to EXACTLY
+    ``index_version`` and return that one.  This is what makes
+    deliberate time travel work — ``load_ann_serving`` with a pinned
+    ``codes_version=`` resolves an OLDER index, whose knobs are
+    still on record even though a later tune is current — and it is
+    equally sound unpinned (the pairing is to the exact index
+    version either way).  ``warn_stale=False`` suppresses the STALE
+    warning for callers that KNOW a mismatch is expected (a version
+    pin is deliberate time travel, not a refit surprise — warning
+    there misdiagnoses a healthy situation)."""
     import os
 
-    from fortymhz_spark.sources.snapshots import _manifest_path
+    from fortymhz_spark.sources.snapshots import (
+        _manifest_path,
+        snapshot_versions,
+    )
 
     if not os.path.exists(_manifest_path(table_dir)):
         return None
@@ -1042,18 +1102,47 @@ def load_ann_tuning(
         index_version is not None
         and int(params["index_version"]) != int(index_version)
     ):
-        import warnings
+        if search_history and version is None:
+            # newest-first over the manifest's note lineage: the
+            # latest tuning row paired to exactly this index version
+            # (concurrent tuners and time travel both land here)
+            for e in reversed(snapshot_versions(table_dir)):
+                note = e.get("note", "")
+                if not note.startswith("ann_tuning "):
+                    continue
+                p = json.loads(note[len("ann_tuning "):])
+                if int(p["index_version"]) == int(index_version):
+                    v, params = e["version"], p
+                    break
+            else:
+                p = None
+            if p is not None and int(params["index_version"]) == int(
+                index_version
+            ):
+                return {
+                    "nprobe": int(params["nprobe"]),
+                    "rerank": int(params["rerank"]),
+                    "recall": float(params["recall"]),
+                    "met": bool(params["met"]),
+                    "target_recall": params.get("target_recall"),
+                    "k": params.get("k"),
+                    "index_version": int(params["index_version"]),
+                    "codes_version": params.get("codes_version"),
+                    "version": v,
+                }
+        if warn_stale:
+            import warnings
 
-        warnings.warn(
-            f"ann_tuning v={v} at {table_dir} was measured against "
-            f"index v={params['index_version']} but the serving index "
-            f"is v={index_version} — a refit changed the geometry, so "
-            "the recorded knobs are STALE and serving falls back to "
-            "formula defaults; re-run tune_ann_serving against the "
-            "new index to restore the tuned operating point",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"ann_tuning v={v} at {table_dir} was measured against "
+                f"index v={params['index_version']} but the serving index "
+                f"is v={index_version} — a refit changed the geometry, so "
+                "the recorded knobs are STALE and serving falls back to "
+                "formula defaults; re-run tune_ann_serving against the "
+                "new index to restore the tuned operating point",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return None
     return {
         "nprobe": int(params["nprobe"]),
@@ -1093,11 +1182,20 @@ def load_ann_serving(
     ``ivfpq_knn(index=...)`` with no explicit ``nprobe``/``rerank``
     serves at the MEASURED operating point instead of the closed-form
     defaults (which measured 0.616 recall at the 100× decade vs the
-    tuner's 0.822 — SCALE.md round 11).  Knobs recorded against a
-    different index version are STALE (a refit republished) and are
-    skipped with a ``RuntimeWarning`` — formula defaults serve until
-    a re-tune; an absent tuning table is the normal pre-tune state
-    and attaches nothing, silently."""
+    tuner's 0.822 — SCALE.md round 11).  The knob row is resolved by
+    PAIRING, not recency: when the tuning table's current row pairs a
+    different index version, the lineage is searched (manifest notes
+    only, zero scans) for the latest row paired to exactly the served
+    index — so a pinned ``codes_version=`` time travel serves the
+    knobs that were MEASURED for that older geometry (round-13
+    advisor item: warning STALE there misdiagnosed deliberate time
+    travel), and a stale manual tune racing a refit's re-tune cannot
+    shadow the matching row.  Only when NO row pairs the served index
+    do formula defaults serve — with a ``RuntimeWarning`` on an
+    unpinned load (a refit outran the re-tune) and silently under a
+    pin (pre-tune history is a normal place for a pin to land); an
+    absent tuning table is the normal pre-tune state and attaches
+    nothing, silently."""
     import dataclasses
 
     v, params = resolve_artifact(codes_dir, "ann_codes ", version=codes_version)
@@ -1108,7 +1206,12 @@ def load_ann_serving(
         spark, codes_dir, idx, version=v, corpus_version=corpus_version
     )
     if tuning_dir is not None:
-        tuned = load_ann_tuning(tuning_dir, index_version=idx.version)
+        tuned = load_ann_tuning(
+            tuning_dir,
+            index_version=idx.version,
+            search_history=True,
+            warn_stale=codes_version is None,
+        )
         if tuned is not None:
             idx = dataclasses.replace(idx, tuning=tuned)
     return idx, codes
@@ -1215,7 +1318,16 @@ def tune_ann_serving(
     corpus) version.  Recorded even when ``met=False``: the failed
     point is still the best measured configuration, and the ``met``
     flag rides the artifact so a monitoring loop can alarm on it.
-    The new tuning version is returned as ``tuning_version``."""
+    The new tuning version is returned as ``tuning_version``.  The
+    publish is CAS-PINNED to the tuning table's version as of the
+    sweep's start (round-13 advisor item — the veto discipline every
+    other artifact write here uses): two tuners racing the same
+    table (a streaming refit re-tune vs an operator's manual tune)
+    surface :class:`~fortymhz_spark.sources.snapshots
+    .ConcurrentWriteError` to the loser instead of interleaving
+    last-writer-wins — the loser re-resolves (its measurements may
+    now describe superseded geometry) rather than silently
+    publishing over the winner."""
     from fortymhz_spark.operators.similarity import (
         _auto_rerank,
         brute_force_knn,
@@ -1248,6 +1360,17 @@ def tune_ann_serving(
         raise ValueError("empty corpus/sample: nothing to tune against")
     may_escalate = rerank is None and max_rerank is not None
     rerank = _auto_rerank(corpus, rerank)
+    # CAS base for the publish (round-13 advisor item): resolve the
+    # tuning table's current version BEFORE the sweep — 0 for a table
+    # that does not exist yet (a fresh manifest's current), so even
+    # two first-ever tuners racing table creation get the veto.  A
+    # competing tune landing mid-sweep then surfaces
+    # ConcurrentWriteError at publish instead of last-writer-wins.
+    tuning_base: int | None = None
+    if tuning_dir is not None:
+        from fortymhz_spark.sources.snapshots import _load_manifest
+
+        tuning_base = int(_load_manifest(tuning_dir).get("current", 0))
 
     def recall_at(p: int, rr: int) -> float:
         got: dict[int, set[int]] = {}
@@ -1326,6 +1449,7 @@ def tune_ann_serving(
                     codes_version=codes_version,
                     target_recall=target_recall,
                     k=k,
+                    expected_current=tuning_base,
                 )
             return res
         escalations.append((rerank, res["recall"]))

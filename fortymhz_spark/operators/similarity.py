@@ -571,6 +571,91 @@ def _residual_col(vn, anchors_lit, cell_col):
     )
 
 
+def _sample_eig(sample):
+    """Eigendecomposition of the training sample's second-moment
+    matrix — :func:`_opq_rotation`'s front half, split out so the
+    spectrum is independently inspectable (tests pin the sign/order
+    conventions here).  Returns ``(evals, evecs)`` with eigenvalues
+    DESCENDING and
+    eigenvector SIGN pinned (largest-|entry| coordinate made
+    positive, ties to the lowest index) — ``numpy.linalg.eigh`` on a
+    fixed sample is deterministic, so the same corpus always yields
+    the same bits (the property every persisted-vs-in-plan
+    byte-identity grade in this family rests on)."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    dim = X.shape[1]
+    cov = (X.T @ X) / max(len(sample), 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(dim):
+        col = evecs[:, j]
+        i = int(np.argmax(np.abs(col)))
+        if col[i] < 0:
+            evecs[:, j] = -col
+    return evals, evecs
+
+
+#: ``rotation="auto"``'s PRE-DECLARED decision threshold: build with
+#: OPQ when the heaviest contiguous subquantizer block carries this
+#: multiple of its fair (``1/n_sub``) share of the training sample's
+#: second-moment mass.  The isotropic sf fixtures measure 1.04-1.22
+#: across every sample size probed (16..512 — the statistic is a
+#: per-dimension variance SUM, so sample noise stays small where raw
+#: eigenvalue mass inflates to 2.9-3.0 at n=64); the planted
+#: ``exp(-j/8)`` per-dimension decay — the corpus class where the
+#: measured rule says OPQ wins +0.20/+0.49/+0.64 recall at
+#: 1×/10×/100× under tight rerank (SCALE.md r12) — measures 6.5-6.9.
+#: 2.0 ("one block hoards double its share") sits ≥1.6× clear of
+#: both classes; statistic and decision are recorded in the index
+#: geometry so the call is auditable from the artifact alone.
+ANISOTROPY_OPQ_THRESHOLD = 2.0
+
+#: Filtered-ANN broad-filter guard (round-13): when a
+#: ``corpus_filter`` that cannot push into the codes scan matches
+#: more than this fraction of the served table, ``ivfpq_knn`` warns
+#: that the semi-join fallback is being used where the
+#: metadata-at-rest path (``build_ann_codes(meta_cols=...)``) is the
+#: right tool — the fallback's shuffle is ∝ filtered ids, fine
+#: selective, ∝ table broad.
+BROAD_FILTER_WARN_FRACTION = 0.5
+
+
+def _anisotropy_stat(sample, n_sub: int) -> float:
+    """The ``rotation="auto"`` decision statistic: the heaviest
+    contiguous subquantizer block's share of the training sample's
+    per-dimension second-moment mass, as a multiple of the uniform
+    ``1/n_sub`` share — EXACTLY the imbalance OPQ's eigenvalue
+    allocation exists to repair (an unbalanced natural split is when
+    the rotation wins, the measured r12 rule; balanced blocks mean
+    the rotation has nothing to do and is pure overhead, the
+    measured r11 rule).  ≈1 on isotropic corpora, ``≈n_sub·(mass of
+    the heaviest block)`` under coordinate-aligned decay.  Chosen
+    over top-eigenvalue mass deliberately: per-dimension moments are
+    n-sample SUMS (tight at any training-sample size), where the
+    sample spectrum's top-``d_sub`` mass measured 2.9-3.0 on the
+    ISOTROPIC fixture at n=64 — pure estimation noise that would
+    misfire any threshold.  Known limitation (recorded in SCALE.md):
+    variance concentrated in directions SPREAD across coordinates
+    reads as balanced — a corpus class the r11/r12 tables did not
+    measure, so the rule stays within its evidence.  numpy over the
+    bounded driver-side sample; deterministic; zero extra corpus
+    work."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    dim = X.shape[1]
+    d_sub = dim // n_sub
+    m = (X * X).sum(axis=0)
+    blocks = m.reshape(n_sub, d_sub).sum(axis=1)
+    total = float(blocks.sum())
+    if total <= 0.0:
+        return 1.0
+    return float(n_sub * blocks.max() / total)
+
+
 def _opq_rotation(sample, n_sub: int, d_sub: int) -> list[list[float]]:
     """Parametric OPQ rotation (Ge et al., CVPR 2013, the OPQ-P /
     FAISS ``OPQMatrix`` eigenvalue-allocation recipe, closed-form):
@@ -586,26 +671,21 @@ def _opq_rotation(sample, n_sub: int, d_sub: int) -> list[list[float]]:
     dim×dim orthogonal matrix as plain nested floats, row i = output
     dimension i; block ``s`` owns rows ``s*d_sub..(s+1)*d_sub-1``.
 
-    Determinism: ``numpy.linalg.eigh`` on a fixed sample is
-    deterministic, eigenvector SIGN is pinned (largest-|entry|
-    coordinate made positive, ties to the lowest index), and the
-    greedy allocation breaks ties by block index — so the same corpus
-    always yields the same rotation bits, the property every
-    persisted-vs-in-plan byte-identity grade in this family rests
-    on."""
-    import numpy as np
+    Determinism: eigendecomposition and sign pinning live in
+    :func:`_sample_eig`; the greedy allocation breaks ties by block
+    index — so the same corpus always yields the same rotation
+    bits."""
+    evals, evecs = _sample_eig(sample)
+    return _opq_rotation_from_eig(evals, evecs, n_sub, d_sub)
 
-    X = np.asarray(sample, dtype=np.float64)
-    dim = X.shape[1]
-    cov = (X.T @ X) / max(len(sample), 1)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1]
-    evals, evecs = evals[order], evecs[:, order]
-    for j in range(dim):
-        col = evecs[:, j]
-        i = int(np.argmax(np.abs(col)))
-        if col[i] < 0:
-            evecs[:, j] = -col
+
+def _opq_rotation_from_eig(
+    evals, evecs, n_sub: int, d_sub: int
+) -> list[list[float]]:
+    """The greedy-allocation half of :func:`_opq_rotation`, split
+    from the eigendecomposition so each convention is pinned by its
+    own test."""
+    dim = len(evals)
     # Greedy balanced allocation on log-eigenvalues (largest first to
     # the least-loaded open block — the LPT schedule).  The logs are
     # SHIFTED to non-negative first: min-load greedy balancing
@@ -825,9 +905,11 @@ def pq_knn(
         d_sub, books = index.d_sub, index.books
         n_sub, n_cells = index.n_sub, index.n_cells
         # rotation is INDEX state, exactly like by_residual: explicit
-        # conflict with the recorded mode fails loudly, None inherits
+        # conflict with the recorded mode fails loudly; None inherits,
+        # and "auto" accepts whatever the build DECIDED (the recorded
+        # mode IS the auto result — round-13)
         idx_rotation = getattr(index, "rotation", None)
-        if rotation is not None and rotation != idx_rotation:
+        if rotation not in (None, "auto") and rotation != idx_rotation:
             raise ValueError(
                 f"rotation={rotation!r} conflicts with the index's "
                 f"recorded mode (rotation={idx_rotation!r}) — the "
@@ -836,7 +918,7 @@ def pq_knn(
             )
         rot = getattr(index, "rot", None)
     else:
-        d_sub, books, rot = _pq_train(
+        d_sub, books, rot, _ = _pq_train(
             corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
             train_sample, dim, rotation=rotation,
         )
@@ -927,9 +1009,25 @@ def _pq_train(
     ``rot`` (dim×dim rows, else ``None``) must then be applied to
     every vector the encode/ADC sees (:func:`_rotate_col`); mixing a
     rotated fit with unrotated serving is geometry corruption, which
-    the persisted-index pairing check rejects."""
-    if rotation not in (None, "opq"):
-        raise ValueError(f"rotation must be None or 'opq', got {rotation!r}")
+    the persisted-index pairing check rejects.
+
+    ``rotation="auto"`` (round-13) DECIDES per corpus class by the
+    measured rule (SCALE.md r11/r12 tables: isotropic → raw, OPQ is
+    pure overhead; anisotropic → opq, +0.20/+0.49/+0.64 recall at
+    tight rerank): the (residual-adjusted) sample's contiguous-block
+    moment-mass statistic (:func:`_anisotropy_stat`) against the
+    pre-declared :data:`ANISOTROPY_OPQ_THRESHOLD` picks raw or opq
+    at FIT time — an auto-raw decision never even runs the
+    eigendecomposition.  Returns a 4th element ``rot_info`` —
+    ``{"rotation": resolved, "requested", "anisotropy",
+    "anisotropy_threshold"}`` — so builders record the decision as
+    auditable index geometry; the statistic is also recorded for an
+    EXPLICIT ``rotation="opq"`` (same eig, zero extra cost) and is
+    ``None`` for ``rotation=None`` (no eig runs on the raw path)."""
+    if rotation not in (None, "opq", "auto"):
+        raise ValueError(
+            f"rotation must be None, 'opq' or 'auto', got {rotation!r}"
+        )
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
@@ -973,14 +1071,30 @@ def _pq_train(
         A = np.asarray(_residual_anchor(coarse), dtype=np.float64)
         sample = (X - A[cells]).tolist()
     rot = None
-    if rotation == "opq":
+    rot_info = {
+        "rotation": None,
+        "requested": rotation,
+        "anisotropy": None,
+        "anisotropy_threshold": None,
+    }
+    if rotation in ("opq", "auto"):
         import numpy as np
 
-        rot = _opq_rotation(sample, n_sub, dim // n_sub)
-        R = np.asarray(rot, dtype=np.float64)
-        sample = (np.asarray(sample, dtype=np.float64) @ R.T).tolist()
+        stat = _anisotropy_stat(sample, n_sub)
+        rot_info["anisotropy"] = round(float(stat), 6)
+        rot_info["anisotropy_threshold"] = ANISOTROPY_OPQ_THRESHOLD
+        # the measured per-corpus-class rule: explicit "opq" always
+        # rotates; "auto" rotates only when the natural contiguous
+        # split is unbalanced enough for the allocation to have work
+        # to do — an auto-raw decision skips the eigendecomposition
+        # entirely
+        if rotation == "opq" or stat >= ANISOTROPY_OPQ_THRESHOLD:
+            rot = _opq_rotation(sample, n_sub, dim // n_sub)
+            rot_info["rotation"] = "opq"
+            R = np.asarray(rot, dtype=np.float64)
+            sample = (np.asarray(sample, dtype=np.float64) @ R.T).tolist()
     books = _train_codebooks(sample, n_sub, n_cells, train_rounds)
-    return dim // n_sub, books, rot
+    return dim // n_sub, books, rot, rot_info
 
 
 def _adc_sum(n_sub: int):
@@ -1310,8 +1424,11 @@ def ivfpq_knn(
                 "argument or load the matching index"
             )
         by_residual = idx_mode
+        # "auto" accepts whatever the build DECIDED — the recorded
+        # mode IS the auto result (round-13); other explicit modes
+        # must match the geometry exactly
         idx_rotation = getattr(index, "rotation", None)
-        if rotation is not None and rotation != idx_rotation:
+        if rotation not in (None, "auto") and rotation != idx_rotation:
             raise ValueError(
                 f"rotation={rotation!r} conflicts with the index's "
                 f"recorded mode (rotation={idx_rotation!r}) — the "
@@ -1323,7 +1440,7 @@ def ivfpq_knn(
         by_residual = bool(by_residual)
         n_coarse = _auto_cells(corpus, n_coarse, n=n_rows)
         coarse = _centroids(corpus, id_col, vec_col, n_coarse)
-        d_sub, books, rot = _pq_train(
+        d_sub, books, rot, _ = _pq_train(
             corpus, id_col, vec_col, n_sub, n_cells, train_rounds,
             train_sample, dim,
             coarse=coarse if by_residual else None,
@@ -1376,7 +1493,37 @@ def ivfpq_knn(
                 codes = codes.filter(corpus_filter)
             else:
                 # the predicate needs corpus-only columns: evaluate it
-                # there and semi-join the matching ids into the scan
+                # there and semi-join the matching ids into the scan.
+                # BROAD-FILTER GUARD (round-13, SCALE.md honest-list
+                # #5): the semi-join shuffles codes × filtered-ids —
+                # right for a selective predicate, ∝ table for a broad
+                # one, where the metadata-at-rest pushdown path
+                # (build_ann_codes(meta_cols=...)) costs zero joins.
+                # One cheap id-projected count (reused from the knob
+                # resolution when it already ran) against the codes
+                # manifest's recorded row count (zero scans, attached
+                # by load_ann_codes) flags exactly that misuse.
+                total = getattr(codes, "_fortymhz_live_rows", None)
+                if total:
+                    n_match = n_rows if n_rows is not None else corpus.count()
+                    if n_match > BROAD_FILTER_WARN_FRACTION * total:
+                        import warnings
+
+                        warnings.warn(
+                            f"ivfpq_knn: corpus_filter matches "
+                            f"{n_match} of ~{total} served rows "
+                            f"(> {BROAD_FILTER_WARN_FRACTION:.0%}) and "
+                            "references columns outside the codes "
+                            "table's metadata, so it takes the "
+                            "semi-join fallback — a shuffle "
+                            "proportional to the table on a filter "
+                            "this broad.  Carry the filter columns at "
+                            "rest (build_ann_codes(meta_cols=...)) so "
+                            "the predicate pushes into the codes scan "
+                            "with zero joins.",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                 codes = codes.join(
                     corpus.select(F.col(id_col).alias("id")), ["id"], "semi"
                 )

@@ -296,6 +296,7 @@ def _start_exactly_once_sink(
     *,
     available_now: bool,
     txn_id: str | None,
+    run_on_empty: bool = False,
 ) -> StreamingQuery:
     """The ONE copy of the snapshot-sink exactly-once protocol shared
     by :func:`start_snapshot_sink` and :func:`start_materialized_agg`:
@@ -305,6 +306,17 @@ def _start_exactly_once_sink(
     batch_id, app_id)`` publishes the batch — and MUST pass
     ``txn=(app_id, batch_id)`` to its write so the mark lands in the
     same atomic swap as the data.
+
+    ``run_on_empty=True`` (round-13 advisor item) invokes ``body``
+    even for a micro-batch carrying ZERO rows — for sinks whose
+    trigger condition lives in STANDING table state rather than the
+    batch (the ANN codes sink's tombstone-mass refit arm: after a
+    coverage-guard deferral the mass sits in the manifest, and a
+    stream of empty/heartbeat triggers must still retry once the
+    corpus catches up; the early return here was exactly why the
+    round-12 'on EVERY batch' contract only held for batches whose
+    rows all filtered out).  Such a body must itself be a no-op-safe
+    on empty input and still land its txn mark.
 
     CONCURRENT WRITERS: every sink body's snapshot writes are derived
     (CAS-pinned to the base version they read), so a competing
@@ -322,7 +334,9 @@ def _start_exactly_once_sink(
     from fortymhz_spark.sources.snapshots import ConcurrentWriteError
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns or batch_df.isEmpty():
+        if not batch_df.columns or (
+            not run_on_empty and batch_df.isEmpty()
+        ):
             return
         for attempt in range(3):
             if batch_id <= _last_stream_batch(table_dir, app_id):
@@ -1253,14 +1267,17 @@ def start_ann_codes_sink(
                 spark, index_dir, codes_dir
             )
             # the tune population is exactly what is SERVED after the
-            # re-apply: the refit population plus this batch's adds
-            # (dels are already excluded from refit_corpus, and adds
-            # were filtered to the non-delete-flagged winners upfront)
-            tune_pop = refit_corpus.select(id_col, vec_col)
-            if have_adds:
-                tune_pop = tune_pop.unionByName(
-                    adds.select(id_col, vec_col)
-                )
+            # re-apply: the refit population UPSERTED with this
+            # batch's adds — corpus rows the batch updated are
+            # anti-joined out so the add's vector wins uniquely
+            # (round-13 advisor item: a duplicated id's stale vector
+            # would bias the brute-force ground truth with rows
+            # serving can never return).  dels are already excluded
+            # from refit_corpus, and adds were filtered to the
+            # non-delete-flagged winners upfront.
+            tune_pop = _retune_population(
+                refit_corpus, adds, id_col, vec_col, have_adds
+            )
             tune_ann_serving(
                 tune_pop,
                 new_idx,
@@ -1277,7 +1294,39 @@ def start_ann_codes_sink(
     return _start_exactly_once_sink(
         df, codes_dir, checkpoint_dir, body,
         available_now=available_now, txn_id=txn_id,
+        # The tombstone arm's trigger lives in STANDING table state,
+        # so body must run even for zero-row micro-batches (round-13
+        # advisor item: the shared wrapper's empty-batch early return
+        # otherwise made the 'on EVERY batch' liveness contract hold
+        # only for batches whose rows all filtered out).  body is
+        # no-op-safe on empty input: it lands the txn mark and falls
+        # through to the zero-scan manifest check.
+        run_on_empty=refit_deleted_fraction is not None,
     )
+
+
+def _retune_population(
+    refit_corpus: DataFrame,
+    adds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    have_adds: bool,
+) -> DataFrame:
+    """The population a post-refit re-tune measures against: the refit
+    corpus with this batch's adds applied AS AN UPSERT — ids the batch
+    updates are ANTI-JOINED out of the corpus side first (round-13
+    advisor item), because a corpus row the batch overwrote carries a
+    vector serving can never return; unioned in, it would bias the
+    tuner's brute-force ground truth (and could even be sampled as a
+    query).  One row per id, the add's vector winning — exactly what
+    ``ivfpq_knn(index=..., codes=...)`` serves after the re-apply."""
+    pop = refit_corpus.select(id_col, vec_col)
+    if have_adds:
+        add_rows = adds.select(id_col, vec_col)
+        pop = pop.join(
+            add_rows.select(id_col), [id_col], "anti"
+        ).unionByName(add_rows)
+    return pop
 
 
 def start_pca_moments_sink(

@@ -2319,3 +2319,381 @@ def test_ann_tuning_invalidated_by_refit(spark, truth, tmp_path):
             spark, idx_dir, codes_dir, tuning_dir=tune_dir
         )
     assert healed_idx.tuning["nprobe"] == res2["nprobe"]
+
+
+def test_ann_tuning_history_search_and_pinned_time_travel(
+    spark, truth, tmp_path
+):
+    """Knob resolution is by PAIRING, not recency (round-13 advisor
+    item): a pinned ``codes_version=`` time travel resolves an OLDER
+    index whose knobs are still on record — the lineage search must
+    return them warning-free instead of misdiagnosing the current
+    row's mismatch as a STALE refit; and a pin landing in pre-tune
+    history attaches nothing, silently (deliberate time travel is
+    not a refit surprise)."""
+    import warnings as _warnings
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        load_ann_serving,
+        load_ann_tuning,
+        refit_ann_codes,
+        save_ann_tuning,
+        tune_ann_serving,
+    )
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    codes_dir = str(tmp_path / "codes")
+    tune_dir = str(tmp_path / "tuning")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx1 = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx1)  # codes v1 ↔ index v1
+    res1 = tune_ann_serving(
+        emb, idx1, k=5, target_recall=0.6, sample_queries=8,
+        tuning_dir=tune_dir,
+    )
+    # unconditional refit → index v2 + codes v2; re-tune pairs v2 and
+    # becomes the tuning table's CURRENT row
+    refit_ann_codes(emb, idx_dir, codes_dir)
+    idx2 = load_ann_index(spark, idx_dir)
+    res2 = tune_ann_serving(
+        emb, idx2, k=5, target_recall=0.6, sample_queries=8,
+        tuning_dir=tune_dir,
+    )
+    assert idx2.version == 2 and res2["tuning_version"] == 2
+
+    # without history search the old pairing is invisible (current
+    # row pairs v2) — the pre-round-13 behavior, kept for explicit
+    # version pins
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        assert load_ann_tuning(tune_dir, index_version=1) is None
+    # with it, the lineage scan finds the v1-paired row, warning-free
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        t1 = load_ann_tuning(tune_dir, index_version=1, search_history=True)
+    assert t1 is not None and t1["index_version"] == 1
+    assert (t1["nprobe"], t1["rerank"]) == (res1["nprobe"], res1["rerank"])
+
+    # pinned time travel through load_ann_serving: codes v1 resolves
+    # index v1 and attaches the knobs MEASURED for it, warning-free
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        old_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir,
+            codes_version=1, tuning_dir=tune_dir,
+        )
+    assert old_idx.version == 1
+    assert old_idx.tuning["nprobe"] == res1["nprobe"]
+
+    # a pin landing where NO row pairs the resolved index: silent
+    # formula fallback (pre-tune history is a normal pin target)
+    only_v2 = str(tmp_path / "tuning_v2_only")
+    save_ann_tuning(
+        spark, only_v2,
+        {"nprobe": 1, "rerank": 1, "recall": 0.5, "met": False},
+        index_version=2,
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        pinned_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir,
+            codes_version=1, tuning_dir=only_v2,
+        )
+    assert pinned_idx.version == 1 and pinned_idx.tuning is None
+    # …while the UNPINNED load against a true refit mismatch still
+    # warns loudly (the refit-outran-the-re-tune alarm is unchanged)
+    stale_only = str(tmp_path / "tuning_stale_only")
+    save_ann_tuning(
+        spark, stale_only,
+        {"nprobe": 1, "rerank": 1, "recall": 0.5, "met": False},
+        index_version=1,
+    )
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        cur_idx, _ = load_ann_serving(
+            spark, idx_dir, codes_dir, tuning_dir=stale_only
+        )
+    assert cur_idx.version == 2 and cur_idx.tuning is None
+
+
+def test_tune_ann_serving_concurrent_publish_vetoed(
+    spark, truth, tmp_path, monkeypatch
+):
+    """Tuning publishes join the CAS veto discipline (round-13
+    advisor item): a competing tuner landing a version mid-sweep
+    makes THIS tuner's publish surface ConcurrentWriteError instead
+    of interleaving last-writer-wins — the loser's measurements may
+    describe superseded state, so it must re-resolve, and the
+    winner's row survives as current."""
+    import fortymhz_spark.operators.similarity as sim_mod
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        load_ann_tuning,
+        save_ann_tuning,
+        tune_ann_serving,
+    )
+    from fortymhz_spark.sources.snapshots import ConcurrentWriteError
+
+    emb, _, _ = truth
+    idx_dir = str(tmp_path / "idx")
+    codes_dir = str(tmp_path / "codes")
+    tune_dir = str(tmp_path / "tuning")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+
+    real = sim_mod.ivfpq_knn
+    fired = {"done": False}
+
+    def racing(*args, **kwargs):
+        # the competitor publishes DURING this tuner's sweep — after
+        # the CAS base was resolved, before the save
+        if not fired["done"]:
+            fired["done"] = True
+            save_ann_tuning(
+                spark, tune_dir,
+                {"nprobe": 7, "rerank": 16, "recall": 0.9, "met": True},
+                index_version=idx.version,
+            )
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sim_mod, "ivfpq_knn", racing)
+    with pytest.raises(ConcurrentWriteError):
+        tune_ann_serving(
+            emb, idx, k=5, target_recall=0.6, sample_queries=8,
+            tuning_dir=tune_dir,
+        )
+    # the winner's row is untouched by the vetoed publish
+    t = load_ann_tuning(tune_dir, index_version=idx.version)
+    assert (t["nprobe"], t["rerank"]) == (7, 16)
+
+
+def test_anisotropy_stat_block_mass():
+    """The rotation='auto' decision statistic in isolation: the
+    heaviest contiguous block's second-moment share as a multiple of
+    fair share — 1.0 exactly when blocks balance, n_sub·share under
+    coordinate-aligned concentration, 1.0 (not a crash) on an
+    all-zero sample."""
+    from fortymhz_spark.operators.similarity import (
+        ANISOTROPY_OPQ_THRESHOLD,
+        _anisotropy_stat,
+    )
+
+    balanced = [[1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 0.0, 1.0]]
+    assert _anisotropy_stat(balanced, 2) == pytest.approx(1.0)
+    # all mass in block 0 of 2 → stat = 2 · 1.0 = 2.0
+    piled = [[1.0, 1.0, 0.0, 0.0], [2.0, 0.5, 0.0, 0.0]]
+    assert _anisotropy_stat(piled, 2) == pytest.approx(2.0)
+    assert _anisotropy_stat([[0.0, 0.0, 0.0, 0.0]], 2) == 1.0
+    assert ANISOTROPY_OPQ_THRESHOLD == 2.0  # the pre-declared knob
+
+
+def _planted_anisotropic(emb, vec_col="embedding"):
+    """The soak's corpus class (tools/scale_soak.py --pq-opq-aniso):
+    per-dimension exp(-j/8) decaying scales — variance piles into the
+    first contiguous subquantizer blocks, OPQ's win case."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select(vec_col).first()[0])
+    scales = [float(math.exp(-j / 8.0)) for j in range(dim)]
+    return emb.select(
+        "vec_id",
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(s) for s in scales]),
+            lambda x, s: x * s,
+        ).alias(vec_col),
+    ).localCheckpoint()
+
+
+def test_rotation_auto_decides_per_corpus_class(spark, truth, tmp_path):
+    """rotation='auto' honors the MEASURED per-corpus-class rule
+    (SCALE.md r11/r12: isotropic → raw, anisotropic → opq) at build
+    time, records the decision + statistic + threshold as auditable
+    index geometry, and resolves to fits byte-identical to the
+    explicit modes — auto is a decision layer, never a third
+    geometry."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import (
+        ANISOTROPY_OPQ_THRESHOLD,
+    )
+    from fortymhz_spark.sources.snapshots import resolve_artifact
+
+    emb, _, _ = truth
+    kw = dict(n_coarse=8, n_sub=8, n_cells=16)
+
+    # isotropic corpus → raw (the r11 rule: rotation is pure overhead)
+    iso_dir = str(tmp_path / "iso")
+    build_ann_index(emb, iso_dir, rotation="auto", **kw)
+    _, p = resolve_artifact(iso_dir, "ann_index ")
+    assert p["rotation"] is None and p["rotation_requested"] == "auto"
+    assert 0 < p["anisotropy"] < ANISOTROPY_OPQ_THRESHOLD
+    assert p["anisotropy_threshold"] == ANISOTROPY_OPQ_THRESHOLD
+    iso_idx = load_ann_index(spark, iso_dir)
+    assert iso_idx.rotation is None and iso_idx.rot is None
+    # …and the fit is byte-identical to an explicit raw build
+    raw_dir = str(tmp_path / "raw")
+    build_ann_index(emb, raw_dir, **kw)
+    raw_idx = load_ann_index(spark, raw_dir)
+    assert iso_idx.books == raw_idx.books
+    assert iso_idx.coarse == raw_idx.coarse
+
+    # planted anisotropy → opq (the r12 rule), byte-identical to the
+    # explicit opq build of the same sizing
+    aniso = _planted_anisotropic(emb)
+    an_dir = str(tmp_path / "aniso")
+    build_ann_index(aniso, an_dir, rotation="auto", **kw)
+    _, pa = resolve_artifact(an_dir, "ann_index ")
+    assert pa["rotation"] == "opq" and pa["rotation_requested"] == "auto"
+    assert pa["anisotropy"] >= ANISOTROPY_OPQ_THRESHOLD
+    an_idx = load_ann_index(spark, an_dir)
+    assert an_idx.rotation == "opq"
+    assert len(an_idx.rot) == an_idx.dim
+    opq_dir = str(tmp_path / "opq")
+    build_ann_index(aniso, opq_dir, rotation="opq", **kw)
+    opq_idx = load_ann_index(spark, opq_dir)
+    assert an_idx.rot == opq_idx.rot and an_idx.books == opq_idx.books
+
+    # explicit rotation ALWAYS wins over the decision rule: opq on
+    # the isotropic corpus still rotates, and still records the
+    # (below-threshold) statistic as the audit trail
+    iso_opq_dir = str(tmp_path / "iso_opq")
+    build_ann_index(emb, iso_opq_dir, rotation="opq", **kw)
+    _, po = resolve_artifact(iso_opq_dir, "ann_index ")
+    assert po["rotation"] == "opq" and po["rotation_requested"] == "opq"
+    assert po["anisotropy"] < ANISOTROPY_OPQ_THRESHOLD
+
+
+def test_rotation_auto_inplan_and_serving_twins(spark, truth, tmp_path):
+    """The in-plan fit path accepts rotation='auto' with the same
+    decision (results byte-identical to the resolved explicit mode on
+    each corpus class), and serving an auto-built index with
+    rotation='auto' passed again is accepted — the recorded mode IS
+    the auto result (any other explicit mismatch still fails
+    loudly)."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    kw = dict(
+        k=K, n_coarse=8, nprobe=4, n_sub=8, n_cells=16, rerank=8,
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+
+    # isotropic: auto == raw in-plan
+    assert sorted(
+        map(key, ivfpq_knn(emb, queries, rotation="auto", **kw).collect())
+    ) == sorted(map(key, ivfpq_knn(emb, queries, **kw).collect()))
+
+    # anisotropic: auto == opq in-plan
+    aniso = _planted_anisotropic(emb)
+    qa = aniso.orderBy("vec_id").limit(N_QUERIES)
+    assert sorted(
+        map(key, ivfpq_knn(aniso, qa, rotation="auto", **kw).collect())
+    ) == sorted(
+        map(key, ivfpq_knn(aniso, qa, rotation="opq", **kw).collect())
+    )
+
+    # serving: rotation='auto' accepts BOTH resolved modes; a wrong
+    # explicit mode still fails loudly
+    an_dir = str(tmp_path / "aniso_idx")
+    build_ann_index(aniso, an_dir, rotation="auto", n_coarse=8,
+                    n_sub=8, n_cells=16)
+    an_idx = load_ann_index(spark, an_dir)
+    served_auto = sorted(map(key, ivfpq_knn(
+        aniso, qa, k=K, index=an_idx, nprobe=4, rerank=8,
+        rotation="auto",
+    ).collect()))
+    served_plain = sorted(map(key, ivfpq_knn(
+        aniso, qa, k=K, index=an_idx, nprobe=4, rerank=8,
+    ).collect()))
+    assert served_auto == served_plain
+    with pytest.raises(ValueError, match="rotation"):
+        ivfpq_knn(aniso, qa, k=K, index=an_idx, rotation="none")
+
+
+def test_rotation_auto_decision_inherited_by_refit(spark, truth, tmp_path):
+    """extend/delete/refit inherit the RESOLVED auto decision, never
+    re-roll it: a refit of an auto-built (opq-resolved) index rebuilds
+    with rotation='opq' — recorded as the new version's requested
+    mode (a geometry re-decision is an explicit rebuild with
+    rotation='auto', by contract)."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_index,
+        refit_ann_codes,
+    )
+    from fortymhz_spark.sources.snapshots import resolve_artifact
+
+    emb, _, _ = truth
+    aniso = _planted_anisotropic(emb)
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(aniso, idx_dir, rotation="auto", n_coarse=8,
+                    n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    assert idx.rotation == "opq"
+    build_ann_codes(aniso, codes_dir, idx)
+
+    res = refit_ann_codes(aniso, idx_dir, codes_dir)  # unconditional
+    assert res["refit"] and res["index_version"] == 2
+    _, p2 = resolve_artifact(idx_dir, "ann_index ", version=2)
+    assert p2["rotation"] == "opq"
+    assert p2["rotation_requested"] == "opq"  # resolved, not re-rolled
+    idx2 = load_ann_index(spark, idx_dir)
+    assert idx2.rotation == "opq" and len(idx2.rot) == idx2.dim
+
+
+def test_filtered_ann_broad_filter_guard(spark, truth, tmp_path):
+    """The semi-join fallback's broad-filter guard (round-13,
+    SCALE.md honest-list #5): a corpus_filter that cannot push into
+    the codes scan AND matches more than half the served table warns
+    toward the metadata-at-rest path (its shuffle is ∝ table there);
+    a selective fallback filter — the case the fallback exists for —
+    stays silent."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.operators.similarity import ivfpq_knn
+
+    emb, queries, _ = truth
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)  # NO meta_cols: every
+    codes = load_ann_codes(spark, codes_dir, idx)  # filter falls back
+    kw = dict(k=K, index=idx, codes=codes, nprobe=4, rerank=8)
+
+    # broad: label < 100 matches the whole corpus → warn, naming the
+    # at-rest fix
+    with pytest.warns(RuntimeWarning, match="meta_cols"):
+        ivfpq_knn(
+            emb, queries, corpus_filter=F.col("label") < 100, **kw
+        )
+    # selective: ~4 % of rows — the fallback's intended regime, silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        got = ivfpq_knn(
+            emb, queries, corpus_filter=F.col("vec_id") < 20, **kw
+        ).collect()
+    assert len(got) > 0
+    assert {r["neighbor_id"] for r in got} <= set(range(20))

@@ -2634,3 +2634,128 @@ def test_ann_codes_sink_refit_autoheals_stale_corpus(spark, tmp_path):
         )
     )
     assert codes_deleted_fraction(codes_dir) == 0.0  # fresh base
+
+
+def test_retune_population_upserts_batch_adds(spark):
+    """The post-refit re-tune population is an UPSERT, not a union
+    (round-13 advisor item): a corpus row this batch's adds update
+    would otherwise contribute a second, stale vector serving can
+    never return — biasing the tuner's brute-force ground truth (and
+    even samplable as a query).  One row per id, the add's vector
+    winning; with no adds the corpus passes through untouched."""
+    from fortymhz_spark.streaming.sinks import _retune_population
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema
+    )
+    adds = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (3, [1.0, 1.0])], schema
+    )
+    pop = _retune_population(corpus, adds, "vec_id", "embedding", True)
+    got = {int(r["vec_id"]): list(r["embedding"]) for r in pop.collect()}
+    assert pop.count() == 3  # one row per id — no duplicates
+    assert got == {1: [0.5, 0.5], 2: [0.0, 1.0], 3: [1.0, 1.0]}
+
+    noadd = _retune_population(corpus, adds, "vec_id", "embedding", False)
+    assert sorted(
+        (int(r["vec_id"]), list(r["embedding"])) for r in noadd.collect()
+    ) == [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+
+
+def test_ann_codes_sink_tombstone_retry_on_empty_batch(spark, tmp_path):
+    """Refit-retry liveness for GENUINELY EMPTY micro-batches
+    (round-13 advisor item): the round-12 fix re-checked standing
+    tombstone mass inside the sink body, but the shared exactly-once
+    wrapper's empty-batch early return meant the body never ran for a
+    zero-row trigger — the 'on EVERY batch, empty ones included'
+    contract held only for batches whose rows all filtered out.  Now
+    an armed tombstone arm opts the sink into running on empty
+    batches: after a coverage-guard deferral, a zero-row heartbeat
+    trigger must fire the deferred refit once the corpus catches
+    up."""
+    from fortymhz_spark.operators.ann_index import (
+        build_ann_codes,
+        build_ann_index,
+        codes_deleted_fraction,
+        load_ann_codes,
+        load_ann_index,
+    )
+    from fortymhz_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+    from fortymhz_spark.streaming.sinks import start_ann_codes_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    extra = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).limit(24)
+    heavy = emb.filter(F.col("vec_id") % 2 == 0)  # ~50 % of the seed
+
+    idx_dir, codes_dir = str(tmp_path / "idx"), str(tmp_path / "codes")
+    build_ann_index(emb, idx_dir, n_coarse=8, n_sub=8, n_cells=16)
+    idx = load_ann_index(spark, idx_dir)
+    build_ann_codes(emb, codes_dir, idx)
+    corpus_dir = str(tmp_path / "corpus")
+    write_snapshot(emb, corpus_dir, note="seed only — lags the stream")
+
+    def rows_of(df, deleted=False):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], deleted)
+            for r in df.collect()
+        ]
+
+    schema = "vec_id long, embedding array<double>, is_deleted boolean"
+    kw = dict(
+        delete_col="is_deleted", available_now=True,
+        refit_deleted_fraction=0.3, index_dir=idx_dir,
+        corpus_dir=corpus_dir,
+    )
+    # batch 1 extends while the corpus lags; batch 2's heavy delete
+    # crosses the arm but DEFERS on coverage (batch 1's rows are
+    # absent from the corpus snapshot)
+    _, mk = _stage_json_batches(
+        spark, tmp_path,
+        [rows_of(extra), rows_of(heavy, deleted=True)], schema,
+    )
+    with pytest.warns(RuntimeWarning, match="DEFERRED"):
+        q = start_ann_codes_sink(
+            mk(), codes_dir, idx, str(tmp_path / "c1"), **kw
+        )
+        q.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 1  # deferred, no publish
+    assert codes_deleted_fraction(codes_dir) > 0.3  # mass still standing
+
+    # the corpus catches up; batch 3 carries ZERO rows (a heartbeat
+    # trigger) — the standing mass must still be re-checked and fire
+    live = emb.unionByName(extra).join(
+        heavy.select("vec_id"), ["vec_id"], "anti"
+    )
+    write_snapshot(live, corpus_dir, note="caught up")
+    _stage_json_batches(spark, tmp_path, [[]], schema)
+    q2 = start_ann_codes_sink(
+        mk(), codes_dir, idx, str(tmp_path / "c1"), **kw
+    )
+    q2.awaitTermination(300)
+    assert len(snapshot_versions(idx_dir)) == 2  # the retry fired
+    idx2 = load_ann_index(spark, idx_dir)
+
+    # byte-identical to a manual rebuild on the caught-up corpus (the
+    # empty batch contributed no rows to re-apply)
+    man_idx_dir = str(tmp_path / "man_idx")
+    build_ann_index(live, man_idx_dir, n_coarse=None, n_sub=8, n_cells=16)
+    man_idx = load_ann_index(spark, man_idx_dir)
+    assert idx2.coarse == man_idx.coarse and idx2.books == man_idx.books
+    man_codes_dir = str(tmp_path / "man_codes")
+    build_ann_codes(live, man_codes_dir, man_idx)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, read_snapshot(spark, codes_dir).collect())) == (
+        sorted(
+            map(key, load_ann_codes(spark, man_codes_dir, man_idx).collect())
+        )
+    )
+    assert codes_deleted_fraction(codes_dir) == 0.0  # mass spent

@@ -1165,7 +1165,12 @@ def pq_opq_soak(spark, mults: list[int], reps: int = 2) -> int:
         for r in brute_force_knn_arrow(emb, queries, k=K).collect():
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         total = sum(len(t) for t in truth.values())
-        for mode, rotation in (("raw", None), ("opq", "opq")):
+        # "auto" (round-13) must land on the per-class winner — here
+        # the near-isotropic fixture, so its row must match the raw
+        # row (the r11 rule: rotation is pure overhead on this class)
+        for mode, rotation in (
+            ("raw", None), ("opq", "opq"), ("auto", "auto"),
+        ):
             best, got = float("inf"), None
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -1242,7 +1247,11 @@ def pq_opq_aniso_soak(spark, mults: list[int], reps: int = 2) -> int:
         for r in brute_force_knn_arrow(emb, queries, k=K).collect():
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         total = sum(len(t) for t in truth.values())
-        for mode, rotation in (("raw", None), ("opq", "opq")):
+        # "auto" (round-13) must land on the per-class winner — here
+        # the planted anisotropy, so its row must match the opq row
+        for mode, rotation in (
+            ("raw", None), ("opq", "opq"), ("auto", "auto"),
+        ):
             best, got = float("inf"), None
             for _ in range(reps):
                 t0 = time.perf_counter()
