@@ -15,42 +15,50 @@ long tail (50/50), round 4 completed the rotation (50/50), rounds 5-8
 ran the steady-state policy (new + changed-code + the full deferred
 bucket each round; 50/50 every time — see CORRECTNESS_r0{5..8}.json).
 
-Round 12 rotation (the r11 verdict's item #4 — spill promise first,
-then changed-code re-grades, then oldest greens to fill 50):
+Round 13 rotation (the r12 verdict's item #2 — the named spill
+promise leads, then changed-code re-grades, then oldest greens to
+fill 50):
 
-1. THE ONE NEW ROUND-12 QUERY enters first:
-   q_emb_ann_tuned_persisted — persisted serving knobs as artifact
-   state (the r11 verdict's item #2: tune_ann_serving's accepted
-   point recorded next to the (index, codes) version pair,
-   load_ann_serving(tuning_dir=) defaulting to it, refit
-   invalidation), with THREE oracle-recomputed raw columns
-   (n_queries, n_corpus, n_coarse — item #8's standing bar).
-2. THE ELEVEN ROUND-8 ROWS SPILLED FROM THE ROUND-11 GATE
-   (q_dt_orbit_assembly … q_media_frame_sample — the r11
-   docstring's immovable spill promise; the r11 verdict's item #4
+1. THE ONE NEW ROUND-13 QUERY enters first:
+   q_emb_ann_rotation_auto — anisotropy-aware automatic rotation
+   selection (the r12 verdict's item #1: rotation="auto" decides
+   raw-vs-opq at build time from the training sample's
+   contiguous-block moment-mass statistic against a pre-declared
+   threshold, records decision + statistic + threshold as index
+   geometry, byte-identical to the explicit modes), with THREE
+   oracle-recomputed raw columns (n_corpus, n_coarse, rot_dim —
+   the standing item-#8 bar).
+2. THE FOURTEEN ROUND-9 ROWS SPILLED FROM THE ROUND-12 GATE
+   (q_events_view_to_purchase … q_vec_knn_arrow — the r12
+   docstring's immovable spill promise; the r12 verdict's item #2
    names them as leading this gate).
-3. THE CHANGED-CODE RE-GRADES: q_emb_ann_tuned (tune_ann_serving's
-   Knuth-hash sample is now reduced mod 2^31 before the multiply —
-   the r12 advisor's ANSI int64-overflow fix; bit-identical for
-   ids < 2^31 so the graded sample itself does not move — and the
-   tuner gained the tuning_dir persistence arm) and q_emb_ann_ivfpq
-   (ivfpq_knn's knob resolution gained the persisted-tuning default
-   tier: explicit > tuned > formula).  Both were graded green in
-   round 11; the code beneath them changed this round, so their
-   checks renew NOW rather than riding PREVIOUSLY_GREEN.
-4. THE FIRST 36 OF THE 50 ROUND-9 GREENS (the registry's oldest
-   checks once round 11 landed), in their recorded order.
+3. THE CHANGED-CODE RE-GRADES (code beneath each changed this
+   round, so their checks renew NOW rather than riding
+   PREVIOUSLY_GREEN): q_emb_ann_opq (the rotation fit path was
+   refactored for "auto" — _sample_eig/_opq_rotation split,
+   _pq_train's 4-tuple return, decision fields recorded in the
+   artifact params), q_emb_ann_filtered (the codes-serving filter
+   fallback gained the broad-filter guard and load_ann_codes now
+   attaches the manifest row count), q_emb_ann_tuned_persisted
+   (load_ann_tuning/load_ann_serving gained the lineage-search +
+   pin-aware staleness resolution), q_emb_ann_tuned
+   (tune_ann_serving's publish is now CAS-pinned), and
+   q_emb_ann_ivfpq (ivfpq_knn's fit call and rotation conflict
+   check changed for "auto").
+4. THE FIRST 30 OF THE 46 ROUND-10 GREENS (the registry's oldest
+   checks once round 12 landed), in their recorded order.
 
-1 new + 11 spill-promise + 2 re-grades + 36 round-9 = 50 exactly.
-The round-13 deferred bucket below is the FOURTEEN round-9 rows
-that did not fit (q_events_view_to_purchase … q_vec_knn_arrow —
-the next spill promise, they lead the round-13 gate) followed by
-the 46 rows of the round-10 gate (CORRECTNESS_r10.json), whose
-checks become the registry's oldest once this round lands.
-PREVIOUSLY_GREEN holds the 48 rows of the round-11 gate not pulled
-back for re-grade (CORRECTNESS_r11.json — the freshest checks).
-Everything outside the gate stays covered by the local sf0.001
-differential (tests/test_oracle_parity.py) either way.
+1 new + 14 spill-promise + 5 re-grades + 30 round-10 = 50 exactly.
+The round-14 deferred bucket below is the SIXTEEN round-10 rows
+that did not fit (q_docs_tfidf_top_terms … q_sql_revenue_by_nation
+— the next spill promise, they lead the round-14 gate) followed by
+the 46 rows of the round-11 gate not pulled back for re-grade
+(CORRECTNESS_r11.json), whose checks become the registry's oldest
+once this round lands.  PREVIOUSLY_GREEN holds the 47 rows of the
+round-12 gate not pulled back for re-grade (CORRECTNESS_r12.json —
+the freshest checks).  Everything outside the gate stays covered by
+the local sf0.001 differential (tests/test_oracle_parity.py) either
+way.
 """
 
 from __future__ import annotations
@@ -61,78 +69,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-12 gate (slots 1-50): 1 new + the 11-row round-11 spill
-# promise + 2 changed-code re-grades + the first 36 round-9 greens
-# (the oldest checks).  New round-12 queries insert at the FRONT;
-# each spills the last round-9 row to the round-13 deferred bucket.
+# Round-13 gate (slots 1-50): 1 new + the 14-row round-12 spill
+# promise + 5 changed-code re-grades + the first 30 round-10 greens
+# (the oldest checks).  New round-13 queries insert at the FRONT;
+# each spills the last round-10 row to the round-14 deferred bucket.
 ROUND_GATE: tuple[str, ...] = (
-    # —— NEW this round: persisted serving knobs as artifact state
-    #    (r11 verdict item #2; three oracle-recomputed raw columns
-    #    per the standing item-#8 bar) ——
-    "q_emb_ann_tuned_persisted",
-    # —— the round-11 spill promise (round-8 checks: oldest) ——
-    "q_dt_orbit_assembly",
-    "q_dt_streaming_occupancy",
-    "q_events_dedup_ingest",
-    "q_events_grouped_pandas_stats",
-    "q_events_json_props",
-    "q_events_latest_per_user",
-    "q_events_sessionize",
-    "q_events_sliding_1h_30m",
-    "q_media_decode_stats",
-    "q_media_features",
-    "q_media_frame_sample",
-    # —— changed-code re-grades (tuner ANSI hash fix + persistence
-    #    arm; ivfpq_knn's explicit > tuned > formula knob tier) ——
-    "q_emb_ann_tuned",
-    "q_emb_ann_ivfpq",
-    # —— the first 36 round-9 greens (next-oldest checks) ——
-    "q_emb_ann_codes_delete",
-    "q_emb_ann_drift_report",
-    "q_emb_ann_codes_extend",
-    "q_docs_token_budget_sample",
-    "q_docs_quality_yield_curve",
-    "q_docs_contamination_report",
-    "q_docs_source_overlap",
-    "q_docs_classifier_training",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_shipping_delay",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q20_part_share_suppliers",
-    "q22_wealthy_inactive_customers",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_cube_flag_status",
-    "q_date_functions",
-    "q_docs_c4_rules",
-    "q_docs_gopher_repetition",
-    "q_docs_gopher_rules",
-    "q_docs_top_terms",
-    "q_docs_unigram_encode_stats",
-    "q_docs_unigram_soft_encode",
-    "q_dt_event_time_span",
-    "q_emb_ann_lsh",
-    "q_emb_knn_bruteforce",
-    "q_emb_near_dup_lsh_subset",
-    "q_emb_semantic_dedup",
-    "q_events_hourly_by_type",
-    "q_events_user_enrichment",
-    "q_events_value_stats",
-)
-
-# The rows deferring to round 13, in pick-up order: the fourteen
-# round-9 rows this round's gate could not fit (the round-13 spill
-# promise), then the 46 rows of the round-10 gate
-# (CORRECTNESS_r10.json), whose checks become the registry's oldest
-# once round 12 lands.
-DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    # —— the 14 round-9 rows the round-12 gate could not fit (the
-    #    round-13 spill promise) ——
+    # —— NEW this round: anisotropy-aware automatic rotation
+    #    selection (r12 verdict item #1; three oracle-recomputed raw
+    #    columns per the standing item-#8 bar) ——
+    "q_emb_ann_rotation_auto",
+    # —— the round-12 spill promise (round-9 checks: oldest) ——
     "q_events_view_to_purchase",
     "q_full_outer_daily_activity",
     "q_grouping_sets_flag_year",
@@ -147,7 +93,16 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_snapshot_merge_orders",
     "q_unpivot_part_sizes",
     "q_vec_knn_arrow",
-    # —— the 46 rows of the round-10 gate (CORRECTNESS_r10.json) ——
+    # —— changed-code re-grades (rotation="auto" fit-path refactor;
+    #    broad-filter guard + manifest row count on the codes path;
+    #    tuning lineage-search + pin-aware staleness; tuning CAS
+    #    publish; ivfpq_knn fit call + rotation conflict check) ——
+    "q_emb_ann_opq",
+    "q_emb_ann_filtered",
+    "q_emb_ann_tuned_persisted",
+    "q_emb_ann_tuned",
+    "q_emb_ann_ivfpq",
+    # —— the first 30 round-10 greens (next-oldest checks) ——
     "q_emb_knn_filtered",
     "q_emb_pca_audit",
     "q_emb_pca_incremental",
@@ -178,6 +133,16 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_docs_jaccard_blocked",
     "q_docs_minhash_estimate",
     "q_docs_simhash_near_dups",
+)
+
+# The rows deferring to round 14, in pick-up order: the sixteen
+# round-10 rows this round's gate could not fit (the round-14 spill
+# promise), then the 46 rows of the round-11 gate not pulled back
+# for re-grade (CORRECTNESS_r11.json), whose checks become the
+# registry's oldest once round 13 lands.
+DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    # —— the 16 round-10 rows the round-13 gate could not fit (the
+    #    round-14 spill promise) ——
     "q_docs_tfidf_top_terms",
     "q_events_asof_last_order",
     "q_histogram_quantity",
@@ -194,18 +159,10 @@ DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "q_sketch_cardinality",
     "q_sketch_heavy_hitters",
     "q_sql_revenue_by_nation",
-)
-
-# Driver-green rows outside the round-12 gate with the FRESHEST
-# checks: the round-11 gate's 50 minus the two pulled back for
-# changed-code re-grades (CORRECTNESS_r11.json).  The registry
-# asserts gate ∪ deferred ∪ previously-green == all registered
-# queries.
-PREVIOUSLY_GREEN: tuple[str, ...] = (
+    # —— the 46 round-11-gate rows not re-graded this round
+    #    (CORRECTNESS_r11.json, recorded order) ——
     "q_emb_ann_refit_tombstone",
-    "q_emb_ann_opq",
     "q_emb_ann_refit",
-    "q_emb_ann_filtered",
     "q_emb_ann_ivfpq_residual",
     "q_text_crossdoc_blocks",
     "q_text_rarity_score",
@@ -250,6 +207,61 @@ PREVIOUSLY_GREEN: tuple[str, ...] = (
     "q_dt_channel_occupancy",
     "q_dt_custom_source_occupancy",
     "q_dt_hits_per_orbit",
+)
+
+# Driver-green rows outside the round-13 gate with the FRESHEST
+# checks: the round-12 gate's 50 minus the three pulled back for
+# changed-code re-grades (CORRECTNESS_r12.json).  The registry
+# asserts gate ∪ deferred ∪ previously-green == all registered
+# queries.
+PREVIOUSLY_GREEN: tuple[str, ...] = (
+    "q_dt_orbit_assembly",
+    "q_dt_streaming_occupancy",
+    "q_events_dedup_ingest",
+    "q_events_grouped_pandas_stats",
+    "q_events_json_props",
+    "q_events_latest_per_user",
+    "q_events_sessionize",
+    "q_events_sliding_1h_30m",
+    "q_media_decode_stats",
+    "q_media_features",
+    "q_media_frame_sample",
+    "q_emb_ann_codes_delete",
+    "q_emb_ann_drift_report",
+    "q_emb_ann_codes_extend",
+    "q_docs_token_budget_sample",
+    "q_docs_quality_yield_curve",
+    "q_docs_contamination_report",
+    "q_docs_source_overlap",
+    "q_docs_classifier_training",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_shipping_delay",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_wealthy_inactive_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_cube_flag_status",
+    "q_date_functions",
+    "q_docs_c4_rules",
+    "q_docs_gopher_repetition",
+    "q_docs_gopher_rules",
+    "q_docs_top_terms",
+    "q_docs_unigram_encode_stats",
+    "q_docs_unigram_soft_encode",
+    "q_dt_event_time_span",
+    "q_emb_ann_lsh",
+    "q_emb_knn_bruteforce",
+    "q_emb_near_dup_lsh_subset",
+    "q_emb_semantic_dedup",
+    "q_events_hourly_by_type",
+    "q_events_user_enrichment",
+    "q_events_value_stats",
 )
 
 

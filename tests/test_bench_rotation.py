@@ -37,17 +37,27 @@ def test_priority_window_rotates_and_mixes_tiers():
         assert any(n in heavy for n in w)
 
 
-def test_every_heavy_row_leads_within_one_cycle():
-    heavy = [
+def test_every_expensive_row_leads_within_one_cycle():
+    """Round-13 (the r12 verdict's item #4): the rotating slot draws
+    from the EXPENSIVE tier (> 15 s expected — exactly the rows the
+    default wall skips in the cheapest-first tail), so every
+    refit/tuned/opq-class row reaches driver-side timing once per
+    cycle.  The 10-15 s rows need no slot: the tail admits them under
+    the default wall (r12 timed persisted/filtered/codes there)."""
+    expensive = [
         n for n in bench.AUDIT
-        if bench.AUDIT_EXPECTED_S.get(n, 30.0) > 10.0
+        if bench.AUDIT_EXPECTED_S.get(n, 30.0) > 15.0
     ]
     led = set()
-    for r in range(len(heavy)):
+    for r in range(len(expensive)):
         led.update(
-            n for n in bench._audit_order(r)[:4] if n in heavy
+            n for n in bench._audit_order(r)[:4] if n in expensive
         )
-    assert led == set(heavy)
+    assert led == set(expensive)
+    # the round-13 driver run (round_idx == 12: one BENCH_r*.json per
+    # landed round, r01..r12) must draw its slot from this tier — the
+    # r12 verdict's done-bar for item #4
+    assert bench._audit_order(12)[3] in set(expensive)
 
 
 def test_expected_cost_admission_never_overshoots_wall():

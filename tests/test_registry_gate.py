@@ -2,21 +2,21 @@
 
 The driver's correctness gate grades exactly the first 50 registered
 queries per round, so ordering IS evidence policy (see
-queries/__init__.py).  Round 12 runs the promised pick-up order: the
-1 new round-12 query (q_emb_ann_tuned_persisted) first, then the
-11-row round-11 spill promise (q_dt_orbit_assembly …
-q_media_frame_sample), then the 2 changed-code re-grades
-(q_emb_ann_tuned / q_emb_ann_ivfpq — the tuner's ANSI hash fix +
-persistence arm and ivfpq_knn's tuned-knob default tier), then the
-first 36 round-9 greens — exactly 50.  The round-13 deferred bucket
-holds the 14 round-9 rows that did not fit + the 46 round-10-gate
-rows; the 48 non-re-graded rows of the round-11 gate sit in
-PREVIOUSLY_GREEN (queries/__init__.py's docstring — note: the
-round-11 edition of THIS docstring described a stale mid-round
-layout, the r12 advisor's item #1; the counts here now restate the
-shipped registry).  These tests pin that every registered query is
-accounted for by exactly one of those buckets — a query registered
-carelessly can no longer silently miss its grading window.
+queries/__init__.py).  Round 13 runs the promised pick-up order: the
+1 new round-13 query (q_emb_ann_rotation_auto) first, then the
+14-row round-12 spill promise (q_events_view_to_purchase …
+q_vec_knn_arrow — the r12 verdict's item #2 names it as leading this
+gate), then the 5 changed-code re-grades (q_emb_ann_opq /
+q_emb_ann_filtered / q_emb_ann_tuned_persisted / q_emb_ann_tuned /
+q_emb_ann_ivfpq — the rotation="auto" fit-path refactor, the
+broad-filter guard, the tuning lineage-search and CAS publish), then
+the first 30 round-10 greens — exactly 50.  The round-14 deferred
+bucket holds the 16 round-10 rows that did not fit + the 46
+non-re-graded round-11-gate rows; the 47 non-re-graded rows of the
+round-12 gate sit in PREVIOUSLY_GREEN.  These tests pin that every
+registered query is accounted for by exactly one of those buckets —
+a query registered carelessly can no longer silently miss its
+grading window.
 """
 
 from __future__ import annotations
