@@ -325,18 +325,23 @@ AUDIT_EXPECTED_S = {
     # actually runs audits in (after 3 reps + recall) — the r12
     # definitive sweep measured the merge-heavy rows 1.3-1.9x above
     # their fresh-session walls there (BASELINE.md round-12), and an
-    # underestimate converts directly into wall overshoot
-    "q_emb_ann_ivfpq_persisted": 11.0,
-    "q_emb_ann_filtered": 13.0,
-    "q_emb_ann_ivfpq_codes": 13.0,
-    "q_emb_ann_codes_delete": 20.0,
-    "q_emb_ann_codes_extend": 22.0,
-    "q_emb_ann_refit_tombstone": 26.0,
-    "q_emb_ann_ivfpq_residual": 30.0,
-    "q_emb_ann_refit": 28.0,
-    "q_emb_ann_opq": 42.0,
-    "q_emb_ann_tuned": 32.0,
-    "q_emb_ann_tuned_persisted": 50.0,
+    # underestimate converts directly into wall overshoot.  Each
+    # entry's comment records the measured (fresh, late-session)
+    # pair it was derived from (the r12 verdict's item #6: keep the
+    # two regimes on record instead of one widened scalar — the
+    # FRESH number is the operating figure; the entry here is the
+    # ADMISSION cost for the late regime)
+    "q_emb_ann_ivfpq_persisted": 11.0,   # fresh ~9.9, late ≤ 11
+    "q_emb_ann_filtered": 13.0,          # fresh ~10.9, late ≤ 13
+    "q_emb_ann_ivfpq_codes": 13.0,       # fresh ~12.3, late ≤ 13
+    "q_emb_ann_codes_delete": 20.0,      # fresh 15.9, late 20.1 (r12)
+    "q_emb_ann_codes_extend": 22.0,      # fresh 14.8, late 26.7→22 cap
+    "q_emb_ann_refit_tombstone": 26.0,   # fresh 23.6, late (stall 106 adjudicated OUT)
+    "q_emb_ann_ivfpq_residual": 30.0,    # fresh 20.9, late 36.9→30 cap
+    "q_emb_ann_refit": 28.0,             # fresh ~22, late 28.0 (r12)
+    "q_emb_ann_opq": 42.0,               # fresh ~25, late 41.9 (r12)
+    "q_emb_ann_tuned": 32.0,             # fresh ~27.5, late 31.0 (r12)
+    "q_emb_ann_tuned_persisted": 50.0,   # fresh ~48.7 cold, late 49.7 (r12)
     # r13 quiet-window probe: 46.5 s cold (the per-process build
     # cache) / 5.8-7.3 s warm; the audit pass is always cold, so the
     # entry models cold + late-session headroom
