@@ -23,24 +23,69 @@ def _colified(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
-    """Left-fold dot product in double precision."""
-    a, b = _colified(a), _colified(b)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> cast(x as double) * cast(x as double)), 0.0D, "
+        "(acc, v) -> acc + v))"
+    )
+
+
+# Round-13 optimization (guide §1.2 step 2 / §7.3): the Column-API form
+# of these folds costs ~10-30 py4j round-trips per call; the hot ANN
+# callers (operators/similarity.py) build thousands of them per query.
+# When both inputs are PLAIN COLUMN NAMES the identical expression tree
+# is built with one ``F.expr`` parse.  Column-object inputs keep the
+# original Column construction: rendering an arbitrary Column to SQL
+# text is not sound (arithmetic renders prefix-style ``*(a, 2)``, and
+# lambda variables from an enclosing higher-order function do not
+# re-bind through a parse — measured, not hypothetical), and the
+# Column-passing call sites (projection/PCA, one query literal) are
+# construction-cold anyway.
+
+
+def _dot_col(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def l2_norm(a: Column | str) -> Column:
-    a = _colified(a)
+def _l2_col(a: Column) -> Column:
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Left-fold dot product in double precision."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(f"`{a}`", f"`{b}`"))
+    return _dot_col(_colified(a), _colified(b))
+
+
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_sql(f"`{a}`"))
+    return _l2_col(_colified(a))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
+    if isinstance(a, str) and isinstance(b, str):
+        sa, sb = f"`{a}`", f"`{b}`"
+        denom = f"({_l2_sql(sa)} * {_l2_sql(sb)})"
+        return F.expr(
+            f"CASE WHEN {denom} > 0 THEN {_dot_sql(sa, sb)} / {denom} END"
+        )
     a, b = _colified(a), _colified(b)
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot_product(a, b) / denom)
+    denom = _l2_col(a) * _l2_col(b)
+    return F.when(denom > 0, _dot_col(a, b) / denom)
 
 
 def int8_quant_sq_err_e15(vec: Column | str) -> Column:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fortymhz_spark.operators.partitioning import spread_scan
 from fortymhz_spark.operators.text import content_md5, shingle_set, word_set
 
 
@@ -124,28 +125,11 @@ def near_dup_components(
         )
     return labels
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the scan parallelizes before CPU-heavy per-row work.
-
-    A small corpus in one parquet file is one input partition, which
-    serializes all signature hashing onto a single core (measured: the
-    sf0.1 MinHash signature stage ran 1-task for ~7 s).  At 100 TB the
-    input is naturally thousands of splits and this is a no-op; the
-    repartition only fires when the scan has fewer partitions than the
-    cluster has slots.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # df.rdd.getNumPartitions() is the ACTUAL scan partition count.
-    # inputFiles() is not a usable proxy in either direction: many
-    # small files bin-pack into few scan partitions (openCostInBytes),
-    # and one large file splits into many — both misjudge the spread
-    # and the first reintroduces the single-core hashing stall this
-    # helper exists to fix.  The plan→RDD conversion is driver-side
-    # planning only (milliseconds, no job) and runs once per operator
-    # call — a deliberate cost for an accurate answer.
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Round-13: hoisted to operators/partitioning.py::spread_scan so the
+# text/span operators can share it without a circular import (text.py
+# cannot import from this module — this module imports text.py).  The
+# local name survives for the existing call sites and tests.
+_spread = spread_scan
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +193,14 @@ def _lane_mins(
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
     )
+    # Single-parse agg expressions (round-13: the Column form costs ~9
+    # py4j round-trips per lane × 64 lanes ≈ 0.3 s of driver build per
+    # call; one expr parse per lane builds the identical tree — the
+    # integer literal is INT in both forms, so the hash family is
+    # byte-identical).
     return exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            F.expr(f"min(xxhash64({i}, sh)) AS h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -612,27 +601,25 @@ def simhash_fingerprints_portable(
     )
     # Same packed 2-bits-per-lane vote trick as the 64-bit path (see
     # simhash_fingerprints): 17 aggregate buffers instead of 33.
+    # Single-parse expr form (round-13): identical tree, ~1 py4j
+    # round-trip per aggregate instead of ~15.
     votes = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.shiftright("h", 2 * g).bitwiseAND(F.lit(1))
-                + F.shiftright("h", 2 * g + 1).bitwiseAND(F.lit(1))
-                * F.lit(1 << 32)
-            ).alias(f"p{g}")
+            F.expr(
+                f"sum((shiftright(h, {2 * g}) & 1) + "
+                f"((shiftright(h, {2 * g + 1}) & 1) * 4294967296L)) "
+                f"AS p{g}"
+            )
             for g in range(16)
         ],
     )
-    sim_expr = F.lit(0).cast("long")
+    sim_terms = ["0L"]
     for b in range(32):
         g, lane = b // 2, b % 2
-        cnt = F.shiftrightunsigned(F.col(f"p{g}"), 32 * lane).bitwiseAND(
-            F.lit(0xFFFFFFFF)
-        )
-        sim_expr = sim_expr + F.when(
-            cnt * 2 > F.col("n"), F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("id", sim_expr.alias("sim"))
+        cnt = f"(shiftrightunsigned(p{g}, {32 * lane}) & 4294967295L)"
+        sim_terms.append(f"IF(({cnt} * 2) > n, {2 ** b}L, 0L)")
+    return votes.select("id", F.expr(" + ".join(sim_terms)).alias("sim"))
 
 
 def _simhash_pairs(
@@ -757,9 +744,13 @@ def contaminated_ids(
     """
     sh = shingle_set(text_col, shingle_n)
     # shingle_set is per-doc distinct already — (id, s) needs no extra
-    # dedup shuffle; the eval side dedups ACROSS docs before the join
-    train_sh = train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-    eval_sh = eval_df.select(F.explode(sh).alias("s")).distinct()
+    # dedup shuffle; the eval side dedups ACROSS docs before the join.
+    # Round-13: both sides' shingling is the cost — spread the scans
+    # (no-op at scale, see partitioning.spread_scan).
+    train_sh = _spread(train).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    )
+    eval_sh = _spread(eval_df).select(F.explode(sh).alias("s")).distinct()
     hits = train_sh.join(eval_sh, ["s"]).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_overlapping")
     )
@@ -827,8 +818,10 @@ def bloom_decontaminate(
         )
 
     sh = shingle_set(text_col, shingle_n)
+    # Round-13: shingle hashing on both sides is the cost — spread the
+    # scans (no-op at scale, see partitioning.spread_scan).
     positions = (
-        eval_df.select(F.explode(sh).alias("s"))
+        _spread(eval_df).select(F.explode(sh).alias("s"))
         .select(F.md5(F.col("s")).alias("h"))
         .select(
             F.explode(
@@ -875,7 +868,7 @@ def bloom_decontaminate(
         return F.element_at(F.transform(F.array(F.md5(s)), over), 1)
 
     return (
-        train.select(
+        _spread(train).select(
             F.col(id_col).alias("id"),
             F.size(F.filter(sh, member)).alias("n_candidate"),
         )

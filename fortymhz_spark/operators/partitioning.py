@@ -199,3 +199,35 @@ def zorder_key(
             bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
             key = key + bit * F.lit(1 << (b * n + i)).cast("long")
     return key
+
+
+# ---------------------------------------------------------------------------
+# scan-spread — parallelize CPU-heavy map phases over under-split scans
+# ---------------------------------------------------------------------------
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Ensure a scan parallelizes before CPU-heavy per-row work.
+
+    A small corpus in one parquet file (or one row group — Spark cannot
+    split below row-group granularity, so ``maxPartitionBytes``/
+    ``minPartitionNum`` cannot help) is ONE input partition, which
+    serializes all per-row map work — tokenization, shingling, hashing,
+    exact-decimal aggregation — onto a single core while the rest of
+    the cluster idles.  At 100 TB the input is naturally thousands of
+    splits and this is a NO-OP (the guard below); the round-robin
+    repartition only fires when the scan has fewer partitions than the
+    cluster has slots, and it shuffles the raw input bytes once —
+    cheap next to the map work it parallelizes, by construction only
+    applied where that work dominates.
+
+    ``df.rdd.getNumPartitions()`` is the ACTUAL scan partition count.
+    ``inputFiles()`` is not a usable proxy in either direction: many
+    small files bin-pack into few scan partitions (openCostInBytes),
+    and one large file splits into many — both misjudge the spread.
+    The plan→RDD conversion is driver-side planning only (ms, no job).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -59,6 +59,13 @@ def profile_table(
         raise ValueError(f"unknown columns: {missing}")
     if not cols:
         raise ValueError("profile_table needs at least one column")
+    # Round-13: the partial-agg pass (and the exact form's Expand,
+    # which multiplies rows × columns BEFORE any exchange) runs on the
+    # scan's partitioning — ONE task for a single-file table; no-op at
+    # scale (partitioning.spread_scan).
+    from fortymhz_spark.operators.partitioning import spread_scan
+
+    df = spread_scan(df)
     ndv = (
         (lambda c: F.approx_count_distinct(c, rsd))
         if approx
@@ -118,12 +125,17 @@ def quality_yield_curve(
     ``n_docs_kept``/``n_tokens_kept`` are non-increasing in the
     threshold — a pinned invariant a broken conditional aggregate
     cannot fake."""
+    from fortymhz_spark.operators.partitioning import spread_scan
     from fortymhz_spark.operators.text import token_count
 
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     if len(set(thresholds)) != len(thresholds):
         raise ValueError(f"duplicate thresholds: {sorted(thresholds)}")
+    # Round-13: the per-doc tokenize+hash fold feeding every
+    # conditional sum runs on the scan's partitioning — spread first
+    # (no-op at scale, see partitioning.spread_scan).
+    df = spread_scan(df)
     # Bind the (O(len(text)) fold) score and token count ONCE in their
     # own projection — every threshold's pair of conditional sums then
     # reads the bound columns; referencing the raw expressions from

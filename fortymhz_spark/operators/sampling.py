@@ -184,12 +184,17 @@ def budget_sample(
     Same result as the naive window, bit for bit — the buckets are
     contiguous in the order key, so prefix-by-bucket + prefix-in-bucket
     IS the global prefix."""
+    from fortymhz_spark.operators.partitioning import spread_scan
     from fortymhz_spark.operators.text import token_count
 
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # Round-13: both executions (the bucket-sum collect and the keep
+    # pass) tokenize every doc on the scan's partitioning — ONE task
+    # for a single-file corpus; no-op at scale (partitioning.spread_scan).
+    df = spread_scan(df)
     # group key carried as string (the literal cut table's type); NULL
     # groups map to a sentinel so the equi-join cannot drop them.
     # NULL text counts 0 tokens (totality — a NULL doc costs nothing).

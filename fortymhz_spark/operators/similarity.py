@@ -152,31 +152,31 @@ def lsh_knn(
         # same pathology as operators/dedup.py.)  Vectors do not ride
         # along: only (id, band, bcode) enters the explode and the
         # bucket shuffle; candidates re-acquire vectors by id-join below.
+        # Single-parse SQL template (round-13): the per-plane ±1 literal
+        # arrays alone cost one py4j round-trip per element (~2,000 per
+        # side at dim 64); one expr parse builds the identical tree —
+        # D-suffixed literals keep every constant DOUBLE like F.lit did.
         band_structs = []
         for b in range(bands):
             bits = []
             for i in range(bits_per_band):
                 plane = planes[b * bits_per_band + i]
-                lit_plane = F.array(*[F.lit(x) for x in plane])
-                dot = F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        lit_plane,
-                        lambda a, c: a.cast("double") * c,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+                arr = "array(" + ", ".join(
+                    ("1.0D" if x > 0 else "-1.0D") for x in plane
+                ) + ")"
+                dot = (
+                    f"aggregate(zip_with(`{vec_col}`, {arr}, "
+                    "(a, c) -> cast(a as double) * c), 0.0D, "
+                    "(acc, x) -> acc + x)"
                 )
-                bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+                bits.append(f"IF({dot} > 0, '1', '0')")
             band_structs.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws("", *bits).alias("bcode"),
-                )
+                f"named_struct('band', {b}, "
+                f"'bcode', concat_ws('', {', '.join(bits)}))"
             )
+        bb = F.expr(f"explode(array({', '.join(band_structs)}))").alias("bb")
         return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.explode(F.array(*band_structs)).alias("bb"),
+            F.col(id_col).alias(f"{role}_id"), bb
         ).select(f"{role}_id", "bb.band", "bb.bcode")
 
     cand = (

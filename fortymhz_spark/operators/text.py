@@ -10,10 +10,13 @@ aggregates.
 from __future__ import annotations
 
 import functools
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from fortymhz_spark.operators.partitioning import spread_scan
 
 POLY_MOD = 1_000_000_007
 POLY_BASE = 31
@@ -34,10 +37,55 @@ def _colified(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _sql_of(c: Column | str) -> str:
+    """Render a SIMPLE input column (a name, or a small builtin
+    composition like ``lower(coalesce(text, ''))``) as SQL text.
+
+    Round-13 optimization (guide §7.3 "very large expression trees"):
+    the heavy text builders below used to assemble their higher-order
+    folds through the Column API, which costs one py4j round-trip per
+    expression node — measured 5,616 round-trips (≈1.5-2 s warm) for
+    the nine Gopher repetition folds alone.  Building the SAME
+    expression as one SQL string and parsing it with ``F.expr`` is one
+    round-trip (measured 0.05 s for all nine folds) and yields an
+    identical expression tree, so plans and results are unchanged.
+
+    Only caller-supplied *inputs* are rendered with this helper; the
+    templates themselves are literal SQL.  Inputs must be plain column
+    references or builtin compositions WITHOUT lambda sub-expressions
+    or infix arithmetic (every in-repo caller passes a name or
+    lower/coalesce/lit forms, which Spark's Column.toString renders as
+    valid SQL).  Unsafe renders — arithmetic comes out prefix-style
+    (``*(a, 2)``) and lambdas leak unresolvable variables — are
+    rejected LOUDLY here rather than left to fail (or worse, resolve
+    against a real column) downstream."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    s = str(c._jc)
+    if _UNSAFE_RENDER.search(s):
+        raise ValueError(
+            "text builder input does not render as plain SQL "
+            f"({s[:120]!r}); pass a column name or a builtin "
+            "composition without arithmetic or lambdas"
+        )
+    return s
+
+
+# Infix operators render prefix-style (invalid SQL) and lambda bodies
+# render with ``->`` / ``lambdafunction`` — both unparseable or
+# unresolvable when re-parsed via F.expr.
+_UNSAFE_RENDER = re.compile(r"[-+*/%&|^=<>!]+\s*\(|->|lambdafunction")
+
+
+# One whitespace-token split, empties removed — inlined into the SQL
+# templates below; semantically identical to the Column form
+# F.filter(F.split(t, " "), lambda x: x != "").
+_TOKENS_SQL = "filter(split({t}, ' '), x -> x <> '')"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens with empties removed (array<string>)."""
-    t = _colified(text)
-    return F.filter(F.split(t, " "), lambda x: x != "")
+    return F.expr(_TOKENS_SQL.format(t=_sql_of(text)))
 
 
 def token_count(text: Column | str) -> Column:
@@ -50,8 +98,10 @@ def distinct_token_count(text: Column | str) -> Column:
 
 def word_set(text: Column | str) -> Column:
     """Distinct lowercase tokens — the shingle set for Jaccard ops."""
-    t = _colified(text)
-    return F.array_distinct(F.filter(F.split(F.lower(t), " "), lambda x: x != ""))
+    t = _sql_of(text)
+    return F.expr(
+        f"array_distinct(filter(split(lower({t}), ' '), x -> x <> ''))"
+    )
 
 
 def shingle_set(text: Column | str, n: int = 3) -> Column:
@@ -71,20 +121,15 @@ def shingle_set(text: Column | str, n: int = 3) -> Column:
     explode).  Same family as the CollapseProject pitfall in
     operators/dedup.py: Catalyst does not CSE across lambda scopes.
     """
-    t = _colified(text)
-    toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
-
-    def build(tk: Column) -> Column:
-        k = F.size(tk)
-        joined = F.transform(
-            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
-        )
-        return F.when(k >= n, F.array_distinct(joined)).otherwise(
-            F.array(F.concat_ws(" ", tk))
-        )
-
-    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+    t = _sql_of(text)
+    return F.expr(
+        f"element_at(transform(array(filter(split(lower({t}), ' '), "
+        "x -> x <> '')), tk -> "
+        f"IF(size(tk) >= {n}, "
+        f"array_distinct(transform(sequence(1, greatest(size(tk) - {n - 1}, "
+        f"0)), i -> concat_ws(' ', slice(tk, i, {n})))), "
+        "array(concat_ws(' ', tk)))), 1)"
+    )
 
 
 def ngram_list(text: Column | str, n: int = 2) -> Column:
@@ -98,20 +143,15 @@ def ngram_list(text: Column | str, n: int = 2) -> Column:
     Same let-binding discipline as ``shingle_set``: the token array is
     bound once per row via a one-element ``transform`` scope.
     """
-    t = _colified(text)
-    toks_expr = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
-
-    def build(tk: Column) -> Column:
-        k = F.size(tk)
-        joined = F.transform(
-            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
-        )
-        return F.when(k >= n, joined).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+    t = _sql_of(text)
+    return F.expr(
+        f"element_at(transform(array(filter(split(lower({t}), ' '), "
+        "x -> x <> '')), tk -> "
+        f"IF(size(tk) >= {n}, "
+        f"transform(sequence(1, greatest(size(tk) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(tk, i, {n}))), "
+        "cast(array() as array<string>))), 1)"
+    )
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
@@ -333,6 +373,11 @@ def train_hashed_classifier(
         )
     t = F.coalesce(_colified(text_col), F.lit(""))
     toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    # Round-13: every epoch re-scores the corpus (per-token md5 fold)
+    # on the scan's partitioning — ONE task for a single-file corpus,
+    # serializing the whole training loop; no-op at scale
+    # (partitioning.spread_scan).
+    docs = spread_scan(docs)
     weights = [0] * n_buckets
     for _ in range(epochs):
         logit = hashed_linear_score(text_col, weights=weights)
@@ -554,58 +599,34 @@ def repetition_stats(text: Column | str) -> Column:
     a map-only pass.  The token array is let-bound (see shingle_set) so
     tokenization runs once per row.
     """
-    t = _colified(text)
-    toks_expr = F.filter(F.split(t, " "), lambda x: x != "")
-
-    def build(tk: Column) -> Column:
-        k = F.size(tk)
-        n_bi = F.greatest(k - 1, F.lit(0))
-        # sequence(1, 0) descends, so build over >=1 positions and
-        # slice back to the true bigram count.
-        bigrams = F.slice(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
-            ),
-            1,
-            n_bi,
-        )
-
-        def top_run(bi: Column) -> Column:
-            run = F.array_sort(bi)
-            return F.aggregate(
-                run,
-                F.struct(
-                    F.lit("").alias("prev"),
-                    F.lit(0).cast("long").alias("run"),
-                    F.lit(0).cast("long").alias("best"),
-                ),
-                lambda acc, x: F.struct(
-                    x.alias("prev"),
-                    F.when(x == acc["prev"], acc["run"] + 1)
-                    .otherwise(F.lit(1).cast("long"))
-                    .alias("run"),
-                    F.greatest(
-                        acc["best"],
-                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                            F.lit(1).cast("long")
-                        ),
-                    ).alias("best"),
-                ),
-                lambda acc: acc["best"],
-            )
-
-        return F.struct(
-            k.cast("long").alias("n_tok"),
-            F.size(F.array_distinct(tk)).cast("long").alias("n_distinct_tok"),
-            n_bi.cast("long").alias("n_bigrams"),
-            F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
-            F.element_at(
-                F.transform(F.array(bigrams), top_run), 1
-            ).alias("top_bigram_count"),
-        )
-
-    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+    t = _sql_of(text)
+    # sequence(1, 0) descends, so build over >=1 positions and slice
+    # back to the true bigram count.  Single-parse SQL template (see
+    # _sql_of): identical expression tree to the old Column build.
+    bigrams = (
+        "slice(transform(sequence(1, greatest(greatest(size(tk) - 1, 0), 1)),"
+        " i -> concat_ws(' ', slice(tk, i, 2))), 1, greatest(size(tk) - 1, 0))"
+    )
+    top_run = (
+        f"element_at(transform(array({bigrams}), bi -> "
+        "aggregate(array_sort(bi), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev, acc.run + 1, 1L), "
+        "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)), 1)"
+    )
+    return F.expr(
+        f"element_at(transform(array({_TOKENS_SQL.format(t=t)}), tk -> "
+        "named_struct("
+        "'n_tok', cast(size(tk) as bigint), "
+        "'n_distinct_tok', cast(size(array_distinct(tk)) as bigint), "
+        "'n_bigrams', cast(greatest(size(tk) - 1, 0) as bigint), "
+        f"'n_distinct_bigrams', cast(size(array_distinct({bigrams})) "
+        "as bigint), "
+        f"'top_bigram_count', {top_run})), 1)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +702,10 @@ def strip_crossdoc_blocks(
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
     bt = block_tokens
+    # Round-13 (guide §2.5 input under-split): the block hashing and
+    # the rebuild are the cost; both run on the scan's partitioning,
+    # which for a single-file/single-row-group corpus is ONE task.
+    docs = spread_scan(docs)
     tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
 
     def blocks_of(tk: Column) -> Column:
@@ -794,6 +819,9 @@ def duplicated_spans(
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
     w = shingle_tokens
+    # Round-13: per-position shingling is the cost — spread the scan
+    # (no-op at scale, see partitioning.spread_scan).
+    docs = spread_scan(docs)
     tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
 
     def shingles_of(tk: Column) -> Column:
@@ -864,6 +892,7 @@ def _contamination_hits(
     linear price of alignment-free matching."""
 
     def shingled(df: DataFrame, col: str, with_pos: bool) -> DataFrame:
+        df = spread_scan(df)  # round-13: shingling cost, see above
         tok = tokens(F.lower(F.coalesce(_colified(col), F.lit(""))))
 
         def shingles_of(tk: Column) -> Column:
@@ -1029,7 +1058,7 @@ def source_overlap(
         )
 
     arr = F.element_at(F.transform(F.array(tok), shingles_of), 1)
-    sh = docs.select(
+    sh = spread_scan(docs).select(
         F.col(group_col).alias("__g__"), F.explode(arr).alias("__h__")
     ).distinct()
     gs = (
@@ -1102,6 +1131,7 @@ def contamination_report(
     etc = eval_text_col or text_col
 
     def shingled(df: DataFrame, col: str) -> DataFrame:
+        df = spread_scan(df)  # round-13: shingling cost, see above
         tok = tokens(F.lower(F.coalesce(_colified(col), F.lit(""))))
 
         def shingles_of(tk: Column) -> Column:
@@ -1244,6 +1274,9 @@ def _strip_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("__spans__")
     ).withColumnRenamed(id_col, "__sid__")
+    # Round-13: the rebuild re-tokenizes every doc — spread the scan
+    # (no-op at scale, see partitioning.spread_scan).
+    docs = spread_scan(docs)
     tok = tokens(F.lower(F.coalesce(_colified(text_col), F.lit(""))))
     sp = F.coalesce(
         F.col("__spans__"),
@@ -1463,51 +1496,32 @@ def _ngram_rep_fold(tk: Column, n: int) -> Column:
     Shape: build-once n-gram array, ``array_sort``, one linear
     run-length fold — O(L log L) per row, zero shuffle, fuses into
     the scan at 100 TB exactly like repetition_stats."""
-    m = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
-    grams = F.slice(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
-        ),
-        1,
-        m,
+    # Single-parse SQL template (see _sql_of — the nine per-call fold
+    # constructions cost 5,616 py4j round-trips through the Column API;
+    # one expr parse each builds the identical tree).
+    t = _sql_of(tk)
+    m = f"greatest(size({t}) - {n - 1}, 0)"
+    grams = (
+        f"slice(transform(sequence(1, greatest({m}, 1)), "
+        f"i -> concat_ws(' ', slice({t}, i, {n}))), 1, {m})"
     )
-    zero = F.lit(0).cast("long")
-
-    def step(acc: Column, x: Column) -> Column:
-        eq = x == acc["prev"]
-        new_run = F.when(eq, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            new_run.alias("run"),
-            F.greatest(acc["best"], new_run).alias("best"),
-            F.when(new_run > acc["best"], F.length(x).cast("long"))
-            .when(
-                new_run == acc["best"],
-                F.greatest(acc["best_len"], F.length(x).cast("long")),
-            )
-            .otherwise(acc["best_len"])
-            .alias("best_len"),
-            (
-                acc["dup"] + F.when(eq, F.length(x).cast("long")).otherwise(zero)
-            ).alias("dup"),
-        )
-
-    return F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"),
-            zero.alias("run"),
-            zero.alias("best"),
-            zero.alias("best_len"),
-            zero.alias("dup"),
-        ),
-        step,
-        lambda acc: F.struct(
-            acc["best"].alias("top_count"),
-            acc["best_len"].alias("top_len"),
-            acc["dup"].alias("dup_chars"),
-        ),
+    new_run = "IF(x = acc.prev, acc.run + 1, 1L)"
+    return F.expr(
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L, "
+        "'best_len', 0L, 'dup', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        f"'run', {new_run}, "
+        f"'best', greatest(acc.best, {new_run}), "
+        f"'best_len', CASE WHEN {new_run} > acc.best "
+        "THEN cast(length(x) as bigint) "
+        f"WHEN {new_run} = acc.best "
+        "THEN greatest(acc.best_len, cast(length(x) as bigint)) "
+        "ELSE acc.best_len END, "
+        "'dup', acc.dup + IF(x = acc.prev, cast(length(x) as bigint), 0L)), "
+        "acc -> named_struct('top_count', acc.best, 'top_len', acc.best_len, "
+        "'dup_chars', acc.dup))"
     )
 
 
@@ -1547,23 +1561,22 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         }
     )
 
-    def dup_stats(arr: Column) -> tuple[Column, Column]:
-        """(duplicate occurrences, duplicate chars) beyond-first."""
-        n_dup = (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
-        chars = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    def dup_stats(name: str) -> tuple[Column, Column]:
+        """(duplicate occurrences, duplicate chars) beyond-first —
+        single-parse SQL templates over the bound array column."""
+        n_dup = F.expr(
+            f"cast(size({name}) - size(array_distinct({name})) as bigint)"
         )
-        dchars = F.aggregate(
-            F.array_distinct(arr),
-            F.lit(0).cast("long"),
-            lambda a, x: a + F.length(x),
+        dup_chars = F.expr(
+            f"aggregate({name}, 0L, (a, x) -> a + length(x)) - "
+            f"aggregate(array_distinct({name}), 0L, (a, x) -> a + length(x))"
         )
-        return n_dup, chars - dchars
+        return n_dup, dup_chars
 
     toks = F.col("__toks__")
     lines, paras = F.col("__rlines__"), F.col("__rparas__")
-    nl_dup, nl_dup_chars = dup_stats(lines)
-    np_dup, np_dup_chars = dup_stats(paras)
+    nl_dup, nl_dup_chars = dup_stats("__rlines__")
+    np_dup, np_dup_chars = dup_stats("__rparas__")
     sig = bound.withColumns(
         {
             "__dline__": nl_dup,

@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from fortymhz_spark.operators import similarity as sim
 from fortymhz_spark.operators import text as tx
+from fortymhz_spark.operators.partitioning import spread_scan
 from fortymhz_spark.queries.llm import (
     _SQL_DOT,
     _SQL_NORM,
@@ -151,8 +152,11 @@ def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join; ranking is a per-doc window.  No step is quadratic and
     no float crosses a row boundary."""
     docs = load_table(spark, sf_dir, "documents")
+    # round-13: tokenize+explode runs on the scan's partitioning — one
+    # task for a single-file corpus; no-op at scale (spread_scan)
     tf = (
-        docs.select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        spread_scan(docs)
+        .select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -223,7 +227,9 @@ def q_docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than 2 tokens contribute no rows (an LM has
     nothing to score)."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select(
+    # round-13: the bigram build+explode (used by BOTH branches below)
+    # runs on the scan's partitioning — spread first (no-op at scale)
+    occ = spread_scan(docs).select(
         "doc_id", F.explode(tx.ngram_list(F.col("text"), 2)).alias("bg")
     )
     bgdf = (

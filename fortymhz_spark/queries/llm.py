@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from fortymhz_spark.operators import dedup as dd
 from fortymhz_spark.operators import similarity as sim
 from fortymhz_spark.operators import text as tx
+from fortymhz_spark.operators.partitioning import spread_scan
 from fortymhz_spark.queries.registry import Registry
 from fortymhz_spark.sources.batch import load_table
 
@@ -1454,7 +1455,11 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate; flag rules use integer cross-multiplication
     so the oracle comparison never touches a float."""
     docs = load_table(spark, sf_dir, "documents")
-    r = docs.select("source", tx.repetition_stats(F.col("text")).alias("r"))
+    # round-13: the run-length fold runs on the scan's partitioning —
+    # one task for a single-file corpus; no-op at scale (spread_scan)
+    r = spread_scan(docs).select(
+        "source", tx.repetition_stats(F.col("text")).alias("r")
+    )
     return (
         r.groupBy("source")
         .agg(
@@ -1903,7 +1908,9 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_properties.py::test_curation_funnel_single_scan."""
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # round-13: the repetition fold + md5 run on the scan's
+    # partitioning — one task for a single-file corpus (spread_scan)
+    base = spread_scan(docs).select(
         "doc_id",
         "source",
         tx.repetition_stats(F.col("text")).alias("r"),
@@ -2025,7 +2032,9 @@ def q_text_crossdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.slice(all_blocks, 1, n_blocks)
 
-    blocks = docs.select(
+    # round-13: block hashing runs on the scan's partitioning — one
+    # task for a single-file corpus; no-op at scale (spread_scan)
+    blocks = spread_scan(docs).select(
         "doc_id",
         "source",
         F.explode(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,6 +21,18 @@ from fortymhz_spark.schemas import DT_HIT, TABLE_NAMES
 from fortymhz_spark.session import tune_session
 
 DEFAULT_HITS_CSV = "/root/reference/code/test/test_data.csv"
+
+# Per-session memo of fixture *plan handles* (round-13 optimization,
+# guide §1/§7.3: schema inference is a driver-side footer-read job, ~120-220 ms
+# per spark.read.parquet call; a bench rep makes ~150 such calls, all over the
+# same ten immutable fixtures).  The value memoized is the lazily-evaluated
+# DataFrame — a logical plan, NOT data and NOT results: every action against it
+# still scans the parquet files.  Keyed by the owning SparkSession (weakly, so
+# stopped sessions drop out) and by (realpath, file mtime), so a rewritten
+# fixture path invalidates its entry.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,14 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Both conversions are pure column expressions — fully distributed,
     no driver round-trip — so they hold at any scale.
     """
+    path = os.path.realpath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     tune_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    memo[key] = df
     return df
 
 

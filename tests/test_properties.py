@@ -860,8 +860,12 @@ def test_bloom_decontaminate_superset_and_maponly_plan(spark):
     """Bloom candidates must be a SUPERSET of the exact semi-join
     overlaps (bloom filters have no false negatives — a miss here is a
     broken bit layout, not bad luck), and the train-side plan must be
-    join-free and exchange-free up to the operator's output (the whole
-    point of the bloom twin: decontamination as a map-only scan)."""
+    join-free with no KEYED exchange up to the operator's output (the
+    whole point of the bloom twin: decontamination as a map-only
+    scan).  Round-13: the scan-spread round-robin repartition
+    (operators/partitioning.py::spread_scan — a no-op at scale, fires
+    only on an under-split local scan) is the one exchange allowed;
+    a hash-partitioned exchange would mean a join/aggregate snuck in."""
     from pyspark.sql import functions as F
 
     from fortymhz_spark.operators import dedup as dd
@@ -881,7 +885,12 @@ def test_bloom_decontaminate_superset_and_maponly_plan(spark):
     assert exact <= bloom, f"false negatives: {sorted(exact - bloom)[:5]}"
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    # An executed AdaptiveSparkPlan prints BOTH the final and the
+    # initial plan, so the one allowed exchange renders twice; count
+    # within the final-plan section only.
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange") <= 1, plan  # spread_scan round-robin only
 
 
 def test_bloom_decontaminate_validates_parameters():
