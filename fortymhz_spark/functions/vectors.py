@@ -15,12 +15,36 @@ in any engine that folds left.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
 def _colified(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def array_lit_d(vals) -> Column:
+    """``array<double>`` literal via ONE ``F.expr`` parse.
+
+    ``F.lit(list)`` costs one py4j round trip per element (~1 ms each —
+    a 1024-weight table is ~1 s of pure driver time, rebuilt per call).
+    ``repr(float)`` round-trips IEEE-754 exactly and Spark's double
+    parse is Java ``Double.parseDouble``, so the literal is
+    value-identical; constant folding collapses both forms to the same
+    ``Literal`` node.  Non-finite values fall back to ``F.lit``."""
+    fv = [float(x) for x in vals]
+    if all(math.isfinite(x) for x in fv):
+        return F.expr("array(" + ", ".join(repr(x) + "D" for x in fv) + ")")
+    return F.lit(fv)
+
+
+def array_lit_l(vals) -> Column:
+    """``array<bigint>`` literal via ONE ``F.expr`` parse — the integer
+    twin of :func:`array_lit_d` (``F.lit(int)`` maps to LongType, as
+    does the ``L`` suffix, so element types match the old form)."""
+    return F.expr("array(" + ", ".join(f"{int(x)}L" for x in vals) + ")")
 
 
 def _dot_sql(a: str, b: str) -> str:

@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from fortymhz_spark.operators.similarity import (
     _auto_cells,
     _centroids,
+    _matrix_lit,
     _pq_train,
 )
 from fortymhz_spark.sources.snapshots import (
@@ -706,7 +707,7 @@ def ann_drift_report(
         from fortymhz_spark.operators.similarity import _rotate_col
 
         normed = normed.select(
-            _rotate_col(vn, F.lit(index.rot), index.dim).alias("_vn")
+            _rotate_col(vn, _matrix_lit(index.rot), index.dim).alias("_vn")
         )
     per_row = normed.select(
         sum(

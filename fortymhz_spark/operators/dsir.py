@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fortymhz_spark.functions.vectors import array_lit_l
+
 __all__ = [
     "hashed_gram_buckets",
     "dsir_fit_weights",
@@ -216,7 +218,9 @@ def dsir_score(
     literal in the task closure; no join, no shuffle, no Python
     boundary (pure column expressions, whole-stage codegen)."""
     n_buckets = len(weights)
-    wlit = F.lit([int(w) for w in weights])
+    # round-13: single-parse literal — F.lit costs 1 py4j call per
+    # element, ~1 s for the 1024-bucket table, per scoring call
+    wlit = array_lit_l(weights)
     buckets = hashed_gram_buckets(text_col, n_buckets, bigrams=bigrams)
     score = F.aggregate(
         buckets,

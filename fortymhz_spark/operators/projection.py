@@ -52,6 +52,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fortymhz_spark.functions.vectors import array_lit_d
+
 
 @dataclass(frozen=True)
 class PcaModel:
@@ -343,14 +345,16 @@ def project_expr(vec: Column | str, model: PcaModel) -> Column:
     from fortymhz_spark.functions.vectors import dot_product
 
     v = F.col(vec) if isinstance(vec, str) else vec
+    # round-13: single-parse literals (one py4j call per element in
+    # the F.lit form — (k+1)·dim calls per projection build)
     centered = F.zip_with(
-        v, F.lit(model.mean), lambda a, b: a.cast("double") - b
+        v, array_lit_d(model.mean), lambda a, b: a.cast("double") - b
     )
 
     def over(c):
         return F.array(
             *[
-                dot_product(c, F.lit(model.components[i]))
+                dot_product(c, array_lit_d(model.components[i]))
                 for i in range(model.k)
             ]
         )
@@ -435,7 +439,7 @@ def pca_audit(
     variance) for a graded end-to-end check."""
     v = F.col(vec_col)
     centered_sq = F.aggregate(
-        F.zip_with(v, F.lit(model.mean), lambda a, b: a.cast("double") - b),
+        F.zip_with(v, array_lit_d(model.mean), lambda a, b: a.cast("double") - b),
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )

@@ -26,6 +26,32 @@ from pyspark.sql.window import Window
 from fortymhz_spark.functions.vectors import cosine_similarity
 
 
+def _matrix_lit(mat) -> "F.Column":
+    """Nested ``array<array<double>>`` literal via ONE ``F.expr`` parse.
+
+    Round-13 optimization (guide §1.2 step 2 / §7.3): ``F.lit(list)``
+    recurses into ``array(*[lit(x) ...])`` — one py4j round trip per
+    element, measured 0.43 s for an 8×64 centroid matrix and ~3.5 s
+    for a 64×64 rotation, rebuilt on EVERY Lloyd round / serve call.
+    Formatting the same doubles as a SQL literal and parsing once is
+    ~0.03 s and value-identical: ``repr(float)`` emits the shortest
+    string that round-trips IEEE-754, and Spark's double-literal
+    parse (Java ``Double.parseDouble``) lands on the same bits — the
+    byte-identity was asserted element-for-element against the
+    ``F.lit`` form before the swap.  Constant folding collapses both
+    forms to the SAME ``Literal(ArrayData)`` node, so plans and
+    codegen are unchanged.  Non-finite values (``repr`` forms SQL
+    cannot parse) fall back to the original construction."""
+    vals = [[float(x) for x in row] for row in mat]
+    if all(math.isfinite(x) for row in vals for x in row):
+        body = ", ".join(
+            "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
+            for row in vals
+        )
+        return F.expr(f"array({body})")
+    return F.lit(vals)
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -387,7 +413,7 @@ def _nearest_cells(vec_col: str, centroids: list, nprobe: int):
     time before any Spark job ran).  Ordering is IDENTICAL to the
     original per-centroid form: struct (dot, cell) sorted ascending
     then reversed, so equal dots tie-break toward the HIGHER cell."""
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = _matrix_lit(centroids)
 
     def over(v):
         scored = F.transform(
@@ -748,7 +774,7 @@ def _pq_code_col(vn, books, s: int, d_sub: int, n_cells: int):
     variable keeps the lambda body constant-size.  Ties break to the
     lowest cell (struct compare on (dist, cell)), matching the numpy
     trainer's argmin."""
-    cells = F.lit(books[s])
+    cells = _matrix_lit(books[s])
 
     def over(sub):
         scored = F.transform(
@@ -779,7 +805,7 @@ def _pq_dtab_col(vn, books, s: int, d_sub: int, n_cells: int):
     """ADC distance table for subquantizer ``s``: squared L2 from the
     query subvector to every codebook cell, same constant-size lambda
     and per-subquantizer literal construction as ``_pq_code_col``."""
-    cells = F.lit(books[s])
+    cells = _matrix_lit(books[s])
 
     def over(sub):
         return F.transform(
@@ -943,7 +969,7 @@ def pq_knn(
         # OPQ: re-bind _vn to the rotated vector in its own projection
         # (the residual-rebind discipline) so the O(dim²) rotation
         # runs once per row, not once per code/dtab column
-        rot_lit = F.lit(rot)
+        rot_lit = _matrix_lit(rot)
         codes = codes.select(
             "neighbor_id",
             _rotate_col(vn, rot_lit, d_sub * n_sub).alias("_vn"),
@@ -1176,7 +1202,7 @@ def _ivfpq_codes(
         base = base.select(
             "neighbor_id",
             "cell",
-            _rotate_col(vna, F.lit(rot), d_sub * n_sub).alias("_vn"),
+            _rotate_col(vna, _matrix_lit(rot), d_sub * n_sub).alias("_vn"),
         )
     return base.select(
         "neighbor_id",
@@ -1577,7 +1603,7 @@ def ivfpq_knn(
             qtabs = qtabs.select(
                 "query_id",
                 "cell",
-                _rotate_col(vnr, F.lit(rot), d_sub * n_sub).alias("_vn"),
+                _rotate_col(vnr, _matrix_lit(rot), d_sub * n_sub).alias("_vn"),
             )
         qtabs = qtabs.select(
             "query_id",
@@ -1607,7 +1633,7 @@ def ivfpq_knn(
             qtabs = qtabs.select(
                 "query_id",
                 "cells",
-                _rotate_col(vna, F.lit(rot), d_sub * n_sub).alias("_vn"),
+                _rotate_col(vna, _matrix_lit(rot), d_sub * n_sub).alias("_vn"),
             )
         qtabs = (
             qtabs.select(
@@ -1639,7 +1665,7 @@ def ivfpq_knn(
             qtabs = qtabs.select(
                 "query_id",
                 "cells",
-                _rotate_col(vn, F.lit(rot), d_sub * n_sub).alias("_vn"),
+                _rotate_col(vn, _matrix_lit(rot), d_sub * n_sub).alias("_vn"),
             )
         qtabs = (
             qtabs.select(
@@ -1684,7 +1710,7 @@ def _nearest_centroid(vec_col: str, centroids: list):
     literal calls.  Distances and tie-breaking are
     arithmetic-identical to the per-centroid literal form.
     """
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = _matrix_lit(centroids)
 
     def over(v):
         scored = F.transform(

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fortymhz_spark.functions.vectors import array_lit_l
 from fortymhz_spark.operators.partitioning import spread_scan
 
 POLY_MOD = 1_000_000_007
@@ -286,7 +287,7 @@ def hashed_linear_score(
         if not weights:
             raise ValueError("weights must be a non-empty list of ints")
         n_buckets = len(weights)
-        w_lit = F.lit([int(w) for w in weights])
+        w_lit = array_lit_l(weights)  # round-13: single-parse literal
 
         def tok_weight(tok: Column) -> Column:
             h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")

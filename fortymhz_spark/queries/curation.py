@@ -1685,7 +1685,10 @@ def q_docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject), ranks are assigned over those ≤20 rows,
     and fusion unions lists × 20 rows — the corpus is scanned once
     per retriever, never by the fusion."""
-    from fortymhz_spark.functions.vectors import cosine_similarity
+    from fortymhz_spark.functions.vectors import (
+        array_lit_d,
+        cosine_similarity,
+    )
     from fortymhz_spark.operators.retrieval import rrf_fuse
     from fortymhz_spark.queries.llm import q_search_bm25
 
@@ -1700,7 +1703,7 @@ def q_docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).first()
     if qv is None:
         raise ValueError("embeddings fixture lacks vec_id 0")
-    qlit = F.lit([float(x) for x in qv["embedding"]])
+    qlit = array_lit_d(qv["embedding"])  # round-13: single-parse literal
     w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     vec = (
         emb.filter(F.col("vec_id") != 0)
