@@ -56,17 +56,24 @@ def near_dup_components(
     partial labels are WRONG answers (over-split components) and the
     downstream dedup would silently keep duplicates.
     """
+    # Lazy checkpoints (round-13, guide §1.2): eager=True runs one
+    # materialization JOB per checkpoint — 2 up front + 1 per round on
+    # top of the convergence count, pure scheduling overhead since the
+    # next action materializes the marked plan anyway (the blocks
+    # persist as a side effect of that first action).  eager=False
+    # keeps the lineage cut and the persisted blocks identical while
+    # folding materialization into the count that follows.
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iter):
@@ -109,7 +116,7 @@ def near_dup_components(
                 ).alias("new_component"),
                 "old_component",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         changed = updated.filter(
             F.col("new_component") < F.col("old_component")
@@ -344,6 +351,64 @@ def minhash_signatures(
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_pairs_and_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    sig_hashes: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """``(pairs, signatures)`` from ONE lane-min pass (round-13, guide
+    §1.2 step 1: don't compute the same thing twice).
+
+    A sketch-accuracy caller (q_docs_minhash_estimate) needs BOTH the
+    verified near-dup pairs (banded over ``num_hashes`` lanes) and the
+    wider ``sig_hashes``-lane signatures.  Calling
+    :func:`minhash_near_dups` + :func:`minhash_signatures` separately
+    costs two shingle-explode + min-aggregate passes over the corpus;
+    but the hash family is indexed (``xxhash64(i, shingle)``), so the
+    first ``num_hashes`` lanes of the ``sig_hashes``-lane pass ARE the
+    pair generator's lanes, bit for bit.  This builds both outputs
+    from one :func:`_lane_mins` frame — the banding, candidate join,
+    and exact-Jaccard verify are the exact expressions
+    :func:`minhash_near_dups` builds (equality pinned by
+    tests/test_properties.py::test_minhash_pairs_and_signatures_match_separate),
+    and the shared aggregation subtree is computed once per action
+    (ReusedExchange).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    if sig_hashes < num_hashes:
+        raise ValueError(
+            f"sig_hashes {sig_hashes} must be >= num_hashes {num_hashes}"
+        )
+    lanes = _lane_mins(df, id_col, text_col, sig_hashes, shingle_n)
+    banded = _banded(lanes, num_hashes, bands)
+    candidates = (
+        banded.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(
+            banded.select("band", "bucket", F.col("id").alias("id_b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shingles = (
+        shingle_set(text_col, shingle_n) if shingle_n > 1 else word_set(text_col)
+    )
+    ws_tbl = _spread(df).select(F.col(id_col).alias("id"), shingles.alias("ws"))
+    pairs = _verify_jaccard(candidates, ws_tbl, threshold)
+    sigs = lanes.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(sig_hashes)]).alias("sig")
+    )
+    return pairs, sigs
 
 
 # ---------------------------------------------------------------------------
@@ -674,10 +739,31 @@ def _simhash_pairs(
     right = chunks.select(
         "chunk", "val", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
     )
-    # Hamming-verify BEFORE the pair dedup: bit_count is a map-side
-    # expression while dropDuplicates is a shuffle, so rejecting false
-    # candidates first means only true near-dup pairs (each at most
-    # n_chunks times) ever shuffle for the distinct.
+    # Hamming-verify with map-side expressions only (bit_count), then
+    # dedup pairs WITHOUT a shuffle (round-13, guide §2.4): a pair that
+    # agrees on m chunks surfaces m times (once per shared bucket), and
+    # the old dropDuplicates shuffled every surviving pair to pick one.
+    # Both fingerprints ride the join row, so "count the pair at its
+    # LOWEST equal chunk" is a pure filter: keep the row iff every
+    # chunk before the matched one DIFFERS between sim_a and sim_b.
+    # Exactly one row per qualifying pair survives (the join guarantees
+    # the matched chunk is equal, so a first equal chunk exists), and
+    # (id_a, id_b, hamming) is fully determined by the pair — the
+    # result SET is byte-identical to the dropDuplicates form.
+    def _chunk(col: str, start: int, w: int):
+        return F.shiftrightunsigned(col, start).bitwiseAND(
+            F.lit(-1 if w == 64 else (1 << w) - 1)
+        )
+
+    first_equal = F.col("chunk") == F.col("chunk")  # chunk 0: vacuous
+    for c in range(1, n_chunks):
+        prev_differ = None
+        for start, w in bounds[:c]:
+            d = _chunk("sim_a", start, w) != _chunk("sim_b", start, w)
+            prev_differ = d if prev_differ is None else (prev_differ & d)
+        first_equal = F.when(F.col("chunk") == c, prev_differ).otherwise(
+            first_equal
+        )
     return (
         left.join(right, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -685,7 +771,7 @@ def _simhash_pairs(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(first_equal)
         .select("id_a", "id_b", "hamming")
     )
 

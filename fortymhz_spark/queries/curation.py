@@ -357,8 +357,15 @@ def q_docs_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from fortymhz_spark.operators import dedup as dd
 
-    pairs = dd.minhash_near_dups(docs, threshold=0.7, bands=16)
-    sigs = dd.minhash_signatures(docs, num_hashes=_MH_LANES)
+    # round-13: one lane-min pass feeds BOTH the pair generator (first
+    # 32 lanes — the indexed hash family makes them identical to a
+    # standalone 32-lane pass) and the 64-lane signatures; the separate
+    # minhash_near_dups + minhash_signatures calls cost two shingle
+    # explode + min-aggregate passes for byte-identical outputs
+    # (operators/dedup.py::minhash_pairs_and_signatures).
+    pairs, sigs = dd.minhash_pairs_and_signatures(
+        docs, threshold=0.7, bands=16, sig_hashes=_MH_LANES
+    )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
     )

@@ -2405,3 +2405,39 @@ def test_opq_rotation_isometry_property(data, n_sub):
     assert R.shape == (dim, dim)
     assert np.abs(R @ R.T - np.eye(dim)).max() < 1e-8
     assert _opq_rotation(sample, n_sub, dim // n_sub) == rot
+
+
+def test_minhash_pairs_and_signatures_match_separate(spark):
+    """The fused single-lane-pass form (round-13 optimization) must
+    emit byte-identical pairs AND signatures to the separate
+    minhash_near_dups + minhash_signatures calls — the load-bearing
+    claim is that the indexed hash family (xxhash64(i, shingle)) makes
+    the first 32 lanes of a 64-lane pass identical to a standalone
+    32-lane pass."""
+    from fortymhz_spark.operators import dedup as dd
+    from fortymhz_spark.sources.batch import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs_f, sigs_f = dd.minhash_pairs_and_signatures(
+        docs, threshold=0.7, bands=16, sig_hashes=64
+    )
+    pairs_s = dd.minhash_near_dups(docs, threshold=0.7, bands=16)
+    sigs_s = dd.minhash_signatures(docs, num_hashes=64)
+    assert {tuple(r) for r in pairs_f.collect()} == {
+        tuple(r) for r in pairs_s.collect()
+    }
+    assert {(r["id"], tuple(r["sig"])) for r in sigs_f.collect()} == {
+        (r["id"], tuple(r["sig"])) for r in sigs_s.collect()
+    }
+
+
+def test_minhash_pairs_and_signatures_validates_parameters():
+    import pytest as _pytest
+
+    from fortymhz_spark.operators import dedup as dd
+
+    with _pytest.raises(ValueError, match="must divide"):
+        dd.minhash_pairs_and_signatures(None, bands=7, num_hashes=32)
+    with _pytest.raises(ValueError, match="sig_hashes"):
+        dd.minhash_pairs_and_signatures(None, sig_hashes=16, num_hashes=32)
