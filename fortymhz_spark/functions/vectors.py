@@ -100,16 +100,36 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
+    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL).
+
+    The dot and norm folds are LET-BOUND once via a one-element
+    transform scope (round-13, guide §1.2 step 2): higher-order
+    functions evaluate interpreted (no codegen subexpression
+    elimination), and the naive ``WHEN denom > 0 THEN dot / denom``
+    form re-evaluates both norm folds in the branch — 5 folds per row
+    instead of 3 for the same value.  Arithmetic (fold order, cast
+    points, the ``na·nb`` product, the division) is unchanged, so the
+    result is bit-identical — the DuckDB differential over the cosine
+    queries pins that."""
     if isinstance(a, str) and isinstance(b, str):
         sa, sb = f"`{a}`", f"`{b}`"
-        denom = f"({_l2_sql(sa)} * {_l2_sql(sb)})"
         return F.expr(
-            f"CASE WHEN {denom} > 0 THEN {_dot_sql(sa, sb)} / {denom} END"
+            "element_at(transform(array(named_struct("
+            f"'d', {_dot_sql(sa, sb)}, "
+            f"'n', {_l2_sql(sa)} * {_l2_sql(sb)})), "
+            "s -> CASE WHEN s.n > 0 THEN s.d / s.n END), 1)"
         )
     a, b = _colified(a), _colified(b)
-    denom = _l2_col(a) * _l2_col(b)
-    return F.when(denom > 0, _dot_col(a, b) / denom)
+    bound = F.struct(
+        _dot_col(a, b).alias("d"), (_l2_col(a) * _l2_col(b)).alias("n")
+    )
+    return F.element_at(
+        F.transform(
+            F.array(bound),
+            lambda s: F.when(s["n"] > 0, s["d"] / s["n"]),
+        ),
+        1,
+    )
 
 
 def int8_quant_sq_err_e15(vec: Column | str) -> Column:

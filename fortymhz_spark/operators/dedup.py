@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fortymhz_spark.functions.vectors import array_lit_l
 from fortymhz_spark.operators.partitioning import spread_scan
 from fortymhz_spark.operators.text import content_md5, shingle_set, word_set
 
@@ -308,10 +309,30 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of (id_a, id_b) candidates against an
     (id, ws) shingle-set side table — the fetch-and-verify tail shared
-    by the batch and incremental MinHash paths."""
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
-    jaccard = F.when(union > 0, inter / union)  # ANSI-safe on empty sets
+    by the batch and incremental MinHash paths.
+
+    Round-13 (guide §1.2 step 2): the union size is derived as
+    ``|a| + |b| - |a ∩ b|`` instead of materializing ``array_union`` —
+    exact because shingle sets are ``array_distinct`` by construction
+    (integer identity, so the cast-to-double quotient is bit-identical
+    to the old form) — and the intersect fold is let-bound in a
+    one-element transform scope so the filter's pushed-down copy of
+    the jaccard expression evaluates ONE array op per row, not two."""
+    bound = F.struct(
+        F.size(F.array_intersect("ws_a", "ws_b")).alias("i"),
+        (F.size("ws_a") + F.size("ws_b")).alias("ab"),
+    )
+    jaccard = F.element_at(
+        F.transform(
+            F.array(bound),
+            # ANSI-safe on empty sets: union 0 → NULL, as before
+            lambda s: F.when(
+                (s["ab"] - s["i"]) > 0,
+                s["i"].cast("double") / (s["ab"] - s["i"]).cast("double"),
+            ),
+        ),
+        1,
+    )
     return (
         candidates.join(
             ws_tbl.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
@@ -930,8 +951,11 @@ def bloom_decontaminate(
     for r in word_rows:
         words[int(r["w"])] = int(r["word"])
     # Single array literal (not CreateArray): constant-folded once per
-    # task, O(1) element_at lookups per probe.
-    words_lit = F.lit(words).cast("array<bigint>")
+    # task, O(1) element_at lookups per probe.  Round-13: built with
+    # one expr parse — F.lit(list) costs one py4j round trip per
+    # element, ~1.5 s for the 2048-word table, per call
+    # (functions/vectors.py::array_lit_l; same array<bigint> type).
+    words_lit = array_lit_l(words)
 
     def member(s):
         # md5 LET-BOUND once per shingle (shingle_set discipline);
