@@ -42,14 +42,24 @@ def _matrix_lit(mat) -> "F.Column":
     forms to the SAME ``Literal(ArrayData)`` node, so plans and
     codegen are unchanged.  Non-finite values (``repr`` forms SQL
     cannot parse) fall back to the original construction."""
+    s = _matrix_sql(mat)
+    if s is not None:
+        return F.expr(s)
+    return F.lit([[float(x) for x in row] for row in mat])
+
+
+def _matrix_sql(mat) -> str | None:
+    """The SQL text of :func:`_matrix_lit`'s literal, or None when a
+    non-finite value forces the ``F.lit`` fallback — shared by the
+    single-parse argmin templates below, which inline the matrix into
+    one ``F.expr`` string."""
     vals = [[float(x) for x in row] for row in mat]
-    if all(math.isfinite(x) for row in vals for x in row):
-        body = ", ".join(
-            "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
-            for row in vals
-        )
-        return F.expr(f"array({body})")
-    return F.lit(vals)
+    if not all(math.isfinite(x) for row in vals for x in row):
+        return None
+    return "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
+        for row in vals
+    ) + ")"
 
 
 def brute_force_knn(
@@ -412,7 +422,26 @@ def _nearest_cells(vec_col: str, centroids: list, nprobe: int):
     expression-building calls, which dominated the ANN queries' wall
     time before any Spark job ran).  Ordering is IDENTICAL to the
     original per-centroid form: struct (dot, cell) sorted ascending
-    then reversed, so equal dots tie-break toward the HIGHER cell."""
+    then reversed, so equal dots tie-break toward the HIGHER cell.
+
+    Round-13: when ``vec_col`` is a plain name and the matrix is
+    finite (every in-repo call site), the WHOLE expression is one
+    ``F.expr`` parse — the lambda-by-lambda Column construction cost
+    ~0.5 s per call (one py4j round trip per node), rebuilt per serve
+    and per Lloyd round.  The template text is the same tree the
+    Column form builds (same fold order, casts, struct field names,
+    tie-break), so plans and results are unchanged."""
+    mat = _matrix_sql(centroids)
+    if isinstance(vec_col, str) and mat is not None:
+        k = len(centroids)
+        return F.expr(
+            f"element_at(transform(array(`{vec_col}`), v0 -> "
+            f"transform(slice(reverse(array_sort(transform(sequence(0, {k - 1}), "
+            f"i -> named_struct('dot', aggregate(zip_with(v0, "
+            f"element_at({mat}, cast(i + 1 as int)), "
+            "(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x), "
+            f"'cell', i)))), 1, {int(nprobe)}), s -> s.cell)), 1)"
+        )
     cents_lit = _matrix_lit(centroids)
 
     def over(v):
@@ -1709,7 +1738,24 @@ def _nearest_centroid(vec_col: str, centroids: list):
     ``kmeans_assign`` — sizes O(1) in k instead of O(k·dim) py4j
     literal calls.  Distances and tie-breaking are
     arithmetic-identical to the per-centroid literal form.
-    """
+
+    Round-13: plain-name + finite-matrix calls (every in-repo site)
+    build the WHOLE expression with one ``F.expr`` parse — the
+    Column-API lambda construction cost ~0.5 s per call, rebuilt
+    every Lloyd round; the template is the same tree (fold order,
+    casts, field names, ``array_sort[0]`` tie-break), so plans and
+    results are unchanged."""
+    mat = _matrix_sql(centroids)
+    if isinstance(vec_col, str) and mat is not None:
+        k = len(centroids)
+        return F.expr(
+            f"element_at(transform(array(`{vec_col}`), v0 -> "
+            f"array_sort(transform(sequence(0, {k - 1}), "
+            f"i -> named_struct('dist', aggregate(zip_with(v0, "
+            f"element_at({mat}, cast(i + 1 as int)), "
+            "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+            "0.0D, (acc, x) -> acc + x), 'cluster', i)))[0]), 1)"
+        )
     cents_lit = _matrix_lit(centroids)
 
     def over(v):
