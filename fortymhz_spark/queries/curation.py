@@ -2466,9 +2466,22 @@ def q_emb_ann_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     man = load_ann_codes(
         spark, man_codes_dir, man_idx, corpus_version=2
     )
-    n_mismatch = (
-        codes2.exceptAll(man).count() + man.exceptAll(codes2).count()
+    # Round-13 (guide §2.4): the two-sided exceptAll was TWO anti-join
+    # shuffle passes over both code tables for one boolean.  The same
+    # multiset symmetric-difference size — Σ over distinct rows of
+    # |count_a − count_b|, exactly exceptAll(a,b).count() +
+    # exceptAll(b,a).count() — falls out of ONE union + grouped count
+    # (map-side-combined, one shuffle) and a single-row reduce.
+    _cc = codes2.columns
+    _sym = (
+        codes2.select(*_cc).withColumn("__side__", F.lit(1))
+        .unionByName(man.select(*_cc).withColumn("__side__", F.lit(-1)))
+        .groupBy(*_cc)
+        .agg(F.sum("__side__").alias("__d__"))
+        .agg(F.sum(F.abs(F.col("__d__"))).alias("n"))
+        .first()
     )
+    n_mismatch = int(_sym["n"] or 0)
     old_idx, old_codes = load_ann_serving(
         spark, idx_dir, codes_dir, codes_version=1, corpus_version=1
     )
