@@ -70,10 +70,23 @@ def near_dup_components(
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # Round-13 (guide §1.2 step 1): seed each label at
+    # ``min(id, min(neighbor))`` instead of ``id``.  The node set was
+    # already built by a distinct (= groupBy) over the symmetric edge
+    # list, so folding the neighbor-min into that SAME aggregation is
+    # free — no extra shuffle — and it IS round one's propagate step.
+    # Typical near-dup graphs (pairs/short chains) then converge one
+    # full round (two joins + a count job) earlier; the fixed point —
+    # component = min reachable id — and the zero-change exit test are
+    # unchanged (min-label propagation is monotone from any labels
+    # bounded below by the fixed point, and every seed is an existing
+    # node id so the pointer-jump lookup still always finds a row).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nm__"))
+        .select(
+            "id", F.least(F.col("id"), F.col("__nm__")).alias("component")
+        )
         .localCheckpoint(eager=False)
     )
     changed = -1
