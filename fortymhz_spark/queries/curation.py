@@ -2477,18 +2477,29 @@ def q_emb_ann_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes2.select(*_cc).withColumn("__side__", F.lit(1))
         .unionByName(man.select(*_cc).withColumn("__side__", F.lit(-1)))
         .groupBy(*_cc)
-        .agg(F.sum("__side__").alias("__d__"))
-        .agg(F.sum(F.abs(F.col("__d__"))).alias("n"))
+        .agg(
+            F.sum("__side__").alias("__d__"),
+            F.sum(F.when(F.col("__side__") == 1, 1).otherwise(0)).alias(
+                "__na__"
+            ),
+        )
+        # n_codes piggybacks on the same pass: Σ side==1 rows IS
+        # codes2.count(), so the tail's separate codes scan goes away
+        .agg(
+            F.sum(F.abs(F.col("__d__"))).alias("n"),
+            F.sum("__na__").alias("n_codes"),
+        )
         .first()
     )
     n_mismatch = int(_sym["n"] or 0)
+    n_codes2 = int(_sym["n_codes"] or 0)
     old_idx, old_codes = load_ann_serving(
         spark, idx_dir, codes_dir, codes_version=1, corpus_version=1
     )
     return spark.createDataFrame(
         [
             (
-                int(codes2.count()),
+                n_codes2,
                 int(r_noop["index_version"]),
                 int(r_refit["index_version"]),
                 bool(r_noop["refit"] is False and r_noop["codes_version"] == 1),
@@ -2563,7 +2574,17 @@ def q_emb_ann_refit_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_corpus = emb.count()
+    # Round-13 (guide §1.2 step 1): corpus/survivor/deleted counts in
+    # ONE aggregate scan instead of three (n_corpus, doomed.count(),
+    # survivors.count() were three separate corpus passes for three
+    # numbers one pass produces).
+    _counts = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("vec_id") % 3 == 0).cast("long")).alias("surv"),
+    ).first()
+    n_corpus = int(_counts["n"])
+    n_survivors = int(_counts["surv"] or 0)
+    n_deleted = n_corpus - n_survivors
     idx_dir = tempfile.mkdtemp(prefix="fmhz_tomb_idx_")
     codes_dir = tempfile.mkdtemp(prefix="fmhz_tomb_codes_")
     build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
@@ -2573,7 +2594,6 @@ def q_emb_ann_refit_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doomed = emb.filter(F.col("vec_id") % 3 != 0)
     survivors = emb.filter(F.col("vec_id") % 3 == 0)
-    n_deleted, n_survivors = doomed.count(), survivors.count()
     delete_ann_codes(doomed, codes_dir, idx1)
     frac = codes_deleted_fraction(codes_dir)
     fraction_exact = abs(frac - (1.0 - n_survivors / n_corpus)) < 1e-12
