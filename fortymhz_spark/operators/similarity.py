@@ -1083,22 +1083,25 @@ def _pq_train(
         raise ValueError(
             f"rotation must be None, 'opq' or 'auto', got {rotation!r}"
         )
-    if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None or first["d"] is None:
-            raise ValueError(
-                "empty corpus or NULL embedding in first row: nothing "
-                "to train codebooks on"
-            )
-        dim = int(first["d"])
-    if dim % n_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     seed_rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
         .limit(max(train_sample, n_cells))
         .collect()
     )
+    if dim is None:
+        # Round-13 (guide §1.2 step 1): the dimension used to be its
+        # own first() job; the training-sample collect above already
+        # holds the lowest-id vector, so infer it there — one fewer
+        # action per PQ fit (paid 1-2x by every ANN lifecycle row).
+        if not seed_rows or seed_rows[0]["v"] is None:
+            raise ValueError(
+                "empty corpus or NULL embedding in first row: nothing "
+                "to train codebooks on"
+            )
+        dim = len(seed_rows[0]["v"])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sample = []
     for r in seed_rows:
         full = [float(x) for x in r["v"]]
