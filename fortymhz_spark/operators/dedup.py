@@ -89,28 +89,46 @@ def near_dup_components(
         )
         .localCheckpoint(eager=False)
     )
+    # Round-14 (guide §2.4 — share one exchange): the propagate step
+    # used to be THREE operators per round (edges⋈labels on dst,
+    # groupBy(src).min, then labels⋈neighbor_min to fold the node's own
+    # label back in and carry old_component).  Adding one static
+    # self-loop row (id, id) per node makes the node's OWN label ride
+    # the same join — min over the group is then min(own, neighbors')
+    # directly, and the self-loop row (dst == src, whose joined label
+    # IS the round-start label) yields old_component inside the same
+    # aggregate.  One join + one agg per round; the dropped
+    # labels⋈neighbor_min shuffle join cost a full label-table exchange
+    # per round at any scale.  The label sequence is bit-identical:
+    # same node set (labels' ids = distinct src = the self-loop set),
+    # same new label min(own, neighbor mins), same old_component.
+    selfloops = labels.select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
     changed = -1
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+        propagated = (
+            edges.unionByName(selfloops)
+            .join(labels, F.col("dst") == labels["id"])
             .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["src"], "left"
-        ).select(
-            "id",
-            # Round-start label rides along: convergence must compare
-            # against it, not the post-propagation intermediate — a
-            # propagation-only round (e.g. the first round of a star
-            # graph, where the center adopts a leaf's label but no jump
-            # shortcut exists yet) would otherwise count zero changes
-            # and exit with over-split components (caught by the
-            # 3-node-star regression test).
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+            .agg(
+                F.min("component").alias("component"),
+                # Round-start label rides along: convergence must
+                # compare against it, not the post-propagation
+                # intermediate — a propagation-only round (e.g. the
+                # first round of a star graph, where the center adopts
+                # a leaf's label but no jump shortcut exists yet) would
+                # otherwise count zero changes and exit with over-split
+                # components (caught by the 3-node-star regression
+                # test).  Exactly the self-loop row(s) of each group
+                # satisfy dst == src, and any input edge with
+                # dst == src joins that same round-start label, so the
+                # min is that label.
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("old_component"),
+            )
+            .select(F.col("src").alias("id"), "old_component", "component")
         )
         # Round-13 (guide §2.4): the jump join consumes `propagated`
         # on BOTH sides (probe side and `parent` build side).  Without
@@ -120,6 +138,14 @@ def near_dup_components(
         # the two consumers share ONE computed RDD (materialized by
         # the convergence count below, same job), halving the
         # propagate work per round.
+        # Retention (round-13 advisor item, intentional): each round
+        # persists two slim (id, component[, old]) RDDs and PySpark
+        # exposes no unpersist handle for a checkpoint's internal RDD.
+        # The per-round Python references are dropped on reassignment,
+        # so Spark's ContextCleaner reclaims prior rounds' blocks as
+        # the driver GCs them; worst-case live retention is bounded at
+        # 2 label-table copies x max_iter (=25) rounds of 2-3 slim
+        # columns — MEMORY_AND_DISK, never corpus text.
         propagated = propagated.localCheckpoint(eager=False)
         # Pointer jump: component ← label(component).  Labels are always
         # node ids, so every component value has a row in `propagated`;

@@ -1083,6 +1083,12 @@ def _pq_train(
         raise ValueError(
             f"rotation must be None, 'opq' or 'auto', got {rotation!r}"
         )
+    # Pure-Python argument validation BEFORE any Spark job (round-13
+    # advisor item): an explicitly-passed bad dim must fail cheap, not
+    # after a max(train_sample, n_cells)-row collect.  The inferred-dim
+    # path re-checks below once the sample reveals the width.
+    if dim is not None and dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     seed_rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")

@@ -344,6 +344,12 @@ def train_hashed_classifier(
 
     ``label_col`` must hold ±1 (validated with one fused aggregate —
     a 0/NULL label silently biasing the gradient is the failure mode).
+    NB the validation rides epoch 1's scan as an ``observe()`` metric,
+    so invalid labels raise AFTER the first epoch's gradient job
+    completes rather than before training starts — still before any
+    weight update, so a trained model is never produced from bad
+    labels (round-13 advisor note: the trade is one fewer corpus pass
+    on every valid run vs a costlier failure path on invalid input).
     Returns the weight list ready for
     ``hashed_linear_score(weights=...)`` — same bucket hash
     (md5-prefix % n_buckets), so train and serve can never disagree

@@ -2578,13 +2578,18 @@ def q_emb_ann_refit_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregate scan instead of three (n_corpus, doomed.count(),
     # survivors.count() were three separate corpus passes for three
     # numbers one pass produces).
+    # n_deleted is its own null-excluding sum, NOT n_corpus - n_survivors:
+    # a NULL vec_id row is counted by neither predicate (matching both the
+    # doomed filter and the oracle's `vec_id % 3 <> 0`), so subtraction
+    # would misattribute it to the deleted side (round-13 advisor item).
     _counts = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("vec_id") % 3 == 0).cast("long")).alias("surv"),
+        F.sum((F.col("vec_id") % 3 != 0).cast("long")).alias("del"),
     ).first()
     n_corpus = int(_counts["n"])
     n_survivors = int(_counts["surv"] or 0)
-    n_deleted = n_corpus - n_survivors
+    n_deleted = int(_counts["del"] or 0)
     idx_dir = tempfile.mkdtemp(prefix="fmhz_tomb_idx_")
     codes_dir = tempfile.mkdtemp(prefix="fmhz_tomb_codes_")
     build_ann_index(emb, idx_dir, n_coarse=None, n_sub=8, n_cells=16)
