@@ -255,6 +255,9 @@ def test_aqe_splits_skewed_join_partitions(spark):
     handles aggregation skew; AQE handles join skew).  Results must be
     unaffected."""
     confs = {
+        # the session fixture disables AQE for suite speed; this test
+        # is ABOUT adaptive execution, so turn it on locally
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
