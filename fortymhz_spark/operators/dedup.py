@@ -331,24 +331,22 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     the incremental-index serving path so a persisted signature bands
     IDENTICALLY to a fresh one."""
     rows_per_band = num_hashes // bands
+    # Round-14 (guide §7.3 / §1.2 step 2 — driver-side construction):
+    # the Column-API form paid one py4j round trip per expression node
+    # (~0.65 ms each on this host), ~25 per band; ONE parsed SQL string
+    # builds the identical tree (integer literal, xxhash64 over the
+    # same lane columns, same aliases) in a single round trip.
+    bb = ",".join(
+        "struct({b} as band, xxhash64({lanes}) as bucket)".format(
+            b=b,
+            lanes=",".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({bb}))").alias("bb")
     ).select("id", "bb.band", "bb.bucket")
 
 
@@ -366,20 +364,15 @@ def _verify_jaccard(
     to the old form) — and the intersect fold is let-bound in a
     one-element transform scope so the filter's pushed-down copy of
     the jaccard expression evaluates ONE array op per row, not two."""
-    bound = F.struct(
-        F.size(F.array_intersect("ws_a", "ws_b")).alias("i"),
-        (F.size("ws_a") + F.size("ws_b")).alias("ab"),
-    )
-    jaccard = F.element_at(
-        F.transform(
-            F.array(bound),
-            # ANSI-safe on empty sets: union 0 → NULL, as before
-            lambda s: F.when(
-                (s["ab"] - s["i"]) > 0,
-                s["i"].cast("double") / (s["ab"] - s["i"]).cast("double"),
-            ),
-        ),
-        1,
+    # Round-14: the whole let-bound fold as ONE parsed expression (the
+    # Column form cost ~40 py4j round trips per call; CASE WHEN with no
+    # ELSE is the same NULL-on-empty-union tree as the bare F.when).
+    jaccard = F.expr(
+        "element_at(transform(array(struct("
+        "size(array_intersect(ws_a, ws_b)) as i, "
+        "(size(ws_a) + size(ws_b)) as ab)), "
+        "s -> CASE WHEN (s.ab - s.i) > 0 THEN "
+        "CAST(s.i AS DOUBLE) / CAST((s.ab - s.i) AS DOUBLE) END), 1)"
     )
     return (
         candidates.join(
